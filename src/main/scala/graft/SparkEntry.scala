@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every operator is a named `(SparkSession, sfDir) => DataFrame`; each
+  * has an equivalent DuckDB `oracleSql` (hash-compared by the driver at
+  * sf0.01) unless noted "rows-only" in SURVEY.md §2.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Olap.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A — reference ETL surface (metrics pipeline)
+    "q_metrics_ingest" -> (MetricsEtl.qMetricsIngest _),
+    "q_metrics_id" -> (MetricsEtl.qMetricsId _),
+    "q_metrics_skipped" -> (MetricsEtl.qMetricsSkipped _),
+    "q_tsv_format" -> (MetricsEtl.qTsvFormat _),
+    "q_window_batches" -> (MetricsEtl.qWindowBatches _),
+    "q_etl_state" -> (MetricsEtl.qEtlState _),
+    "q_dedup_final" -> (MetricsEtl.qDedupFinal _),
+    "q_selector" -> (MetricsEtl.qSelector _),
+    "q_rate" -> (MetricsEtl.qRate _),
+    "q_increase" -> (MetricsEtl.qIncrease _),
+    "q_over_time" -> (MetricsEtl.qOverTime _),
+    "q_daily_partition" -> (MetricsEtl.qDailyPartition _),
+    // §2.B — OLAP core
+    "q1_pricing" -> (Olap.q1Pricing _),
+    "q3_topk_join" -> (Olap.q3TopkJoin _),
+    "q5_region_join" -> (Olap.q5RegionJoin _),
+    "q_window_running" -> (Olap.qWindowRunning _),
+    "q_topk_per_group" -> (Olap.qTopkPerGroup _),
+    "q_sessionize" -> (Olap.qSessionize _),
+    "q_stream_window_agg" -> (Olap.qStreamWindowAgg _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_metrics_ingest" -> MetricsEtl.metricsIngestSql,
+    "q_metrics_id" -> MetricsEtl.metricsIdSql,
+    "q_metrics_skipped" -> MetricsEtl.metricsSkippedSql,
+    "q_tsv_format" -> MetricsEtl.tsvFormatSql,
+    "q_window_batches" -> MetricsEtl.windowBatchesSql,
+    "q_etl_state" -> MetricsEtl.etlStateSql,
+    "q_dedup_final" -> MetricsEtl.dedupFinalSql,
+    "q_selector" -> MetricsEtl.selectorSql,
+    "q_rate" -> MetricsEtl.rateSql,
+    "q_increase" -> MetricsEtl.increaseSql,
+    "q_over_time" -> MetricsEtl.overTimeSql,
+    "q_daily_partition" -> MetricsEtl.dailyPartitionSql,
+    "q1_pricing" -> Olap.q1Sql,
+    "q3_topk_join" -> Olap.q3Sql,
+    "q5_region_join" -> Olap.q5Sql,
+    "q_window_running" -> Olap.qWindowRunningSql,
+    "q_topk_per_group" -> Olap.qTopkPerGroupSql,
+    "q_sessionize" -> Olap.qSessionizeSql,
+    "q_stream_window_agg" -> Olap.qStreamWindowAggSql
+  )
 }

@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General OLAP capability on the TPC-H-ish tables (SURVEY.md §2.B).
+  *
+  * Scale notes (§6): dimension tables (region/nation/supplier/customer at
+  * TPC-H ratios) are explicitly `broadcast()` so fact-side scans never
+  * shuffle for the dim side; fact aggregations groupBy first (map-side
+  * combine) and join the small result afterwards where possible. Float
+  * aggregates are rounded identically in the DuckDB oracle (§3).
+  */
+object Olap {
+
+  /** q1_pricing — grouped aggregation over lineitem (TPC-H Q1 shape).
+    * One shuffle over a 6-value grouping key; everything else map-side.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * (lit(1d) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q3_topk_join — customer⋈orders⋈lineitem, revenue per order, top 10
+    * (TPC-H Q3 shape). customer is broadcast (1:10 of orders); the only
+    * shuffle is the groupBy on o_orderkey, which AQE coalesces.
+    */
+  def q3TopkJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       epoch_us(o_orderdate) AS o_orderdate_us
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q5_region_join — 6-way join with broadcast dims (TPC-H Q5 shape):
+    * revenue per nation for orders whose customer and supplier share the
+    * nation. All of region/nation/supplier/customer collapse into one
+    * broadcast dim before touching the fact tables.
+    */
+  def q5RegionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === dims("n_nationkey"))
+      .groupBy("n_name", "r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, r_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem, orders, customer, supplier, nation, region
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name, r_name""".stripMargin
+
+  /** q_window_running — running revenue + per-supplier rank over shipdate.
+    * Partition key = l_suppkey (bounded cardinality) so window state stays
+    * small per partition at any scale.
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(Window.partitionBy("l_suppkey")
+        .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("running_rev",
+        round(sum("l_extendedprice").over(Window.partitionBy("l_suppkey")
+          .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter(col("rn") <= 100)
+      .drop("l_extendedprice")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |       epoch_us(l_shipdate) AS ship_us,
+      |       row_number() OVER w AS rn,
+      |       round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+      |         ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber)
+      |QUALIFY rn <= 100""".stripMargin
+
+  /** q_topk_per_group — top-3 orders per customer by totalprice (window
+    * row_number, deterministic tiebreak on o_orderkey).
+    */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       row_number() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |FROM orders
+      |QUALIFY rk <= 3""".stripMargin
+
+  /** q_sessionize — 30-min-gap sessionization per user: lag to detect
+    * session starts, running sum to number sessions, then per-session
+    * rollup. Two window passes over the same (user_id, ts) partitioning —
+    * Catalyst reuses the single sort+shuffle.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("t_start"),
+        max("ts_us").as("t_end"),
+        round(sum("value"), 2).as("session_value"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR ts_us - prev_ts > 1800 * 1000000
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM s),
+      |g AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM m)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       min(ts_us) AS t_start, max(ts_us) AS t_end,
+      |       round(sum(value), 2) AS session_value
+      |FROM g GROUP BY user_id, session_id""".stripMargin
+
+  /** q_stream_window_agg — tumbling 1h windowed aggregation per
+    * event_type: the batch twin of the Structured Streaming pipeline in
+    * graft.streaming (same groupBy(window(...)) plan shape, so batch and
+    * streaming results are interchangeable — streaming parity is spec'd
+    * in StreamingSpec).
+    */
+  def qStreamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("total"))
+
+  val qStreamWindowAggSql: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
+      |       event_type, COUNT(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+}
