@@ -53,4 +53,70 @@ object Portable {
     })
     concat(lit("["), array_join(escaped, ","), lit("]"))
   }
+
+  /** DuckDB rendering of [[tsvEscape]], for oracle SQL authoring.
+    * (Scala triple-quoted strings keep backslashes literal, so `'\'` below
+    * reaches DuckDB as a single-backslash string literal.)
+    */
+  def tsvEscapeSql(inner: String): String =
+    s"""replace(replace(replace($inner, '\', '\\'), chr(9), '\t'), chr(10), '\n')"""
+
+  /** DuckDB rendering of [[chArray]] over an array expression. */
+  def chArraySql(arr: String): String =
+    s"""('[' || array_to_string(list_transform($arr, e -> '''' || replace(${tsvEscapeSql("e")}, '''', '\''') || ''''), ',') || ']')"""
+
+  /** Render a value as fixed 2-decimal string via integer cents. Unlike
+    * `%.2f` (Java Formatter rounds the decimal expansion HALF_UP, C printf
+    * rounds the binary double half-even — they disagree on `.xx5`
+    * boundaries), `round(v*100)` + integer formatting is bit-identical
+    * across engines: both operate on the same binary double and round
+    * exact-half away from zero. */
+  def centsStr(v: Column): Column = {
+    val cents = round(v * 100).cast("long")
+    val a = abs(cents)
+    concat(
+      when(cents < 0, lit("-")).otherwise(lit("")),
+      ((a - (a % 100)) / 100).cast("long").cast("string"), lit("."),
+      lpad((a % 100).cast("string"), 2, "0"))
+  }
+
+  /** DuckDB rendering of [[centsStr]], for oracle SQL authoring. */
+  def centsStrSql(inner: String): String = {
+    val c = s"CAST(round(($inner)*100) AS BIGINT)"
+    s"(CASE WHEN $c < 0 THEN '-' ELSE '' END || " +
+      s"CAST(abs($c) // 100 AS VARCHAR) || '.' || " +
+      s"lpad(CAST(abs($c) % 100 AS VARCHAR), 2, '0'))"
+  }
+
+  /** Epoch-µs long → `"seconds.micros"` string with exact integer math
+    * (`%.6f` on a double re-rounds the binary value; this never does). */
+  def microsSecondsStr(tsUs: Column): Column =
+    concat(
+      ((tsUs - (tsUs % 1000000L)) / 1000000L).cast("long").cast("string"),
+      lit("."), lpad((tsUs % 1000000L).cast("string"), 6, "0"))
+
+  /** DuckDB rendering of [[microsSecondsStr]]. */
+  def microsSecondsStrSql(inner: String): String =
+    s"(CAST(($inner) // 1000000 AS VARCHAR) || '.' || " +
+      s"lpad(CAST(($inner) % 1000000 AS VARCHAR), 6, '0'))"
+
+  /** R4 float formatting (reference etl_job.py:810-844): no scientific
+    * notation ever; `nan` / `inf` / `-inf` lowercase. Mirrors Python's
+    * `f"{v:.15g}"`-then-`f"{v:.15f}"` fallback, with trailing zeros (and a
+    * bare trailing dot) stripped — Java's `%g` keeps trailing zeros where
+    * C's strips them, so the strip step makes the two identical. Used by
+    * the streaming TSV sink path; spec'd against the reference's cases.
+    */
+  def formatFloat(v: Column): Column = {
+    def strip(c: Column): Column =
+      when(c.contains("."),
+        regexp_replace(regexp_replace(c, "0+$", ""), "\\.$", ""))
+        .otherwise(c)
+    val g = format_string("%.15g", v)
+    when(isnan(v), lit("nan"))
+      .when(v === lit(Double.PositiveInfinity), lit("inf"))
+      .when(v === lit(Double.NegativeInfinity), lit("-inf"))
+      .when(lower(g).contains("e"), strip(format_string("%.15f", v)))
+      .otherwise(strip(g))
+  }
 }

@@ -5,6 +5,7 @@ import graft.functions.Portable._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /** The reference ETL surface re-expressed Spark-first (SURVEY.md §2.A).
   *
@@ -21,35 +22,58 @@ import org.apache.spark.sql.functions._
 object MetricsEtl {
 
   /** Metrics view: events → ClickHouse metrics schema (etl_job.py:545-738).
-    * Labels sorted by key: ["k","user"]. Timestamps as epoch µs (BIGINT)
-    * so Spark and the DuckDB oracle compare exactly.
+    * Labels are DYNAMIC, like the reference (etl_job.py:619-625): the full
+    * label map = parsed `props` JSON ∪ {user → user_id}, keys sorted, and
+    * parallel key/value arrays derived from the sorted keys. Timestamps as
+    * epoch µs (BIGINT) so Spark and the DuckDB oracle compare exactly.
     */
-  def metrics(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
-      unix_micros(col("ts")).as("ts_us"),
-      col("event_type").as("name"),
-      array(lit("k"), lit("user")).as("label_keys"),
-      array(get_json_object(col("props"), "$.k"), col("user_id").cast("string"))
-        .as("label_values"),
-      col("value"),
-      col("event_id")
-    )
+  def metrics(spark: SparkSession, dir: String): DataFrame = {
+    val labels = map_concat(
+      from_json(col("props"), MapType(StringType, StringType)),
+      map(lit("user"), col("user_id").cast("string")))
+    Tables.events(spark, dir)
+      .withColumn("labels", labels)
+      .select(
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("name"),
+        array_sort(map_keys(col("labels"))).as("label_keys"),
+        transform(array_sort(map_keys(col("labels"))),
+          k => element_at(col("labels"), k)).as("label_values"),
+        col("value"),
+        col("event_id"))
+  }
 
-  /** q_metrics_ingest — the R1 transform itself. */
+  /** DuckDB twins of the dynamic label arrays, for oracle SQL authoring. */
+  private val keysSql =
+    "list_sort(list_append(json_keys(props), 'user'))"
+  private val valuesSql =
+    s"""list_transform($keysSql, k -> CASE WHEN k = 'user'
+       |  THEN CAST(user_id AS VARCHAR)
+       |  ELSE json_extract_string(props, '$$.' || k) END)""".stripMargin
+
+  /** q_metrics_ingest — the R1 transform itself. Labels surface as joined
+    * strings (not arrays) so the driver's pandas-based compare can sort
+    * and hash the rows; the internal `metrics` view keeps real arrays.
+    */
   def qMetricsIngest(spark: SparkSession, dir: String): DataFrame =
-    metrics(spark, dir).drop("event_id")
+    metrics(spark, dir).select(
+      col("ts_us"), col("name"),
+      array_join(col("label_keys"), ",").as("label_keys_str"),
+      array_join(col("label_values"), ",").as("label_values_str"),
+      col("value"))
 
   val metricsIngestSql: String =
-    """SELECT epoch_us(ts) AS ts_us, event_type AS name,
-      |       ['k','user'] AS label_keys,
-      |       [CAST(json_extract_string(props,'$.k') AS VARCHAR), CAST(user_id AS VARCHAR)] AS label_values,
-      |       value
-      |FROM events""".stripMargin
+    s"""SELECT epoch_us(ts) AS ts_us, event_type AS name,
+       |       array_to_string($keysSql, ',') AS label_keys_str,
+       |       array_to_string($valuesSql, ',') AS label_values_str,
+       |       value
+       |FROM events""".stripMargin
 
   /** Canonical row content string for hashing — mirrors the column list of
     * the reference's `cityHash64(timestamp, name, labels.key, labels.value,
-    * value)` MATERIALIZED id. Value fixed to 2 decimals (printf both
-    * engines) so the string is bit-identical.
+    * value)` MATERIALIZED id. Value rendered via integer cents
+    * ([[graft.functions.Portable.centsStr]]) so the string is bit-identical
+    * across engines (no printf half-way rounding divergence).
     */
   private def contentString(valueCol: Column): Column =
     concat_ws("\u0001",
@@ -57,7 +81,7 @@ object MetricsEtl {
       col("name"),
       array_join(col("label_keys"), ","),
       array_join(col("label_values"), ","),
-      format_string("%.2f", valueCol))
+      centsStr(valueCol))
 
   /** q_metrics_id — content-hash row identity (R5). */
   def qMetricsId(spark: SparkSession, dir: String): DataFrame =
@@ -68,9 +92,9 @@ object MetricsEtl {
   val metricsIdSql: String = {
     val content =
       "concat_ws(chr(1), CAST(epoch_us(ts) AS VARCHAR), event_type, " +
-        "array_to_string(['k','user'], ','), " +
-        "array_to_string([CAST(json_extract_string(props,'$.k') AS VARCHAR), CAST(user_id AS VARCHAR)], ','), " +
-        "printf('%.2f', value))"
+        s"array_to_string($keysSql, ','), " +
+        s"array_to_string($valuesSql, ','), " +
+        s"${centsStrSql("value")})"
     s"""SELECT ${hash60Sql(content)} AS id, epoch_us(ts) AS ts_us,
        |       event_type AS name, value
        |FROM events""".stripMargin
@@ -90,11 +114,17 @@ object MetricsEtl {
       when(col("event_id") % 97 === 0, lit("garbage"))
         .when(col("event_id") % 89 === 0, lit("NaN"))
         .when(col("event_id") % 83 === 0, lit("Inf"))
+        .when(col("event_id") % 79 === 0, lit("-Inf"))
+        .when(col("event_id") % 73 === 0, lit("1e-3"))
+        .when(col("event_id") % 71 === 0, lit(".5"))
+        .when(col("event_id") % 67 === 0, lit("+2"))
         .otherwise(format_string("%.2f", col("value"))).as("raw_value"))
-    // try-parse: numeric strings and NaN/Inf parse; 'garbage' does not.
+    // try-parse with Python-float() breadth (etl_job.py:650-717): numeric
+    // strings incl. scientific / bare-dot / signed forms, NaN/Inf
+    // preserved, everything else skipped+counted. try_cast matches
+    // Python's float() on all these token classes in both engines.
     val parsed = raw.withColumn("ok",
-      col("raw_value").isin("NaN", "Inf", "-Inf") ||
-        col("raw_value").rlike("^-?[0-9]+(\\.[0-9]+)?$"))
+      expr("try_cast(raw_value AS DOUBLE)").isNotNull)
     parsed.groupBy("name").agg(
       sum(when(col("ok"), 1L).otherwise(0L)).as("rows_count"),
       sum(when(!col("ok"), 1L).otherwise(0L)).as("skipped_count"))
@@ -106,15 +136,17 @@ object MetricsEtl {
       |         CASE WHEN event_id % 97 = 0 THEN 'garbage'
       |              WHEN event_id % 89 = 0 THEN 'NaN'
       |              WHEN event_id % 83 = 0 THEN 'Inf'
+      |              WHEN event_id % 79 = 0 THEN '-Inf'
+      |              WHEN event_id % 73 = 0 THEN '1e-3'
+      |              WHEN event_id % 71 = 0 THEN '.5'
+      |              WHEN event_id % 67 = 0 THEN '+2'
       |              ELSE printf('%.2f', value) END AS raw_value
       |  FROM events)
       |SELECT name,
-      |       SUM(CASE WHEN raw_value IN ('NaN','Inf','-Inf')
-      |                  OR regexp_matches(raw_value, '^-?[0-9]+(\.[0-9]+)?$')
-      |                THEN 1 ELSE 0 END) AS rows_count,
-      |       SUM(CASE WHEN raw_value IN ('NaN','Inf','-Inf')
-      |                  OR regexp_matches(raw_value, '^-?[0-9]+(\.[0-9]+)?$')
-      |                THEN 0 ELSE 1 END) AS skipped_count
+      |       CAST(SUM(CASE WHEN try_cast(raw_value AS DOUBLE) IS NOT NULL
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS rows_count,
+      |       CAST(SUM(CASE WHEN try_cast(raw_value AS DOUBLE) IS NOT NULL
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS skipped_count
       |FROM raw GROUP BY name""".stripMargin
 
   /** q_tsv_format — R3: TabSeparated line rendering (escape + ClickHouse
@@ -124,21 +156,21 @@ object MetricsEtl {
     metrics(spark, dir).select(
       col("ts_us"),
       concat_ws("\t",
-        format_string("%.6f", col("ts_us").cast("double") / 1000000d),
+        microsSecondsStr(col("ts_us")),
         tsvEscape(col("name")),
         chArray(col("label_keys")),
         chArray(col("label_values")),
-        format_string("%.2f", col("value"))).as("tsv_line"))
+        centsStr(col("value"))).as("tsv_line"))
 
   val tsvFormatSql: String =
-    """SELECT epoch_us(ts) AS ts_us,
-      |       concat_ws(chr(9),
-      |         printf('%.6f', epoch_us(ts) / 1000000.0),
-      |         replace(replace(replace(event_type, '\', '\\'), chr(9), '\t'), chr(10), '\n'),
-      |         '[''k'',''user'']',
-      |         '[''' || CAST(json_extract_string(props,'$.k') AS VARCHAR) || ''',''' || CAST(user_id AS VARCHAR) || ''']',
-      |         printf('%.2f', value)) AS tsv_line
-      |FROM events""".stripMargin
+    s"""SELECT epoch_us(ts) AS ts_us,
+       |       concat_ws(chr(9),
+       |         ${microsSecondsStrSql("epoch_us(ts)")},
+       |         ${tsvEscapeSql("event_type")},
+       |         ${chArraySql(keysSql)},
+       |         ${chArraySql(valuesSql)},
+       |         ${centsStrSql("value")}) AS tsv_line
+       |FROM events""".stripMargin
 
   /** q_window_batches — R6/R7: assign rows to 300s ETL batch windows and
     * compute per-window batch stats (batch_rows, batch_skipped_count,
@@ -161,7 +193,7 @@ object MetricsEtl {
     """SELECT CAST(floor(epoch_us(ts) / 1000000 / 300) * 300 AS BIGINT) AS window_start,
       |       CAST(floor(epoch_us(ts) / 1000000 / 300) * 300 + 300 AS BIGINT) AS window_end,
       |       COUNT(*) AS batch_rows,
-      |       SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS batch_skipped_count
+      |       CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS batch_skipped_count
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** q_etl_state — R6/R7: the job-state ledger the reference keeps in its
@@ -228,7 +260,11 @@ object MetricsEtl {
 
   /** q_selector — R1: PromQL-style instant selector
     * `{__name__=~"(purchase|signup|click)", k=~"^1.*"}` over the metrics
-    * view. Both predicates reach the parquet scan as pushed filters.
+    * view. Note on pushdown: `rlike` / `get_json_object` predicates are
+    * evaluated post-scan (parquet pushes only simple comparisons /
+    * IN / startsWith); what DOES reach the scan here is column pruning.
+    * A production selector on equality matchers would use `isin`, which
+    * parquet can push — PromQL regex matchers inherently cannot be.
     */
   def qSelector(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -49,8 +49,10 @@ object Olap {
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** q3_topk_join — customer⋈orders⋈lineitem, revenue per order, top 10
-    * (TPC-H Q3 shape). customer is broadcast (1:10 of orders); the only
-    * shuffle is the groupBy on o_orderkey, which AQE coalesces.
+    * (TPC-H Q3 shape). Scale audit (round 2): only the filtered customer
+    * DIM is broadcast; orders is fact-scale, so orders⋈lineitem is a
+    * shuffle join on orderkey (AQE may still convert it at small SF). The
+    * final orderBy+limit executes as TakeOrdered — no global sort.
     */
   def q3TopkJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -62,8 +64,8 @@ object Olap {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust),
-        ord("o_custkey") === cust("c_custkey"))),
+    li.join(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
@@ -87,10 +89,16 @@ object Olap {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** q5_region_join — 6-way join with broadcast dims (TPC-H Q5 shape):
-    * revenue per nation for orders whose customer and supplier share the
-    * nation. All of region/nation/supplier/customer collapse into one
-    * broadcast dim before touching the fact tables.
+  /** q5_region_join — 6-way join (TPC-H Q5 shape): revenue per nation for
+    * orders whose customer and supplier share the nation. Scale audit
+    * (round 2): only region⋈nation (a few hundred rows at ANY scale) is
+    * force-broadcast. customer and supplier GROW with SF (billions of rows
+    * at 100 TB) so they are size-gated instead — plain joins that
+    * autoBroadcastJoinThreshold/AQE convert to broadcast when (and only
+    * when) they actually fit. Join tree: orders⋈customer first (both keyed
+    * on custkey, smaller than lineitem), then lineitem once on orderkey,
+    * then supplier on suppkey — lineitem passes through a single shuffle
+    * chain rather than two.
     */
   def q5RegionJoin(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.nation(spark, dir)
@@ -104,9 +112,9 @@ object Olap {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-      .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(li, li("l_orderkey") === ord("o_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(dims), col("s_nationkey") === dims("n_nationkey"))
       .groupBy("n_name", "r_name")
@@ -215,9 +223,9 @@ object Olap {
       |                 THEN 1 ELSE 0 END AS is_new
       |  FROM s),
       |g AS (
-      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
       |            ORDER BY ts_us, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM m)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |       min(ts_us) AS t_start, max(ts_us) AS t_end,

@@ -5,26 +5,25 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
 Reads each <outDir>/<name> parquet (Spark result), runs the oracle SQL from
 <outDir>/oracle_sql.json in DuckDB against the sf parquet tables, and
-compares as a sorted multiset of rows (columns sorted by name) — the
-strictest plausible version of the driver's hash compare.
+compares the way the DRIVER does: both sides materialized through pandas
+(so DuckDB HUGEINT becomes float64, exactly as in the driver), columns
+sorted by name, rows sorted by all columns, values compared by str() repr —
+repr-sensitive, so int64 3 vs float64 3.0 FAILS here like it fails there.
+Array columns crash the sort (unhashable ndarray) — also like the driver.
 """
-import sys, json, math, glob
+import sys, json, glob
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        if v == int(v) and abs(v) < 2**53: return repr(float(v))
-        return repr(v)
-    if isinstance(v, list): return "[" + ",".join(norm(x) for x in v) + "]"
-    return repr(v)
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
-def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+def rows_repr(df):
+    return ["|".join(str(v) for v in row) for row in df.itertuples(index=False)]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -40,22 +39,28 @@ def main():
             spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
             if not spark_files:
                 print(f"FAIL {name}: no spark output"); n_bad += 1; continue
-            sres = con.execute(
-                f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
-            scols = [d[0] for d in con.description]
-            dres = con.execute(sql).fetchall()
-            dcols = [d[0] for d in con.description]
-            if sorted(scols) != sorted(dcols):
-                print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet({spark_files!r})").df()
+            ddf = con.execute(sql).df()
+            if sorted(sdf.columns) != sorted(ddf.columns):
+                print(f"FAIL {name}: schema {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
                 n_bad += 1; continue
-            a, b = rowset(scols, sres), rowset(dcols, dres)
+            if len(sdf) != len(ddf):
+                print(f"FAIL {name}: {len(sdf)} spark vs {len(ddf)} duckdb rows")
+                n_bad += 1; continue
+            sdf, ddf = canon(sdf), canon(ddf)
+            a, b = rows_repr(sdf), rows_repr(ddf)
             if a == b:
                 print(f"OK   {name} ({len(a)} rows)"); n_ok += 1
             else:
-                print(f"FAIL {name}: {len(a)} spark vs {len(b)} duckdb rows")
-                sa, sb = set(a), set(b)
-                for x in list(sa - sb)[:3]: print(f"  spark-only: {x[:200]}")
-                for x in list(sb - sa)[:3]: print(f"  duck-only:  {x[:200]}")
+                print(f"FAIL {name}: hash mismatch ({len(a)} rows)")
+                shown = 0
+                for i, (x, y) in enumerate(zip(a, b)):
+                    if x != y:
+                        print(f"  row {i}: spark={x[:160]}")
+                        print(f"         duck ={y[:160]}")
+                        shown += 1
+                        if shown >= 3: break
                 n_bad += 1
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_bad += 1
