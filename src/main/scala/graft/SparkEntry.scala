@@ -36,7 +36,19 @@ object SparkEntry {
     "q_window_running" -> (Olap.qWindowRunning _),
     "q_topk_per_group" -> (Olap.qTopkPerGroup _),
     "q_sessionize" -> (Olap.qSessionize _),
-    "q_stream_window_agg" -> (Olap.qStreamWindowAgg _)
+    "q_stream_window_agg" -> (Olap.qStreamWindowAgg _),
+    // §2.C — LLM-training-data pipeline
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_fingerprint" -> (Dedup.qFingerprint _),
+    "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
+    "q_simhash" -> (Dedup.qSimhash _),
+    "q_embed_cosine_topk" -> (Similarity.qEmbedCosineTopk _),
+    "q_ann_lsh" -> (Similarity.qAnnLsh _),
+    "q_lang_id" -> (TextAnalysis.qLangId _),
+    "q_quality" -> (TextAnalysis.qQuality _),
+    "q_tokens" -> (TextAnalysis.qTokens _),
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,6 +70,17 @@ object SparkEntry {
     "q_window_running" -> Olap.qWindowRunningSql,
     "q_topk_per_group" -> Olap.qTopkPerGroupSql,
     "q_sessionize" -> Olap.qSessionizeSql,
-    "q_stream_window_agg" -> Olap.qStreamWindowAggSql
+    "q_stream_window_agg" -> Olap.qStreamWindowAggSql,
+    "q_dedup_exact" -> Dedup.dedupExactSql,
+    "q_fingerprint" -> Dedup.fingerprintSql,
+    "q_dedup_ngram" -> Dedup.dedupNgramSql,
+    "q_minhash_lsh" -> Dedup.minhashLshSql,
+    "q_simhash" -> Dedup.simhashSql,
+    "q_embed_cosine_topk" -> Similarity.embedCosineTopkSql,
+    "q_ann_lsh" -> Similarity.annLshSql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
+    "q_quality" -> TextAnalysis.qualitySql,
+    "q_tokens" -> TextAnalysis.tokensSql,
+    "q_multimodal_meta" -> Multimodal.multimodalMetaSql
   )
 }

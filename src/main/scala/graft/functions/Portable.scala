@@ -54,16 +54,26 @@ object Portable {
     concat(lit("["), array_join(escaped, ","), lit("]"))
   }
 
-  /** DuckDB rendering of [[tsvEscape]], for oracle SQL authoring.
-    * (Scala triple-quoted strings keep backslashes literal, so `'\'` below
-    * reaches DuckDB as a single-backslash string literal.)
+  /** One literal backslash, for assembling DuckDB SQL. (The `s` string
+    * interpolator processes escapes even in triple quotes, so backslashes
+    * are concatenated explicitly rather than written inline.) */
+  private val BS = "\\"
+
+  /** DuckDB rendering of [[tsvEscape]], for oracle SQL authoring:
+    * `replace(replace(replace(x, '\', '\\'), chr(9), '\t'), chr(10), '\n')`.
     */
   def tsvEscapeSql(inner: String): String =
-    s"""replace(replace(replace($inner, '\', '\\'), chr(9), '\t'), chr(10), '\n')"""
+    "replace(replace(replace(" + inner +
+      ", '" + BS + "', '" + BS + BS + "')" +
+      ", chr(9), '" + BS + "t')" +
+      ", chr(10), '" + BS + "n')"
 
-  /** DuckDB rendering of [[chArray]] over an array expression. */
+  /** DuckDB rendering of [[chArray]] over an array expression; the inner
+    * quote-escape is `replace(e, '''', '\''')` (single quote → `\'`). */
   def chArraySql(arr: String): String =
-    s"""('[' || array_to_string(list_transform($arr, e -> '''' || replace(${tsvEscapeSql("e")}, '''', '\''') || ''''), ',') || ']')"""
+    "('[' || array_to_string(list_transform(" + arr +
+      ", e -> '''' || replace(" + tsvEscapeSql("e") +
+      ", '''', '" + BS + "''') || ''''), ',') || ']')"
 
   /** Render a value as fixed 2-decimal string via integer cents. Unlike
     * `%.2f` (Java Formatter rounds the decimal expansion HALF_UP, C printf

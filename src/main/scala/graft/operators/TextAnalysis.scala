@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM-training-data pipeline
+  * (SURVEY.md §2.C): language ID, quality scoring, token counting.
+  * All pure per-row expressions — embarrassingly parallel, no shuffle at
+  * all (the `.explain` plan is a single WholeStageCodegen over the scan),
+  * which is exactly the shape you want for a 100 TB text sweep: these run
+  * at parquet scan speed and the only cost is the regex engine.
+  */
+object TextAnalysis {
+
+  /** Shared stopword list (language-ID + quality). Kept tiny and inlined
+    * in both engines so the operators stay UDF-free. */
+  private val stopwords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def words: Column = split(col("text"), " ")
+  private val wordsSql = "string_split(text, ' ')"
+
+  private def nStop(ws: Column): Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    size(filter(ws, w => array_contains(stopArr, w)))
+  }
+  private val nStopSql =
+    s"len(list_filter($wordsSql, w -> list_contains($stopwordsSqlList, w)))"
+
+  /** q_lang_id — n-gram/stopword-heuristic language ID: score = stopword
+    * ratio; ≥ 3% stopwords → 'en', else 'unk'. (A real multi-language ID
+    * is the same plan with one score column per language's stopword set —
+    * still a single codegen'd projection.)
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(words))
+      .withColumn("n_stop", nStop(words))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_words"), 4))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= 0.03, lit("en")).otherwise(lit("unk")))
+      .select("doc_id", "lang", "n_words", "n_stop", "stop_ratio", "lang_pred")
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang,
+       |       len($wordsSql) AS n_words,
+       |       $nStopSql AS n_stop,
+       |       round(CAST($nStopSql AS DOUBLE) / len($wordsSql), 4) AS stop_ratio,
+       |       CASE WHEN round(CAST($nStopSql AS DOUBLE) / len($wordsSql), 4) >= 0.03
+       |            THEN 'en' ELSE 'unk' END AS lang_pred
+       |FROM documents""".stripMargin
+
+  /** q_quality — quality scoring: length, word count, avg word length,
+    * stopword ratio, punctuation ratio, composite score in [0,1]. The
+    * composite is written with identical operation order in both engines
+    * so the doubles are bit-equal before rounding.
+    */
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words
+    val totalWordLen = aggregate(transform(ws, w => length(w)),
+      lit(0), (acc, x) => acc + x)
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+    Tables.documents(spark, dir)
+      .withColumn("n_chars_calc", length(col("text")))
+      .withColumn("n_words", size(ws))
+      .withColumn("avg_word_len",
+        round(totalWordLen.cast("double") / size(ws), 4))
+      .withColumn("stop_ratio",
+        round(nStop(ws).cast("double") / size(ws), 4))
+      .withColumn("punct_ratio",
+        round(punct.cast("double") / length(col("text")), 4))
+      // round to 6: the composite's true value has ≤5 decimal digits
+      // (operands are 2/4-decimal), so 6-digit rounding never lands on a
+      // half boundary where Spark (shortest-repr HALF_UP) and DuckDB
+      // (binary-nearest) disagree — round(.,4) did, by one ulp.
+      .withColumn("quality_score",
+        round(least(size(ws).cast("double") / 50, lit(1d)) * 0.5
+          + col("stop_ratio") * 0.3
+          + (lit(1d) - col("punct_ratio")) * 0.2, 6))
+      .select("doc_id", "n_chars_calc", "n_words", "avg_word_len",
+        "stop_ratio", "punct_ratio", "quality_score")
+  }
+
+  val qualitySql: String = {
+    val nw = s"len($wordsSql)"
+    val stopRatio = s"round(CAST($nStopSql AS DOUBLE) / $nw, 4)"
+    val punctRatio =
+      "round(CAST(len(text) - len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text), 4)"
+    s"""SELECT doc_id,
+       |       len(text) AS n_chars_calc,
+       |       $nw AS n_words,
+       |       round(CAST(list_sum(list_transform($wordsSql, w -> len(w))) AS DOUBLE) / $nw, 4) AS avg_word_len,
+       |       $stopRatio AS stop_ratio,
+       |       $punctRatio AS punct_ratio,
+       |       round(least(CAST($nw AS DOUBLE) / 50, 1.0) * 0.5
+       |             + $stopRatio * 0.3
+       |             + (1.0 - $punctRatio) * 0.2, 6) AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  /** q_tokens — token counting three ways: whitespace tokens, BPE-ish
+    * regex tokens (letter runs / digit runs / single punctuation — the
+    * pre-tokenization split every BPE tokenizer starts from), and
+    * distinct whitespace tokens. Token counts are the costing unit of
+    * every LLM data pipeline, so this runs as a pure projection too.
+    */
+  /** BPE pre-tokenization pattern — letter runs / digit runs / single
+    * punctuation. Same regex dialect subset in Java and RE2. */
+  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def qTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws_tokens", size(words))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))))
+      .withColumn("n_distinct_tokens", size(array_distinct(words)))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens")
+
+  val tokensSql: String =
+    s"""SELECT doc_id,
+       |       len($wordsSql) AS n_ws_tokens,
+       |       len(regexp_extract_all(text, '$bpePattern')) AS n_bpe_tokens,
+       |       len(list_distinct($wordsSql)) AS n_distinct_tokens
+       |FROM documents""".stripMargin
+}
