@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Hygiene: a warmup pass exercises session init,
+  * parquet read and codegen before anything is timed (otherwise the first
+  * query absorbs ~5 s of JVM/session warmup and per-query numbers are
+  * meaningless); queries run in sorted name order so runs are comparable;
+  * a failing query is reported loudly as value −1 plus an `errors` list
+  * and stderr trace — never as a fake timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +16,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: generic shuffle+codegen, then the flagship entry (parquet
+    // scan path) on the smallest SF so no measured bytes are pre-cached.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(e)
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (outcome.isEmpty) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

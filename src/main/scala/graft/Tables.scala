@@ -36,4 +36,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Fan a narrow scan out to default parallelism before compute-heavy
+    * per-row stages (shingling, hashing, vector math). Small single-file
+    * inputs otherwise pin the whole map stage to ONE core and every
+    * consumer recomputes it. No-op when the scan already has enough
+    * splits — the 100 TB case — so no full-data shuffle is added at
+    * scale; `getNumPartitions` is static plan info, not a job.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -31,6 +31,17 @@ object Portable {
   def hash60Sql(inner: String): String =
     s"CAST('0x' || substr(md5($inner), 1, 15) AS BIGINT)"
 
+  /** JVM twin of [[hash60]] — md5 hex, first 15 nibbles as a long.
+    * Bit-identical to the Spark/DuckDB expressions (asserted in specs);
+    * used to derive plan-time constants (MinHash coefficients, LSH plane
+    * seeds) that must be embedded identically in both engines' plans.
+    */
+  def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** Extract bit `i` (0 = LSB) of a long column as 0/1 int. */
   def bit(c: Column, i: Int): Column =
     shiftright(c, i).bitwiseAND(lit(1L)).cast("int")

@@ -23,26 +23,54 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-shingles per doc, distinct: the shared candidate-key base for
-    * ngram/minhash. One row per (doc_id, shingle).
+  /** Word 3-shingles per doc, distinct, with the per-doc distinct-shingle
+    * count carried alongside: one row per (doc_id, n, sh) where `sh` is
+    * the 60-bit shingle hash. The shared candidate-key base for
+    * ngram/minhash. Design notes for the hot path:
+    *  - ONE pass computes the shingle array; carrying `n` through the
+    *    explode means no second aggregation pass over the corpus just to
+    *    learn set sizes (the join below reads it off both sides).
+    *  - joins/groupBys key on the 60-bit HASH, never the shingle string:
+    *    fixed 8-byte shuffle keys instead of document-sized strings.
+    *    (Jaccard over hashes = Jaccard over shingles modulo 60-bit
+    *    collisions: ~n²/2^61, vanishing at any realistic corpus.)
+    *  - the md5 runs AFTER the explode in a codegen'd projection — inside
+    *    the lambda it would run interpreted, ~3× slower end-to-end.
+    *
+    * Implementation is posexplode → `lead` window → hash, NOT an
+    * array-lambda (`transform`/`sequence`) pipeline: higher-order
+    * functions evaluate interpreted (CodegenFallback) and cost 2-3× in
+    * wall time with heavy JIT churn, while the window form is codegen'd
+    * end-to-end. The window shuffle partitions by doc_id — the same key
+    * the distinct-aggregation needs next, so it costs no extra exchange,
+    * and it parallelizes single huge documents instead of pinning each
+    * doc's shingling to one row's lambda evaluation.
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val tri = transform(sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ",
-        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
-    Tables.documents(spark, dir)
-      .filter(size(ws) >= 3)
-      .select(col("doc_id"), explode(array_distinct(tri)).as("shingle"))
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val words = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val tri = words
+      .withColumn("w2", lead("word", 1).over(wdoc))
+      .withColumn("w3", lead("word", 2).over(wdoc))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        hash60(concat_ws(" ", col("word"), col("w2"), col("w3"))).as("sh"))
+    tri.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n"),
+        explode(col("shs")).as("sh"))
   }
 
   /** DuckDB twin of [[shingled]], as a WITH-clause body. */
   private val shingledSql: String =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |         generate_series(1, len(ws)-2),
-      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-      |       FROM w WHERE len(ws) >= 3)""".stripMargin
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, len(ws)-2),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+       |       FROM w WHERE len(ws) >= 3),
+       |sh1 AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS shingle FROM sh0),
+       |sh AS (SELECT doc_id, n, ${hash60Sql("shingle")} AS sh FROM sh1)""".stripMargin
 
   /** q_dedup_exact — exact dedup by content hash: one group per distinct
     * text, keep the smallest doc_id. Single shuffle on the 60-bit text
@@ -85,17 +113,15 @@ object Dedup {
     */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // the self-join's two exchanges are identical → Spark computes the
+    // shingle base once (ReusedExchange); set sizes ride along as a/b.n
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter_count"))
-    inter
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .agg(count(lit(1)).as("inter_count"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .withColumn("union_count",
-        col("ca.n") + col("cb.n") - col("inter_count"))
+        (col("na") + col("nb")).cast("long") - col("inter_count"))
       .withColumn("jaccard",
         round(col("inter_count").cast("double") / col("union_count"), 4))
       .filter(col("jaccard") >= 0.2)
@@ -104,38 +130,54 @@ object Dedup {
 
   val dedupNgramSql: String =
     s"""WITH $shingledSql,
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_count
-       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            COUNT(*) AS inter_count, max(a.n) AS na, max(b.n) AS nb
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter_count,
-       |       ca.n + cb.n - inter_count AS union_count,
-       |       round(CAST(inter_count AS DOUBLE) / (ca.n + cb.n - inter_count), 4) AS jaccard
+       |       na + nb - inter_count AS union_count,
+       |       round(CAST(inter_count AS DOUBLE) / (na + nb - inter_count), 4) AS jaccard
        |FROM inter
-       |JOIN cnt ca ON ca.doc_id = doc_a
-       |JOIN cnt cb ON cb.doc_id = doc_b
-       |WHERE round(CAST(inter_count AS DOUBLE) / (ca.n + cb.n - inter_count), 4) >= 0.2""".stripMargin
+       |WHERE round(CAST(inter_count AS DOUBLE) / (na + nb - inter_count), 4) >= 0.2""".stripMargin
 
-  /** q_minhash_lsh — MinHash signatures (k=16 hash60 seeds over distinct
-    * 3-shingles) banded 4×4; candidate pairs = docs sharing a band-hash
-    * bucket. The band join is the scale path: band_hash equality is the
-    * only pairing mechanism, so work is proportional to real near-dups,
-    * not n². Verified against the oracle on every (pair, shared-band)
-    * count. At sf0.01 this finds exactly the 25 planted near-dup pairs.
+  /** MinHash universal-hash family: sig_i(x) = (a_i·h30(x) + b_i) mod P
+    * over a 30-bit base hash — ONE md5 per shingle and 16 integer mixes,
+    * instead of 16 md5s (the classic (a·x+b) mod p MinHash construction).
+    * Coefficients are plan-time constants derived from hash60 so the
+    * DuckDB oracle embeds the exact same numeric literals. Products stay
+    * < 2^61: h30 < 2^30, a < P < 2^31 — no overflow in either engine.
+    */
+  private val P = 2147483647L // 2^31 − 1, prime
+  private val mhA: IndexedSeq[Long] =
+    (0 until 16).map(i => hash60Jvm(s"mh_a:$i") % (P - 1) + 1)
+  private val mhB: IndexedSeq[Long] =
+    (0 until 16).map(i => hash60Jvm(s"mh_b:$i") % P)
+
+  /** q_minhash_lsh — MinHash signatures (k=16) banded 4×4; candidate
+    * pairs = docs sharing a band-hash bucket. The band join is the scale
+    * path: band_hash equality is the only pairing mechanism, so work is
+    * proportional to real near-dups, not n². Signature aggregation is 16
+    * `min` columns in ONE groupBy(doc_id) — a single map-side-combinable
+    * shuffle, no row explosion. At sf0.01 this finds the planted
+    * near-dup pairs and nothing else.
     */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-    val sig = sh
-      .withColumn("seed", explode(sequence(lit(0), lit(15))))
-      .withColumn("h",
-        hash60(concat(col("seed").cast("string"), lit(":"), col("shingle"))))
-      .groupBy("doc_id", "seed").agg(min("h").as("sig"))
+      .withColumn("h30", col("sh") % 1073741824L)
+    val sigCols = (0 until 16).map(i =>
+      min((col("h30") * mhA(i) + mhB(i)) % P).as(s"s$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(
+        lit(b.toLong).as("band_id"),
+        hash60(concat_ws(",",
+          (0 until 4).map(j => col(s"s${b * 4 + j}").cast("string")): _*))
+          .as("band_hash"))
+    }
     val bands = sig
-      .withColumn("band_id", floor(col("seed") / 4).cast("long"))
-      .groupBy("doc_id", "band_id")
-      .agg(hash60(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
-          s => s.getField("sig").cast("string")), ",")).as("band_hash"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_hash").as("band_hash"))
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -144,20 +186,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  val minhashLshSql: String =
+  val minhashLshSql: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"min((h30 * ${mhA(i)} + ${mhB(i)}) % $P) AS s$i").mkString(",\n|        ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(j => s"CAST(s${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${hash60Sql(cat)} AS band_hash FROM sig"
+    }.mkString("\n|       UNION ALL ")
     s"""WITH $shingledSql,
-       |hs AS (SELECT doc_id, seed,
-       |        min(${hash60Sql("CAST(seed AS VARCHAR) || ':' || shingle")}) AS sig
-       |       FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
-       |       GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, seed // 4 AS band_id,
-       |        ${hash60Sql("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)")} AS band_hash
-       |       FROM hs GROUP BY doc_id, seed // 4)
+       |hsh AS (SELECT doc_id, sh % 1073741824 AS h30 FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $sigExprs
+       |       FROM hsh GROUP BY doc_id),
+       |bands AS ($bandSelects)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
        |FROM bands a JOIN bands b
        |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        | AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
+  }
 
   /** q_simhash — 60-bit SimHash per doc from token hashes weighted by term
     * frequency, plus 4×15-bit band keys (near-dup candidates = band
@@ -166,7 +214,7 @@ object Dedup {
     * token-count aggregation so it scales with vocabulary, not corpus.
     */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("token")))

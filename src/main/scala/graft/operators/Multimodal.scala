@@ -34,15 +34,6 @@ object Multimodal {
       lit("image").as("media_type"),
       col("text").cast("binary").as("content"))
 
-  /** JVM twin of [[graft.functions.Portable.hash60]]: md5 hex, first 15
-    * nibbles as a long. Bit-identical to the Spark/DuckDB expression —
-    * asserted in MultimodalSpec. */
-  private[operators] def hash60Jvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-  }
-
   /** Deterministic fake decode: pretend the bytes are an image and derive
     * (width, height, channels) from content hashes. A real decoder reads
     * the header instead; the SHAPE (bytes in, metadata out) is the same.
