@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.sources.PrometheusJson
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingestion pipeline (BASELINE north star: stream
+  * Prometheus metrics → transform → ClickHouse-shaped sink).
+  *
+  * Layout mirrors the reference's batch loop (etl_job.py:357-543) but
+  * lets Spark own the loop: a file source watches a drop directory of
+  * `query_range` responses (what the reference's HTTP fetch would write),
+  * the SAME PrometheusJson.parse transform used in batch produces metric
+  * rows, a watermarked tumbling-window aggregation maintains per-series
+  * rollups with bounded state, and `foreachBatch` drives the TabSeparated
+  * bulk-load sink. Batch/streaming parity is spec'd in StreamingSpec —
+  * identical input files through either path give identical rows.
+  */
+object MetricsStream {
+
+  /** Streaming source: one JSON response document per line, dropped as
+    * text files into `path`. */
+  def readResponses(spark: SparkSession, path: String): DataFrame =
+    PrometheusJson.parse(spark.readStream.text(path), "value")
+
+  /** Batch twin of [[readResponses]] — same transform, same result. */
+  def readResponsesBatch(spark: SparkSession, path: String): DataFrame =
+    PrometheusJson.parse(spark.read.text(path), "value")
+
+  /** Watermarked tumbling-window per-series aggregation: the streaming
+    * materialization of q_over_time. Watermark bounds state: windows
+    * older than 10 min beyond max event time are finalized and evicted —
+    * at 100 TB/day this is what keeps state size O(active windows), not
+    * O(history). Works on batch frames too (watermark is a no-op there),
+    * which is exactly how the parity spec uses it.
+    */
+  def windowedAgg(metrics: DataFrame): DataFrame =
+    metrics
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("name"))
+      .agg(count(lit(1)).as("n"),
+        sum("value").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("name"), col("n"), col("sum_value"))
+
+  /** End-to-end stream: responses dir → parse → TSV bulk files, one
+    * atomically-committed batch per micro-batch (the reference's
+    * insert_from_file loop, clickhouse_client.py:131-218). Skips are
+    * dropped per R2 — accounting for them is the job ledger's business
+    * (JobStateMachine), not the data sink's. `Trigger.AvailableNow` so
+    * tests and backfills drain everything then stop; a live deployment
+    * passes a processing-time trigger instead.
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+          checkpointDir: String): StreamingQuery =
+    readResponses(spark, inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.TsvSink.write(
+          PrometheusJson.metricRows(batch), outDir)
+      }
+      .start()
+}

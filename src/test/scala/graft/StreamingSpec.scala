@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources.PrometheusJson
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming + R6-R8 state machine spec: pure window-calc cases from the
+  * reference, ledger via flatMapGroupsWithState with cross-micro-batch
+  * state, running-job detection, and batch/streaming parity end-to-end
+  * through the TSV sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val conf = EtlConfig(
+    batchWindowSeconds = 300,
+    batchWindowOverlapSeconds = 60,
+    minWindowStartTimestamp = 0)
+
+  test("calcWindow: overlap shifts back, size preserved (R6)") {
+    assert(JobStateMachine.calcWindow(1000, conf) == ((940L, 1240L)))
+    // min_window_start clamp (etl_job.py:377-393)
+    val clamped = conf.copy(minWindowStartTimestamp = 960)
+    assert(JobStateMachine.calcWindow(1000, clamped) == ((960L, 1260L)))
+    // clamp does not shrink the window — end recomputed from start
+  }
+
+  test("progress never advances past now; actual_window shrinks (R6)") {
+    assert(JobStateMachine.advanceProgress(1240, 1500) == 1240)
+    assert(JobStateMachine.advanceProgress(1240, 1100) == 1100)
+    assert(JobStateMachine.actualWindow(940, 1240, 1100) == 160)
+    assert(JobStateMachine.actualWindow(940, 1240, 9999) == 300)
+  }
+
+  test("step emits open + valid-completed records; end > start always (R7)") {
+    val (records, p) =
+      JobStateMachine.step("j", 1000, BatchEvent("j", 1500, 42, 3), conf)
+    assert(records.size == 2)
+    val Seq(open, closed) = records
+    assert(open.timestampEnd.isEmpty && open.timestampProgress.isEmpty)
+    assert(closed.timestampStart == 940)
+    assert(closed.timestampEnd.contains(1500))
+    assert(closed.timestampProgress.contains(1240))
+    assert(closed.batchWindowSeconds.contains(300))
+    assert(closed.batchRows.contains(42))
+    assert(closed.batchSkippedCount.contains(3))
+    assert(p == 1240)
+    // now before window start: end forced to start + 1 (R7 validity)
+    val (r2, _) =
+      JobStateMachine.step("j", 1000, BatchEvent("j", 900, 0, 0), conf)
+    assert(r2(1).timestampEnd.contains(941L))
+    assert(r2(1).timestampEnd.get > r2(1).timestampStart)
+  }
+
+  test("ledger carries per-job progress across micro-batches (R6-R8)") {
+    implicit val ctx = spark.sqlContext
+    val events = MemoryStream[BatchEvent]
+    val q = JobStateMachine.ledger(events.toDS(), conf, initialProgress = 1000)
+      .writeStream.format("memory").queryName("ledger_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ledger_ckpt"))
+      .start()
+    try {
+      events.addData(BatchEvent("j", 1500, 10, 0))
+      q.processAllAvailable()
+      events.addData(BatchEvent("j", 1800, 20, 1)) // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ledger_test").as[LedgerRecord]
+      .collect().filter(_.timestampEnd.isDefined)
+      .sortBy(_.timestampStart)
+    assert(rows.map(_.timestampStart).toSeq == Seq(940L, 1180L))
+    // progress after batch 1 = min(1240, 1500) = 1240 → next window
+    // starts at 1240 − 60 = 1180 — state really crossed the batch gap
+    assert(rows.map(_.timestampProgress.get).toSeq == Seq(1240L, 1480L))
+  }
+
+  test("runningJobs: open record without matching close = running (R8)") {
+    val running = Seq(
+      LedgerRecord("a", 100, None, None, None, None, None),
+      LedgerRecord("b", 100, None, None, None, None, None),
+      LedgerRecord("b", 100, Some(200L), Some(150L), Some(50L), Some(1L), Some(0L))
+    ).toDS()
+    val r = JobStateMachine.runningJobs(running).collect().toSet
+    assert(r == Set(("a", 100L)))
+  }
+
+  test("batch/streaming parity through parse + TSV sink") {
+    val inDir = tmpDir("prom_in")
+    val outDir = tmpDir("tsv_out") + "/files"
+    val fixture =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"up","job":"api"},""" +
+        """"values":[[1700000000.5,"1"],[1700000060,"bad"],[1700000120,"3.25"]]}]}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "r1.json"), fixture)
+    val q = MetricsStream.run(spark, inDir, outDir, tmpDir("stream_ckpt"))
+    q.awaitTermination()
+    val streamed = spark.read.text(outDir).as[String].collect().sorted.toSeq
+    val batch = PrometheusJson.tsvLines(PrometheusJson.metricRows(
+      MetricsStream.readResponsesBatch(spark, inDir)))
+      .as[String].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 2) // "bad" skipped (R2)
+    assert(streamed.head ==
+      "1700000000.500000\tup\t['job']\t['api']\t1")
+  }
+
+  test("windowed aggregation: streaming (complete mode) == batch") {
+    val fixtures = Seq(
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"up","job":"a"},"values":[""" +
+        """[1700000000,"1"],[1700000100,"2"],[1700000400,"4"]]}]}}""")
+    val batchAgg = MetricsStream
+      .windowedAgg(PrometheusJson.metricRows(
+        PrometheusJson.parse(fixtures.toDF("json"), "json")))
+      .orderBy("w_start_us").collect().toSeq
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream
+      .windowedAgg(PrometheusJson.metricRows(
+        PrometheusJson.parse(ms.toDF(), "value")))
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("complete")
+      .start()
+    try {
+      ms.addData(fixtures: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamAgg = spark.table("win_test")
+      .orderBy("w_start_us").collect().toSeq
+    assert(streamAgg == batchAgg)
+    assert(batchAgg.map(_.getAs[Long]("n")).sum == 3)
+  }
+}
