@@ -27,6 +27,9 @@ object Tables {
     * DuckDB's `epoch_us` truncates identically, so oracle parity holds.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // also set at session build in Verify/Bench; this per-call set covers
+    // driver-owned sessions and is idempotent (same constant value), so
+    // concurrent callers cannot observe different configs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
