@@ -1,0 +1,22 @@
+package graft
+
+import graft.functions.LongVectorDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), then
+  * `SELECT vec_dot(a, b)` works from plain SQL — the same expression the
+  * DataFrame operators use via [[LongVectorDot.vecDot]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[LongVectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => LongVectorDot(children(0), children(1))))
+  }
+}

@@ -37,14 +37,15 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(size(col("embedding")).as("d")).head().getInt(0)
 
+  import graft.functions.LongVectorDot.vecDot
+
   /** Quantized embeddings with integer squared-norm. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.embeddings(spark, dir)).select(
       col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long")).as("q"))
-      .withColumn("nrm",
-        aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+      .withColumn("nrm", vecDot(col("q"), col("q")))
 
   private val quantizedSql: String =
     """q0 AS (SELECT vec_id,
@@ -55,9 +56,11 @@ object Similarity {
       |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
       |       FROM q0)""".stripMargin
 
-  /** Integer dot product of two quantized vectors. */
-  private def dot(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Integer dot product of two quantized vectors — the native codegen'd
+    * [[graft.functions.LongVectorDot]] expression: a primitive long loop
+    * inside whole-stage codegen, vs the interpreted
+    * `aggregate(zip_with(...))` composition it replaces. */
+  private def dot(qa: Column, qb: Column): Column = vecDot(qa, qb)
 
   /** Exact cosine from integer dot and norms (double math only at the
     * very end, identical operands in both engines). */
