@@ -29,6 +29,11 @@ object SparkEntry {
     "q_increase" -> (MetricsEtl.qIncrease _),
     "q_over_time" -> (MetricsEtl.qOverTime _),
     "q_daily_partition" -> (MetricsEtl.qDailyPartition _),
+    "q_agg_by_label" -> (MetricsEtl.qAggByLabel _),
+    "q_promql_topk" -> (MetricsEtl.qPromqlTopk _),
+    "q_histogram_quantile" -> (MetricsEtl.qHistogramQuantile _),
+    "q_deriv" -> (MetricsEtl.qDeriv _),
+    "q_label_join" -> (MetricsEtl.qLabelJoin _),
     // §2.B — OLAP core
     "q1_pricing" -> (Olap.q1Pricing _),
     "q3_topk_join" -> (Olap.q3TopkJoin _),
@@ -64,6 +69,11 @@ object SparkEntry {
     "q_increase" -> MetricsEtl.increaseSql,
     "q_over_time" -> MetricsEtl.overTimeSql,
     "q_daily_partition" -> MetricsEtl.dailyPartitionSql,
+    "q_agg_by_label" -> MetricsEtl.aggByLabelSql,
+    "q_promql_topk" -> MetricsEtl.promqlTopkSql,
+    "q_histogram_quantile" -> MetricsEtl.histogramQuantileSql,
+    "q_deriv" -> MetricsEtl.derivSql,
+    "q_label_join" -> MetricsEtl.labelJoinSql,
     "q1_pricing" -> Olap.q1Sql,
     "q3_topk_join" -> Olap.q3Sql,
     "q5_region_join" -> Olap.q5Sql,

@@ -385,6 +385,207 @@ object MetricsEtl {
       |       COUNT(*) AS count_v
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** q_agg_by_label — PromQL aggregation operator `sum/avg/count by (k)`:
+    * collapse the series dimension onto one label. One map-side-combinable
+    * shuffle on (name, k) — the label cardinality, not the series count,
+    * bounds the result at any scale.
+    */
+  def qAggByLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        get_json_object(col("props"), "$.k").as("k"),
+        // integer cents: double SUMs are summation-order-dependent and
+        // Spark's partial aggregation order ≠ DuckDB's sequential order —
+        // observed 1-ulp divergence at the round(.,4) boundary. Integer
+        // sums are exact, and the final /100 division is bit-identical.
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "k")
+      .agg(
+        // sum_v: exact (≤2 decimal digits, no rounding boundary exists);
+        // avg: a rational like 93459/2400 = 38.94125 sits EXACTLY on the
+        // round(.,4) half-boundary where the engines disagree → emit the
+        // average as an exact integer scaled ×10⁴ (truncating division,
+        // identical in both engines) instead of a rounded double.
+        round(sum("cents").cast("double") / 100d, 2).as("sum_v"),
+        expr("(sum(cents) * 100) div count(1)").as("avg_x10000"),
+        count(lit(1)).as("n"))
+
+  val aggByLabelSql: String =
+    """SELECT event_type AS name,
+      |       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k,
+      |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_v,
+      |       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) * 100 // COUNT(*) AS avg_x10000,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q_promql_topk — PromQL `topk(3, sum by (name, user))` per 1h window:
+    * top series per metric per window. Aggregation first (map-side
+    * combine), then a window rank over the ALREADY-aggregated frame —
+    * rank state is per (name, window), bounded by series count.
+    */
+  def qPromqlTopk(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        col("value"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(round(sum("value"), 4).as("series_sum"))
+    agg.withColumn("rk", row_number().over(
+        Window.partitionBy("name", "w_start")
+          .orderBy(col("series_sum").desc, col("user_id"))))
+      .filter(col("rk") <= 3)
+  }
+
+  val promqlTopkSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         round(sum(value), 4) AS series_sum
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT name, user_id, w_start, series_sum,
+      |       row_number() OVER (PARTITION BY name, w_start
+      |         ORDER BY series_sum DESC, user_id) AS rk
+      |FROM s QUALIFY rk <= 3""".stripMargin
+
+  /** q_histogram_quantile — PromQL `histogram_quantile(0.9, ...)` over
+    * synthesized le-buckets {1,2,5,10,+Inf} per (name, 1h window):
+    * cumulative-bucket linear interpolation, exactly PromQL's rule —
+    * find the first bucket whose cumulative count reaches rank
+    * q·total, interpolate within it; the +Inf bucket returns the highest
+    * finite bound. Bucketing + count is one shuffle; the quantile pick is
+    * a window pass over ≤5 rows per group.
+    */
+  def qHistogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val le = when(col("value") <= 1, 1d).when(col("value") <= 2, 2d)
+      .when(col("value") <= 5, 5d).when(col("value") <= 10, 10d)
+      .otherwise(Double.PositiveInfinity)
+    val buckets = Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        le.as("le"))
+      .groupBy("name", "w_start", "le").agg(count(lit(1)).as("cnt"))
+    val byLe = Window.partitionBy("name", "w_start").orderBy("le")
+    val cum = buckets
+      .withColumn("cum", sum("cnt").over(byLe.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("name", "w_start")))
+      .withColumn("lower", coalesce(lag("le", 1).over(byLe), lit(0d)))
+      .withColumn("rank", col("total") * 0.9)
+    cum
+      .filter(col("cum") >= col("rank") && (col("cum") - col("cnt")) < col("rank"))
+      .select(col("name"), col("w_start"),
+        round(when(col("le") === Double.PositiveInfinity, col("lower"))
+          .otherwise(col("lower") + (col("le") - col("lower"))
+            * (col("rank") - (col("cum") - col("cnt"))) / col("cnt")), 6)
+          .as("q90"))
+  }
+
+  val histogramQuantileSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         CASE WHEN value <= 1 THEN 1.0 WHEN value <= 2 THEN 2.0
+      |              WHEN value <= 5 THEN 5.0 WHEN value <= 10 THEN 10.0
+      |              ELSE CAST('infinity' AS DOUBLE) END AS le
+      |  FROM events),
+      |c AS (SELECT name, w_start, le, COUNT(*) AS cnt
+      |      FROM b GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt) OVER (PARTITION BY name, w_start ORDER BY le
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY name, w_start) AS BIGINT) AS total,
+      |    coalesce(lag(le) OVER (PARTITION BY name, w_start ORDER BY le), 0.0) AS lower
+      |  FROM c)
+      |SELECT name, w_start,
+      |       round(CASE WHEN isinf(le) THEN lower
+      |                  ELSE lower + (le - lower)
+      |                       * (total * 0.9 - (cum - cnt)) / cnt END, 6) AS q90
+      |FROM m
+      |WHERE cum >= total * 0.9 AND (cum - cnt) < total * 0.9""".stripMargin
+
+  /** q_deriv — PromQL `deriv()`: per-series per-1h-window least-squares
+    * slope. NOT regr_slope: its incremental float accumulation is
+    * summation-order-dependent and breaks cross-engine hashing. Instead
+    * the classic closed form over INTEGER sums — x = ms offset into the
+    * window, y = integer cents — so Σx, Σy, Σxy, Σx² are exact in both
+    * engines and the single double division at the end is bit-identical.
+    * Units: cents per millisecond; windows need ≥2 points and nonzero
+    * x-variance, like PromQL.
+    */
+  def qDeriv(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val base = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("x", (col("ts_us") - (col("ts_us") % 1000L)) / 1000L
+        - col("w_start") * 1000L)
+      .withColumn("y", round(col("value") * 100).cast("long"))
+    base.groupBy("name", "user_id", "w_start")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2 && col("n") * col("sxx") =!= col("sx") * col("sx"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"))
+  }
+
+  val derivSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         epoch_us(ts) // 1000 - CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) * 1000 AS x,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT name, user_id, w_start, COUNT(*) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM p GROUP BY 1, 2, 3)
+      |SELECT name, user_id, w_start,
+      |       round(CAST(n*sxy - sx*sy AS DOUBLE)
+      |             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+      |FROM s WHERE n >= 2 AND n*sxx <> sx*sx""".stripMargin
+
+  /** q_label_join — PromQL `label_join`/`label_replace` family: derive a
+    * new label from existing ones and re-emit the SORTED label arrays
+    * (the sort invariant R1 must survive label surgery). Pure projection,
+    * no shuffle.
+    */
+  def qLabelJoin(spark: SparkSession, dir: String): DataFrame = {
+    val m = map_concat(
+      from_json(col("props"), MapType(StringType, StringType)),
+      map(lit("user"), col("user_id").cast("string")))
+    val m2 = map_concat(m, map(lit("uk"),
+      concat_ws("-", col("user_id").cast("string"),
+        get_json_object(col("props"), "$.k"))))
+    Tables.events(spark, dir)
+      .withColumn("m2", m2)
+      .select(
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("name"),
+        array_join(array_sort(map_keys(col("m2"))), ",").as("label_keys_str"),
+        array_join(transform(array_sort(map_keys(col("m2"))),
+          k => element_at(col("m2"), k)), ",").as("label_values_str"))
+  }
+
+  val labelJoinSql: String = {
+    val keys2 =
+      "list_sort(list_append(list_append(json_keys(props), 'user'), 'uk'))"
+    val values2 =
+      s"""list_transform($keys2, k -> CASE
+         |  WHEN k = 'user' THEN CAST(user_id AS VARCHAR)
+         |  WHEN k = 'uk' THEN CAST(user_id AS VARCHAR) || '-' || CAST(json_extract_string(props, '$$.k') AS VARCHAR)
+         |  ELSE json_extract_string(props, '$$.' || k) END)""".stripMargin
+    s"""SELECT epoch_us(ts) AS ts_us, event_type AS name,
+       |       array_to_string($keys2, ',') AS label_keys_str,
+       |       array_to_string($values2, ',') AS label_values_str
+       |FROM events""".stripMargin
+  }
+
   /** q_daily_partition — R10: the reference's metrics table partitions by
     * toYYYYMMDD(timestamp); compute partition id + per-partition stats
     * (what a 100 TB lake's partition manifest looks like).
