@@ -50,6 +50,7 @@ object SparkEntry {
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_cosine_topk" -> (Similarity.qEmbedCosineTopk _),
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
+    "q_dedup_embed" -> (Similarity.qDedupEmbed _),
     "q_lang_id" -> (TextAnalysis.qLangId _),
     "q_quality" -> (TextAnalysis.qQuality _),
     "q_tokens" -> (TextAnalysis.qTokens _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_simhash" -> Dedup.simhashSql,
     "q_embed_cosine_topk" -> Similarity.embedCosineTopkSql,
     "q_ann_lsh" -> Similarity.annLshSql,
+    "q_dedup_embed" -> Similarity.dedupEmbedSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_tokens" -> TextAnalysis.tokensSql,

@@ -154,6 +154,59 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rn"))
   }
 
+  /** q_dedup_embed — embedding-cosine near-duplicate pairs: vectors in
+    * the same sign-LSH bucket with cosine ≥ 0.4, each unordered pair
+    * once (a < b). Same candidate mechanism as q_ann_lsh — bucket
+    * equality join, no all-pairs — but the output is the dedup
+    * decision (pair + similarity), i.e. the "embedding-cosine near-dup"
+    * stage of a training-data pipeline. Approximation note: pairs
+    * split across buckets are unseen, exactly the recall/cost dial every
+    * production near-dup system exposes (add plane-set bands to raise
+    * recall).
+    */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val d = dim(spark, dir)
+    val pw = planeWeights(d)
+    val planeDot = (p: Int) => dot(col("q"), typedLit(pw(p).toSeq))
+    val bucket = (0 until NPlanes)
+      .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val v = quantized(spark, dir).withColumn("bucket", bucket)
+    val a = v.select(col("vec_id").as("vec_a"), col("bucket"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"),
+      col("bucket").as("bucket_b"), col("q").as("qb"), col("nrm").as("nb"))
+    a.join(b, col("bucket") === col("bucket_b") &&
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  val dedupEmbedSql: String = {
+    val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+    s"""WITH $quantizedSql,
+       |bp AS (SELECT vec_id, p,
+       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
+       |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
+       |       FROM qn, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |bk AS (SELECT vec_id,
+       |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bp GROUP BY vec_id),
+       |vb AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
+       |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+       |p2 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+       |       FROM vb a JOIN vb b
+       |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, bucket, round(cos, 6) AS cosine
+       |FROM p2 WHERE cos >= 0.4""".stripMargin
+  }
+
   val annLshSql: String = {
     val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
     s"""WITH $quantizedSql,
