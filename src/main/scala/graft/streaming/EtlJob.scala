@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.sources.PrometheusJson
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's main batch loop (etl_job.py run(): load state → calc
+  * window → fetch → transform → bulk insert → save state) as a
+  * runnable Spark job over a response drop-directory, with the ledger
+  * kept in parquet instead of a ClickHouse table. Each `runOnce` is one
+  * loop iteration; progress survives restarts through the ledger — the
+  * same crash-recovery contract as the reference (an aborted run leaves
+  * no closed record, so the next run resumes from the previous valid
+  * progress and the overlap re-covers the gap).
+  */
+object EtlJob {
+
+  /** get_state (clickhouse_client.py:219-296): the latest VALID COMPLETED
+    * ledger record — progress set, end set, end > start — ordered by
+    * timestampStart. Invalid/open records are skipped, which is what
+    * makes a crashed run harmless. */
+  def latestState(ledger: Dataset[LedgerRecord]): Option[LedgerRecord] = {
+    import ledger.sparkSession.implicits._
+    ledger
+      .filter(r => r.timestampProgress.isDefined &&
+        r.timestampEnd.exists(_ > r.timestampStart))
+      .orderBy(col("timestampStart").desc)
+      .limit(1).collect().headOption
+  }
+
+  def readLedger(spark: SparkSession, ledgerDir: String): Dataset[LedgerRecord] = {
+    import spark.implicits._
+    if (new java.io.File(ledgerDir).exists())
+      spark.read.parquet(ledgerDir).as[LedgerRecord]
+    else spark.emptyDataset[LedgerRecord]
+  }
+
+  /** One reference-loop iteration:
+    *  1. progress ← latest valid completed ledger record (or initial)
+    *  2. (window_start, window_end) ← calcWindow(progress) — R6
+    *  3. parse the drop-dir responses, keep points in [start, end) —
+    *     the query_range the reference would have issued
+    *  4. bulk-write TabSeparated part-files (idempotent: content-hashed
+    *     rows collapse in a ReplacingMergeTree, R5/R9)
+    *  5. append the closed ledger record with progress = min(end, now),
+    *     rows/skipped accounting — R7
+    * Returns the record it wrote.
+    */
+  def runOnce(spark: SparkSession, conf: EtlConfig, jobId: String,
+              inDir: String, outDir: String, ledgerDir: String,
+              initialProgress: Long, now: Long): LedgerRecord = {
+    import spark.implicits._
+    val progress = latestState(readLedger(spark, ledgerDir))
+      .flatMap(_.timestampProgress).getOrElse(initialProgress)
+    val (start, end) = JobStateMachine.calcWindow(progress, conf)
+
+    val parsed = PrometheusJson.parse(spark.read.text(inDir), "value")
+      .filter(col("ts_us") >= start * 1000000L &&
+        col("ts_us") < end * 1000000L)
+    val stats = parsed.agg(
+      sum(when(col("ok"), 1L).otherwise(0L)),
+      sum(when(!col("ok"), 1L).otherwise(0L))).head()
+    val (rows, skipped) =
+      (if (stats.isNullAt(0)) 0L else stats.getLong(0),
+        if (stats.isNullAt(1)) 0L else stats.getLong(1))
+    graft.sinks.TsvSink.write(PrometheusJson.metricRows(parsed), outDir)
+
+    val (records, _) = JobStateMachine.step(
+      jobId, progress, BatchEvent(jobId, now, rows, skipped), conf)
+    val closed = records.last
+    Seq(closed).toDS().write.mode("append").parquet(ledgerDir)
+    closed
+  }
+}

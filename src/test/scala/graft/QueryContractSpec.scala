@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType => SqlStruct, StructField}
+
+/** Structural contract over EVERY registered query, enforced at the
+  * smallest SF so the suite stays fast:
+  *  - executes without error (plan analyzes, codegen compiles, runs);
+  *  - output schema is FLAT — no array/map/struct columns, because the
+  *    driver's pandas-based hash compare crashes on them (cost a round);
+  *  - every query has matching oracle SQL registered;
+  *  - results are DETERMINISTIC across two runs (catches accidental
+  *    dependence on partition order, collect_set leakage, etc.);
+  *  - the flagship entry returns rows.
+  */
+class QueryContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query has oracle SQL and vice versa") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.nonEmpty)
+  }
+
+  test("flagship entry smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run, are flat-schema'd, and deterministic at sf0.001") {
+    val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, dir)
+          val nested = df.schema.fields.collect {
+            case StructField(f, _: ArrayType | _: MapType | _: SqlStruct, _, _) => f
+          }
+          if (nested.nonEmpty)
+            Some(s"$name: nested output columns ${nested.mkString(",")}")
+          else {
+            val a = df.collect().map(_.toString).sorted.toSeq
+            val b = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+            if (a != b) Some(s"$name: nondeterministic across runs")
+            else None
+          }
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+}
