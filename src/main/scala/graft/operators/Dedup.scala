@@ -62,6 +62,23 @@ object Dedup {
         explode(col("shs")).as("sh"))
   }
 
+  /** Hot-key guard: drop STOP-SHINGLES — shingles whose document
+    * frequency exceeds `maxDf`. A shingle shared by k docs contributes
+    * k² join rows; one boilerplate phrase in millions of docs is the
+    * single way these joins go quadratic at 100 TB. Dropping them is the
+    * standard stop-word-style mitigation (they carry ~no similarity
+    * signal) and is mirrored EXACTLY in the oracle SQL, so it is part of
+    * the operator's semantics, not a silent approximation. At test SF
+    * the max df is ~25, so the guard is a no-op there.
+    */
+  private val maxShingleDf = 1000
+  private def dropStopShingles(sh: DataFrame): DataFrame =
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxShingleDf).drop("df")
+  private val dropStopShinglesSql: String =
+    s"shf AS (SELECT doc_id, n, sh FROM sh " +
+      s"QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $maxShingleDf)"
+
   /** DuckDB twin of [[shingled]], as a WITH-clause body. */
   private val shingledSql: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -112,7 +129,7 @@ object Dedup {
     * from broadcast-joinable per-doc counts. Threshold 0.2.
     */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    val sh = dropStopShingles(shingled(spark, dir))
     // the self-join's two exchanges are identical → Spark computes the
     // shingle base once (ReusedExchange); set sizes ride along as a/b.n
     sh.as("a").join(sh.as("b"),
@@ -130,9 +147,10 @@ object Dedup {
 
   val dedupNgramSql: String =
     s"""WITH $shingledSql,
+       |$dropStopShinglesSql,
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |            COUNT(*) AS inter_count, max(a.n) AS na, max(b.n) AS nb
-       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter_count,
        |       na + nb - inter_count AS union_count,
@@ -174,10 +192,17 @@ object Dedup {
           (0 until 4).map(j => col(s"s${b * 4 + j}").cast("string")): _*))
           .as("band_hash"))
     }
+    // hot-bucket guard, same rationale as stop-shingles: a degenerate
+    // band bucket (e.g. near-empty docs all hashing alike) is the only
+    // quadratic path; cap membership before pairing, mirrored in the
+    // oracle. No-op at test SF.
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id").as("band_id"),
         col("bb.band_hash").as("band_hash"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("band_id", "band_hash")))
+      .filter(col("bsz") <= 10000).drop("bsz")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -199,7 +224,9 @@ object Dedup {
        |sig AS (SELECT doc_id,
        |        $sigExprs
        |       FROM hsh GROUP BY doc_id),
-       |bands AS ($bandSelects)
+       |bands0 AS ($bandSelects),
+       |bands AS (SELECT * FROM bands0
+       |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash) <= 10000)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
        |FROM bands a JOIN bands b
        |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash

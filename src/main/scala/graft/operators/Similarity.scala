@@ -119,15 +119,24 @@ object Similarity {
   private def planeWeights(d: Int): Array[Array[Long]] =
     Array.tabulate(NPlanes, d)((p, i) => hash60Jvm(s"$p:$i") % 2001 - 1000)
 
+  /** Hot-bucket guard for the LSH self-joins: cap bucket membership
+    * before pairing (quadratic otherwise if one bucket degenerates —
+    * e.g. many zero-ish vectors land in bucket 0). Mirrored in the
+    * oracle SQL; no-op at test SF where buckets hold ~n/64 vectors. */
+  private val maxBucket = 10000
+  private def capBuckets(v: DataFrame): DataFrame =
+    v.withColumn("bsz", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+
   /** q_ann_lsh — sign-LSH approximate nearest neighbors: 6 deterministic
     * pseudo-random hyperplanes, sign bits → 64 buckets, exact cosine
     * top-3 WITHIN bucket. This is the scale path for all-pairs
     * similarity: the bucket is computed IN-ROW (no join, no explode —
     * one codegen'd projection over the scan), and the only join is an
-    * equality join on `bucket` (hash-partitioned); per-bucket work is
-    * (n/2^planes)². At 100 TB you add bands (multiple independent plane
-    * sets) for recall, exactly like MinHash banding, and salt any hot
-    * bucket before the self-join.
+    * equality join on `bucket` (hash-partitioned) with capped bucket
+    * membership; per-bucket work is (n/2^planes)². At 100 TB you add
+    * bands (multiple independent plane sets) for recall, exactly like
+    * MinHash banding.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = dim(spark, dir)
@@ -137,7 +146,7 @@ object Similarity {
     val bucket = (0 until NPlanes)
       .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val v = quantized(spark, dir).withColumn("bucket", bucket)
+    val v = capBuckets(quantized(spark, dir).withColumn("bucket", bucket))
     val a = v.select(col("vec_id"), col("bucket"),
       col("q").as("qa"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("neighbor_id"),
@@ -171,7 +180,7 @@ object Similarity {
     val bucket = (0 until NPlanes)
       .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val v = quantized(spark, dir).withColumn("bucket", bucket)
+    val v = capBuckets(quantized(spark, dir).withColumn("bucket", bucket))
     val a = v.select(col("vec_id").as("vec_a"), col("bucket"),
       col("q").as("qa"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("vec_b"),
@@ -195,8 +204,10 @@ object Similarity {
        |bk AS (SELECT vec_id,
        |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bp GROUP BY vec_id),
-       |vb AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
+       |vb0 AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
        |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+       |vb AS (SELECT * FROM vb0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
        |p2 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
        |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
        |          i -> a.q[i] * b.q[i])) AS DOUBLE)
@@ -217,8 +228,10 @@ object Similarity {
        |bk AS (SELECT vec_id,
        |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bp GROUP BY vec_id),
-       |vb AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
+       |vb0 AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
        |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+       |vb AS (SELECT * FROM vb0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
        |p2 AS (SELECT a.vec_id AS vec_id, a.bucket AS bucket,
        |        b.vec_id AS neighbor_id,
        |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
