@@ -53,12 +53,28 @@ class EtlJobSpec extends SparkSpec {
     assert(st.exists(_.timestampStart == 1080))
   }
 
-  test("crash recovery: an open record alone never advances progress") {
+  test("crash recovery: open-only record blocks (R8) and never advances progress") {
+    val inDir = tmpDir("etl_crash_in")
+    val outDir = tmpDir("etl_crash_out") + "/tsv"
     val ledgerDir = tmpDir("etl_crash") + "/ledger"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "r.json"), fixture(Seq(505L)))
     // simulate a crashed run: open record only (end missing)
     Seq(LedgerRecord("job", 500, None, None, None, None, None))
       .toDS().write.mode("append").parquet(ledgerDir)
-    val st = EtlJob.latestState(EtlJob.readLedger(spark, ledgerDir))
-    assert(st.isEmpty) // invalid → next run falls back to initialProgress
+    // invalid for state reads → progress falls back to initial
+    assert(EtlJob.latestState(EtlJob.readLedger(spark, ledgerDir)).isEmpty)
+    // and the R8 gate refuses to start a new run...
+    assert(EtlJob.hasRunningJob(spark, ledgerDir))
+    intercept[IllegalStateException] {
+      EtlJob.runOnce(spark, conf, "job", inDir, outDir, ledgerDir,
+        initialProgress = 500, now = 2000)
+    }
+    // ...until the operator forces a takeover, which closes a valid
+    // record and unblocks subsequent runs
+    val r = EtlJob.runOnce(spark, conf, "job", inDir, outDir, ledgerDir,
+      initialProgress = 500, now = 2000, force = true)
+    assert(r.timestampStart == 490 && r.batchRows.contains(1L))
+    assert(!EtlJob.hasRunningJob(spark, ledgerDir))
   }
 }
