@@ -66,6 +66,39 @@ class PrometheusJsonSpec extends SparkSpec {
     assert(PrometheusJson.parse(bad, "json").count() == 0)
   }
 
+  test("degenerate series shapes (reference stream-parse edge cases)") {
+    // mirrors test_etl_job_stream_parse_handles_{empty_value_pairs,
+    // single_value_pair, values_array_contains_scalars,
+    // value_pair_null_element, metric_label_non_string_value}
+    val degenerate = Seq(
+      // empty values array → zero rows for the series
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"a"},"values":[]}]}}""",
+      // incomplete pair [ts] → dropped, NOT skip-counted (only value
+      // parse failures count, like the reference)
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"b"},"values":[[1700000000]]}]}}""",
+      // scalar where a pair belongs → dropped
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"c"},"values":[42]}]}}""",
+      // null value element → row kept but skip-counted
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"d"},"values":[[1700000000,null]]}]}}""",
+      // numeric label value → stringified, like the reference's str()
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"e","code":500},"values":[[1700000000,"1"]]}]}}"""
+    ).toDF("json")
+    val p = PrometheusJson.parse(degenerate, "json")
+    assert(p.filter(col("name").isin("a", "b", "c")).count() == 0)
+    val d = p.filter(col("name") === "d").head()
+    assert(!d.getAs[Boolean]("ok"))
+    assert(PrometheusJson.skipStats(p).filter(col("name") === "d")
+      .head().getAs[Long]("skipped_count") == 1)
+    val e = p.filter(col("name") === "e").head()
+    assert(e.getAs[scala.collection.Seq[String]]("label_values").toSeq ==
+      Seq("500"))
+  }
+
   test("tsvLines renders the reference's TabSeparated row (R3/R4)") {
     val up = PrometheusJson.metricRows(parsed)
       .filter(col("name") === "up" && col("ts_us") === 1700000000123456L)

@@ -23,6 +23,23 @@ class StreamingSpec extends SparkSpec {
     val clamped = conf.copy(minWindowStartTimestamp = 960)
     assert(JobStateMachine.calcWindow(1000, clamped) == ((960L, 1260L)))
     // clamp does not shrink the window — end recomputed from start
+    // zero overlap: window starts exactly at progress
+    assert(JobStateMachine.calcWindow(1000,
+      conf.copy(batchWindowOverlapSeconds = 0)) == ((1000L, 1300L)))
+    // no clamp when already above the minimum
+    assert(JobStateMachine.calcWindow(1000,
+      conf.copy(minWindowStartTimestamp = 100)) == ((940L, 1240L)))
+  }
+
+  test("invalid completed records never read as running (reference gate)") {
+    // mirrors test_etl_job_run_once_can_start_when_end_less_than_start:
+    // a record whose end ≤ start is INVALID for state reads, but it is
+    // also NOT an open record — so it must not block new runs
+    val ledger = Seq(
+      LedgerRecord("j", 100, Some(100L), Some(90L), None, None, None), // end == start
+      LedgerRecord("j", 200, Some(150L), Some(190L), None, None, None) // end < start
+    ).toDS()
+    assert(JobStateMachine.runningJobs(ledger).isEmpty)
   }
 
   test("progress never advances past now; actual_window shrinks (R6)") {
