@@ -42,6 +42,9 @@ object SparkEntry {
     "q_topk_per_group" -> (Olap.qTopkPerGroup _),
     "q_sessionize" -> (Olap.qSessionize _),
     "q_stream_window_agg" -> (Olap.qStreamWindowAgg _),
+    "q_semi_join" -> (Olap.qSemiJoin _),
+    "q_anti_join" -> (Olap.qAntiJoin _),
+    "q_rollup" -> (Olap.qRollup _),
     // §2.C — LLM-training-data pipeline
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_fingerprint" -> (Dedup.qFingerprint _),
@@ -82,6 +85,9 @@ object SparkEntry {
     "q_topk_per_group" -> Olap.qTopkPerGroupSql,
     "q_sessionize" -> Olap.qSessionizeSql,
     "q_stream_window_agg" -> Olap.qStreamWindowAggSql,
+    "q_semi_join" -> Olap.qSemiJoinSql,
+    "q_anti_join" -> Olap.qAntiJoinSql,
+    "q_rollup" -> Olap.qRollupSql,
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_fingerprint" -> Dedup.fingerprintSql,
     "q_dedup_ngram" -> Dedup.dedupNgramSql,

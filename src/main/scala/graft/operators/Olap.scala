@@ -232,6 +232,75 @@ object Olap {
       |       round(sum(value), 2) AS session_value
       |FROM g GROUP BY user_id, session_id""".stripMargin
 
+  /** q_semi_join — customers having at least one URGENT order, via a
+    * LEFT SEMI join: the probe side streams once, no fact-side
+    * duplication, output bounded by the customer side — the right
+    * physical shape for EXISTS at any scale (vs a join+distinct which
+    * shuffles the match multiplicity for nothing).
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** q_anti_join — customers with no URGENT order (LEFT ANTI): the
+    * NOT-EXISTS shape, same single-pass probe properties as the semi
+    * join. Counting per segment keeps the checked output small.
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs_no_urgent"),
+        min("c_custkey").as("min_custkey"))
+
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment,
+      |       COUNT(*) AS n_custs_no_urgent,
+      |       min(c_custkey) AS min_custkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q_rollup — revenue by (returnflag, linestatus) with ROLLUP
+    * subtotals and grand total; grouping_id disambiguates subtotal rows
+    * from real NULL groups (bit semantics identical in both engines).
+    * Rollup is a single shuffle — Spark expands grouping sets map-side.
+    * Integer-cents sums keep every rollup level exact across engines.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("cents").cast("double") / 100d, 2).as("revenue"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+      |       COUNT(*) AS n,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   /** q_stream_window_agg — tumbling 1h windowed aggregation per
     * event_type: the batch twin of the Structured Streaming pipeline in
     * graft.streaming (same groupBy(window(...)) plan shape, so batch and
