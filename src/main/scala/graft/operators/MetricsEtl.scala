@@ -431,10 +431,13 @@ object MetricsEtl {
         col("value"))
       .groupBy("name", "user_id", "w_start")
       .agg(round(sum("value"), 4).as("series_sum"))
-    agg.withColumn("rk", row_number().over(
-        Window.partitionBy("name", "w_start")
-          .orderBy(col("series_sum").desc, col("user_id"))))
-      .filter(col("rk") <= 3)
+    // rank on the custom bounded-heap TopKPerKey operator (no per-group
+    // sort; see graft.plans.TopKPerKey) — result-identical to
+    // row_number().over(...) <= 3, proven in TopKPerKeySpec
+    graft.plans.TopKPerKey.topK(agg,
+      keyNames = Seq("name", "w_start"),
+      orderSpec = Seq(("series_sum", false), ("user_id", true)),
+      k = 3, rankName = "rk")
   }
 
   val promqlTopkSql: String =

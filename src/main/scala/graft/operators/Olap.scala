@@ -168,17 +168,20 @@ object Olap {
       |             ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber)
       |QUALIFY rn <= 100""".stripMargin
 
-  /** q_topk_per_group — top-3 orders per customer by totalprice (window
-    * row_number, deterministic tiebreak on o_orderkey).
+  /** q_topk_per_group — top-3 orders per customer by totalprice with a
+    * deterministic tiebreak on o_orderkey. Runs on the custom
+    * [[graft.plans.TopKPerKey]] operator: bounded per-key heaps instead
+    * of the full per-partition sort `row_number().over(window)` forces —
+    * O(n log k) and O(k·keys) memory, one hash shuffle, no Sort node
+    * (TopKPerKeySpec proves result equality with the window form).
     */
-  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select("o_custkey", "o_orderkey", "o_totalprice")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-  }
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+      keyNames = Seq("o_custkey"),
+      orderSpec = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3, rankName = "rk")
 
   val qTopkPerGroupSql: String =
     """SELECT o_custkey, o_orderkey, o_totalprice,

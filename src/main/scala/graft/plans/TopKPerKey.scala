@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Logical node for top-k-per-key: child's rows, at most `k` per
+  * distinct `keys` value, ranked 1..k by `order`, rank exposed as
+  * `rankAttr`. Expressions are RESOLVED against the child at
+  * construction ([[TopKPerKey.topK]]), so the node analyzes as-is.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Physical top-k-per-key via bounded heaps — the whole-operator custom
+  * plan (SURVEY §5 preference (c): LogicalPlan + SparkStrategy +
+  * SparkPlan, registered per-session).
+  *
+  * Why not `row_number().over(window)` + filter: the window form SORTS
+  * every partition fully — O(n log n) CPU and O(n) sort buffer per
+  * partition even though only k rows per key survive. This operator
+  * keeps one k-bounded heap per key: O(n log k) CPU, O(k·distinct-keys)
+  * memory, NO sort exchange property required — only hash clustering,
+  * which [[requiredChildDistribution]] declares so Spark inserts exactly
+  * the one shuffle the semantics need. At 100 TB with bounded key
+  * cardinality this is the difference between spill-prone sorts and a
+  * small in-memory state per task.
+  */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val outAttrs = output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = RowOrdering.create(sortOrder, childOutput)
+      // heap head = WORST kept row (reverse ordering) so a better
+      // incoming row evicts it in O(log k)
+      val reverse = new java.util.Comparator[InternalRow] {
+        def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var q = heaps.get(key)
+        if (q == null) {
+          q = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
+          heaps.put(key.copy(), q)
+        }
+        if (q.size < limit) q.add(row.copy())
+        else if (ordering.compare(row, q.peek()) < 0) {
+          q.poll(); q.add(row.copy())
+        }
+      }
+      val forward = new java.util.Comparator[InternalRow] {
+        def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(a, b)
+      }
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      import scala.jdk.CollectionConverters._
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        val arr = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
+        java.util.Arrays.sort(arr, forward)
+        arr.iterator.zipWithIndex.map { case (r, i) =>
+          rankRow.setInt(0, i + 1)
+          outProj(joined(r, rankRow)).copy()
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to the heap exec. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+
+  /** Top-k rows per key with a 1..k rank column appended.
+    *
+    * @param orderSpec (columnName, ascending) — must be a TOTAL order
+    *        (include a tiebreak) for deterministic results, same as you
+    *        would give row_number.
+    */
+  def topK(df: DataFrame, keyNames: Seq[String],
+           orderSpec: Seq[(String, Boolean)], k: Int,
+           rankName: String = "rk"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${child.output.map(_.name)}"))
+    val keys = keyNames.map(attr)
+    val order = orderSpec.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
+    GraftBridge.ofRows(spark, TopKPerKeyNode(keys, order, k, rankAttr, child))
+  }
+
+  /** Idempotently add the strategy to the session (public
+    * `spark.experimental` hook; GraftExtensions does the same for
+    * config-driven sessions). */
+  def ensureStrategy(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+  }
+}

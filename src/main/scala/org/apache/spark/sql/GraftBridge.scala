@@ -13,6 +13,12 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
+    * `private[sql]`); the runtime session is always the classic one. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a native expression as a SQL temp function on an EXISTING
     * session (the SparkSessionExtensions path only applies at session
     * build, which a host application may not control). */

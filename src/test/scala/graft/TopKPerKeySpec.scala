@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom top-k-per-key operator must be indistinguishable from
+  * row_number().over(window) + filter — on real tables, random data,
+  * multiple partitions, desc/asc orders, and k larger than group size.
+  */
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("matches window row_number on orders (top-3 per customer)") {
+    val viaOp = TopKPerKey.topK(
+      Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keyNames = Seq("o_custkey"),
+      orderSpec = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    assert(canon(viaOp) == canon(viaWindow))
+    assert(viaOp.count() > 0)
+  }
+
+  test("matches window on random data across partitions, asc order") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(5000)((rnd.nextInt(40).toLong, rnd.nextInt(100000), rnd.nextInt(10)))
+      .toDF("key", "value", "tie").repartition(16)
+    val viaOp = TopKPerKey.topK(data, Seq("key"),
+      Seq(("value", true), ("tie", true)), k = 5, rankName = "r")
+    val w = Window.partitionBy("key").orderBy(col("value"), col("tie"))
+    val viaWindow = data.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+    assert(canon(viaOp) == canon(viaWindow))
+  }
+
+  test("k larger than group size returns whole groups, ranks dense from 1") {
+    val data = Seq((1L, 10), (1L, 5), (2L, 7)).toDF("key", "value")
+    val r = TopKPerKey.topK(data, Seq("key"), Seq(("value", true)), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(r == Seq((1L, 5, 1), (1L, 10, 2), (2L, 7, 1)))
+  }
+
+  test("plan shape: one shuffle on the key, no sort node") {
+    val data = spark.range(1000).selectExpr("id % 10 AS key", "id AS value")
+    val df = TopKPerKey.topK(data, Seq("key"), Seq(("value", false)), k = 2)
+    df.collect() // force AQE-finalized plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+  }
+}
