@@ -57,6 +57,7 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.qLangId _),
     "q_quality" -> (TextAnalysis.qQuality _),
     "q_tokens" -> (TextAnalysis.qTokens _),
+    "q_chunks" -> (TextAnalysis.qChunks _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
   )
 
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,
     "q_tokens" -> TextAnalysis.tokensSql,
+    "q_chunks" -> TextAnalysis.chunksSql,
     "q_multimodal_meta" -> Multimodal.multimodalMetaSql
   )
 }

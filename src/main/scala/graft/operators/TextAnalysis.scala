@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Portable.hash60
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,4 +127,44 @@ object TextAnalysis {
        |       len(regexp_extract_all(text, '$bpePattern')) AS n_bpe_tokens,
        |       len(list_distinct($wordsSql)) AS n_distinct_tokens
        |FROM documents""".stripMargin
+
+  /** Chunk size in whitespace tokens for q_chunks. */
+  private val chunkTokens = 32
+
+  /** q_chunks — document splitting for context-window packing: each doc
+    * becomes ⌈n/32⌉ chunks of ≤32 tokens with a per-chunk content hash
+    * (the unit a packing/shuffling stage downstream would key on). The
+    * explode multiplies rows ~n/32× but emits only (ids, count, hash) —
+    * the chunk TEXT never leaves the projection, so shuffle bytes stay
+    * tiny even when documents are huge.
+    */
+  def qChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        (size(col("ws")) + (chunkTokens - 1)).divide(chunkTokens)
+          .cast("int") - 1)))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(slice(col("ws"), col("chunk_id") * chunkTokens + 1,
+          lit(chunkTokens))).as("n_tokens"),
+        hash60(array_join(slice(col("ws"),
+          col("chunk_id") * chunkTokens + 1, lit(chunkTokens)), " "))
+          .as("chunk_hash"))
+  }
+
+  val chunksSql: String = {
+    val k = chunkTokens
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |c AS (SELECT doc_id, ws,
+       |        unnest(generate_series(0, CAST((len(ws) + ${k - 1}) // $k AS INT) - 1)) AS chunk_id
+       |      FROM w)
+       |SELECT doc_id, chunk_id,
+       |       len(list_slice(ws, chunk_id * $k + 1,
+       |                      least(chunk_id * $k + $k, len(ws)))) AS n_tokens,
+       |       ${graft.functions.Portable.hash60Sql(
+             s"array_to_string(list_slice(ws, chunk_id * $k + 1, least(chunk_id * $k + $k, len(ws))), ' ')")} AS chunk_hash
+       |FROM c""".stripMargin
+  }
 }
