@@ -28,6 +28,30 @@ object MetricsStream {
   def readResponsesBatch(spark: SparkSession, path: String): DataFrame =
     PrometheusJson.parse(spark.read.text(path), "value")
 
+  /** Streaming idempotency — the R5/R9 story under continuous ingestion:
+    * a content-hash row id (same column list as the reference's
+    * cityHash64 MATERIALIZED id) plus watermarked `dropDuplicates`.
+    * Replayed/overlapping responses (the batch-window overlap WILL
+    * re-deliver points, by design) collapse in the dedup state store
+    * instead of in ClickHouse's merge; the watermark bounds that state
+    * exactly like ReplacingMergeTree's merge horizon bounds the
+    * reference's. Works on batch frames too (dropDuplicates is plain
+    * distinct-by-id there).
+    */
+  def dedupedMetrics(metrics: DataFrame): DataFrame = {
+    import graft.functions.Portable._
+    metrics
+      .withColumn("id", hash60(concat_ws("",
+        col("ts_us").cast("string"), col("name"),
+        array_join(col("label_keys"), ","),
+        array_join(col("label_values"), ","),
+        formatFloat(col("value")))))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id")
+      .drop("ts")
+  }
+
   /** Watermarked tumbling-window per-series aggregation: the streaming
     * materialization of q_over_time. Watermark bounds state: windows
     * older than 10 min beyond max event time are finalized and evicted —

@@ -123,6 +123,31 @@ class StreamingSpec extends SparkSpec {
       "1700000000.500000\tup\t['job']\t['api']\t1")
   }
 
+  test("streaming dedup: replayed points collapse by content hash (R5/R9)") {
+    val fixture =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"up","job":"a"},"values":[""" +
+        """[1700000000,"1"],[1700000060,"2"]]}]}}"""
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream
+      .dedupedMetrics(PrometheusJson.metricRows(
+        PrometheusJson.parse(ms.toDF(), "value")))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("dedup_ckpt"))
+      .start()
+    try {
+      ms.addData(fixture)
+      q.processAllAvailable()
+      // the overlap re-delivers the SAME response in a later micro-batch
+      ms.addData(fixture)
+      q.processAllAvailable()
+    } finally q.stop()
+    // 2 distinct points survive; the replayed copies collapsed in state
+    assert(spark.table("dedup_test").count() == 2)
+  }
+
   test("windowed aggregation: streaming (complete mode) == batch") {
     val fixtures = Seq(
       """{"status":"success","data":{"resultType":"matrix","result":[""" +
