@@ -110,7 +110,9 @@ object Dedup {
     * fingerprint — fingerprints are near-unique so partitions stay tiny.
     */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // explicit whitespace class, not \s: Java's \s includes \x0B where
+    // RE2's (DuckDB) does not — the explicit class is identical in both
+    val norm = trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " "))
     Tables.documents(spark, dir)
       .select(col("doc_id"), hash60(norm).as("fingerprint"))
       .withColumn("dup_group_size",
@@ -119,8 +121,8 @@ object Dedup {
 
   val fingerprintSql: String =
     s"""SELECT doc_id,
-       |  ${hash60Sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS fingerprint,
-       |  COUNT(*) OVER (PARTITION BY ${hash60Sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}) AS dup_group_size
+       |  ${hash60Sql("trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))")} AS fingerprint,
+       |  COUNT(*) OVER (PARTITION BY ${hash60Sql("trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))")}) AS dup_group_size
        |FROM documents""".stripMargin
 
   /** q_dedup_ngram — 3-shingle Jaccard near-dup pairs. Candidate pairs

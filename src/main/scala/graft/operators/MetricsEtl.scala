@@ -28,8 +28,12 @@ object MetricsEtl {
     * epoch µs (BIGINT) so Spark and the DuckDB oracle compare exactly.
     */
   def metrics(spark: SparkSession, dir: String): DataFrame = {
+    // drop a pre-existing 'user' key before adding ours: map_concat
+    // THROWS on duplicate keys under the default mapKeyDedupPolicy, and
+    // the explicit label must win over a same-named props label
     val labels = map_concat(
-      from_json(col("props"), MapType(StringType, StringType)),
+      map_filter(from_json(col("props"), MapType(StringType, StringType)),
+        (k, _) => k =!= "user"),
       map(lit("user"), col("user_id").cast("string")))
     Tables.events(spark, dir)
       .withColumn("labels", labels)
@@ -43,9 +47,10 @@ object MetricsEtl {
         col("event_id"))
   }
 
-  /** DuckDB twins of the dynamic label arrays, for oracle SQL authoring. */
+  /** DuckDB twins of the dynamic label arrays, for oracle SQL authoring
+    * (mirrors the Spark side's reserved-key filtering). */
   private val keysSql =
-    "list_sort(list_append(json_keys(props), 'user'))"
+    "list_sort(list_append(list_filter(json_keys(props), k -> k <> 'user'), 'user'))"
   private val valuesSql =
     s"""list_transform($keysSql, k -> CASE WHEN k = 'user'
        |  THEN CAST(user_id AS VARCHAR)
@@ -523,8 +528,10 @@ object MetricsEtl {
       .select(col("event_type").as("name"), col("user_id"),
         (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
-      .withColumn("x", (col("ts_us") - (col("ts_us") % 1000L)) / 1000L
-        - col("w_start") * 1000L)
+      // cast back to long: Spark's `/` returns double, and double sums
+      // would break the exact-integer invariant past 2^53 at scale
+      .withColumn("x", ((col("ts_us") - (col("ts_us") % 1000L)) / 1000L)
+        .cast("long") - col("w_start") * 1000L)
       .withColumn("y", round(col("value") * 100).cast("long"))
     base.groupBy("name", "user_id", "w_start")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
@@ -559,12 +566,18 @@ object MetricsEtl {
     * no shuffle.
     */
   def qLabelJoin(spark: SparkSession, dir: String): DataFrame = {
+    // reserved keys filtered out of props first: map_concat throws on
+    // duplicates, and the derived labels must win over same-named ones.
+    // coalesce on the joined-from label: Spark's concat_ws SKIPS nulls
+    // where DuckDB's || propagates them — make absence explicit ('')
+    // identically in both engines.
     val m = map_concat(
-      from_json(col("props"), MapType(StringType, StringType)),
+      map_filter(from_json(col("props"), MapType(StringType, StringType)),
+        (k, _) => k =!= "user" && k =!= "uk"),
       map(lit("user"), col("user_id").cast("string")))
     val m2 = map_concat(m, map(lit("uk"),
-      concat_ws("-", col("user_id").cast("string"),
-        get_json_object(col("props"), "$.k"))))
+      concat(col("user_id").cast("string"), lit("-"),
+        coalesce(get_json_object(col("props"), "$.k"), lit("")))))
     Tables.events(spark, dir)
       .withColumn("m2", m2)
       .select(
@@ -577,11 +590,13 @@ object MetricsEtl {
 
   val labelJoinSql: String = {
     val keys2 =
-      "list_sort(list_append(list_append(json_keys(props), 'user'), 'uk'))"
+      "list_sort(list_append(list_append(" +
+        "list_filter(json_keys(props), k -> k <> 'user' AND k <> 'uk'), " +
+        "'user'), 'uk'))"
     val values2 =
       s"""list_transform($keys2, k -> CASE
          |  WHEN k = 'user' THEN CAST(user_id AS VARCHAR)
-         |  WHEN k = 'uk' THEN CAST(user_id AS VARCHAR) || '-' || CAST(json_extract_string(props, '$$.k') AS VARCHAR)
+         |  WHEN k = 'uk' THEN CAST(user_id AS VARCHAR) || '-' || coalesce(CAST(json_extract_string(props, '$$.k') AS VARCHAR), '')
          |  ELSE json_extract_string(props, '$$.' || k) END)""".stripMargin
     s"""SELECT epoch_us(ts) AS ts_us, event_type AS name,
        |       array_to_string($keys2, ',') AS label_keys_str,

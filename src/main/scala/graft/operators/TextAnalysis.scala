@@ -111,7 +111,7 @@ object TextAnalysis {
     */
   /** BPE pre-tokenization pattern — letter runs / digit runs / single
     * punctuation. Same regex dialect subset in Java and RE2. */
-  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
 
   def qTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -88,20 +88,27 @@ object EtlJob {
     Seq(open).toDS().write.mode("append").parquet(ledgerDir)
 
     val (start, end) = JobStateMachine.calcWindow(progress, conf)
+    // persist: the stats aggregation AND the sink write both consume the
+    // parsed window — without it the whole drop-dir is read and parsed
+    // twice per iteration, and a file landing between the two jobs would
+    // make batchRows disagree with what the sink actually wrote
     val parsed = PrometheusJson.parse(spark.read.text(inDir), "value")
       .filter(col("ts_us") >= start * 1000000L &&
         col("ts_us") < end * 1000000L)
-    val stats = parsed.agg(
-      sum(when(col("ok"), 1L).otherwise(0L)),
-      sum(when(!col("ok"), 1L).otherwise(0L))).head()
-    val (rows, skipped) =
-      (if (stats.isNullAt(0)) 0L else stats.getLong(0),
-        if (stats.isNullAt(1)) 0L else stats.getLong(1))
-    graft.sinks.TsvSink.write(PrometheusJson.metricRows(parsed), outDir)
+      .persist()
+    try {
+      val stats = parsed.agg(
+        sum(when(col("ok"), 1L).otherwise(0L)),
+        sum(when(!col("ok"), 1L).otherwise(0L))).head()
+      val (rows, skipped) =
+        (if (stats.isNullAt(0)) 0L else stats.getLong(0),
+          if (stats.isNullAt(1)) 0L else stats.getLong(1))
+      graft.sinks.TsvSink.write(PrometheusJson.metricRows(parsed), outDir)
 
-    val closed = JobStateMachine.step(
-      jobId, progress, BatchEvent(jobId, now, rows, skipped), conf)._1.last
-    Seq(closed).toDS().write.mode("append").parquet(ledgerDir)
-    closed
+      val closed = JobStateMachine.step(
+        jobId, progress, BatchEvent(jobId, now, rows, skipped), conf)._1.last
+      Seq(closed).toDS().write.mode("append").parquet(ledgerDir)
+      closed
+    } finally parsed.unpersist()
   }
 }

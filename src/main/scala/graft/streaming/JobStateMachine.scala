@@ -118,7 +118,14 @@ object JobStateMachine {
   /** R8 probe over a ledger: jobs with an open record and no closed
     * record for the same timestampStart (has_running_job,
     * clickhouse_client.py:440-524). Works on the batch view of any
-    * ledger sink. */
+    * ledger sink.
+    *
+    * Known ambiguity, shared with the reference's ReplacingMergeTree
+    * model: records are keyed by (job, timestampStart), so a crashed
+    * run whose window start EQUALS an earlier completed run's start
+    * (possible only when progress is pinned at `now`) is masked by the
+    * old closed record. Disambiguating requires a per-run instance id
+    * in the key — a deliberate deviation neither ledger makes. */
   def runningJobs(ledger: Dataset[LedgerRecord]): Dataset[(String, Long)] = {
     import ledger.sparkSession.implicits._
     val open = ledger.filter(_.timestampEnd.isEmpty)

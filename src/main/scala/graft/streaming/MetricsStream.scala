@@ -41,7 +41,7 @@ object MetricsStream {
   def dedupedMetrics(metrics: DataFrame): DataFrame = {
     import graft.functions.Portable._
     metrics
-      .withColumn("id", hash60(concat_ws("",
+      .withColumn("id", hash60(concat_ws("\u0001",
         col("ts_us").cast("string"), col("name"),
         array_join(col("label_keys"), ","),
         array_join(col("label_values"), ","),
