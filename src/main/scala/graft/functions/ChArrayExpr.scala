@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass ClickHouse array-literal renderer (R3, reference
+  * etl_job.py:782-808): `['a','b']` with `\ → \\`, tab → `\t`,
+  * newline → `\n`, `' → \'` per element. The sequential-replace
+  * reference semantics are a per-character map (each replaced char is a
+  * single distinct input char), so one StringBuilder pass is exactly
+  * equivalent — and ~10× cheaper than the transform-lambda + four
+  * replace expressions it replaces, which evaluated interpreted per
+  * element per row on the TSV rendering hot path.
+  */
+object ChFormat {
+  def chArray(arr: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder(16)
+    sb.append('[')
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append('\'')
+      val s = arr.getUTF8String(i).toString
+      var j = 0
+      while (j < s.length) {
+        (s.charAt(j): @annotation.switch) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\'' => sb.append("\\'")
+          case c => sb.append(c)
+        }
+        j += 1
+      }
+      sb.append('\'')
+      i += 1
+    }
+    sb.append(']')
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Native expression wrapper for [[ChFormat.chArray]]. Array elements
+  * are assumed non-null (label keys/values always are). */
+case class ChArrayExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ch_array requires array<string>, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ch_array"
+
+  override def nullSafeEval(v: Any): Any =
+    ChFormat.chArray(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ChFormat.chArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChArrayExpr =
+    copy(child = newChild)
+}
+
+object ChArrayExpr {
+  def chArray(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    GraftBridge.column(ChArrayExpr(GraftBridge.expression(c)))
+}

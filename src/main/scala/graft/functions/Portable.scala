@@ -47,23 +47,21 @@ object Portable {
     shiftright(c, i).bitwiseAND(lit(1L)).cast("int")
 
   /** TabSeparated escaping per ClickHouse spec (reference etl_job.py:762-780):
-    * backslash first, then tab, then newline. */
+    * backslash first, then tab, then newline. Literal `replace` (a
+    * codegen'd StringReplace), not `regexp_replace` — the patterns are
+    * literal and the regex engine cost ~3× on the rendering hot path. */
   def tsvEscape(c: Column): Column = {
-    val bs = regexp_replace(c, "\\\\", "\\\\\\\\")
-    val tb = regexp_replace(bs, "\t", "\\\\t")
-    regexp_replace(tb, "\n", "\\\\n")
+    val bs = replace(c, lit("\\"), lit("\\\\"))
+    val tb = replace(bs, lit("\t"), lit("\\t"))
+    replace(tb, lit("\n"), lit("\\n"))
   }
 
   /** ClickHouse array-literal rendering of an array<string> column:
-    * `['a','b']`, elements TSV-escaped then `'`-escaped
-    * (reference etl_job.py:782-808). */
-  def chArray(arr: Column): Column = {
-    val escaped = transform(arr, e => {
-      val t = tsvEscape(e)
-      concat(lit("'"), regexp_replace(t, "'", "\\\\'"), lit("'"))
-    })
-    concat(lit("["), array_join(escaped, ","), lit("]"))
-  }
+    * `['a','b']`, elements TSV-escaped then `'`-escaped (reference
+    * etl_job.py:782-808). Native single-pass expression — see
+    * [[ChArrayExpr]] for why (the transform-lambda form evaluated
+    * interpreted per element on the rendering hot path). */
+  def chArray(arr: Column): Column = ChArrayExpr.chArray(arr)
 
   /** One literal backslash, for assembling DuckDB SQL. (The `s` string
     * interpolator processes escapes even in triple quotes, so backslashes
@@ -122,22 +120,11 @@ object Portable {
       s"lpad(CAST(($inner) % 1000000 AS VARCHAR), 6, '0'))"
 
   /** R4 float formatting (reference etl_job.py:810-844): no scientific
-    * notation ever; `nan` / `inf` / `-inf` lowercase. Mirrors Python's
-    * `f"{v:.15g}"`-then-`f"{v:.15f}"` fallback, with trailing zeros (and a
-    * bare trailing dot) stripped — Java's `%g` keeps trailing zeros where
-    * C's strips them, so the strip step makes the two identical. Used by
-    * the streaming TSV sink path; spec'd against the reference's cases.
+    * notation ever; `nan` / `inf` / `-inf` lowercase; trailing zeros
+    * stripped — Python-identical output. Delegates to the native
+    * [[FormatFloatExpr]] (one codegen'd JVM call; the equivalent
+    * expression tree was ~50× slower on the ingest hot path). Spec'd
+    * against the reference's cases in PortableSpec.
     */
-  def formatFloat(v: Column): Column = {
-    def strip(c: Column): Column =
-      when(c.contains("."),
-        regexp_replace(regexp_replace(c, "0+$", ""), "\\.$", ""))
-        .otherwise(c)
-    val g = format_string("%.15g", v)
-    when(isnan(v), lit("nan"))
-      .when(v === lit(Double.PositiveInfinity), lit("inf"))
-      .when(v === lit(Double.NegativeInfinity), lit("-inf"))
-      .when(lower(g).contains("e"), strip(format_string("%.15f", v)))
-      .otherwise(strip(g))
-  }
+  def formatFloat(v: Column): Column = FormatFloatExpr.formatFloat(v)
 }
