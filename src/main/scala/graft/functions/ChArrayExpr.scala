@@ -26,7 +26,11 @@ object ChFormat {
     while (i < n) {
       if (i > 0) sb.append(',')
       sb.append('\'')
-      val s = arr.getUTF8String(i).toString
+      // null element → empty string: one null label value must not
+      // crash an ingest task (from_json maps JSON null to a null map
+      // value, which flows into label_values)
+      val u = arr.getUTF8String(i)
+      val s = if (u == null) "" else u.toString
       var j = 0
       while (j < s.length) {
         (s.charAt(j): @annotation.switch) match {

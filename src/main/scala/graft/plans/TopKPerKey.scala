@@ -127,8 +127,9 @@ object TopKPerKey {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val child = df.queryExecution.analyzed
+    val resolve = GraftBridge.resolver(spark)
     def attr(name: String): Attribute =
-      child.output.find(_.name == name).getOrElse(
+      child.output.find(a => resolve(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${child.output.map(_.name)}"))
     val keys = keyNames.map(attr)

@@ -36,16 +36,17 @@ object EtlJob {
   }
 
   /** R8 probe over the persisted ledger (has_running_job,
-    * clickhouse_client.py:440-524): any open record without a matching
-    * valid closed record means a run is in flight (or died mid-run). */
+    * clickhouse_client.py:440-524): any (job, start) whose latest
+    * record is still open means a run is in flight (or died mid-run). */
   def hasRunningJob(spark: SparkSession, ledgerDir: String): Boolean =
     JobStateMachine.runningJobs(readLedger(spark, ledgerDir))
       .limit(1).count() > 0
 
   /** One reference-loop iteration:
-    *  1. refuse if a running job exists (R8) unless `force` — the
-    *     reference's concurrency gate; `force` is the operator's manual
-    *     takeover after a crashed run
+    *  1. refuse if THIS job is already running (R8) unless `force` —
+    *     the reference's concurrency gate; `force` is the operator's
+    *     manual takeover after a crashed run (abort-closes only this
+    *     job's stale records)
     *  2. progress ← latest valid completed ledger record (or initial)
     *  3. append the OPEN record — mark-start (R8); a crash after this
     *     point leaves the open record as the tombstone the next gate
@@ -58,34 +59,47 @@ object EtlJob {
     *  7. append the CLOSED record with progress = min(end, now),
     *     rows/skipped accounting — mark-end (R7)
     * Returns the closed record it wrote.
+    *
+    * Atomicity caveat, deliberately weaker than the reference: the
+    * reference's try_mark_start is one atomic ClickHouse INSERT-with-
+    * subquery; a parquet-append ledger has no compare-and-swap, so this
+    * gate is check-then-act and assumes ONE orchestrator process calls
+    * runOnce per ledger (cron, Airflow task, etc.). True multi-writer
+    * mutual exclusion needs a transactional table format or lock
+    * service underneath the ledger — swap `readLedger`/the appends for
+    * one and the gate logic is unchanged.
     */
   def runOnce(spark: SparkSession, conf: EtlConfig, jobId: String,
               inDir: String, outDir: String, ledgerDir: String,
               initialProgress: Long, now: Long,
               force: Boolean = false): LedgerRecord = {
     import spark.implicits._
-    if (hasRunningJob(spark, ledgerDir)) {
+    def stamp(r: LedgerRecord): LedgerRecord =
+      r.copy(seq = System.nanoTime())
+    val ledger0 = readLedger(spark, ledgerDir)
+    // one ledger pass serves the gate, the takeover list, and progress
+    val mine = JobStateMachine.runningJobs(ledger0)
+      .filter(_._1 == jobId).collect().toSeq
+    if (mine.nonEmpty) {
       if (!force) throw new IllegalStateException(
-        s"running job exists in $ledgerDir (open record without close); " +
+        s"job $jobId already running in $ledgerDir (latest record open); " +
           "pass force=true to take over")
-      // takeover: close every stale open record with an ABORT close —
-      // end set (so the pair stops counting as running) but progress
-      // NULL (so state reads never resume from it). The reference-side
-      // equivalent is the operator inserting a closing row by hand.
-      val stale = JobStateMachine
-        .runningJobs(readLedger(spark, ledgerDir)).collect().toSeq
-      if (stale.nonEmpty)
-        stale.map { case (jid, start) =>
-          LedgerRecord(jid, start, Some(math.max(now, start + 1)),
-            None, None, None, None)
-        }.toDS().write.mode("append").parquet(ledgerDir)
+      // takeover: close THIS job's stale open records with an ABORT
+      // close — end set (stops counting as running) but progress NULL
+      // (state reads never resume from it). Other jobs' in-flight runs
+      // are untouched. The reference-side equivalent is the operator
+      // inserting a closing row by hand.
+      mine.map { case (jid, start) =>
+        stamp(LedgerRecord(jid, start, Some(math.max(now, start + 1)),
+          None, None, None, None))
+      }.toDS().write.mode("append").parquet(ledgerDir)
     }
-    val progress = latestState(readLedger(spark, ledgerDir))
+    val progress = latestState(ledger0)
       .flatMap(_.timestampProgress).getOrElse(initialProgress)
     val (records, _) = JobStateMachine.step(
       jobId, progress, BatchEvent(jobId, now, 0L, 0L), conf)
     val Seq(open, _) = records
-    Seq(open).toDS().write.mode("append").parquet(ledgerDir)
+    Seq(stamp(open)).toDS().write.mode("append").parquet(ledgerDir)
 
     val (start, end) = JobStateMachine.calcWindow(progress, conf)
     // persist: the stats aggregation AND the sink write both consume the
@@ -105,8 +119,8 @@ object EtlJob {
           if (stats.isNullAt(1)) 0L else stats.getLong(1))
       graft.sinks.TsvSink.write(PrometheusJson.metricRows(parsed), outDir)
 
-      val closed = JobStateMachine.step(
-        jobId, progress, BatchEvent(jobId, now, rows, skipped), conf)._1.last
+      val closed = stamp(JobStateMachine.step(
+        jobId, progress, BatchEvent(jobId, now, rows, skipped), conf)._1.last)
       Seq(closed).toDS().write.mode("append").parquet(ledgerDir)
       closed
     } finally parsed.unpersist()

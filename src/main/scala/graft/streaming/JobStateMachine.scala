@@ -16,7 +16,12 @@ case class BatchEvent(jobId: String, now: Long, rows: Long, skipped: Long)
 /** One ledger record, shaped like the reference's `etl` state table row
   * (R7): an OPEN record has `timestampEnd = None` (mark-start,
   * clickhouse_client.py:440-613); the matching CLOSED record carries
-  * progress and batch stats (mark-end). */
+  * progress and batch stats (mark-end). `seq` is write-order
+  * bookkeeping (stamped at persist time, 0 in pure computations): it
+  * plays the role ReplacingMergeTree's insert order plays in the
+  * reference — the LATEST record for a (job, start) key is the truth,
+  * which is what lets a fresh open record re-arm the running-job gate
+  * even when an older completed run shares its window start. */
 case class LedgerRecord(
     jobId: String,
     timestampStart: Long,
@@ -24,7 +29,8 @@ case class LedgerRecord(
     timestampProgress: Option[Long],
     batchWindowSeconds: Option[Long],
     batchRows: Option[Long],
-    batchSkippedCount: Option[Long])
+    batchSkippedCount: Option[Long],
+    seq: Long = 0L)
 
 /** Per-job running state carried between micro-batches. */
 case class JobProgress(progress: Long)
@@ -115,24 +121,24 @@ object JobStateMachine {
       }
   }
 
-  /** R8 probe over a ledger: jobs with an open record and no closed
-    * record for the same timestampStart (has_running_job,
-    * clickhouse_client.py:440-524). Works on the batch view of any
-    * ledger sink.
-    *
-    * Known ambiguity, shared with the reference's ReplacingMergeTree
-    * model: records are keyed by (job, timestampStart), so a crashed
-    * run whose window start EQUALS an earlier completed run's start
-    * (possible only when progress is pinned at `now`) is masked by the
-    * old closed record. Disambiguating requires a per-run instance id
-    * in the key — a deliberate deviation neither ledger makes. */
+  /** R8 probe over a ledger: (job, timestampStart) keys whose LATEST
+    * record (by `seq`, ties resolved toward closed records, mirroring
+    * ReplacingMergeTree keep-latest) is still open — has_running_job,
+    * clickhouse_client.py:440-524. Latest-wins is what makes the gate
+    * survive start-key reuse: an old completed run at the same window
+    * start cannot mask a newer crashed open record, and a takeover's
+    * abort close cannot mask a newer retry. Works on the batch view of
+    * any ledger sink. */
   def runningJobs(ledger: Dataset[LedgerRecord]): Dataset[(String, Long)] = {
     import ledger.sparkSession.implicits._
-    val open = ledger.filter(_.timestampEnd.isEmpty)
-      .map(r => (r.jobId, r.timestampStart)).distinct()
-    val closed = ledger
-      .filter(r => r.timestampEnd.exists(_ > r.timestampStart))
-      .map(r => (r.jobId, r.timestampStart)).distinct()
-    open.except(closed)
+    ledger
+      .groupByKey(r => (r.jobId, r.timestampStart))
+      .mapGroups { (key: (String, Long), rs: Iterator[LedgerRecord]) =>
+        val latest = rs.maxBy(r =>
+          (r.seq, if (r.timestampEnd.isDefined) 1L else 0L))
+        (key._1, key._2, latest.timestampEnd.isEmpty)
+      }
+      .filter(_._3)
+      .map(t => (t._1, t._2))
   }
 }

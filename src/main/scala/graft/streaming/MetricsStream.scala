@@ -48,7 +48,11 @@ object MetricsStream {
         formatFloat(col("value")))))
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("id")
+      // the event-time column MUST be part of the dedup key — that is
+      // what lets the watermark evict state; dropDuplicates("id") alone
+      // keeps every id forever. Result-identical: id already encodes
+      // ts_us, so adding ts splits no group.
+      .dropDuplicates("id", "ts")
       .drop("ts")
   }
 

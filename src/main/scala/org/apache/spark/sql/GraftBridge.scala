@@ -19,6 +19,11 @@ object GraftBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The session's name-resolution rule (honors spark.sql.caseSensitive,
+    * which defaults to case-insensitive like the rest of the API). */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.sessionState.conf.resolver
+
   /** Register a native expression as a SQL temp function on an EXISTING
     * session (the SparkSessionExtensions path only applies at session
     * build, which a host application may not control). */

@@ -77,4 +77,22 @@ class EtlJobSpec extends SparkSpec {
     assert(r.timestampStart == 490 && r.batchRows.contains(1L))
     assert(!EtlJob.hasRunningJob(spark, ledgerDir))
   }
+
+  test("gate is per-job: one job's crash never blocks another job") {
+    val inDir = tmpDir("etl_pj_in")
+    val outDir = tmpDir("etl_pj_out") + "/tsv"
+    val ledgerDir = tmpDir("etl_pj") + "/ledger"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "r.json"), fixture(Seq(1005L)))
+    // job A crashed mid-run (open record only)
+    Seq(LedgerRecord("jobA", 500, None, None, None, None, None))
+      .toDS().write.mode("append").parquet(ledgerDir)
+    // job B starts fine without force, and A's record is untouched
+    val r = EtlJob.runOnce(spark, conf, "jobB", inDir, outDir, ledgerDir,
+      initialProgress = 1000, now = 2000)
+    assert(r.jobId == "jobB")
+    assert(JobStateMachine.runningJobs(
+      EtlJob.readLedger(spark, ledgerDir)).collect().toSet ==
+      Set(("jobA", 500L)))
+  }
 }

@@ -102,6 +102,25 @@ class StreamingSpec extends SparkSpec {
     assert(r == Set(("a", 100L)))
   }
 
+  test("runningJobs: LATEST record wins on start-key reuse (seq order)") {
+    // an old completed run at start=100, then a NEW run re-opens the
+    // same window start (progress pinned at now) and crashes: the newer
+    // open record must re-arm the gate, not be masked by history
+    val reused = Seq(
+      LedgerRecord("j", 100, Some(200L), Some(150L), Some(50L), Some(1L), Some(0L), seq = 1),
+      LedgerRecord("j", 100, None, None, None, None, None, seq = 2)
+    ).toDS()
+    assert(JobStateMachine.runningJobs(reused).collect().toSet ==
+      Set(("j", 100L)))
+    // and the converse: a takeover abort (later seq) over a crashed
+    // open record clears the gate
+    val aborted = Seq(
+      LedgerRecord("j", 100, None, None, None, None, None, seq = 1),
+      LedgerRecord("j", 100, Some(101L), None, None, None, None, seq = 2)
+    ).toDS()
+    assert(JobStateMachine.runningJobs(aborted).isEmpty)
+  }
+
   test("batch/streaming parity through parse + TSV sink") {
     val inDir = tmpDir("prom_in")
     val outDir = tmpDir("tsv_out") + "/files"
