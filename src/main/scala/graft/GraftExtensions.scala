@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.LongVectorDot
+import graft.functions.{ChArrayExpr, FormatFloatExpr, LongVectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[LongVectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => LongVectorDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("format_float"),
+      new ExpressionInfo(classOf[FormatFloatExpr].getName, "format_float"),
+      (children: Seq[Expression]) => FormatFloatExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ch_array"),
+      new ExpressionInfo(classOf[ChArrayExpr].getName, "ch_array"),
+      (children: Seq[Expression]) => ChArrayExpr(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
