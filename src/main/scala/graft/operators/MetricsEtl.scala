@@ -303,64 +303,93 @@ object MetricsEtl {
       col("value"))
   }
 
-  /** q_rate — PromQL rate(): (last − first) / (t_last − t_first) per
-    * series per 5m window; windows with <2 points yield no rate (PromQL
-    * semantics: rate needs ≥2 samples).
+  /** q_rate — PromQL rate() with counter-reset correction: per series
+    * per 5m window, sum of reset-corrected successive deltas divided by
+    * the observed time span. A negative delta means the counter
+    * restarted from 0, so that step contributes the NEW value (PromQL's
+    * rule), not zero and not the raw negative. Windows with <2 points
+    * yield no rate. (PromQL's boundary extrapolation is deliberately
+    * omitted — deltas/span is its well-defined core.)
     */
-  def qRate(spark: SparkSession, dir: String): DataFrame =
-    series5m(spark, dir)
+  def qRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("ts_s", "event_id")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / 300L) * 300L).as("w_start"),
+      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
+      // integer cents: delta sums stay exact (order-independent) so the
+      // final division is bit-identical across engines
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+      .withColumn("corrected",
+        when(col("delta") < 0, col("cents")).otherwise(col("delta")))
       .groupBy("name", "user_id", "w_start")
-      .agg(
-        min_by(col("value"), col("ts_s")).as("first_v"),
-        max_by(col("value"), col("ts_s")).as("last_v"),
+      .agg(sum("corrected").as("inc_cents"),
         min("ts_s").as("t_first"), max("ts_s").as("t_last"),
         count(lit(1)).as("n"))
       .filter(col("n") >= 2 && col("t_last") > col("t_first"))
       .select(col("name"), col("user_id"), col("w_start"),
-        round((col("last_v") - col("first_v")) / (col("t_last") - col("t_first")), 6)
-          .as("rate"))
+        round(col("inc_cents").cast("double") / 100d
+          / (col("t_last") - col("t_first")), 6).as("rate"))
+  }
 
   val rateSql: String =
     """WITH s AS (
-      |  SELECT event_type AS name, user_id,
+      |  SELECT event_type AS name, user_id, event_id,
       |         CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT) AS w_start,
-      |         epoch_us(ts)/1000000.0 AS ts_s, value
-      |  FROM events)
+      |         epoch_us(ts)/1000000.0 AS ts_s,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT *, cents - lag(cents) OVER (PARTITION BY name, user_id, w_start
+      |           ORDER BY ts_s, event_id) AS delta
+      |  FROM s),
+      |c AS (
+      |  SELECT *, CASE WHEN delta < 0 THEN cents ELSE delta END AS corrected
+      |  FROM d)
       |SELECT name, user_id, w_start,
-      |       round((max_by(value, ts_s) - min_by(value, ts_s))
+      |       round(CAST(SUM(corrected) AS BIGINT) / 100.0
       |             / (max(ts_s) - min(ts_s)), 6) AS rate
-      |FROM s GROUP BY name, user_id, w_start
+      |FROM c GROUP BY name, user_id, w_start
       |HAVING COUNT(*) >= 2 AND max(ts_s) > min(ts_s)""".stripMargin
 
   /** q_increase — PromQL increase() with counter-reset handling: per
-    * series, sum of clamped-to-≥0 successive deltas within each 1h window
-    * (a reset makes the raw delta negative; PromQL treats it as restart
-    * from 0, i.e. contributes the new value — we use the simpler clamp
-    * variant: max(delta, 0)).
+    * series, sum of reset-corrected successive deltas within each 1h
+    * window. A negative delta = counter restart from 0 → that step
+    * contributes the NEW value (PromQL's exact rule).
     */
   def qIncrease(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("name", "user_id").orderBy("ts_s", "event_id")
     val winSize = 3600L
     Tables.events(spark, dir).select(
       col("event_type").as("name"), col("user_id"), col("event_id"),
-      (unix_micros(col("ts")) / 1000000d).as("ts_s"), col("value"))
-      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
       .filter(col("delta").isNotNull)
+      .withColumn("corrected",
+        when(col("delta") < 0, col("cents")).otherwise(col("delta")))
       .withColumn("w_start", (floor(col("ts_s") / winSize) * winSize).cast("long"))
       .groupBy("name", "user_id", "w_start")
-      .agg(round(sum(greatest(col("delta"), lit(0d))), 6).as("increase"))
+      // exact integer sum → /100 has exactly 2 decimals, no rounding
+      // boundary exists
+      .agg(round(sum("corrected").cast("double") / 100d, 2).as("increase"))
   }
 
   val increaseSql: String =
     """WITH s AS (
       |  SELECT event_type AS name, user_id, event_id,
-      |         epoch_us(ts)/1000000.0 AS ts_s, value,
-      |         value - lag(value) OVER (PARTITION BY event_type, user_id
-      |                                  ORDER BY epoch_us(ts)/1000000.0, event_id) AS delta
+      |         epoch_us(ts)/1000000.0 AS ts_s,
+      |         CAST(round(value*100) AS BIGINT) AS cents,
+      |         CAST(round(value*100) AS BIGINT)
+      |           - lag(CAST(round(value*100) AS BIGINT))
+      |             OVER (PARTITION BY event_type, user_id
+      |                   ORDER BY epoch_us(ts)/1000000.0, event_id) AS delta
       |  FROM events)
       |SELECT name, user_id,
       |       CAST(floor(ts_s/3600)*3600 AS BIGINT) AS w_start,
-      |       round(SUM(greatest(delta, 0)), 6) AS increase
+      |       round(CAST(SUM(CASE WHEN delta < 0 THEN cents ELSE delta END) AS BIGINT) / 100.0, 2) AS increase
       |FROM s WHERE delta IS NOT NULL
       |GROUP BY name, user_id, CAST(floor(ts_s/3600)*3600 AS BIGINT)""".stripMargin
 
