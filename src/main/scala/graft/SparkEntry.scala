@@ -58,6 +58,7 @@ object SparkEntry {
     "q_quality" -> (TextAnalysis.qQuality _),
     "q_tokens" -> (TextAnalysis.qTokens _),
     "q_chunks" -> (TextAnalysis.qChunks _),
+    "q_pack" -> (TextAnalysis.qPack _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
   )
 
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_quality" -> TextAnalysis.qualitySql,
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_chunks" -> TextAnalysis.chunksSql,
+    "q_pack" -> TextAnalysis.packSql,
     "q_multimodal_meta" -> Multimodal.multimodalMetaSql
   )
 }

@@ -154,17 +154,59 @@ object TextAnalysis {
           .as("chunk_hash"))
   }
 
-  val chunksSql: String = {
+  /** Token budget per packed sequence for q_pack. */
+  private val packBudget = 256
+
+  /** q_pack — greedy sequence packing: chunks are packed in stream
+    * order into fixed-budget bins (the training-sequence assembly
+    * stage). Packing is SHARDED — hash(doc) mod 32 — so each shard
+    * packs independently with a bounded-size window; a single global
+    * packing order would serialize the whole corpus through one
+    * partition at 100 TB. bin = floor((running_total − n) / budget):
+    * the standard streaming first-fit that never splits a chunk across
+    * bins mid-stream.
+    */
+  def qPack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = qChunks(spark, dir)
+      .withColumn("shard", (col("doc_id") % 32).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_id")
+    chunks
+      .withColumn("cum", sum("n_tokens").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("shard"), col("doc_id"), col("chunk_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / packBudget).cast("long")
+          .as("bin_id"))
+  }
+
+  /** Shared CTE list producing the `chunks` relation, used by both
+    * chunksSql and packSql. */
+  private def chunkCtes: String = {
     val k = chunkTokens
-    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-       |c AS (SELECT doc_id, ws,
+    s"""w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |c0 AS (SELECT doc_id, ws,
        |        unnest(generate_series(0, CAST((len(ws) + ${k - 1}) // $k AS INT) - 1)) AS chunk_id
-       |      FROM w)
-       |SELECT doc_id, chunk_id,
+       |      FROM w),
+       |chunks AS (SELECT doc_id, chunk_id,
        |       len(list_slice(ws, chunk_id * $k + 1,
        |                      least(chunk_id * $k + $k, len(ws)))) AS n_tokens,
        |       ${graft.functions.Portable.hash60Sql(
              s"array_to_string(list_slice(ws, chunk_id * $k + 1, least(chunk_id * $k + $k, len(ws))), ' ')")} AS chunk_hash
-       |FROM c""".stripMargin
+       |FROM c0)""".stripMargin
   }
+
+  val chunksSql: String =
+    s"""WITH $chunkCtes
+       |SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM chunks""".stripMargin
+
+  val packSql: String =
+    s"""WITH $chunkCtes,
+       |sh AS (SELECT *, CAST(doc_id % 32 AS INT) AS shard FROM chunks),
+       |cm AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |        ORDER BY doc_id, chunk_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM sh)
+       |SELECT shard, doc_id, chunk_id, n_tokens,
+       |       CAST(floor((cum - n_tokens) / $packBudget) AS BIGINT) AS bin_id
+       |FROM cm""".stripMargin
 }
