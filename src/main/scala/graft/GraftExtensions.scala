@@ -18,14 +18,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[LongVectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => LongVectorDot(children(0), children(1))))
+    def unary(name: String, build: Expression => Expression)
+        : Seq[Expression] => Expression = { children =>
+      if (children.length != 1) throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${children.length}")
+      build(children.head)
+    }
     ext.injectFunction((
       FunctionIdentifier("format_float"),
       new ExpressionInfo(classOf[FormatFloatExpr].getName, "format_float"),
-      (children: Seq[Expression]) => FormatFloatExpr(children.head)))
+      unary("format_float", FormatFloatExpr.apply)))
     ext.injectFunction((
       FunctionIdentifier("ch_array"),
       new ExpressionInfo(classOf[ChArrayExpr].getName, "ch_array"),
-      (children: Seq[Expression]) => ChArrayExpr(children.head)))
+      unary("ch_array", ChArrayExpr.apply)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -288,21 +288,6 @@ object MetricsEtl {
       |WHERE regexp_matches(event_type, '^(purchase|signup|click)$')
       |  AND regexp_matches(CAST(json_extract_string(props,'$.k') AS VARCHAR), '^1')""".stripMargin
 
-  /** Per-series 5-minute range buckets with first/last/min/max/sum/count —
-    * the shared shape under rate/increase/..._over_time. Series key =
-    * (name, user), window = 300s tumbling. groupBy(window) keeps partial
-    * aggregation map-side; at scale this partitions by (series, window)
-    * exactly like the daily-partitioned metrics lake (R10).
-    */
-  private def series5m(spark: SparkSession, dir: String): DataFrame = {
-    val winSize = 300L
-    Tables.events(spark, dir).select(
-      col("event_type").as("name"), col("user_id"),
-      (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
-      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
-      col("value"))
-  }
-
   /** q_rate — PromQL rate() with counter-reset correction: per series
     * per 5m window, sum of reset-corrected successive deltas divided by
     * the observed time span. A negative delta means the counter

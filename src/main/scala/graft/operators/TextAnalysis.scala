@@ -157,18 +157,24 @@ object TextAnalysis {
   /** Token budget per packed sequence for q_pack. */
   private val packBudget = 256
 
-  /** q_pack — greedy sequence packing: chunks are packed in stream
-    * order into fixed-budget bins (the training-sequence assembly
-    * stage). Packing is SHARDED — hash(doc) mod 32 — so each shard
-    * packs independently with a bounded-size window; a single global
-    * packing order would serialize the whole corpus through one
-    * partition at 100 TB. bin = floor((running_total − n) / budget):
-    * the standard streaming first-fit that never splits a chunk across
-    * bins mid-stream.
+  /** q_pack — sequence packing by OFFSET BINNING: chunks are laid out
+    * in stream order and assigned to the bin their start offset falls
+    * in (`bin = floor(start_offset / budget)`). A chunk straddling a
+    * budget boundary stays in its starting bin, so a bin can exceed the
+    * budget by up to chunk_size − 1 tokens — downstream either pads the
+    * next bin or truncates, the usual offset-packing tradeoff. (True
+    * capacity-capped first-fit is a sequential recurrence, not a
+    * prefix sum — deliberately not done here.)
+    *
+    * Packing is SHARDED — pmod(doc_id, 32) — so shards pack
+    * independently. The shard count bounds parallelism AND per-task
+    * window size (corpus/shards rows stream through one task): 32 fits
+    * the test scale; a production caller sizes it from input volume so
+    * each shard's chunk stream fits a task comfortably.
     */
   def qPack(spark: SparkSession, dir: String): DataFrame = {
     val chunks = qChunks(spark, dir)
-      .withColumn("shard", (col("doc_id") % 32).cast("int"))
+      .withColumn("shard", pmod(col("doc_id"), lit(32)).cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id", "chunk_id")
     chunks
@@ -201,7 +207,7 @@ object TextAnalysis {
 
   val packSql: String =
     s"""WITH $chunkCtes,
-       |sh AS (SELECT *, CAST(doc_id % 32 AS INT) AS shard FROM chunks),
+       |sh AS (SELECT *, CAST((doc_id % 32 + 32) % 32 AS INT) AS shard FROM chunks),
        |cm AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
        |        ORDER BY doc_id, chunk_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum

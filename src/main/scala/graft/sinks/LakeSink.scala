@@ -8,14 +8,30 @@ import org.apache.spark.sql.functions._
   * `PARTITION BY toYYYYMMDD(timestamp)`; the Spark-native equivalent is
   * a parquet lake partitioned by the same day key, which is what makes
   * time-range queries at 100 TB prune partitions at the FILE level
-  * (`.explain` shows PartitionFilters on `day`, and a day's reload
-  * overwrites exactly one directory — the idempotent-replay unit).
+  * (`.explain` shows PartitionFilters on `day`).
+  *
+  * Two deliberate choices:
+  *  - DYNAMIC partition overwrite: a replayed write replaces exactly
+  *    the day directories present in the batch and touches nothing
+  *    else — the per-day replay unit the reference gets from dropping
+  *    and reloading a ClickHouse partition. (Plain append would
+  *    duplicate rows on replay.)
+  *  - the day key derives from UTC epoch-day integer arithmetic, not
+  *    `date_format` of a timestamp, which renders in the SESSION
+  *    timezone — a non-UTC caller would otherwise fragment the same
+  *    instant across different day partitions than toYYYYMMDD.
   */
 object LakeSink {
-  /** Append metric rows (ts_us µs epoch) under `dir/day=YYYYMMDD/`. */
   def write(metrics: DataFrame, dir: String): Unit =
     metrics
       .withColumn("day",
-        date_format(timestamp_micros(col("ts_us")), "yyyyMMdd").cast("int"))
-      .write.mode("append").partitionBy("day").parquet(dir)
+        date_format(
+          date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+            (col("ts_us") / 86400000000L).cast("int")),
+          "yyyyMMdd").cast("int"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(dir)
 }

@@ -33,11 +33,16 @@ class LakeSinkSpec extends SparkSpec {
     val plan = oneDay.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("day"))
 
-    // replay appends into the same day dirs only (idempotency is the
-    // content-hash id's job downstream, R5/R9)
+    // replay OVERWRITES exactly the day directories in the batch
+    // (dynamic partition overwrite) — the per-day replay unit; row
+    // count stays stable instead of duplicating
     LakeSink.write(metrics, outDir)
-    assert(spark.read.parquet(outDir).count() == 4)
+    assert(spark.read.parquet(outDir).count() == 2)
     assert(new java.io.File(outDir).listFiles()
       .count(_.getName.startsWith("day=")) == 2)
+
+    // replaying ONE day must not clobber the other day's directory
+    LakeSink.write(metrics.filter(col("ts_us") >= 1700086400000000L), outDir)
+    assert(spark.read.parquet(outDir).count() == 2)
   }
 }
