@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the LLM-pipeline operators, checked at
+  * sf0.001 — properties the DuckDB oracle cannot express (it only
+  * proves Spark==DuckDB, not that both are sane): conservation laws,
+  * range bounds, ordering contracts, cross-operator consistency.
+  */
+class OperatorInvariantSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact: groups partition the corpus; keeper is group minimum") {
+    val docs = Tables.documents(spark, dir).count()
+    val g = Dedup.qDedupExact(spark, dir)
+    assert(g.agg(sum("n_docs")).head().getLong(0) == docs)
+    assert(g.filter(col("keep_doc_id") < 0).count() == 0)
+  }
+
+  test("dedup_ngram: pair ordering, set algebra, threshold bounds") {
+    val pairs = Dedup.qDedupNgram(spark, dir).collect()
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (i, u) = (r.getAs[Long]("inter_count"), r.getAs[Long]("union_count"))
+      val j = r.getAs[Double]("jaccard")
+      assert(a < b, "pairs must be canonically ordered")
+      assert(i >= 1 && i <= u, "intersection within union")
+      assert(j >= 0.2 && j <= 1.0, s"jaccard $j out of threshold range")
+    }
+  }
+
+  test("minhash candidates agree with exact jaccard on planted dups") {
+    val exact = Dedup.qDedupNgram(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.qMinhashLsh(spark, dir).collect()
+    cand.foreach { r =>
+      val n = r.getAs[Long]("n_shared_bands")
+      assert(n >= 1 && n <= 4)
+    }
+    val candPairs = cand.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // every 4-band (near-identical) candidate is a real >=0.2 near-dup
+    val strong = cand.filter(_.getAs[Long]("n_shared_bands") == 4)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strong.subsetOf(exact))
+    // and the two detectors overlap on this corpus (planted dups exist)
+    assert(exact.isEmpty == candPairs.isEmpty)
+  }
+
+  test("simhash: 60-bit range and band recomposition") {
+    Dedup.qSimhash(spark, dir).collect().foreach { r =>
+      val h = r.getAs[Long]("simhash")
+      assert(h >= 0 && h < (1L << 60))
+      val recomposed = (0 to 3).map(i =>
+        r.getAs[Long](s"band$i") << (15 * i)).reduce(_ | _)
+      assert(recomposed == h, "bands must recompose to the signature")
+    }
+  }
+
+  test("cosine top-k: bounds, dense ranks, no self-pairs, descending") {
+    val rows = Similarity.qEmbedCosineTopk(spark, dir).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    rows.foreach { case (vid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to sorted.length))
+      assert(sorted.forall(r => r.getAs[Long]("neighbor_id") != vid))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y },
+        "cosines must be non-increasing in rank")
+    }
+  }
+
+  test("ann/dedup_embed: bucket-local pairs, threshold respected") {
+    Similarity.qAnnLsh(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= 3)
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 64)
+    }
+    Similarity.qDedupEmbed(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cosine") >= 0.4)
+    }
+  }
+
+  test("chunks conserve tokens; pack bins are sane") {
+    val chunkSums = TextAnalysis.qChunks(spark, dir)
+      .groupBy("doc_id").agg(sum("n_tokens").as("total"))
+    val tokens = TextAnalysis.qTokens(spark, dir)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    val joined = chunkSums.join(tokens, "doc_id")
+      .filter(col("total") =!= col("n_ws_tokens"))
+    assert(joined.count() == 0, "chunk token counts must sum to doc tokens")
+    TextAnalysis.qPack(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Int]("shard") >= 0 && r.getAs[Int]("shard") < 32)
+      assert(r.getAs[Long]("bin_id") >= 0)
+    }
+  }
+
+  test("quality/lang scores within declared ranges") {
+    TextAnalysis.qQuality(spark, dir).collect().foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0, s"quality $q out of [0,1]")
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(sr >= 0.0 && sr <= 1.0)
+    }
+    TextAnalysis.qLangId(spark, dir).collect().foreach { r =>
+      assert(Set("en", "unk").contains(r.getAs[String]("lang_pred")))
+    }
+  }
+}
