@@ -59,6 +59,7 @@ object SparkEntry {
     "q_tokens" -> (TextAnalysis.qTokens _),
     "q_chunks" -> (TextAnalysis.qChunks _),
     "q_pack" -> (TextAnalysis.qPack _),
+    "q_tfidf" -> (TextAnalysis.qTfidf _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
   )
 
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_tokens" -> TextAnalysis.tokensSql,
     "q_chunks" -> TextAnalysis.chunksSql,
     "q_pack" -> TextAnalysis.packSql,
+    "q_tfidf" -> TextAnalysis.tfidfSql,
     "q_multimodal_meta" -> Multimodal.multimodalMetaSql
   )
 }

@@ -185,6 +185,50 @@ object TextAnalysis {
           .as("bin_id"))
   }
 
+  /** q_tfidf — keyword extraction: top-5 tokens per document by a
+    * tf·idf score. Two deliberate choices:
+    *  - idf is the BM25-style RATIONAL form (N − df + 0.5)/(df + 0.5),
+    *    not a logarithm — `ln` differs by ulps between Java's intrinsic
+    *    and DuckDB's libm, while rational arithmetic over identical
+    *    integers is bit-exact in both engines;
+    *  - the per-doc top-5 runs on the custom bounded-heap
+    *    [[graft.plans.TopKPerKey]] operator (no per-doc sort).
+    * Plan shape: token tf (one shuffle on (doc, token)), token df (one
+    * shuffle on token — vocabulary-sized, broadcastable), a size-gated
+    * join, then the TopKPerKey shuffle on doc_id.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // plan-time scalar, like Similarity.dim
+    val tf = docs
+      .select(col("doc_id"), explode(words).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .withColumn("score",
+        round(col("tf") * (lit(nDocs.toDouble) - col("df") + 0.5)
+          / (col("df") + 0.5), 4))
+    graft.plans.TopKPerKey.topK(
+      scored.select("doc_id", "token", "tf", "df", "score"),
+      keyNames = Seq("doc_id"),
+      orderSpec = Seq(("score", false), ("token", true)),
+      k = 5, rankName = "rk")
+  }
+
+  val tfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest($wordsSql) AS token FROM documents),
+       |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+       |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY token),
+       |s AS (SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+       |        round(tfc.tf * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) - dfc.df + 0.5)
+       |              / (dfc.df + 0.5), 4) AS score
+       |      FROM tfc JOIN dfc ON tfc.token = dfc.token)
+       |SELECT doc_id, token, tf, df, score,
+       |       row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY score DESC, token) AS rk
+       |FROM s QUALIFY rk <= 5""".stripMargin
+
   /** Shared CTE list producing the `chunks` relation, used by both
     * chunksSql and packSql. */
   private def chunkCtes: String = {
