@@ -49,6 +49,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_fingerprint" -> (Dedup.qFingerprint _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_cosine_topk" -> (Similarity.qEmbedCosineTopk _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.dedupExactSql,
     "q_fingerprint" -> Dedup.fingerprintSql,
     "q_dedup_ngram" -> Dedup.dedupNgramSql,
+    "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_minhash_lsh" -> Dedup.minhashLshSql,
     "q_simhash" -> Dedup.simhashSql,
     "q_embed_cosine_topk" -> Similarity.embedCosineTopkSql,

@@ -147,18 +147,86 @@ object Dedup {
       .select("doc_a", "doc_b", "inter_count", "union_count", "jaccard")
   }
 
-  val dedupNgramSql: String =
-    s"""WITH $shingledSql,
+  /** CTE list ending in the thresholded `pairs` relation — shared by the
+    * ngram query and the clustering oracle. */
+  private val ngramPairsCtes: String =
+    s"""$shingledSql,
        |$dropStopShinglesSql,
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |            COUNT(*) AS inter_count, max(a.n) AS na, max(b.n) AS nb
        |          FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, inter_count,
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b, inter_count,
        |       na + nb - inter_count AS union_count,
        |       round(CAST(inter_count AS DOUBLE) / (na + nb - inter_count), 4) AS jaccard
        |FROM inter
-       |WHERE round(CAST(inter_count AS DOUBLE) / (na + nb - inter_count), 4) >= 0.2""".stripMargin
+       |WHERE round(CAST(inter_count AS DOUBLE) / (na + nb - inter_count), 4) >= 0.2)""".stripMargin
+
+  val dedupNgramSql: String =
+    s"""WITH $ngramPairsCtes
+       |SELECT doc_a, doc_b, inter_count, union_count, jaccard FROM pairs""".stripMargin
+
+  /** q_dedup_clusters — connected components over the near-dup pair
+    * graph: each document gets the MINIMUM doc_id reachable through
+    * near-dup edges as its cluster id, plus the cluster size — the
+    * "keep one per duplicate cluster" decision a dedup pipeline
+    * actually executes (pairs alone under-merge transitive dups).
+    *
+    * Iterative min-label propagation, Pregel-style: the driver loop
+    * orchestrates ROUNDS (bounded by graph diameter, capped, with a
+    * convergence check) while every round's work is a distributed
+    * join+aggregate — the legitimate exception to the no-driver-loop
+    * rule, same as GraphX. `localCheckpoint` truncates the growing
+    * iterative lineage each round. The oracle computes the same
+    * fixpoint via a recursive CTE (transitive closure + min) — two
+    * entirely different algorithms, one answer.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgram(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, edges("doc_b") === labels("node"))
+        .groupBy(edges("doc_a").as("pnode"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(prop, labels("node") === prop("pnode"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk AS (
+       |  SELECT doc_a AS node, doc_b AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.doc_b FROM walk w JOIN edges e ON w.reach = e.doc_a),
+       |cl AS (SELECT node, least(node, MIN(reach)) AS cluster_id
+       |       FROM walk GROUP BY node)
+       |SELECT node AS doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cl""".stripMargin
 
   /** MinHash universal-hash family: sig_i(x) = (a_i·h30(x) + b_i) mod P
     * over a 30-bit base hash — ONE md5 per shingle and 16 integer mixes,
