@@ -42,6 +42,8 @@ object SparkEntry {
     "q_topk_per_group" -> (Olap.qTopkPerGroup _),
     "q_sessionize" -> (Olap.qSessionize _),
     "q_stream_window_agg" -> (Olap.qStreamWindowAgg _),
+    "q_percentiles" -> (Olap.qPercentiles _),
+    "q_pivot" -> (Olap.qPivot _),
     "q_semi_join" -> (Olap.qSemiJoin _),
     "q_anti_join" -> (Olap.qAntiJoin _),
     "q_rollup" -> (Olap.qRollup _),
@@ -89,6 +91,8 @@ object SparkEntry {
     "q_topk_per_group" -> Olap.qTopkPerGroupSql,
     "q_sessionize" -> Olap.qSessionizeSql,
     "q_stream_window_agg" -> Olap.qStreamWindowAggSql,
+    "q_percentiles" -> Olap.qPercentilesSql,
+    "q_pivot" -> Olap.qPivotSql,
     "q_semi_join" -> Olap.qSemiJoinSql,
     "q_anti_join" -> Olap.qAntiJoinSql,
     "q_rollup" -> Olap.qRollupSql,

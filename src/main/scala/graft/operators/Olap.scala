@@ -235,6 +235,65 @@ object Olap {
       |       round(sum(value), 2) AS session_value
       |FROM g GROUP BY user_id, session_id""".stripMargin
 
+  /** q_percentiles — exact interpolated percentiles (p50/p95/p99) of
+    * extended price per return flag. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the standard linear-interpolation definition
+    * (rank = p·(n−1)), so the doubles agree bit-for-bit. Exact
+    * percentiles sort each group — fine for bounded group counts; an
+    * unbounded-cardinality version would switch to approx_percentile
+    * (t-digest), which is deliberately NOT oracle-checked since sketch
+    * internals differ across engines.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q_pivot — wide-format rollup: one row per customer segment, one
+    * column per order priority, integer-cents revenue sums. The pivot
+    * value list is FIXED (a dynamic pivot would need a driver-side
+    * distinct scan and yields nondeterministic schemas); Spark expands
+    * it into conditional aggregates — one shuffle, map-side combine —
+    * which is also exactly how the oracle expresses it.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val priorities =
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority", priorities)
+      .agg(round(sum("cents").cast("double") / 100d, 2))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+  }
+
+  val qPivotSql: String =
+    """SELECT c_mktsegment,
+      |  round(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100, 2) AS urgent,
+      |  round(CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100, 2) AS high,
+      |  round(CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100, 2) AS medium,
+      |  round(CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100, 2) AS unspecified,
+      |  round(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS DOUBLE)/100, 2) AS low
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** q_semi_join — customers having at least one URGENT order, via a
     * LEFT SEMI join: the probe side streams once, no fact-side
     * duplication, output bounded by the customer side — the right
