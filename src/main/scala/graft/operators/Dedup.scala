@@ -188,6 +188,10 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    // Near-dup clusters are clique-shaped (duplicates all pair with each
+    // other), so 1-hop propagation converges in 2-3 rounds — measured at
+    // sf0.1. Pointer doubling (label-of-label) was tried and reverted:
+    // it only pays on chain-shaped graphs and adds a join per round.
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
