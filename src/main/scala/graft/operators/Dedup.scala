@@ -207,10 +207,16 @@ object Dedup {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
         .isEmpty
+      // superseded checkpoint blocks are released by the ContextCleaner
+      // once this reference drops on reassignment
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"qDedupClusters did not converge in $iter rounds — component " +
+        "diameter exceeds the cap; raise the cap (or switch to pointer " +
+        "doubling) for chain-shaped duplicate graphs")
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("label")))

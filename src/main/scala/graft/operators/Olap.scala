@@ -68,8 +68,13 @@ object Olap {
         ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
-        .as("revenue"))
+      // revenue = Σ price·(1−disc) carries EXACTLY 4 decimal digits
+      // (2-dec price × 2-dec discount) → exact ×10⁴ integer sum, then
+      // round(.,4) which cannot land on a half boundary. A double SUM
+      // rounded to 2 was observed to diverge 1 ulp at sf0.001.
+      .agg(round((sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))))
+        .cast("double") / 10000d, 4).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -78,7 +83,8 @@ object Olap {
 
   val q3Sql: String =
     """SELECT l_orderkey,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000, 4) AS revenue,
       |       epoch_us(o_orderdate) AS o_orderdate_us
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
@@ -118,14 +124,18 @@ object Olap {
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(dims), col("s_nationkey") === dims("n_nationkey"))
       .groupBy("n_name", "r_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
-        .as("revenue"),
+      // same exact ×10⁴ integer revenue as q3 — the double-SUM round(.,2)
+      // form diverged 1 ulp from the oracle at sf0.001
+      .agg(round((sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))))
+        .cast("double") / 10000d, 4).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q5Sql: String =
     """SELECT n_name, r_name,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000, 4) AS revenue,
       |       COUNT(*) AS n_items
       |FROM lineitem, orders, customer, supplier, nation, region
       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey

@@ -199,14 +199,18 @@ object TextAnalysis {
     */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count() // plan-time scalar, like Similarity.dim
+    // N as a broadcast 1-row frame, not an eager .count(): constructing
+    // the plan must not run a job, and the oracle's scalar subquery
+    // computes the same value
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(words).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * (lit(nDocs.toDouble) - col("df") + 0.5)
+        round(col("tf") * (col("n_docs") - col("df") + 0.5)
           / (col("df") + 0.5), 4))
     graft.plans.TopKPerKey.topK(
       scored.select("doc_id", "token", "tf", "df", "score"),

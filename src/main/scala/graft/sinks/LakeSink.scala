@@ -27,7 +27,9 @@ object LakeSink {
       .withColumn("day",
         date_format(
           date_add(lit(java.sql.Date.valueOf("1970-01-01")),
-            (col("ts_us") / 86400000000L).cast("int")),
+            // floor, not int-cast truncation: pre-1970 instants must
+            // land in their own day, like toYYYYMMDD
+            floor(col("ts_us") / 86400000000d).cast("int")),
           "yyyyMMdd").cast("int"))
       .write
       .mode("overwrite")

@@ -12,12 +12,17 @@ case class TsvMetricRow(
     value: Double)
 
 /** Reader for the TabSeparated metric files [[graft.sinks.TsvSink]]
-  * writes (and ClickHouse `SELECT ... FORMAT TabSeparated` dumps): the
-  * exact inverse of the R3/R4 rendering — tab-split, unescape, array
-  * literal lexing, float parse with lowercase nan/inf. Exists so a
-  * ClickHouse deployment can be BACKFILLED through Spark from its own
-  * dumps, and so the escaping bijection is proven executable, not just
-  * asserted (TsvSourceSpec round-trips rendered rows back to equality).
+  * writes: the exact inverse of the R3/R4 rendering — tab-split,
+  * unescape, array literal lexing, float parse with lowercase nan/inf —
+  * proven a bijection in TsvSourceSpec (render → parse → equality).
+  * This is the backfill path for the reference's own output.
+  *
+  * Scope note: the escape set mirrors the REFERENCE's
+  * `_escape_tabseparated_chars` (backslash, tab, newline — it too skips
+  * `\r`, `\b`, `\f`, `\0`); this reader additionally DECODES those
+  * sequences defensively for dumps produced by ClickHouse itself, but a
+  * value containing a raw carriage return is not round-trippable by
+  * either the reference or this sink (text line splitting consumes it).
   *
   * Implementation is a typed per-partition JVM parser — a parser is
   * inherently row-wise imperative logic, the one place `mapPartitions`
@@ -41,10 +46,16 @@ object TsvSource {
     require(f.length == 5, s"expected 5 TSV fields, got ${f.length}: $line")
     val secs = f(0)
     val dot = secs.indexOf('.')
+    // sign-aware: the fraction always moves AWAY from zero with the
+    // integer part ("-1.5" = −1,500,000 µs, not −1e6 + 5e5)
     val tsUs =
       if (dot < 0) secs.toLong * 1000000L
-      else secs.substring(0, dot).toLong * 1000000L +
-        (secs.substring(dot + 1) + "000000").substring(0, 6).toLong
+      else {
+        val whole = secs.substring(0, dot)
+        val frac = (secs.substring(dot + 1) + "000000").substring(0, 6).toLong
+        val mag = whole.replace("-", "").toLong * 1000000L + frac
+        if (whole.startsWith("-")) -mag else mag
+      }
     TsvMetricRow(
       ts_us = tsUs,
       name = unescape(f(1)),
@@ -57,7 +68,20 @@ object TsvSource {
   private def splitFields(line: String): Array[String] =
     line.split("\t", -1)
 
-  /** Inverse of the R3 escape: `\\`, `\t`, `\n`, `\'` → originals. */
+  /** Decode one escape char (the sink's set plus ClickHouse's extras). */
+  private def decodeEscape(c: Char): String = c match {
+    case '\\' => "\\"
+    case 't' => "\t"
+    case 'n' => "\n"
+    case '\'' => "'"
+    case 'r' => "\r"
+    case 'b' => "\b"
+    case 'f' => "\f"
+    case '0' => "\u0000"
+    case other => "\\" + other
+  }
+
+  /** Inverse of the R3 escape. */
   private[sources] def unescape(s: String): String = {
     if (s.indexOf('\\') < 0) return s
     val b = new java.lang.StringBuilder(s.length)
@@ -65,13 +89,7 @@ object TsvSource {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case '\\' => b.append('\\')
-          case 't' => b.append('\t')
-          case 'n' => b.append('\n')
-          case '\'' => b.append('\'')
-          case other => b.append('\\').append(other)
-        }
+        b.append(decodeEscape(s.charAt(i + 1)))
         i += 2
       } else { b.append(c); i += 1 }
     }
@@ -89,18 +107,15 @@ object TsvSource {
       require(s.charAt(i) == '\'', s"expected quote at $i in $s")
       i += 1
       val b = new java.lang.StringBuilder
-      while (s.charAt(i) != '\'') {
+      while (i < s.length - 1 && s.charAt(i) != '\'') {
         if (s.charAt(i) == '\\') {
-          s.charAt(i + 1) match {
-            case '\\' => b.append('\\')
-            case 't' => b.append('\t')
-            case 'n' => b.append('\n')
-            case '\'' => b.append('\'')
-            case other => b.append('\\').append(other)
-          }
+          require(i + 1 < s.length - 1, s"dangling escape at $i in $s")
+          b.append(decodeEscape(s.charAt(i + 1)))
           i += 2
         } else { b.append(s.charAt(i)); i += 1 }
       }
+      require(i < s.length - 1 && s.charAt(i) == '\'',
+        s"unterminated element at $i in $s")
       i += 1 // closing quote
       out += b.toString
       if (i < s.length - 1) {
