@@ -386,21 +386,28 @@ object MetricsEtl {
     Tables.events(spark, dir).select(
       col("event_type").as("name"), col("user_id"),
       (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
-      col("value"))
+      col("value"),
+      round(col("value") * 100).cast("long").as("cents"))
       .groupBy("name", "user_id", "w_start")
+      // min/max of raw 2-dec values are single elements — no sum, safe;
+      // sum via exact cents; avg as exact ×10⁴ integer (its decimal
+      // expansion is unbounded, so no rounded-double form is boundary-
+      // safe — same treatment as q1/q_agg_by_label)
       .agg(
-        round(avg("value"), 4).as("avg_v"),
+        expr("(sum(cents) * 100) div count(1)").as("avg_x10000"),
         round(min("value"), 4).as("min_v"),
         round(max("value"), 4).as("max_v"),
-        round(sum("value"), 4).as("sum_v"),
+        round(sum("cents").cast("double") / 100d, 2).as("sum_v"),
         count(lit(1)).as("count_v"))
   }
 
   val overTimeSql: String =
     """SELECT event_type AS name, user_id,
       |       CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
-      |       round(avg(value), 4) AS avg_v, round(min(value), 4) AS min_v,
-      |       round(max(value), 4) AS max_v, round(sum(value), 4) AS sum_v,
+      |       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) * 100 // COUNT(*) AS avg_x10000,
+      |       round(min(value), 4) AS min_v,
+      |       round(max(value), 4) AS max_v,
+      |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_v,
       |       COUNT(*) AS count_v
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
@@ -626,12 +633,14 @@ object MetricsEtl {
     Tables.events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyyMMdd").cast("int").as("partition_id"))
       .agg(count(lit(1)).as("rows"),
-        round(sum("value"), 2).as("sum_value"),
+        round(sum(round(col("value") * 100).cast("long"))
+          .cast("double") / 100d, 2).as("sum_value"),
         countDistinct("event_type").as("n_series_names"))
 
   val dailyPartitionSql: String =
     """SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS partition_id,
-      |       COUNT(*) AS rows, round(sum(value), 2) AS sum_value,
+      |       COUNT(*) AS rows,
+      |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value,
       |       COUNT(DISTINCT event_type) AS n_series_names
       |FROM events GROUP BY 1""".stripMargin
 }

@@ -18,35 +18,56 @@ object Olap {
   /** q1_pricing — grouped aggregation over lineitem (TPC-H Q1 shape).
     * One shuffle over a 6-value grouping key; everything else map-side.
     */
-  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+  /** All aggregates on EXACT integer arithmetic (q5's double-SUM form
+    * was caught diverging 1 ulp at a rounding half-boundary): sums scale
+    * the operands' full decimal precision into integers (qty/price ×10²,
+    * disc_price ×10⁴, charge ×10⁶ — 2-dec operands multiplied), so the
+    * final division has bounded decimals and the round can never sit on
+    * a boundary; averages — whose decimal expansion is unbounded — emit
+    * as exact ×10⁴ integers via truncating division, identical in both
+    * engines, instead of a rounded double.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val qty = round(col("l_quantity") * 100).cast("long")
+    val price = round(col("l_extendedprice") * 100).cast("long")
+    val disc = round(col("l_discount") * 100).cast("long")
+    val tax = round(col("l_tax") * 100).cast("long")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        qty.as("q"), price.as("p"), disc.as("d"), tax.as("t"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+        round(sum("q").cast("double") / 100d, 2).as("sum_qty"),
+        round(sum("p").cast("double") / 100d, 2).as("sum_base_price"),
+        round(sum(col("p") * (lit(100L) - col("d"))).cast("double") / 10000d, 4)
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))
-          * (lit(1d) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round(sum(col("p") * (lit(100L) - col("d")) * (lit(100L) + col("t")))
+          .cast("double") / 1000000d, 6).as("sum_charge"),
+        expr("(sum(q) * 100) div count(1)").as("avg_qty_x10000"),
+        expr("(sum(p) * 100) div count(1)").as("avg_price_x10000"),
+        expr("(sum(d) * 100) div count(1)").as("avg_disc_x10000"),
         count(lit(1)).as("count_order"))
+  }
 
-  val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |       round(avg(l_quantity), 4) AS avg_qty,
-      |       round(avg(l_extendedprice), 4) AS avg_price,
-      |       round(avg(l_discount), 4) AS avg_disc,
-      |       COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  val q1Sql: String = {
+    val q = "CAST(round(l_quantity*100) AS BIGINT)"
+    val p = "CAST(round(l_extendedprice*100) AS BIGINT)"
+    val d = "CAST(round(l_discount*100) AS BIGINT)"
+    val t = "CAST(round(l_tax*100) AS BIGINT)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |       round(CAST(SUM($q) AS DOUBLE) / 100, 2) AS sum_qty,
+       |       round(CAST(SUM($p) AS DOUBLE) / 100, 2) AS sum_base_price,
+       |       round(CAST(SUM($p * (100 - $d)) AS DOUBLE) / 10000, 4) AS sum_disc_price,
+       |       round(CAST(SUM($p * (100 - $d) * (100 + $t)) AS DOUBLE) / 1000000, 6) AS sum_charge,
+       |       CAST(SUM($q) AS BIGINT) * 100 // COUNT(*) AS avg_qty_x10000,
+       |       CAST(SUM($p) AS BIGINT) * 100 // COUNT(*) AS avg_price_x10000,
+       |       CAST(SUM($d) AS BIGINT) * 100 // COUNT(*) AS avg_disc_x10000,
+       |       COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
 
   /** q3_topk_join — customer⋈orders⋈lineitem, revenue per order, top 10
     * (TPC-H Q3 shape). Scale audit (round 2): only the filtered customer
@@ -158,10 +179,14 @@ object Olap {
         col("l_extendedprice"))
       .withColumn("rn", row_number().over(Window.partitionBy("l_suppkey")
         .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))))
+      // exact cents under the running window sum — same boundary-proof
+      // rationale as q1/q5
       .withColumn("running_rev",
-        round(sum("l_extendedprice").over(Window.partitionBy("l_suppkey")
-          .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, 0)), 2))
+        round(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .over(Window.partitionBy("l_suppkey")
+            .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / 100d, 2))
       .filter(col("rn") <= 100)
       .drop("l_extendedprice")
   }
@@ -170,9 +195,9 @@ object Olap {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |       epoch_us(l_shipdate) AS ship_us,
       |       row_number() OVER w AS rn,
-      |       round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) OVER (PARTITION BY l_suppkey
       |         ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 2) AS running_rev
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
       |             ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber)
@@ -221,7 +246,8 @@ object Olap {
       .agg(count(lit(1)).as("n_events"),
         min("ts_us").as("t_start"),
         max("ts_us").as("t_end"),
-        round(sum("value"), 2).as("session_value"))
+        round(sum(round(col("value") * 100).cast("long"))
+          .cast("double") / 100d, 2).as("session_value"))
   }
 
   val qSessionizeSql: String =
@@ -242,7 +268,7 @@ object Olap {
       |  FROM m)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |       min(ts_us) AS t_start, max(ts_us) AS t_end,
-      |       round(sum(value), 2) AS session_value
+      |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS session_value
       |FROM g GROUP BY user_id, session_id""".stripMargin
 
   /** q_percentiles — exact interpolated percentiles (p50/p95/p99) of
@@ -382,12 +408,15 @@ object Olap {
   def qStreamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 100).cast("long"))
+          .cast("double") / 100d, 2).as("total"))
       .select(unix_micros(col("w.start")).as("w_start_us"),
         col("event_type"), col("n"), col("total"))
 
   val qStreamWindowAggSql: String =
     """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
-      |       event_type, COUNT(*) AS n, round(sum(value), 2) AS total
+      |       event_type, COUNT(*) AS n,
+      |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 }
