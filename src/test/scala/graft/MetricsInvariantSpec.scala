@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{MetricsEtl, Olap}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the metrics-ETL and OLAP queries at sf0.001 —
+  * conservation laws and bounds the cross-engine oracle cannot check. */
+class MetricsInvariantSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val nEvents = Tables.events(spark, dir).count()
+
+  test("window batches conserve rows; windows tile without overlap") {
+    val b = MetricsEtl.qWindowBatches(spark, dir)
+    assert(b.agg(sum("batch_rows")).head().getLong(0) == nEvents)
+    val bad = b.filter(col("window_end") - col("window_start") =!= 300)
+    assert(bad.count() == 0)
+    assert(b.groupBy("window_start").count().filter(col("count") > 1)
+      .count() == 0, "window starts must be unique")
+  }
+
+  test("etl state: progress within (start, start+size], ledger conserves rows") {
+    val st = MetricsEtl.qEtlState(spark, dir)
+    val bad = st.filter(col("timestamp_progress") <= col("timestamp_start") ||
+      col("timestamp_progress") > col("timestamp_start") + 300)
+    assert(bad.count() == 0)
+    assert(st.agg(sum("batch_rows")).head().getLong(0) == nEvents)
+  }
+
+  test("skipped accounting conserves: rows + skipped = events per series") {
+    val s = MetricsEtl.qMetricsSkipped(spark, dir)
+    val total = s.agg(sum("rows_count"), sum("skipped_count")).head()
+    assert(total.getLong(0) + total.getLong(1) == nEvents)
+  }
+
+  test("dedup_final keeps at most one row per (user, type), none invented") {
+    val d = MetricsEtl.qDedupFinal(spark, dir)
+    assert(d.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(d.count() <= nEvents)
+  }
+
+  test("histogram quantile within bucket range; one row per group") {
+    val q = MetricsEtl.qHistogramQuantile(spark, dir)
+    assert(q.filter(col("q90") < 0 || col("q90") > 10).count() == 0)
+    assert(q.groupBy("name", "w_start").count()
+      .filter(col("count") > 1).count() == 0,
+      "quantile selection must pick exactly one bucket per group")
+  }
+
+  test("promql topk ranks dense 1..3 within (name, window)") {
+    val t = MetricsEtl.qPromqlTopk(spark, dir).collect()
+      .groupBy(r => (r.getAs[String]("name"), r.getAs[Long]("w_start")))
+    t.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq ==
+        (1 to rs.length), "ranks must be dense from 1")
+    }
+  }
+
+  test("rollup: grand total row matches sum of leaf rows") {
+    val r = Olap.qRollup(spark, dir)
+    val grand = r.filter(col("gid") === 3).head()
+    val leaves = r.filter(col("gid") === 0)
+      .agg(sum("revenue"), sum("n")).head()
+    assert(math.abs(grand.getAs[Double]("revenue") - leaves.getDouble(0)) < 0.05)
+    assert(grand.getAs[Long]("n") == leaves.getLong(1))
+  }
+
+  test("sessionize: every event lands in exactly one session") {
+    val s = Olap.qSessionize(spark, dir)
+    assert(s.agg(sum("n_events")).head().getLong(0) == nEvents)
+    assert(s.filter(col("t_end") < col("t_start")).count() == 0)
+  }
+
+  test("semi and anti join partition customers against the urgent predicate") {
+    val nCust = Tables.customer(spark, dir).count()
+    val semi = Olap.qSemiJoin(spark, dir).count()
+    val anti = Olap.qAntiJoin(spark, dir)
+      .agg(sum("n_custs_no_urgent")).head().getLong(0)
+    assert(semi + anti == nCust,
+      "EXISTS and NOT EXISTS must partition the customer set")
+  }
+}
