@@ -26,6 +26,7 @@ object SparkEntry {
     "q_dedup_final" -> (MetricsEtl.qDedupFinal _),
     "q_selector" -> (MetricsEtl.qSelector _),
     "q_rate" -> (MetricsEtl.qRate _),
+    "q_rate_extrapolated" -> (MetricsEtl.qRateExtrapolated _),
     "q_increase" -> (MetricsEtl.qIncrease _),
     "q_over_time" -> (MetricsEtl.qOverTime _),
     "q_daily_partition" -> (MetricsEtl.qDailyPartition _),
@@ -43,6 +44,7 @@ object SparkEntry {
     "q_sessionize" -> (Olap.qSessionize _),
     "q_stream_window_agg" -> (Olap.qStreamWindowAgg _),
     "q_percentiles" -> (Olap.qPercentiles _),
+    "q_percentiles_approx" -> (Olap.qPercentilesApprox _),
     "q_pivot" -> (Olap.qPivot _),
     "q_semi_join" -> (Olap.qSemiJoin _),
     "q_anti_join" -> (Olap.qAntiJoin _),
@@ -76,6 +78,7 @@ object SparkEntry {
     "q_dedup_final" -> MetricsEtl.dedupFinalSql,
     "q_selector" -> MetricsEtl.selectorSql,
     "q_rate" -> MetricsEtl.rateSql,
+    "q_rate_extrapolated" -> MetricsEtl.rateExtrapolatedSql,
     "q_increase" -> MetricsEtl.increaseSql,
     "q_over_time" -> MetricsEtl.overTimeSql,
     "q_daily_partition" -> MetricsEtl.dailyPartitionSql,
@@ -92,6 +95,7 @@ object SparkEntry {
     "q_sessionize" -> Olap.qSessionizeSql,
     "q_stream_window_agg" -> Olap.qStreamWindowAggSql,
     "q_percentiles" -> Olap.qPercentilesSql,
+    "q_percentiles_approx" -> Olap.qPercentilesApproxSql,
     "q_pivot" -> Olap.qPivotSql,
     "q_semi_join" -> Olap.qSemiJoinSql,
     "q_anti_join" -> Olap.qAntiJoinSql,

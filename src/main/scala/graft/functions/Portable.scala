@@ -78,10 +78,14 @@ object Portable {
       ", chr(10), '" + BS + "n')"
 
   /** DuckDB rendering of [[chArray]] over an array expression; the inner
-    * quote-escape is `replace(e, '''', '\''')` (single quote → `\'`). */
+    * quote-escape is `replace(e, '''', '\''')` (single quote → `\'`).
+    * `coalesce(e, '')` matches [[ChFormat.chArray]]'s null-element rule:
+    * without it DuckDB would propagate NULL through the transform and
+    * `array_to_string` would DROP the element (`[]` vs Spark's `['']`).
+    */
   def chArraySql(arr: String): String =
     "('[' || array_to_string(list_transform(" + arr +
-      ", e -> '''' || replace(" + tsvEscapeSql("e") +
+      ", e -> '''' || replace(" + tsvEscapeSql("coalesce(e, '')") +
       ", '''', '" + BS + "''') || ''''), ',') || ']')"
 
   /** Render a value as fixed 2-decimal string via integer cents. Unlike

@@ -198,18 +198,20 @@ object Dedup {
       val prop = edges.join(labels, edges("doc_b") === labels("node"))
         .groupBy(edges("doc_a").as("pnode"))
         .agg(min("label").as("nlabel"))
+      // LAZY checkpoint + carried prev label: the single `count` action
+      // below both materializes the round's labels (truncating the
+      // iterative lineage) AND returns the changed-label count — ONE job
+      // per round, vs the round-2 form's propagate action + separate
+      // anti-join convergence probe.
       val next = labels.join(prop, labels("node") === prop("pnode"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("label") =!= col("prev")).count() == 0L
       // superseded checkpoint blocks are released by the ContextCleaner
       // once this reference drops on reassignment
-      labels = next
+      labels = next.select("node", "label")
       iter += 1
     }
     edges.unpersist()

@@ -270,16 +270,32 @@ object MetricsEtl {
     * IN / startsWith); what DOES reach the scan here is column pruning.
     * A production selector on equality matchers would use `isin`, which
     * parquet can push — PromQL regex matchers inherently cannot be.
+    *
+    * The JSON label is extracted ONCE, in a projection below the filter.
+    * Subtlety: simply filtering on the aliased column is NOT enough —
+    * PushPredicateThroughNonJoin substitutes the alias and pushes the
+    * predicate below the Project, recreating a plan that parses every
+    * `props` document twice (once in the Filter, once in the Project;
+    * no CSE runs across that boundary — measured 0.85 s → 4.90 s at
+    * sf0.1 in round 2). The `_barrier` conjunct (a nondeterministic
+    * always-true term, placed FIRST: pushdown only splits off a
+    * DETERMINISTIC PREFIX of conjuncts) pins the filter ABOVE the
+    * extraction — and because the filter references `_barrier`, column
+    * pruning can't remove it and re-enable the pushdown. The name-regex
+    * filter stays below to shrink the rows that get parsed. Verified in
+    * the optimized plan: exactly one get_json_object call.
     */
   def qSelector(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("event_type").rlike("^(purchase|signup|click)$"))
-      .filter(get_json_object(col("props"), "$.k").rlike("^1"))
       .select(unix_micros(col("ts")).as("ts_us"),
         col("event_type").as("name"),
         col("user_id"),
         get_json_object(col("props"), "$.k").as("k"),
-        col("value"))
+        col("value"),
+        monotonically_increasing_id().as("_barrier"))
+      .filter(col("_barrier") >= 0 && col("k").rlike("^1"))
+      .drop("_barrier")
 
   val selectorSql: String =
     """SELECT epoch_us(ts) AS ts_us, event_type AS name, user_id,
@@ -294,7 +310,9 @@ object MetricsEtl {
     * restarted from 0, so that step contributes the NEW value (PromQL's
     * rule), not zero and not the raw negative. Windows with <2 points
     * yield no rate. (PromQL's boundary extrapolation is deliberately
-    * omitted — deltas/span is its well-defined core.)
+    * omitted here so this core stays oracle-exact on the simple
+    * deltas/span definition; the full extrapolated form is
+    * [[qRateExtrapolated]].)
     */
   def qRate(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("name", "user_id", "w_start")
@@ -338,6 +356,107 @@ object MetricsEtl {
       |             / (max(ts_s) - min(ts_s)), 6) AS rate
       |FROM c GROUP BY name, user_id, w_start
       |HAVING COUNT(*) >= 2 AND max(ts_s) > min(ts_s)""".stripMargin
+
+  /** q_rate_extrapolated — PromQL rate() WITH boundary extrapolation:
+    * the full algorithm from Prometheus's `extrapolatedRate`
+    * (promql/functions.go), which qRate deliberately omits. Per series
+    * per aligned 5m range [w_start, w_start+300):
+    *
+    *   increase   = Σ reset-corrected deltas (as qRate)
+    *   sampled    = t_last − t_first
+    *   avgDur     = sampled / (n−1)
+    *   durStart   = t_first − range_start, capped (counters) at
+    *                durationToZero = sampled · firstValue/increase —
+    *                never extrapolate a counter below zero
+    *   durEnd     = range_end − t_last
+    *   each boundary contributes min(itself, …) if within 1.1·avgDur of
+    *   a sample, else avgDur/2 (Prometheus's heuristic verbatim)
+    *   rate       = increase · ((extrapolated/sampled) / 300)
+    *
+    * Engine parity: deltas/sums are exact integer cents; the
+    * extrapolation factor is double math with IDENTICAL operands and
+    * IDENTICAL association on both sides (the oracle SQL mirrors every
+    * parenthesis), so the final rounded doubles agree bit-for-bit —
+    * same argument as qRate's final division.
+    */
+  def qRateExtrapolated(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("ts_s", "event_id")
+    val grouped = Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / 300L) * 300L).as("w_start"),
+      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+      .withColumn("corrected",
+        when(col("delta") < 0, col("cents")).otherwise(col("delta")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("name", "user_id", "w_start")
+      .agg(sum("corrected").as("inc_cents"),
+        min("ts_s").as("t_first"), max("ts_s").as("t_last"),
+        max(when(col("rn") === 1, col("cents"))).as("first_cents"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("t_last") > col("t_first"))
+    val sampled = col("t_last") - col("t_first")
+    val avgDur = sampled / (col("n") - 1).cast("double")
+    val durStartRaw = col("t_first") - col("w_start").cast("double")
+    val durEnd = (col("w_start") + 300L).cast("double") - col("t_last")
+    val durZero = sampled *
+      (col("first_cents").cast("double") / col("inc_cents").cast("double"))
+    val durStart = when(col("inc_cents") > 0 && col("first_cents") >= 0,
+      least(durStartRaw, durZero)).otherwise(durStartRaw)
+    val thresh = avgDur * 1.1
+    val extrap = sampled +
+      when(durStart < thresh, durStart).otherwise(avgDur / 2d) +
+      when(durEnd < thresh, durEnd).otherwise(avgDur / 2d)
+    grouped.select(col("name"), col("user_id"), col("w_start"),
+      round((col("inc_cents").cast("double") / 100d) *
+        ((extrap / sampled) / 300d), 6).as("rate_ext"))
+  }
+
+  val rateExtrapolatedSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT) AS w_start,
+      |         epoch_us(ts)/1000000.0 AS ts_s,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT *,
+      |         cents - lag(cents) OVER w AS delta,
+      |         row_number() OVER w AS rn
+      |  FROM s
+      |  WINDOW w AS (PARTITION BY name, user_id, w_start ORDER BY ts_s, event_id)),
+      |g AS (
+      |  SELECT name, user_id, w_start,
+      |         CAST(SUM(CASE WHEN delta < 0 THEN cents ELSE delta END) AS BIGINT) AS inc_cents,
+      |         min(ts_s) AS t_first, max(ts_s) AS t_last,
+      |         max(CASE WHEN rn = 1 THEN cents END) AS first_cents,
+      |         COUNT(*) AS n
+      |  FROM d GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) >= 2 AND max(ts_s) > min(ts_s)),
+      |x AS (
+      |  SELECT *,
+      |         t_last - t_first AS sampled,
+      |         (t_last - t_first) / CAST(n - 1 AS DOUBLE) AS avg_dur,
+      |         t_first - CAST(w_start AS DOUBLE) AS dur_start_raw,
+      |         CAST(w_start + 300 AS DOUBLE) - t_last AS dur_end
+      |  FROM g),
+      |y AS (
+      |  SELECT *,
+      |         CASE WHEN inc_cents > 0 AND first_cents >= 0
+      |              THEN least(dur_start_raw,
+      |                         sampled * (CAST(first_cents AS DOUBLE) / CAST(inc_cents AS DOUBLE)))
+      |              ELSE dur_start_raw END AS dur_start,
+      |         avg_dur * 1.1 AS thresh
+      |  FROM x)
+      |SELECT name, user_id, w_start,
+      |       round((CAST(inc_cents AS DOUBLE) / 100.0) *
+      |             (((sampled
+      |                + CASE WHEN dur_start < thresh THEN dur_start ELSE avg_dur / 2.0 END
+      |                + CASE WHEN dur_end < thresh THEN dur_end ELSE avg_dur / 2.0 END)
+      |               / sampled) / 300.0), 6) AS rate_ext
+      |FROM y""".stripMargin
 
   /** q_increase — PromQL increase() with counter-reset handling: per
     * series, sum of reset-corrected successive deltas within each 1h

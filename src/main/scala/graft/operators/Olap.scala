@@ -275,10 +275,11 @@ object Olap {
     * extended price per return flag. Spark's `percentile` and DuckDB's
     * `quantile_cont` share the standard linear-interpolation definition
     * (rank = p·(n−1)), so the doubles agree bit-for-bit. Exact
-    * percentiles sort each group — fine for bounded group counts; an
-    * unbounded-cardinality version would switch to approx_percentile
-    * (t-digest), which is deliberately NOT oracle-checked since sketch
-    * internals differ across engines.
+    * percentiles sort each group — fine for bounded group counts, but
+    * the exact aggregate buffers EVERY value per group: at 100 TB that
+    * is an executor OOM, so the production path is
+    * [[qPercentilesApprox]] (bounded-memory sketch). The exact form
+    * stays as the oracle-checked correctness baseline at test SF.
     */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -294,6 +295,44 @@ object Olap {
       |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
       |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
       |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q_percentiles_approx — the 100 TB percentile path:
+    * `approx_percentile` (Greenwald-Khanna quantile summaries — bounded
+    * O(1/ε · log εn) memory per group regardless of group size, merged
+    * map-side), vs the exact `percentile` which buffers the whole group.
+    *
+    * Sketch internals differ across engines (Spark GK vs DuckDB
+    * t-digest), so raw sketch outputs can never be hash-compared.
+    * Instead the CHECKED output is engine-portable by construction: each
+    * engine compares ITS OWN sketch against ITS OWN exact quantile and
+    * emits whether the relative error is inside the 5% band — a bound
+    * both sketches beat by orders of magnitude (Spark's accuracy=10000
+    * caps rank error at 0.01%). The exact companion aggregate here
+    * exists only to validate the sketch at test SF; the production
+    * query is the approx aggregate alone.
+    */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    def ok(p: Double, name: String) = {
+      val approx = expr(s"approx_percentile(l_extendedprice, $p, 10000)")
+      val exact = expr(s"percentile(l_extendedprice, $p)")
+      (abs(approx - exact) / exact < 0.05).as(name)
+    }
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(ok(0.5, "p50_ok"), ok(0.95, "p95_ok"), ok(0.99, "p99_ok"),
+        count(lit(1)).as("n"))
+  }
+
+  val qPercentilesApproxSql: String =
+    """SELECT l_returnflag,
+      |       abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+      |         / quantile_cont(l_extendedprice, 0.5) < 0.05 AS p50_ok,
+      |       abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+      |         / quantile_cont(l_extendedprice, 0.95) < 0.05 AS p95_ok,
+      |       abs(approx_quantile(l_extendedprice, 0.99) - quantile_cont(l_extendedprice, 0.99))
+      |         / quantile_cont(l_extendedprice, 0.99) < 0.05 AS p99_ok,
       |       COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

@@ -67,16 +67,25 @@ object Similarity {
   private def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt((na * nb).cast("double"))
 
+  /** Fixed size of the brute-force query set. A CONSTANT, not a corpus
+    * fraction: `vec_id < QuerySetSize` selects at most this many vectors
+    * no matter how large the corpus grows, so the broadcast side is O(K)
+    * bytes and the pair count is K·n — linear in the corpus. (The round-2
+    * form, `vec_id % 10 == 0`, kept 1/10 of the corpus: an O(n) broadcast
+    * and O(n²/10) pairs — a scale-killer at 100×.) */
+  private val QuerySetSize = 50
+
   /** q_embed_cosine_topk — brute-force cosine top-5 for a deterministic
-    * query set (every 10th vec_id) against the full corpus. This is the
-    * CORRECTNESS baseline: the query set is bounded (|Q| ≪ n) so the
-    * join is |Q|·n, not n² — the query side is broadcast and the corpus
-    * streams past it in one scan; for full all-pairs top-k use
-    * q_ann_lsh. Ties broken by neighbor_id for determinism.
+    * FIXED-SIZE query set (vec_id < [[QuerySetSize]]) against the full
+    * corpus. This is the CORRECTNESS baseline: |Q| is a plan-time
+    * constant so the join is K·n, not n² — the query side is a
+    * constant-size broadcast and the corpus streams past it in one scan;
+    * for corpus-wide all-pairs top-k use q_ann_lsh. Ties broken by
+    * neighbor_id for determinism.
     */
   def qEmbedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val v = quantized(spark, dir)
-    val a = v.filter(col("vec_id") % 10 === 0)
+    val a = v.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id"), col("q").as("qa"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("neighbor_id"),
       col("q").as("qb"), col("nrm").as("nb"))
@@ -99,7 +108,7 @@ object Similarity {
        |         i -> a.q[i] * b.q[i])) AS DOUBLE)
        |         / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
        |      FROM qn a, qn b
-       |      WHERE a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id)
+       |      WHERE a.vec_id < $QuerySetSize AND a.vec_id <> b.vec_id)
        |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine,
        |       row_number() OVER (PARTITION BY vec_id
        |         ORDER BY cos DESC, neighbor_id) AS rn

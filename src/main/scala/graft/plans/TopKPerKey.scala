@@ -119,6 +119,16 @@ object TopKPerKey {
     * @param orderSpec (columnName, ascending) — must be a TOTAL order
     *        (include a tiebreak) for deterministic results, same as you
     *        would give row_number.
+    *
+    * Tie semantics (relevant only if the order is NOT total): the heap's
+    * strict-`<` eviction means a row comparing EQUAL to the current worst
+    * never evicts it, i.e. the FIRST k arrivals among order-equal rows
+    * are kept — the same stable behavior as `row_number` over a stable
+    * per-partition sort. Both forms pick arbitrarily (arrival/partition
+    * order) among ties, so neither is cross-run deterministic without a
+    * tiebreak; fully-duplicate rows are safe either way (identical
+    * content, spec'd in TopKPerKeySpec). Supply a unique tiebreak column
+    * whenever the result is hash-compared.
     */
   def topK(df: DataFrame, keyNames: Seq[String],
            orderSpec: Seq[(String, Boolean)], k: Int,

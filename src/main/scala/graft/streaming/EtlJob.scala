@@ -74,9 +74,19 @@ object EtlJob {
               initialProgress: Long, now: Long,
               force: Boolean = false): LedgerRecord = {
     import spark.implicits._
-    def stamp(r: LedgerRecord): LedgerRecord =
-      r.copy(seq = System.nanoTime())
     val ledger0 = readLedger(spark, ledgerDir)
+    // seq = max(existing)+1, NOT System.nanoTime(): nanoTime has an
+    // arbitrary per-boot origin, so after a reboot (the crash-recovery
+    // scenario this ledger exists for) fresh records could sort BELOW
+    // older ones and the latest-wins read would resurrect stale state.
+    // Deriving from the ledger itself is monotonic across restarts.
+    var nextSeq = {
+      val m = ledger0.agg(max(col("seq"))).head()
+      (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
+    }
+    def stamp(r: LedgerRecord): LedgerRecord = {
+      val s = nextSeq; nextSeq += 1L; r.copy(seq = s)
+    }
     // one ledger pass serves the gate, the takeover list, and progress
     val mine = JobStateMachine.runningJobs(ledger0)
       .filter(_._1 == jobId).collect().toSeq
