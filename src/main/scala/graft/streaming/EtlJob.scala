@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.logging.StructuredLogger
 import graft.sources.PrometheusJson
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,8 +13,20 @@ import org.apache.spark.sql.functions._
   * same crash-recovery contract as the reference (an aborted run leaves
   * no closed record, so the next run resumes from the previous valid
   * progress and the overlap re-covers the gap).
+  *
+  * Concurrency (R8): the gate + mark-start sequence runs under
+  * [[LedgerLock]], so racing `runOnce`/[[tryMarkStart]] calls — even
+  * from separate processes — serialize through an atomic critical
+  * section and exactly one appends the open record; the rest observe it
+  * and refuse. This closes the round-2 check-then-act caveat and
+  * matches the reference's atomic INSERT-with-subquery
+  * (clickhouse_client.py:536-613). Structured JSON events (reference
+  * logging_config.py conventions) surround each phase.
   */
 object EtlJob {
+
+  private def defaultLogger = new StructuredLogger(
+    "etl_job", sys.env.getOrElse("LOG_LEVEL", "INFO"))
 
   /** get_state (clickhouse_client.py:219-296): the latest VALID COMPLETED
     * ledger record — progress set, end set, end > start — ordered by
@@ -42,15 +55,58 @@ object EtlJob {
     JobStateMachine.runningJobs(readLedger(spark, ledgerDir))
       .limit(1).count() > 0
 
+  /** seq = max(existing)+1, NOT System.nanoTime(): nanoTime has an
+    * arbitrary per-boot origin, so after a reboot (the crash-recovery
+    * scenario this ledger exists for) fresh records could sort BELOW
+    * older ones and the latest-wins read would resurrect stale state.
+    * Deriving from the ledger itself is monotonic across restarts. */
+  private def maxSeq(ledger: Dataset[LedgerRecord]): Long = {
+    val m = ledger.agg(max(col("seq"))).head()
+    if (m.isNullAt(0)) 0L else m.getLong(0)
+  }
+
+  /** try_mark_start (clickhouse_client.py:536-613): atomically append
+    * this job's OPEN ledger record iff NO job is currently running.
+    * The check and the append form one [[LedgerLock]] critical section,
+    * so of N concurrent callers exactly one wins (returns the open
+    * record it wrote) and the rest get None — the reference's
+    * INSERT-with-subquery CAS, with the same "any running job blocks"
+    * breadth. */
+  def tryMarkStart(spark: SparkSession, conf: EtlConfig, jobId: String,
+                   ledgerDir: String, initialProgress: Long, now: Long,
+                   logger: StructuredLogger = defaultLogger)
+      : Option[LedgerRecord] = {
+    import spark.implicits._
+    LedgerLock.withLock(ledgerDir) {
+      val ledger0 = readLedger(spark, ledgerDir)
+      val running = JobStateMachine.runningJobs(ledger0).collect().toSeq
+      if (running.nonEmpty) {
+        logger.info(s"Found ${running.size} running job(s)", Map(
+          "clickhouse_client.has_running_job.running_count" -> running.size,
+          "clickhouse_client.has_running_job.running_timestamps" ->
+            running.map(_._2)))
+        None
+      } else {
+        val progress = latestState(ledger0)
+          .flatMap(_.timestampProgress).getOrElse(initialProgress)
+        val (records, _) = JobStateMachine.step(
+          jobId, progress, BatchEvent(jobId, now, 0L, 0L), conf)
+        val open = records.head.copy(seq = maxSeq(ledger0) + 1L)
+        Seq(open).toDS().write.mode("append").parquet(ledgerDir)
+        Some(open)
+      }
+    }
+  }
+
   /** One reference-loop iteration:
-    *  1. refuse if THIS job is already running (R8) unless `force` —
-    *     the reference's concurrency gate; `force` is the operator's
-    *     manual takeover after a crashed run (abort-closes only this
-    *     job's stale records)
+    *  1. gate + mark-start under [[LedgerLock]] (R8, atomic): refuse if
+    *     THIS job is already running unless `force` — `force` is the
+    *     operator's manual takeover after a crashed run (abort-closes
+    *     only this job's stale records)
     *  2. progress ← latest valid completed ledger record (or initial)
-    *  3. append the OPEN record — mark-start (R8); a crash after this
-    *     point leaves the open record as the tombstone the next gate
-    *     trips on, exactly like the reference
+    *  3. append the OPEN record — mark-start; a crash after this point
+    *     leaves the open record as the tombstone the next gate trips
+    *     on, exactly like the reference
     *  4. (window_start, window_end) ← calcWindow(progress) — R6
     *  5. parse the drop-dir responses, keep points in [start, end) —
     *     the query_range the reference would have issued
@@ -59,59 +115,52 @@ object EtlJob {
     *  7. append the CLOSED record with progress = min(end, now),
     *     rows/skipped accounting — mark-end (R7)
     * Returns the closed record it wrote.
-    *
-    * Atomicity caveat, deliberately weaker than the reference: the
-    * reference's try_mark_start is one atomic ClickHouse INSERT-with-
-    * subquery; a parquet-append ledger has no compare-and-swap, so this
-    * gate is check-then-act and assumes ONE orchestrator process calls
-    * runOnce per ledger (cron, Airflow task, etc.). True multi-writer
-    * mutual exclusion needs a transactional table format or lock
-    * service underneath the ledger — swap `readLedger`/the appends for
-    * one and the gate logic is unchanged.
     */
   def runOnce(spark: SparkSession, conf: EtlConfig, jobId: String,
               inDir: String, outDir: String, ledgerDir: String,
               initialProgress: Long, now: Long,
-              force: Boolean = false): LedgerRecord = {
+              force: Boolean = false,
+              logger: StructuredLogger = defaultLogger): LedgerRecord = {
     import spark.implicits._
-    val ledger0 = readLedger(spark, ledgerDir)
-    // seq = max(existing)+1, NOT System.nanoTime(): nanoTime has an
-    // arbitrary per-boot origin, so after a reboot (the crash-recovery
-    // scenario this ledger exists for) fresh records could sort BELOW
-    // older ones and the latest-wins read would resurrect stale state.
-    // Deriving from the ledger itself is monotonic across restarts.
-    var nextSeq = {
-      val m = ledger0.agg(max(col("seq"))).head()
-      (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
+    // --- critical section: gate + mark-start are atomic across
+    // processes; everything after rides on the open record ---
+    val (progress, closedSeq) = LedgerLock.withLock(ledgerDir) {
+      val ledger0 = readLedger(spark, ledgerDir)
+      var nextSeq = maxSeq(ledger0) + 1L
+      def stamp(r: LedgerRecord): LedgerRecord = {
+        val s = nextSeq; nextSeq += 1L; r.copy(seq = s)
+      }
+      // one ledger pass serves the gate, the takeover list, and progress
+      val mine = JobStateMachine.runningJobs(ledger0)
+        .filter(_._1 == jobId).collect().toSeq
+      if (mine.nonEmpty) {
+        if (!force) throw new IllegalStateException(
+          s"job $jobId already running in $ledgerDir (latest record open); " +
+            "pass force=true to take over")
+        // takeover: close THIS job's stale open records with an ABORT
+        // close — end set (stops counting as running) but progress NULL
+        // (state reads never resume from it). Other jobs' in-flight runs
+        // are untouched. The reference-side equivalent is the operator
+        // inserting a closing row by hand.
+        mine.map { case (jid, start) =>
+          stamp(LedgerRecord(jid, start, Some(math.max(now, start + 1)),
+            None, None, None, None))
+        }.toDS().write.mode("append").parquet(ledgerDir)
+      }
+      val progress = latestState(ledger0)
+        .flatMap(_.timestampProgress).getOrElse(initialProgress)
+      val (records, _) = JobStateMachine.step(
+        jobId, progress, BatchEvent(jobId, now, 0L, 0L), conf)
+      Seq(stamp(records.head)).toDS().write.mode("append").parquet(ledgerDir)
+      (progress, nextSeq)
     }
-    def stamp(r: LedgerRecord): LedgerRecord = {
-      val s = nextSeq; nextSeq += 1L; r.copy(seq = s)
-    }
-    // one ledger pass serves the gate, the takeover list, and progress
-    val mine = JobStateMachine.runningJobs(ledger0)
-      .filter(_._1 == jobId).collect().toSeq
-    if (mine.nonEmpty) {
-      if (!force) throw new IllegalStateException(
-        s"job $jobId already running in $ledgerDir (latest record open); " +
-          "pass force=true to take over")
-      // takeover: close THIS job's stale open records with an ABORT
-      // close — end set (stops counting as running) but progress NULL
-      // (state reads never resume from it). Other jobs' in-flight runs
-      // are untouched. The reference-side equivalent is the operator
-      // inserting a closing row by hand.
-      mine.map { case (jid, start) =>
-        stamp(LedgerRecord(jid, start, Some(math.max(now, start + 1)),
-          None, None, None, None))
-      }.toDS().write.mode("append").parquet(ledgerDir)
-    }
-    val progress = latestState(ledger0)
-      .flatMap(_.timestampProgress).getOrElse(initialProgress)
-    val (records, _) = JobStateMachine.step(
-      jobId, progress, BatchEvent(jobId, now, 0L, 0L), conf)
-    val Seq(open, _) = records
-    Seq(stamp(open)).toDS().write.mode("append").parquet(ledgerDir)
 
     val (start, end) = JobStateMachine.calcWindow(progress, conf)
+    logger.info("ETL batch started", Map(
+      "etl_job.batch_started.job_id" -> jobId,
+      "etl_job.batch_started.window_start" -> start,
+      "etl_job.batch_started.window_end" -> end,
+      "etl_job.batch_started.progress" -> progress))
     // persist: the stats aggregation AND the sink write both consume the
     // parsed window — without it the whole drop-dir is read and parsed
     // twice per iteration, and a file landing between the two jobs would
@@ -129,10 +178,26 @@ object EtlJob {
           if (stats.isNullAt(1)) 0L else stats.getLong(1))
       graft.sinks.TsvSink.write(PrometheusJson.metricRows(parsed), outDir)
 
-      val closed = stamp(JobStateMachine.step(
-        jobId, progress, BatchEvent(jobId, now, rows, skipped), conf)._1.last)
+      val closed = JobStateMachine.step(
+        jobId, progress, BatchEvent(jobId, now, rows, skipped), conf)
+        ._1.last.copy(seq = closedSeq)
       Seq(closed).toDS().write.mode("append").parquet(ledgerDir)
+      logger.info("ETL batch completed", Map(
+        "etl_job.batch_completed.job_id" -> jobId,
+        "etl_job.batch_completed.rows" -> rows,
+        "etl_job.batch_completed.skipped_count" -> skipped,
+        "etl_job.batch_completed.progress" ->
+          closed.timestampProgress.getOrElse(-1L),
+        "etl_job.batch_completed.window_seconds" ->
+          closed.batchWindowSeconds.getOrElse(-1L)))
       closed
+    } catch {
+      case e: Exception =>
+        logger.error("ETL batch failed", Map(
+          "etl_job.batch_failed.job_id" -> jobId,
+          "etl_job.batch_failed.error" -> e.toString,
+          "etl_job.batch_failed.error_type" -> e.getClass.getSimpleName))
+        throw e
     } finally parsed.unpersist()
   }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.config.AppConfig
+import graft.logging.StructuredLogger
+import graft.sinks.ClickHouseHttpClient
+import graft.sources.PrometheusHttpClient
+import org.apache.spark.sql.SparkSession
+
+/** The reference's full `run()` loop (etl_job.py: load state → calc
+  * window → query_range to file → transform → insert_from_file → save
+  * state), composed from the deployment-surface pieces:
+  *
+  *   [[PrometheusHttpClient]] fetch → drop-dir → [[EtlJob.runOnce]]
+  *   (gate/window/parse/TSV/ledger) → [[ClickHouseHttpClient.loadDir]]
+  *
+  * Each iteration writes its TSV part-files into a PER-BATCH
+  * subdirectory (`outDir/batch_<start>_<end>`) and loads exactly that
+  * directory — the reference's one-temp-file-per-batch shape, so a
+  * crashed load never re-sends older batches (and re-sending is safe
+  * anyway: content-hash ids collapse in ReplacingMergeTree, R5/R9).
+  *
+  * The fetch window is computed from the same ledger state `runOnce`
+  * will read; with the [[LedgerLock]]-serialized gate a racing second
+  * orchestrator may at worst duplicate the FETCH (harmless) — it can
+  * never double-run the batch.
+  */
+object EtlPipeline {
+
+  private def defaultLogger = new StructuredLogger(
+    "etl_pipeline", sys.env.getOrElse("LOG_LEVEL", "INFO"))
+
+  /** One full fetch→transform→load iteration; returns the closed
+    * ledger record. `expr` is the PromQL selector (the reference pulls
+    * everything: `{__name__=~".+"}`). */
+  def runOnce(spark: SparkSession, app: AppConfig, jobId: String,
+              expr: String, inDir: String, outDir: String,
+              ledgerDir: String, initialProgress: Long, now: Long,
+              prom: PrometheusHttpClient, ch: ClickHouseHttpClient,
+              force: Boolean = false,
+              logger: StructuredLogger = defaultLogger): LedgerRecord = {
+    val conf = app.etl.toEtlConfig
+    val progress = EtlJob.latestState(EtlJob.readLedger(spark, ledgerDir))
+      .flatMap(_.timestampProgress).getOrElse(initialProgress)
+    val (start, end) = JobStateMachine.calcWindow(progress, conf)
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val responseFile = s"$inDir/response_${start}_$end.json"
+    prom.queryRangeToFile(expr, start, end,
+      s"${app.prometheus.queryStepSeconds}s", responseFile)
+    logger.info("Fetched query_range window", Map(
+      "etl_pipeline.fetched.window_start" -> start,
+      "etl_pipeline.fetched.window_end" -> end,
+      "etl_pipeline.fetched.file_name" -> responseFile))
+
+    val batchOut = s"$outDir/batch_${start}_$end"
+    val closed = EtlJob.runOnce(spark, conf, jobId, inDir, batchOut,
+      ledgerDir, initialProgress, now, force, logger)
+
+    val nParts = ch.loadDir(batchOut)
+    logger.info("Loaded batch into ClickHouse", Map(
+      "etl_pipeline.loaded.part_files" -> nParts,
+      "etl_pipeline.loaded.rows" -> closed.batchRows.getOrElse(-1L),
+      "etl_pipeline.loaded.table" -> "(configured table_metrics)"))
+    closed
+  }
+}

@@ -51,6 +51,25 @@ class TopKPerKeySpec extends SparkSpec {
     assert(r == Seq((1L, 5, 1), (1L, 10, 2), (2L, 7, 1)))
   }
 
+  test("fully duplicate rows: same multiset as the window form") {
+    // non-total order on purpose: rows that compare EQUAL are entire
+    // duplicates, so whichever copies survive, the kept CONTENT is
+    // identical to row_number().over(window) <= k — the safe tie case
+    // documented in topK's scaladoc (the unsafe case, order-equal rows
+    // differing in other columns, is arbitrary in BOTH forms)
+    val data = Seq.fill(7)((1L, 5)).toDF("key", "value")
+      .union(Seq((1L, 9), (2L, 5), (2L, 5)).toDF("key", "value"))
+      .repartition(4)
+    val viaOp = TopKPerKey.topK(data, Seq("key"), Seq(("value", false)), k = 3)
+    val w = Window.partitionBy("key").orderBy(col("value").desc)
+    val viaWindow = data.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    assert(canon(viaOp) == canon(viaWindow))
+    // group 1: the 9 ranks first, then two of the identical 5s
+    assert(viaOp.filter(col("key") === 1L).count() == 3)
+    assert(viaOp.filter(col("key") === 2L).count() == 2)
+  }
+
   test("plan shape: one shuffle on the key, no sort node") {
     val data = spark.range(1000).selectExpr("id % 10 AS key", "id AS value")
     val df = TopKPerKey.topK(data, Seq("key"), Seq(("value", false)), k = 2)
