@@ -27,6 +27,10 @@ object SparkEntry {
     "q_selector" -> (MetricsEtl.qSelector _),
     "q_rate" -> (MetricsEtl.qRate _),
     "q_rate_extrapolated" -> (MetricsEtl.qRateExtrapolated _),
+    "q_resets" -> (MetricsEtl.qResets _),
+    "q_irate" -> (MetricsEtl.qIrate _),
+    "q_delta" -> (MetricsEtl.qDelta _),
+    "q_quantile_by_label" -> (MetricsEtl.qQuantileByLabel _),
     "q_increase" -> (MetricsEtl.qIncrease _),
     "q_over_time" -> (MetricsEtl.qOverTime _),
     "q_daily_partition" -> (MetricsEtl.qDailyPartition _),
@@ -58,6 +62,7 @@ object SparkEntry {
     "q_simhash" -> (Dedup.qSimhash _),
     "q_embed_cosine_topk" -> (Similarity.qEmbedCosineTopk _),
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
+    "q_ann_ivf" -> (Similarity.qAnnIvf _),
     "q_dedup_embed" -> (Similarity.qDedupEmbed _),
     "q_lang_id" -> (TextAnalysis.qLangId _),
     "q_quality" -> (TextAnalysis.qQuality _),
@@ -79,6 +84,10 @@ object SparkEntry {
     "q_selector" -> MetricsEtl.selectorSql,
     "q_rate" -> MetricsEtl.rateSql,
     "q_rate_extrapolated" -> MetricsEtl.rateExtrapolatedSql,
+    "q_resets" -> MetricsEtl.resetsSql,
+    "q_irate" -> MetricsEtl.irateSql,
+    "q_delta" -> MetricsEtl.deltaSql,
+    "q_quantile_by_label" -> MetricsEtl.quantileByLabelSql,
     "q_increase" -> MetricsEtl.increaseSql,
     "q_over_time" -> MetricsEtl.overTimeSql,
     "q_daily_partition" -> MetricsEtl.dailyPartitionSql,
@@ -108,6 +117,7 @@ object SparkEntry {
     "q_simhash" -> Dedup.simhashSql,
     "q_embed_cosine_topk" -> Similarity.embedCosineTopkSql,
     "q_ann_lsh" -> Similarity.annLshSql,
+    "q_ann_ivf" -> Similarity.annIvfSql,
     "q_dedup_embed" -> Similarity.dedupEmbedSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,

@@ -458,6 +458,175 @@ object MetricsEtl {
       |               / sampled) / 300.0), 6) AS rate_ext
       |FROM y""".stripMargin
 
+  /** q_resets — PromQL resets(): number of counter resets (negative
+    * successive deltas) per series per 1h window, plus the points
+    * inspected. Pure integer counting — exact in any engine; one window
+    * pass + one map-side-combinable aggregation.
+    */
+  def qResets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+      .withColumn("w_start",
+        (floor(col("ts_us") / 1000000L / 3600L) * 3600L).cast("long"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(sum(when(col("delta") < 0, 1L).otherwise(0L)).as("resets"),
+        count(lit(1)).as("n_points"))
+  }
+
+  val resetsSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value*100) AS BIGINT)
+      |           - lag(CAST(round(value*100) AS BIGINT))
+      |             OVER (PARTITION BY event_type, user_id
+      |                   ORDER BY epoch_us(ts), event_id) AS delta
+      |  FROM events)
+      |SELECT name, user_id,
+      |       CAST(floor(ts_us/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |       CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+      |       COUNT(*) AS n_points
+      |FROM s GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_irate — PromQL irate(): instantaneous rate from the LAST TWO
+    * samples of each series in each 5m window, with the counter-reset
+    * rule (last < prev → last is the increase). Only two points per
+    * group survive the rank filter, so the aggregation state is O(1)
+    * per series-window regardless of sample density — the property that
+    * makes irate cheap at scale. Exact cents; final division on
+    * identical doubles.
+    */
+  def qIrate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy(col("ts_s").desc, col("event_id").desc)
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / 300L) * 300L).as("w_start"),
+      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("name", "user_id", "w_start")
+      .agg(max(when(col("rn") === 1, col("cents"))).as("last_c"),
+        max(when(col("rn") === 2, col("cents"))).as("prev_c"),
+        max(when(col("rn") === 1, col("ts_s"))).as("last_t"),
+        max(when(col("rn") === 2, col("ts_s"))).as("prev_t"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 2 && col("last_t") > col("prev_t"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        round(
+          when(col("last_c") < col("prev_c"), col("last_c"))
+            .otherwise(col("last_c") - col("prev_c")).cast("double") / 100d
+            / (col("last_t") - col("prev_t")), 6).as("irate"))
+  }
+
+  val irateSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT) AS w_start,
+      |         epoch_us(ts)/1000000.0 AS ts_s,
+      |         CAST(round(value*100) AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY event_type, user_id,
+      |             CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT)
+      |           ORDER BY epoch_us(ts)/1000000.0 DESC, event_id DESC) AS rn
+      |  FROM events),
+      |g AS (
+      |  SELECT name, user_id, w_start,
+      |         max(CASE WHEN rn = 1 THEN cents END) AS last_c,
+      |         max(CASE WHEN rn = 2 THEN cents END) AS prev_c,
+      |         max(CASE WHEN rn = 1 THEN ts_s END) AS last_t,
+      |         max(CASE WHEN rn = 2 THEN ts_s END) AS prev_t,
+      |         COUNT(*) AS n
+      |  FROM s WHERE rn <= 2 GROUP BY 1, 2, 3)
+      |SELECT name, user_id, w_start,
+      |       round(CAST(CASE WHEN last_c < prev_c THEN last_c
+      |                       ELSE last_c - prev_c END AS DOUBLE) / 100.0
+      |             / (last_t - prev_t), 6) AS irate
+      |FROM g WHERE n = 2 AND last_t > prev_t""".stripMargin
+
+  /** q_delta — PromQL delta() core for gauges: last − first value per
+    * series per 1h window, NO reset correction (gauges go down
+    * legitimately). Boundary extrapolation deliberately omitted as in
+    * [[qRate]] — [[qRateExtrapolated]] demonstrates the full algorithm
+    * once; exact integer cents make the subtraction boundary-proof.
+    */
+  def qDelta(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("ts_s", "event_id")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy("name", "user_id", "w_start")
+          .orderBy(col("ts_s").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 || col("rn_desc") === 1)
+      .groupBy("name", "user_id", "w_start")
+      .agg(max(when(col("rn_desc") === 1, col("cents"))).as("last_c"),
+        max(when(col("rn") === 1, col("cents"))).as("first_c"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 2) // first ≠ last ⇒ ≥ 2 samples in the window
+      .select(col("name"), col("user_id"), col("w_start"),
+        round((col("last_c") - col("first_c")).cast("double") / 100d, 2)
+          .as("delta"))
+  }
+
+  val deltaSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         epoch_us(ts)/1000000.0 AS ts_s,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY name, user_id, w_start
+      |           ORDER BY ts_s, event_id) AS rn,
+      |         row_number() OVER (PARTITION BY name, user_id, w_start
+      |           ORDER BY ts_s DESC, event_id DESC) AS rn_desc
+      |  FROM s)
+      |SELECT name, user_id, w_start,
+      |       round(CAST(max(CASE WHEN rn_desc = 1 THEN cents END)
+      |             - max(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100.0, 2) AS delta
+      |FROM r WHERE rn = 1 OR rn_desc = 1
+      |GROUP BY 1, 2, 3
+      |HAVING COUNT(*) = 2""".stripMargin
+
+  /** q_quantile_by_label — PromQL aggregation `quantile(φ, m) by (k)`:
+    * exact interpolated p50/p90 of the metric value across all series
+    * sharing a label value, per 1h window. Same `percentile` ≡
+    * `quantile_cont` interpolation parity as q_percentiles; group
+    * cardinality = labels × windows (bounded), so the exact aggregate's
+    * per-group buffer is safe here — corpus-cardinality grouping would
+    * switch to the approx_percentile path (q_percentiles_approx).
+    */
+  def qQuantileByLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        get_json_object(col("props"), "$.k").as("k"),
+        (floor(unix_micros(col("ts")) / 1000000L / 3600L) * 3600L).as("w_start"),
+        col("value"))
+      .groupBy("name", "k", "w_start")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+
+  val quantileByLabelSql: String =
+    """SELECT event_type AS name,
+      |       CAST(json_extract_string(props,'$.k') AS VARCHAR) AS k,
+      |       CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   /** q_increase — PromQL increase() with counter-reset handling: per
     * series, sum of reset-corrected successive deltas within each 1h
     * window. A negative delta = counter restart from 0 → that step

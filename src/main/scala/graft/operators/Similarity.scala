@@ -172,6 +172,84 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rn"))
   }
 
+  /** Number of IVF coarse cells. Production sizes this ~√n (classic IVF
+    * tradeoff: assignment cost n·K vs per-cell search (n/K)²); a
+    * plan-time constant here, like the LSH plane count. */
+  private val IvfCells = 8
+
+  /** q_ann_ivf — IVF-style approximate nearest neighbors, the OTHER
+    * classic ANN scale path next to sign-LSH (q_ann_lsh):
+    *
+    *  1. coarse centroids: the first [[IvfCells]] vectors (deterministic
+    *     seed choice — production would k-means them; the *structure*
+    *     of the plan is identical) — a constant-size broadcast side
+    *  2. assignment: every vector joins the K centroids (broadcast
+    *     nested loop over a K-row side — n·K integer dot products in
+    *     one codegen'd pass, no shuffle of the corpus), keeping the
+    *     argmax-cosine cell with centroid-id tiebreak
+    *  3. search: equality self-join on `cell` (the only corpus shuffle,
+    *     hash-partitioned on an int key), exact cosine top-3 in-cell
+    *
+    * vs q_ann_lsh: IVF adapts to the data distribution (cells follow
+    * centroid geometry; LSH buckets are data-blind hyperplanes) at the
+    * cost of the assignment pass. Same recall dial: probe the top-P
+    * nearest cells instead of 1 (P=1 here, documented).
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"), col("q"), col("nrm"))
+    val a = assigned.select(col("vec_id"), col("cell"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("q").as("qb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, col("cell") === col("cell_b") &&
+        col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("cell"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
+       |          WHERE vec_id < $IvfCells),
+       |asg AS (SELECT qn.vec_id, cents.cell, qn.q, qn.nrm,
+       |         CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |           i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |           / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE)) AS ccos,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |             i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE)) DESC,
+       |           cents.cell) AS crn
+       |        FROM qn, cents),
+       |cellv AS (SELECT vec_id, cell, q, nrm FROM asg WHERE crn = 1),
+       |p2 AS (SELECT a.vec_id AS vec_id, a.cell AS cell,
+       |        b.vec_id AS neighbor_id,
+       |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+       |       FROM cellv a JOIN cellv b
+       |         ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, cell, neighbor_id, round(cos, 6) AS cosine,
+       |       row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY cos DESC, neighbor_id) AS rn
+       |FROM p2 QUALIFY rn <= 3""".stripMargin
+
   /** q_dedup_embed — embedding-cosine near-duplicate pairs: vectors in
     * the same sign-LSH bucket with cosine ≥ 0.4, each unordered pair
     * once (a < b). Same candidate mechanism as q_ann_lsh — bucket
