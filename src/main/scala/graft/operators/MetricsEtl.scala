@@ -460,18 +460,22 @@ object MetricsEtl {
 
   /** q_resets — PromQL resets(): number of counter resets (negative
     * successive deltas) per series per 1h window, plus the points
-    * inspected. Pure integer counting — exact in any engine; one window
-    * pass + one map-side-combinable aggregation.
+    * inspected. Deltas are WINDOW-LOCAL (the lag partitions on the
+    * window too), matching PromQL's range semantics where only samples
+    * inside the range contribute — so `resets ≤ n_points − 1` holds by
+    * construction (invariant-spec'd). Pure integer counting — exact in
+    * any engine.
     */
   def qResets(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("name", "user_id").orderBy("ts_us", "event_id")
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("ts_us", "event_id")
     Tables.events(spark, dir).select(
       col("event_type").as("name"), col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("ts_us"),
       round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
       .withColumn("w_start",
         (floor(col("ts_us") / 1000000L / 3600L) * 3600L).cast("long"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
       .groupBy("name", "user_id", "w_start")
       .agg(sum(when(col("delta") < 0, 1L).otherwise(0L)).as("resets"),
         count(lit(1)).as("n_points"))
@@ -479,17 +483,19 @@ object MetricsEtl {
 
   val resetsSql: String =
     """WITH s AS (
-      |  SELECT event_type AS name, user_id, epoch_us(ts) AS ts_us,
-      |         CAST(round(value*100) AS BIGINT)
-      |           - lag(CAST(round(value*100) AS BIGINT))
-      |             OVER (PARTITION BY event_type, user_id
-      |                   ORDER BY epoch_us(ts), event_id) AS delta
-      |  FROM events)
-      |SELECT name, user_id,
-      |       CAST(floor(ts_us/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |  SELECT event_type AS name, user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT *, cents - lag(cents)
+      |           OVER (PARTITION BY name, user_id, w_start
+      |                 ORDER BY ts_us, event_id) AS delta
+      |  FROM s)
+      |SELECT name, user_id, w_start,
       |       CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS resets,
       |       COUNT(*) AS n_points
-      |FROM s GROUP BY 1, 2, 3""".stripMargin
+      |FROM d GROUP BY 1, 2, 3""".stripMargin
 
   /** q_irate — PromQL irate(): instantaneous rate from the LAST TWO
     * samples of each series in each 5m window, with the counter-reset

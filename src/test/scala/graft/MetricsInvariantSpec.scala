@@ -80,4 +80,68 @@ class MetricsInvariantSpec extends SparkSpec {
     assert(semi + anti == nCust,
       "EXISTS and NOT EXISTS must partition the customer set")
   }
+
+  // ---- round-3 additions: new PromQL family + sketches + IVF ----
+
+  test("resets conserve points and are bounded by n_points - 1") {
+    val r = MetricsEtl.qResets(spark, dir)
+    assert(r.agg(sum("n_points")).head().getLong(0) == nEvents,
+      "every event must land in exactly one series-window")
+    assert(r.filter(col("resets") < 0 ||
+      col("resets") >= col("n_points")).count() == 0)
+  }
+
+  test("rate family agrees on which windows are rateable") {
+    // q_rate and q_rate_extrapolated share grouping + n>=2 + span>0
+    // filters → identical key sets; irate additionally needs its last
+    // two samples at distinct timestamps → subset
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has no >=2-sample window
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("name", "user_id", "w_start").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rate = keys(MetricsEtl.qRate(spark, sf01))
+    val ext = keys(MetricsEtl.qRateExtrapolated(spark, sf01))
+    val irate = keys(MetricsEtl.qIrate(spark, sf01))
+    assert(rate.nonEmpty, "sf0.01 must produce rateable windows")
+    assert(ext == rate)
+    assert(irate.subsetOf(rate))
+  }
+
+  test("delta exists exactly for multi-sample 1h windows") {
+    val deltaKeys = MetricsEtl.qDelta(spark, dir)
+      .select("name", "user_id", "w_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = MetricsEtl.qOverTime(spark, dir)
+      .filter(col("count_v") >= 2)
+      .select("name", "user_id", "w_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(deltaKeys == multi)
+  }
+
+  test("quantile by label: p50 <= p90, one row per group") {
+    val q = MetricsEtl.qQuantileByLabel(spark, dir)
+    assert(q.filter(col("p50") > col("p90")).count() == 0)
+    assert(q.groupBy("name", "k", "w_start").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("approx percentiles sit inside the 5% validation band") {
+    val p = Olap.qPercentilesApprox(spark, dir).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p95_ok") &&
+        r.getAs[Boolean]("p99_ok"))
+    }
+  }
+
+  test("IVF ANN: dense ranks, valid cells, cosine in [-1,1]") {
+    val a = graft.operators.Similarity.qAnnIvf(spark, dir)
+    assert(a.filter(col("cosine") < -1.000001 || col("cosine") > 1.000001)
+      .count() == 0)
+    assert(a.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    val byVec = a.collect().groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length))
+    }
+  }
 }
