@@ -63,6 +63,7 @@ object SparkEntry {
     "q_embed_cosine_topk" -> (Similarity.qEmbedCosineTopk _),
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
+    "q_ann_lsh_bands" -> (Similarity.qAnnLshBands _),
     "q_dedup_embed" -> (Similarity.qDedupEmbed _),
     "q_lang_id" -> (TextAnalysis.qLangId _),
     "q_quality" -> (TextAnalysis.qQuality _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_embed_cosine_topk" -> Similarity.embedCosineTopkSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_ann_ivf" -> Similarity.annIvfSql,
+    "q_ann_lsh_bands" -> Similarity.annLshBandsSql,
     "q_dedup_embed" -> Similarity.dedupEmbedSql,
     "q_lang_id" -> TextAnalysis.langIdSql,
     "q_quality" -> TextAnalysis.qualitySql,

@@ -172,10 +172,102 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rn"))
   }
 
+  /** Number of independent LSH plane sets (bands) in the multi-probe
+    * variant. Recall grows like 1−(1−p)^B for a pair with per-band
+    * collision probability p; cost grows linearly in B. */
+  private val NBands = 2
+
+  /** Per-band plane weights — independent pseudo-random sets, seeded
+    * like [[planeWeights]] but namespaced by band. */
+  private def bandPlaneWeights(band: Int, d: Int): Array[Array[Long]] =
+    Array.tabulate(NPlanes, d)((p, i) =>
+      hash60Jvm(s"b$band:$p:$i") % 2001 - 1000)
+
+  /** q_ann_lsh_bands — multi-probe sign-LSH ANN: [[NBands]] INDEPENDENT
+    * hyperplane sets, each hashing every vector to its own bucket
+    * space; candidates = union of same-(band,bucket) pairs, deduped,
+    * exact cosine top-3 over the union. This is the recall dial
+    * q_ann_lsh documents, implemented: pairs split by one band's
+    * hyperplanes get a second chance in the other band — MinHash-style
+    * banding for the embedding space. All buckets are computed IN-ROW
+    * (2·NPlanes codegen'd integer dots per vector, zero joins), the
+    * pair join stays equality-keyed on (band, bucket), and the pair
+    * dedup is a groupBy on 8-byte ids — every stage linear-shuffled,
+    * nothing all-pairs.
+    */
+  def qAnnLshBands(spark: SparkSession, dir: String): DataFrame = {
+    val d = dim(spark, dir)
+    val bucketExprs = (0 until NBands).map { band =>
+      val pw = bandPlaneWeights(band, d)
+      (0 until NPlanes)
+        .map(p => when(dot(col("q"), typedLit(pw(p).toSeq)) >= 0,
+          lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    val vb = quantized(spark, dir)
+      .withColumn("bks", array(bucketExprs: _*))
+      .select(col("vec_id"), col("q"), col("nrm"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val vc = vb.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    val a = vc.select(col("vec_id"), col("band"), col("bucket"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = vc.select(col("vec_id").as("neighbor_id"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, col("band") === col("band_b") &&
+        col("bucket") === col("bucket_b") &&
+        col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      // a pair found by both bands appears twice with an identical cos;
+      // max() is just dedup (8-byte keys shuffle, vectors do not)
+      .groupBy("vec_id", "neighbor_id").agg(max("cos").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+  }
+
+  val annLshBandsSql: String = {
+    val wExpr = hash60Sql(
+      "'b' || CAST(b AS VARCHAR) || ':' || CAST(p AS VARCHAR)" +
+        " || ':' || CAST(i - 1 AS VARCHAR)")
+    s"""WITH $quantizedSql,
+       |bp AS (SELECT vec_id, b, p,
+       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
+       |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
+       |       FROM qn,
+       |         (SELECT unnest(generate_series(0, ${NBands - 1})) AS b) bands,
+       |         (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |bk AS (SELECT vec_id, b AS band,
+       |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bp GROUP BY vec_id, b),
+       |vb0 AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.band, bk.bucket
+       |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+       |vb AS (SELECT * FROM vb0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+       |p2 AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |        max(CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE))) AS cos
+       |       FROM vb a JOIN vb b
+       |         ON a.band = b.band AND a.bucket = b.bucket
+       |        AND a.vec_id <> b.vec_id
+       |       GROUP BY 1, 2)
+       |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine,
+       |       row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY cos DESC, neighbor_id) AS rn
+       |FROM p2 QUALIFY rn <= 3""".stripMargin
+  }
+
   /** Number of IVF coarse cells. Production sizes this ~√n (classic IVF
     * tradeoff: assignment cost n·K vs per-cell search (n/K)²); a
     * plan-time constant here, like the LSH plane count. */
-  private val IvfCells = 8
+  private val IvfCells = 16
 
   /** q_ann_ivf — IVF-style approximate nearest neighbors, the OTHER
     * classic ANN scale path next to sign-LSH (q_ann_lsh):

@@ -134,11 +134,24 @@ class MetricsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: dense ranks, deduped pairs, cosine in [-1,1]") {
+    val a = graft.operators.Similarity.qAnnLshBands(spark, dir)
+    assert(a.filter(col("cosine") < -1.000001 || col("cosine") > 1.000001)
+      .count() == 0)
+    // a pair found by both bands must appear once
+    assert(a.groupBy("vec_id", "neighbor_id").count()
+      .filter(col("count") > 1).count() == 0)
+    val byVec = a.collect().groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("IVF ANN: dense ranks, valid cells, cosine in [-1,1]") {
     val a = graft.operators.Similarity.qAnnIvf(spark, dir)
     assert(a.filter(col("cosine") < -1.000001 || col("cosine") > 1.000001)
       .count() == 0)
-    assert(a.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    assert(a.filter(col("cell") < 0 || col("cell") >= 16).count() == 0)
     val byVec = a.collect().groupBy(_.getAs[Long]("vec_id"))
     byVec.foreach { case (_, rs) =>
       assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length))
