@@ -60,6 +60,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (Dedup.qDedupClusters _),
     "q_minhash_lsh" -> (Dedup.qMinhashLsh _),
     "q_simhash" -> (Dedup.qSimhash _),
+    "q_decontaminate" -> (Dedup.qDecontaminate _),
     "q_embed_cosine_topk" -> (Similarity.qEmbedCosineTopk _),
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
@@ -71,6 +72,8 @@ object SparkEntry {
     "q_chunks" -> (TextAnalysis.qChunks _),
     "q_pack" -> (TextAnalysis.qPack _),
     "q_tfidf" -> (TextAnalysis.qTfidf _),
+    "q_filter" -> (TextAnalysis.qFilter _),
+    "q_sample" -> (TextAnalysis.qSample _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
   )
 
@@ -116,6 +119,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.dedupClustersSql,
     "q_minhash_lsh" -> Dedup.minhashLshSql,
     "q_simhash" -> Dedup.simhashSql,
+    "q_decontaminate" -> Dedup.decontaminateSql,
     "q_embed_cosine_topk" -> Similarity.embedCosineTopkSql,
     "q_ann_lsh" -> Similarity.annLshSql,
     "q_ann_ivf" -> Similarity.annIvfSql,
@@ -127,6 +131,8 @@ object SparkEntry {
     "q_chunks" -> TextAnalysis.chunksSql,
     "q_pack" -> TextAnalysis.packSql,
     "q_tfidf" -> TextAnalysis.tfidfSql,
+    "q_filter" -> TextAnalysis.filterSql,
+    "q_sample" -> TextAnalysis.sampleSql,
     "q_multimodal_meta" -> Multimodal.multimodalMetaSql
   )
 }

@@ -240,6 +240,71 @@ object Dedup {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cl""".stripMargin
 
+  /** Size of the held-out benchmark set for decontamination: the first
+    * K doc_ids stand in for an eval benchmark. A CONSTANT (not a corpus
+    * fraction) so the broadcast side stays O(K) at any corpus size —
+    * same rule as the q_embed_cosine_topk query set. */
+  private val benchDocs = 25
+
+  /** q_decontaminate — benchmark contamination detection, the
+    * training-data hygiene stage every LLM pipeline runs before
+    * training: find corpus documents sharing word 5-grams with a
+    * held-out benchmark set (the standard n-gram-overlap
+    * decontamination rule; production uses 8-13-grams over much longer
+    * documents — same plan, one constant).
+    *
+    * Scale shape: the benchmark's distinct 5-gram hashes are a
+    * CONSTANT-SIZE broadcast; the corpus side is one scan → shingle
+    * projection → broadcast-hash semi-join (no shuffle of the corpus) →
+    * one groupBy on 8-byte doc_id. Contaminated docs only in the
+    * output, with the overlap fraction and the ≥10% flag.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("w2", lead("word", 1).over(wdoc))
+      .withColumn("w3", lead("word", 2).over(wdoc))
+      .withColumn("w4", lead("word", 3).over(wdoc))
+      .withColumn("w5", lead("word", 4).over(wdoc))
+      .filter(col("w5").isNotNull)
+      .select(col("doc_id"), hash60(concat_ws(" ",
+        col("word"), col("w2"), col("w3"), col("w4"), col("w5"))).as("g"))
+      .groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("g"))
+    val bench = grams.filter(col("doc_id") < benchDocs)
+      .select("g").distinct()
+    grams.filter(col("doc_id") >= benchDocs)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), max("n_grams").as("n_grams"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_grams"), 4))
+      .withColumn("flagged", col("contamination") >= 0.1)
+      .select("doc_id", "n_hits", "n_grams", "contamination", "flagged")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, len(ws)-4),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |              || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gs
+       |       FROM w WHERE len(ws) >= 5),
+       |g1 AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM g0),
+       |g AS (SELECT doc_id, n_grams, ${hash60Sql("gram")} AS g FROM g1),
+       |bench AS (SELECT DISTINCT g.g FROM g WHERE doc_id < $benchDocs),
+       |hits AS (SELECT g.doc_id, COUNT(*) AS n_hits, max(g.n_grams) AS n_grams
+       |         FROM g JOIN bench ON g.g = bench.g
+       |         WHERE g.doc_id >= $benchDocs
+       |         GROUP BY g.doc_id)
+       |SELECT doc_id, n_hits, n_grams,
+       |       round(CAST(n_hits AS DOUBLE) / n_grams, 4) AS contamination,
+       |       round(CAST(n_hits AS DOUBLE) / n_grams, 4) >= 0.1 AS flagged
+       |FROM hits""".stripMargin
+
   /** MinHash universal-hash family: sig_i(x) = (a_i·h30(x) + b_i) mod P
     * over a 30-bit base hash — ONE md5 per shingle and 16 integer mixes,
     * instead of 16 md5s (the classic (a·x+b) mod p MinHash construction).

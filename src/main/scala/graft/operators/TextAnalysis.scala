@@ -263,4 +263,92 @@ object TextAnalysis {
        |SELECT shard, doc_id, chunk_id, n_tokens,
        |       CAST(floor((cum - n_tokens) / $packBudget) AS BIGINT) AS bin_id
        |FROM cm""".stripMargin
+
+  /** q_filter — the combined KEEP decision a training-data pipeline
+    * executes after scoring: per document, each rule's verdict plus the
+    * conjunction. Rules (thresholds are pipeline policy, the plan shape
+    * is the point):
+    *   lang_ok      stopword ratio ≥ 3% (the q_lang_id heuristic)
+    *   len_ok       10 ≤ word count ≤ 100000
+    *   quality_ok   q_quality composite ≥ 0.5
+    *   canonical    doc is its exact-dup group's keeper (min doc_id)
+    * Everything except `canonical` is a pure projection; canonical costs
+    * the one hash-keyed shuffle q_dedup_exact already established
+    * (8-byte keys). This is the operator whose output feeds the
+    * training-set writer.
+    */
+  def qFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words
+    val stopRatio = round(nStop(ws).cast("double") / size(ws), 4)
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+    val punctRatio = round(punct.cast("double") / length(col("text")), 4)
+    val quality = round(least(size(ws).cast("double") / 50, lit(1d)) * 0.5
+      + stopRatio * 0.3 + (lit(1d) - punctRatio) * 0.2, 6)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hash60(col("text")).as("h"),
+        size(ws).as("n_words"),
+        (stopRatio >= 0.03).as("lang_ok"),
+        (size(ws) >= 10 && size(ws) <= 100000).as("len_ok"),
+        (quality >= 0.5).as("quality_ok"))
+      .withColumn("canonical",
+        col("doc_id") === min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .withColumn("keep",
+        col("lang_ok") && col("len_ok") && col("quality_ok") &&
+          col("canonical"))
+      .drop("h")
+  }
+
+  val filterSql: String = {
+    val nw = s"len($wordsSql)"
+    val stopRatio = s"round(CAST($nStopSql AS DOUBLE) / $nw, 4)"
+    val punctRatio =
+      "round(CAST(len(text) - len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / len(text), 4)"
+    val quality = s"round(least(CAST($nw AS DOUBLE) / 50, 1.0) * 0.5" +
+      s" + $stopRatio * 0.3 + (1.0 - $punctRatio) * 0.2, 6)"
+    val h = graft.functions.Portable.hash60Sql("text")
+    s"""WITH f AS (
+       |  SELECT doc_id, $h AS h,
+       |         $nw AS n_words,
+       |         $stopRatio >= 0.03 AS lang_ok,
+       |         $nw >= 10 AND $nw <= 100000 AS len_ok,
+       |         $quality >= 0.5 AS quality_ok
+       |  FROM documents),
+       |c AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS canonical
+       |      FROM f)
+       |SELECT doc_id, n_words, lang_ok, len_ok, quality_ok, canonical,
+       |       lang_ok AND len_ok AND quality_ok AND canonical AS keep
+       |FROM c""".stripMargin
+  }
+
+  /** q_sample — deterministic hash sampling with per-source rates: the
+    * mixture-weighting stage of a training-data pipeline. Every doc's
+    * fate is a pure function of its CONTENT (`hash60(text) mod 100 <
+    * rate(source)`), so the sample is reproducible across runs, engines
+    * and machines — the property that makes hash sampling the standard
+    * over rand(). Per-source rates are themselves derived
+    * deterministically here (5..55% from the source-name hash); a real
+    * pipeline supplies them as policy. One projection + one map-side-
+    * combinable groupBy on `source` — scan-speed at any corpus size.
+    */
+  def qSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (hash60(col("source")) % 51 + 5).as("rate_pct"),
+        (hash60(col("text")) % 100).as("bucket"))
+      .withColumn("kept", col("bucket") < col("rate_pct"))
+      .groupBy("source", "rate_pct")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+
+  val sampleSql: String = {
+    val hs = graft.functions.Portable.hash60Sql("source")
+    val ht = graft.functions.Portable.hash60Sql("text")
+    s"""SELECT source, $hs % 51 + 5 AS rate_pct,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN $ht % 100 < $hs % 51 + 5
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
 }
