@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, MetricsEtl, Olap, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale audit (SURVEY §6 / PLANS.md) as ENFORCED regression tests:
+  * every physical-plan property the 100 TB story depends on is asserted
+  * here, so a refactor that silently un-pushes a filter, re-sorts, or
+  * double-parses fails CI instead of a future round's bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** AQE-finalized executed plan (collect first — AdaptiveSparkPlan
+    * only finalizes at runtime). */
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: filters pushed to the parquet scan, columns pruned") {
+    val df = Olap.q1Pricing(spark, dir)
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      "shipdate filter must reach the scan")
+    // 16-column lineitem, 7-column read: pruned schema must not carry
+    // the wide comment column
+    assert(!plan.contains("l_comment"), "column pruning lost")
+  }
+
+  test("q_selector: exactly one get_json_object in the optimized plan") {
+    val plan = MetricsEtl.qSelector(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val n = "get_json_object".r.findAllIn(plan).size
+    assert(n == 1,
+      s"expected 1 JSON parse, found $n — the pushdown barrier regressed:\n$plan")
+  }
+
+  test("q3: TakeOrdered instead of a global sort") {
+    val plan = executed(Olap.q3TopkJoin(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must not global-sort")
+  }
+
+  test("q5: only the fixed-cardinality dims are force-broadcast") {
+    // the logical plan carries exactly one explicit broadcast hint —
+    // region⋈nation; customer/supplier/orders must stay size-gated
+    val analyzed = Olap.q5RegionJoin(spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = "UnresolvedHint|ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints == 1, s"expected 1 broadcast hint, found $hints")
+  }
+
+  test("q_dedup_ngram: the shingle base is computed once (reused exchange)") {
+    val plan = executed(Dedup.qDedupNgram(spark, dir))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("TableCacheQueryStage"),
+      s"self-join must reuse the shingle exchange:\n${plan.take(2000)}")
+  }
+
+  test("q_embed_cosine_topk: query side broadcast, native vec_dot in the loop") {
+    val plan = executed(Similarity.qEmbedCosineTopk(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "query set must broadcast")
+    assert(plan.contains("vec_dot"), "pair loop must use the native expression")
+  }
+
+  test("q_ann_lsh: bucket equality join, no cartesian anywhere") {
+    val plan = executed(Similarity.qAnnLsh(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "LSH search must never go all-pairs")
+  }
+
+  test("q_ann_ivf: assignment is the only nested-loop, search is keyed") {
+    val plan = executed(Similarity.qAnnIvf(spark, dir))
+    // the K-row centroid side may plan as a broadcast nested loop (that
+    // is the intended n·K assignment pass); the cell search must be a
+    // hash join on cell equality, never a cartesian product
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("metrics aggregations keep partial (map-side) aggregation") {
+    val plan = executed(MetricsEtl.qAggByLabel(spark, dir))
+    // two HashAggregates around the exchange = partial + final
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final aggregation, found $n:\n${plan.take(1500)}")
+  }
+}
