@@ -46,6 +46,7 @@ object SparkEntry {
     "q_window_running" -> (Olap.qWindowRunning _),
     "q_topk_per_group" -> (Olap.qTopkPerGroup _),
     "q_sessionize" -> (Olap.qSessionize _),
+    "q_asof_join" -> (Olap.qAsofJoin _),
     "q_stream_window_agg" -> (Olap.qStreamWindowAgg _),
     "q_percentiles" -> (Olap.qPercentiles _),
     "q_percentiles_approx" -> (Olap.qPercentilesApprox _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_window_running" -> Olap.qWindowRunningSql,
     "q_topk_per_group" -> Olap.qTopkPerGroupSql,
     "q_sessionize" -> Olap.qSessionizeSql,
+    "q_asof_join" -> Olap.qAsofJoinSql,
     "q_stream_window_agg" -> Olap.qStreamWindowAggSql,
     "q_percentiles" -> Olap.qPercentilesSql,
     "q_percentiles_approx" -> Olap.qPercentilesApproxSql,

@@ -438,6 +438,61 @@ object Olap {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q_asof_join — AS-OF join (ClickHouse `ASOF JOIN`, kdb `aj`): for
+    * every `purchase` event, the latest `click` by the same user at or
+    * before it. Spark has no asof operator; the scalable re-expression
+    * is NO JOIN AT ALL — union both sides (they already live in one
+    * table here), one window pass per user carrying the last click
+    * forward (`last(..., ignoreNulls)` — codegen'd, single shuffle on
+    * user_id), then keep the purchase rows. This beats the
+    * join-then-filter-then-rank form (which shuffles BOTH sides and
+    * explodes matches before ranking) and is exactly how you'd asof-join
+    * two 100 TB streams: union-tag, one co-partitioned window, filter.
+    * Events with no prior click surface with NULL asof columns (left
+    * asof semantics).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("click_ts_us",
+        last(when(col("event_type") === "click", col("ts_us")), true).over(w))
+      .withColumn("click_cents",
+        last(when(col("event_type") === "click", col("cents")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_ts_us"),
+        round(col("click_cents").cast("double") / 100d, 2).as("click_value"),
+        // integer division in BOTH engines: Spark's double→long cast
+        // truncates while DuckDB's rounds, so a float division here
+        // would diverge on .5+ fractions
+        expr("(ts_us - click_ts_us) div 1000000").as("gap_s"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |m AS (
+      |  SELECT *,
+      |         last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      |           OVER w AS click_ts_us,
+      |         last_value(CASE WHEN event_type = 'click' THEN cents END IGNORE NULLS)
+      |           OVER w AS click_cents
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts_us, click_ts_us,
+      |       round(CAST(click_cents AS DOUBLE) / 100.0, 2) AS click_value,
+      |       (ts_us - click_ts_us) // 1000000 AS gap_s
+      |FROM m WHERE event_type = 'purchase'""".stripMargin
+
   /** q_stream_window_agg — tumbling 1h windowed aggregation per
     * event_type: the batch twin of the Structured Streaming pipeline in
     * graft.streaming (same groupBy(window(...)) plan shape, so batch and
