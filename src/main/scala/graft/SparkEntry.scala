@@ -47,6 +47,8 @@ object SparkEntry {
     "q_topk_per_group" -> (Olap.qTopkPerGroup _),
     "q_sessionize" -> (Olap.qSessionize _),
     "q_asof_join" -> (Olap.qAsofJoin _),
+    "q_range_join" -> (Olap.qRangeJoin _),
+    "q_distinct_approx" -> (Olap.qDistinctApprox _),
     "q_stream_window_agg" -> (Olap.qStreamWindowAgg _),
     "q_percentiles" -> (Olap.qPercentiles _),
     "q_percentiles_approx" -> (Olap.qPercentilesApprox _),
@@ -108,6 +110,8 @@ object SparkEntry {
     "q_topk_per_group" -> Olap.qTopkPerGroupSql,
     "q_sessionize" -> Olap.qSessionizeSql,
     "q_asof_join" -> Olap.qAsofJoinSql,
+    "q_range_join" -> Olap.qRangeJoinSql,
+    "q_distinct_approx" -> Olap.qDistinctApproxSql,
     "q_stream_window_agg" -> Olap.qStreamWindowAggSql,
     "q_percentiles" -> Olap.qPercentilesSql,
     "q_percentiles_approx" -> Olap.qPercentilesApproxSql,

@@ -493,6 +493,116 @@ object Olap {
       |       (ts_us - click_ts_us) // 1000000 AS gap_s
       |FROM m WHERE event_type = 'purchase'""".stripMargin
 
+  /** q_range_join — interval-containment join (the "range join" every
+    * native engine special-cases): which `purchase` events fall inside a
+    * same-user CLICK session's ATTRIBUTION interval — the session span
+    * padded ±30 min (without padding, this data's mostly-single-click
+    * sessions are zero-width points and containment is vacuous)? A naive
+    * formulation is an inequality join — O(n·m) per user with no
+    * equality key for hashing. The scalable re-expression BUCKETS time:
+    * each session interval explodes into the 1h buckets it covers
+    * (bounded by session length — sessions are gap-bounded so this is a
+    * small constant), purchases map to their single bucket, and the
+    * join becomes EQUALITY on (user_id, bucket) + an exact containment
+    * filter + pair dedup. Shuffle keys are (long, long); work is
+    * proportional to true overlaps, not user-cross-products — the
+    * standard distributed range-join plan (same family as the LSH/band
+    * candidate generation used by the dedup operators).
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucketSize = 3600L * 1000000L // 1h in µs
+    val clicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    // 30-min-gap sessions over clicks (same rule as q_sessionize)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = clicks
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg((min("ts_us") - 1800L * 1000000L).as("t_start"),
+        (max("ts_us") + 1800L * 1000000L).as("t_end"))
+    val sessionBuckets = sessions
+      .withColumn("bucket", explode(sequence(
+        (col("t_start") / bucketSize).cast("long"),
+        (col("t_end") / bucketSize).cast("long"))))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        unix_micros(col("ts")).as("p_ts"))
+      .withColumn("p_bucket", (col("p_ts") / bucketSize).cast("long"))
+    sessionBuckets.join(purchases,
+        col("user_id") === col("p_user") && col("bucket") === col("p_bucket"))
+      .filter(col("p_ts") >= col("t_start") && col("p_ts") <= col("t_end"))
+      // a purchase can match one session through at most one bucket
+      // (buckets within a session are distinct) — but dedup anyway so
+      // the contract survives overlapping-interval inputs
+      .select(col("user_id"), col("session_id"), col("p_event"),
+        col("p_ts"), col("t_start"), col("t_end"))
+      .distinct()
+  }
+
+  val qRangeJoinSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |                   OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM m),
+      |s AS (
+      |  SELECT user_id, session_id,
+      |         min(ts_us) - 1800 * 1000000 AS t_start,
+      |         max(ts_us) + 1800 * 1000000 AS t_end
+      |  FROM g GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id AS p_user, event_id AS p_event, epoch_us(ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT DISTINCT s.user_id, s.session_id, p.p_event, p.p_ts,
+      |       s.t_start, s.t_end
+      |FROM s JOIN p ON s.user_id = p.p_user
+      |       AND p.p_ts >= s.t_start AND p.p_ts <= s.t_end""".stripMargin
+
+  /** q_distinct_approx — HyperLogLog distinct counting, the cardinality
+    * sketch of every 100 TB rollup (exact COUNT DISTINCT shuffles every
+    * key; HLL merges fixed 2^p-byte registers map-side). Sketch
+    * internals differ across engines (Spark HLL++ vs DuckDB HLL), so —
+    * exactly like q_percentiles_approx — the CHECKED output is each
+    * engine validating ITS OWN sketch against ITS OWN exact count
+    * within the documented error band (rsd=0.02 here; 5% asserted).
+    * The production query is the approx aggregate alone.
+    */
+  def qDistinctApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        (abs(approx_count_distinct(col("user_id"), 0.02).cast("double") -
+          countDistinct(col("user_id")).cast("double")) /
+          countDistinct(col("user_id")).cast("double") < 0.05).as("approx_ok"),
+        count(lit(1)).as("n_events"))
+
+  val qDistinctApproxSql: String =
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+      |           - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
+      |         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) < 0.05 AS approx_ok,
+      |       COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** q_stream_window_agg — tumbling 1h windowed aggregation per
     * event_type: the batch twin of the Structured Streaming pipeline in
     * graft.streaming (same groupBy(window(...)) plan shape, so batch and
