@@ -438,6 +438,47 @@ object Olap {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q_big_orders — TPC-H Q18 shape (large-volume customers): orders
+    * whose total lineitem quantity exceeds a threshold, with customer
+    * detail. The plan lesson: AGGREGATE FIRST — lineitem collapses to
+    * per-order sums map-side (one shuffle on orderkey), the HAVING cut
+    * keeps ~1% of orders, and only that small survivor set joins
+    * orders⋈customer (AQE broadcasts it). Join-then-aggregate would
+    * shuffle the full fact table through both joins first — the
+    * difference between GBs and TBs on the wire at scale.
+    */
+  def qBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty_cents").as("qty_cents"))
+      .filter(col("qty_cents") > 250L * 100L)
+    bigOrders
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        round(round(col("o_totalprice") * 100).cast("long")
+          .cast("double") / 100d, 2).as("total_price"),
+        round(col("qty_cents").cast("double") / 100d, 2).as("sum_qty"))
+  }
+
+  val qBigOrdersSql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) > 250 * 100)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |       epoch_us(o_orderdate) AS o_orderdate_us,
+      |       round(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE) / 100.0, 2) AS total_price,
+      |       round(CAST(qty_cents AS DOUBLE) / 100.0, 2) AS sum_qty
+      |FROM b JOIN orders ON l_orderkey = o_orderkey
+      |       JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   /** q_asof_join — AS-OF join (ClickHouse `ASOF JOIN`, kdb `aj`): for
     * every `purchase` event, the latest `click` by the same user at or
     * before it. Spark has no asof operator; the scalable re-expression

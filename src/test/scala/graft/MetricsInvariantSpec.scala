@@ -134,6 +134,34 @@ class MetricsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("asof join: matched click is at or before the purchase; one row per purchase") {
+    val a = Olap.qAsofJoin(spark, dir)
+    assert(a.filter(col("click_ts_us") > col("ts_us")).count() == 0,
+      "asof must never look forward")
+    assert(a.filter(col("click_ts_us").isNotNull && col("gap_s") < 0)
+      .count() == 0)
+    assert(a.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(a.count() == purchases, "left semantics: every purchase surfaces")
+  }
+
+  test("range join: every match really sits inside its interval") {
+    val r = Olap.qRangeJoin(spark, dir)
+    assert(r.filter(col("p_ts") < col("t_start") ||
+      col("p_ts") > col("t_end")).count() == 0)
+    // and pair uniqueness (the bucketed join must not duplicate)
+    assert(r.groupBy("session_id", "user_id", "p_event").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("big orders: aggregate-first threshold holds on every row") {
+    val b = Olap.qBigOrders(spark, dir)
+    assert(b.filter(col("sum_qty") <= 250.0).count() == 0)
+    assert(b.groupBy("o_orderkey").count().filter(col("count") > 1)
+      .count() == 0, "one row per qualifying order")
+  }
+
   test("multi-probe LSH: dense ranks, deduped pairs, cosine in [-1,1]") {
     val a = graft.operators.Similarity.qAnnLshBands(spark, dir)
     assert(a.filter(col("cosine") < -1.000001 || col("cosine") > 1.000001)
