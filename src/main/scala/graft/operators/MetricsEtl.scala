@@ -738,6 +738,110 @@ object MetricsEtl {
       |       COUNT(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q_predict_linear — PromQL `predict_linear(v[1h], 300)`: linear
+    * extrapolation 5 min past each 1h window from the same exact-integer
+    * least squares as [[qDeriv]] (Σx/Σy/Σxy/Σx² are exact; slope,
+    * intercept and the prediction are double math with identical
+    * operands and association in both engines). Windows need ≥2 points
+    * and nonzero x-variance.
+    */
+  def qPredictLinear(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val base = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("x", ((col("ts_us") - (col("ts_us") % 1000L)) / 1000L)
+        .cast("long") - col("w_start") * 1000L)
+      .withColumn("y", round(col("value") * 100).cast("long"))
+    val xp = (winSize + 300L) * 1000L // predict at window end + 5 min, ms
+    val g = base.groupBy("name", "user_id", "w_start")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2 && col("n") * col("sxx") =!= col("sx") * col("sx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val intercept =
+      (col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double")
+    g.select(col("name"), col("user_id"), col("w_start"),
+      round((intercept + slope * lit(xp.toDouble)) / 100d, 4).as("predicted"))
+  }
+
+  val predictLinearSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         epoch_us(ts) // 1000 - CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) * 1000 AS x,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT name, user_id, w_start, COUNT(*) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM p GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) >= 2 AND COUNT(*)*CAST(SUM(x*x) AS BIGINT) <> CAST(SUM(x) AS BIGINT)*CAST(SUM(x) AS BIGINT)),
+      |c AS (
+      |  SELECT name, user_id, w_start,
+      |         CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+      |         sx, sy, n
+      |  FROM s)
+      |SELECT name, user_id, w_start,
+      |       round(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |              + slope * 3900000.0) / 100.0, 4) AS predicted
+      |FROM c""".stripMargin
+
+  /** q_count_values — PromQL `count_values("v", m)`: sample count per
+    * distinct value per metric per 1h window (integer cents key — the
+    * value IS the group key, so exactness is structural). One map-side-
+    * combinable shuffle; output bounded by value cardinality.
+    */
+  def qCountValues(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .groupBy("name", "w_start", "value_cents")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val countValuesSql: String =
+    """SELECT event_type AS name,
+      |       CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |       CAST(round(value*100) AS BIGINT) AS value_cents,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_bottomk — PromQL `bottomk(3, sum by (name, user))` per 1h window:
+    * the topk mirror with ascending rank, exact integer-cents sums,
+    * riding the same bounded-heap TopKPerKey operator.
+    */
+  def qBottomk(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(round(sum("cents").cast("double") / 100d, 2).as("series_sum"))
+    graft.plans.TopKPerKey.topK(agg,
+      keyNames = Seq("name", "w_start"),
+      orderSpec = Seq(("series_sum", true), ("user_id", true)),
+      k = 3, rankName = "rk")
+  }
+
+  val bottomkSql: String =
+    """WITH a AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS series_sum
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT name, user_id, w_start, series_sum,
+      |       row_number() OVER (PARTITION BY name, w_start
+      |         ORDER BY series_sum ASC, user_id) AS rk
+      |FROM a QUALIFY rk <= 3""".stripMargin
+
   /** q_promql_topk — PromQL `topk(3, sum by (name, user))` per 1h window:
     * top series per metric per window. Aggregation first (map-side
     * combine), then a window rank over the ALREADY-aggregated frame —
