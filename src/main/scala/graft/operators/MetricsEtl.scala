@@ -852,9 +852,12 @@ object MetricsEtl {
     val agg = Tables.events(spark, dir)
       .select(col("event_type").as("name"), col("user_id"),
         (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
-        col("value"))
+        // exact integer cents (round-3 hardening: this was the last
+        // double SUM in a hash-compared output — order-dependent in
+        // principle even though it never bit the test SFs)
+        round(col("value") * 100).cast("long").as("cents"))
       .groupBy("name", "user_id", "w_start")
-      .agg(round(sum("value"), 4).as("series_sum"))
+      .agg(round(sum("cents").cast("double") / 100d, 2).as("series_sum"))
     // rank on the custom bounded-heap TopKPerKey operator (no per-group
     // sort; see graft.plans.TopKPerKey) — result-identical to
     // row_number().over(...) <= 3, proven in TopKPerKeySpec
@@ -868,7 +871,7 @@ object MetricsEtl {
     """WITH s AS (
       |  SELECT event_type AS name, user_id,
       |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
-      |         round(sum(value), 4) AS series_sum
+      |         round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS series_sum
       |  FROM events GROUP BY 1, 2, 3)
       |SELECT name, user_id, w_start, series_sum,
       |       row_number() OVER (PARTITION BY name, w_start
