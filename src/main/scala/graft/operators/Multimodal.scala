@@ -85,4 +85,72 @@ object Multimodal {
        |       CAST(${hash60Sql("'h:' || text")} % 1024 + 16 AS INT) AS height,
        |       CAST(${hash60Sql("'c:' || text")} % 3 + 1 AS INT) AS channels
        |FROM documents""".stripMargin
+
+  /** q_frame_sample — video-style uniform temporal sampling: each blob
+    * pretends to be a clip with `n_frames = n_bytes div 16` frames; up
+    * to 4 frames are sampled at uniform offsets (k·n/4) and emitted as
+    * one row each with a per-frame feature hash (the fake stand-in for
+    * a real frame decode + embedding). The Spark shape is the real one:
+    * metadata sizes a `sequence` → `explode` row fan-out (work ∝ frames
+    * SAMPLED, not frames present), the blob column never shuffles (the
+    * projection drops it before the distinct's exchange — only doc_id,
+    * frame_idx and the 8-byte feature move), and a real decoder slots
+    * into the feature expression without touching the plan.
+    */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = (octet_length(col("content")) / lit(16)).cast("long") + 1L
+    blobs(spark, dir)
+      .withColumn("n_frames", nFrames)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), lit(3L))).as("k"),
+        col("content").cast("string").as("txt"))
+      .select(col("doc_id"), col("n_frames"),
+        expr("(k * n_frames) div 4").as("frame_idx"), col("txt"))
+      .distinct()
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        hash60(concat(col("txt"), lit(":"), col("frame_idx").cast("string")))
+          .as("frame_feature"))
+  }
+
+  val frameSampleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, octet_length(encode(text)) // 16 + 1 AS n_frames,
+       |         text AS txt
+       |  FROM documents),
+       |f AS (SELECT DISTINCT doc_id, n_frames, (k * n_frames) // 4 AS frame_idx, txt
+       |      FROM b, (SELECT unnest(generate_series(0, 3)) AS k) ks)
+       |SELECT doc_id, n_frames, frame_idx,
+       |       ${hash60Sql("txt || ':' || CAST(frame_idx AS VARCHAR)")} AS frame_feature
+       |FROM f""".stripMargin
+
+  /** q_resize_plan — aspect-preserving resize planning to a 224-long-side
+    * target in PURE INTEGER math (`(dim·224) div max(w,h)` — no float
+    * scale factor, so the plan is bit-identical everywhere): the metadata
+    * half of an image-resize stage. The actual pixel resample is the
+    * codec call a production pipeline plugs into the decode stub; the
+    * plan (dimensions, scale, per-image output geometry) is what the
+    * distributed engine owns, and it stays a single codegen'd projection.
+    */
+  def qResizePlan(spark: SparkSession, dir: String): DataFrame =
+    qMultimodalMeta(spark, dir)
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("CAST((width * 224) div long_side AS INT)").as("out_w"),
+        expr("CAST((height * 224) div long_side AS INT)").as("out_h"),
+        expr("CAST((224 * 100) div long_side AS INT)").as("scale_pct"),
+        (col("long_side") <= 224).as("upscale"))
+
+  val resizePlanSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CAST(${hash60Sql("'w:' || text")} % 1024 + 16 AS INT) AS width,
+       |         CAST(${hash60Sql("'h:' || text")} % 1024 + 16 AS INT) AS height
+       |  FROM documents),
+       |g AS (SELECT *, greatest(width, height) AS long_side FROM m)
+       |SELECT doc_id, width, height,
+       |       CAST((width * 224) // long_side AS INT) AS out_w,
+       |       CAST((height * 224) // long_side AS INT) AS out_h,
+       |       CAST((224 * 100) // long_side AS INT) AS scale_pct,
+       |       long_side <= 224 AS upscale
+       |FROM g""".stripMargin
 }
