@@ -438,6 +438,51 @@ object Olap {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q_promo_revenue — TPC-H Q14 shape: fraction of monthly revenue from
+    * PROMO parts. Plan: the shipdate filter pushes to the lineitem scan,
+    * `part` is a dimension (grows ~SF but far slower than lineitem) so
+    * the join is size-gated, and the promo/total split is a conditional
+    * aggregate in ONE pass. Exact ×10⁴ integer revenue; the final
+    * promo/total ratio is one double division with identical operands,
+    * scaled ×10⁶ and floored so the output is an exact integer in both
+    * engines (a rounded ratio of near-arbitrary doubles is exactly the
+    * 1-ulp trap the integer rules exist for).
+    */
+  def qPromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = sum(round(col("l_extendedprice") * 100).cast("long")
+      * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+    val promoRev = sum(when(col("p_type") === "PROMO",
+      round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .otherwise(0L))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(promoRev.as("promo_x10000"), rev.as("total_x10000"))
+      .select(col("promo_x10000"), col("total_x10000"),
+        expr("(promo_x10000 * 1000000) div total_x10000")
+          .as("promo_ratio_x1e6"))
+  }
+
+  val qPromoRevenueSql: String =
+    """WITH j AS (
+      |  SELECT CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev,
+      |         p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-02-01'),
+      |a AS (
+      |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_x10000,
+      |         CAST(SUM(rev) AS BIGINT) AS total_x10000
+      |  FROM j)
+      |SELECT promo_x10000, total_x10000,
+      |       (promo_x10000 * 1000000) // total_x10000 AS promo_ratio_x1e6
+      |FROM a""".stripMargin
+
   /** q_big_orders — TPC-H Q18 shape (large-volume customers): orders
     * whose total lineitem quantity exceeds a threshold, with customer
     * detail. The plan lesson: AGGREGATE FIRST — lineitem collapses to
