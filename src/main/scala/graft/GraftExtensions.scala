@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ChArrayExpr].getName, "ch_array"),
       unary("ch_array", ChArrayExpr.apply)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // rank-filter → bounded-heap rewrite (Rule[LogicalPlan]): window-
+    // idiom SQL plans onto TopKPerKeyExec automatically
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -112,6 +112,87 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule (`Rule[LogicalPlan]`, SURVEY §5 tier (c)): rewrites
+  * the universal top-k-per-key SQL idiom
+  *
+  *   SELECT ..., row_number() OVER (PARTITION BY p ORDER BY o) AS rn
+  *   ... WHERE rn <= k
+  *
+  * i.e. `Filter(rn ≤ k, Window(Seq(rn := row_number() over spec), ...))`
+  * into [[TopKPerKeyNode]] — so ANY query written with the window idiom
+  * (spark.sql text included) gets the bounded-heap physical operator
+  * (no per-partition sort, O(k·keys) state) without knowing the API
+  * exists. This is the declarative contract at work: users state WHAT
+  * (rank-filter), the engine picks HOW (heaps, not sorts).
+  *
+  * Deliberately conservative — rewrites only when provably safe:
+  *  - the Window computes EXACTLY ONE expression and it is row_number()
+  *    (more expressions ⇒ other columns would be lost);
+  *  - the filter condition is exactly `rn <= lit` / `rn < lit` on the
+  *    rank attribute with a positive effective k;
+  *  - the rewritten node's output reuses the alias's exprId, so parent
+  *    operators resolve unchanged.
+  * The heap keeps the FIRST k arrivals among order-ties — the same
+  * stable behavior as row_number over a stable sort (TopKPerKeySpec
+  * covers the duplicate-row case).
+  */
+object TopKRewriteRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    Alias, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber,
+    WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window)
+        if w.windowExpressions.length == 1 =>
+      (w.windowExpressions.head, cond) match {
+        case (alias @ Alias(WindowExpression(RowNumber(), _), _),
+              Comparison(attr, k))
+            if attr.semanticEquals(alias.toAttribute) && k >= 1 =>
+          TopKPerKeyNode(
+            w.partitionSpec, w.orderSpec, k,
+            alias.toAttribute.asInstanceOf[AttributeReference],
+            stripGroupLimit(w, k))
+        case _ => f
+      }
+  }
+
+  /** Spark's own InferWindowGroupLimit runs earlier and plants a
+    * WindowGroupLimit (per-partition SORTED rank pruning) under the
+    * Window. Under the heap operator it is pure overhead — the heap
+    * already bounds state to k per key without any sort — so drop it
+    * when it provably prunes to the same (or a looser) limit on the
+    * same keys/order. (Tradeoff note: WGL's partial mode DOES prune
+    * map-side before the shuffle at the cost of a local sort; a future
+    * partial-heap mode of TopKPerKeyExec would reclaim that without
+    * sorting.) */
+  private def stripGroupLimit(w: Window, k: Int): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+    w.child match {
+      case wgl: WindowGroupLimit
+          if wgl.limit >= k &&
+            wgl.partitionSpec.length == w.partitionSpec.length &&
+            wgl.partitionSpec.zip(w.partitionSpec)
+              .forall { case (a, b) => a.semanticEquals(b) } &&
+            wgl.orderSpec.length == w.orderSpec.length &&
+            wgl.orderSpec.zip(w.orderSpec)
+              .forall { case (a, b) => a.semanticEquals(b) } =>
+        wgl.child
+      case c => c
+    }
+  }
+
+  /** `rn <= lit` or `rn < lit`, normalized to an inclusive k. */
+  private object Comparison {
+    def unapply(e: Expression): Option[(Expression, Int)] = e match {
+      case LessThanOrEqual(a, IntegerLiteral(k)) => Some((a, k))
+      case LessThan(a, IntegerLiteral(k)) => Some((a, k - 1))
+      case _ => None
+    }
+  }
+}
+
 object TopKPerKey {
 
   /** Top-k rows per key with a 1..k rank column appended.
@@ -157,5 +238,14 @@ object TopKPerKey {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+  }
+
+  /** Idempotently add [[TopKRewriteRule]] too, so window-idiom SQL gets
+    * the heap operator in sessions not built with GraftExtensions. */
+  def ensureRule(spark: SparkSession): Unit = synchronized {
+    ensureStrategy(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
   }
 }
