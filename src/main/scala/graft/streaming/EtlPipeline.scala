@@ -53,8 +53,19 @@ object EtlPipeline {
       "etl_pipeline.fetched.file_name" -> responseFile))
 
     val batchOut = s"$outDir/batch_${start}_$end"
-    val closed = EtlJob.runOnce(spark, conf, jobId, inDir, batchOut,
-      ledgerDir, initialProgress, now, force, logger)
+    val closed =
+      try EtlJob.runOnce(spark, conf, jobId, inDir, batchOut,
+        ledgerDir, initialProgress, now, force, logger)
+      finally {
+        // the reference deletes its per-batch temp file whether the run
+        // succeeded or not (etl_job create_temp_file + cleanup); here it
+        // also keeps the drop-dir from growing — each iteration parses
+        // the whole directory, so leaked responses would make iteration
+        // cost creep linearly over the job's lifetime
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(responseFile))
+        ()
+      }
 
     val nParts = ch.loadDir(batchOut)
     logger.info("Loaded batch into ClickHouse", Map(

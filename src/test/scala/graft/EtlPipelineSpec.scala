@@ -84,6 +84,11 @@ class EtlPipelineSpec extends SparkSpec {
       assert(r2.timestampProgress.contains(1200))
       assert(r2.batchRows.contains(2L))
 
+      // per-batch response files are cleaned up after the batch (the
+      // reference's temp-file cleanup; keeps the drop-dir reparse O(1))
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(inDir))
+        .count() == 0)
+
       // the stub Prometheus saw the two window fetches with step from config
       val queries = promQueries.toArray(Array.empty[String])
       assert(queries.length == 2)
