@@ -240,6 +240,25 @@ object Dedup {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cl""".stripMargin
 
+  /** q_ngram_freq — corpus trigram document frequencies, top-20 (df
+    * desc, hash tiebreak): the statistic behind stop-shingle selection
+    * (see [[dropStopShingles]]) and contamination-rate estimation. One
+    * map-side-combinable groupBy on the 8-byte shingle hash, then
+    * TakeOrdered (no global sort) for the top slice — the "what are the
+    * boilerplate phrases in my 100 TB corpus" query.
+    */
+  def qNgramFreq(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh"))
+      .limit(20)
+
+  val ngramFreqSql: String =
+    s"""WITH $shingledSql
+       |SELECT sh, COUNT(*) AS df
+       |FROM sh GROUP BY sh
+       |ORDER BY df DESC, sh LIMIT 20""".stripMargin
+
   /** Size of the held-out benchmark set for decontamination: the first
     * K doc_ids stand in for an eval benchmark. A CONSTANT (not a corpus
     * fraction) so the broadcast side stays O(K) at any corpus size —

@@ -842,6 +842,48 @@ object MetricsEtl {
       |         ORDER BY series_sum ASC, user_id) AS rk
       |FROM a QUALIFY rk <= 3""".stripMargin
 
+  /** q_offset_compare — PromQL `offset` arithmetic (`sum(m) - sum(m
+    * offset 1d)`): each series-window's sum against the SAME series 24h
+    * earlier. The offset is a shifted-key EQUALITY self-join over the
+    * already-aggregated frame (aggregate first — the join touches
+    * window counts, not raw samples; Catalyst computes the aggregation
+    * once and reuses the exchange for both sides). Inner-join semantics:
+    * windows lacking a 24h-earlier twin drop, like PromQL vector
+    * matching.
+    */
+  def qOffsetCompare(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(sum("cents").as("cents"))
+    val prev = agg.select(col("name").as("pn"), col("user_id").as("pu"),
+      (col("w_start") + 86400L).as("pw"), col("cents").as("prev_cents"))
+    agg.join(prev, col("name") === col("pn") && col("user_id") === col("pu")
+        && col("w_start") === col("pw"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        round(col("cents").cast("double") / 100d, 2).as("curr_v"),
+        round(col("prev_cents").cast("double") / 100d, 2).as("prev_v"),
+        round((col("cents") - col("prev_cents")).cast("double") / 100d, 2)
+          .as("delta_v"))
+  }
+
+  val offsetCompareSql: String =
+    """WITH a AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT c.name, c.user_id, c.w_start,
+      |       round(CAST(c.cents AS DOUBLE) / 100.0, 2) AS curr_v,
+      |       round(CAST(p.cents AS DOUBLE) / 100.0, 2) AS prev_v,
+      |       round(CAST(c.cents - p.cents AS DOUBLE) / 100.0, 2) AS delta_v
+      |FROM a c JOIN a p
+      |  ON c.name = p.name AND c.user_id = p.user_id
+      | AND c.w_start = p.w_start + 86400""".stripMargin
+
   /** q_promql_topk — PromQL `topk(3, sum by (name, user))` per 1h window:
     * top series per metric per window. Aggregation first (map-side
     * combine), then a window rank over the ALREADY-aggregated frame —
