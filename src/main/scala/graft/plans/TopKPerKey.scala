@@ -60,27 +60,9 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = RowOrdering.create(sortOrder, childOutput)
-      // heap head = WORST kept row (reverse ordering) so a better
-      // incoming row evicts it in O(log k)
-      val reverse = new java.util.Comparator[InternalRow] {
-        def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
-      }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var q = heaps.get(key)
-        if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
-          heaps.put(key.copy(), q)
-        }
-        if (q.size < limit) q.add(row.copy())
-        else if (ordering.compare(row, q.peek()) < 0) {
-          q.poll(); q.add(row.copy())
-        }
-      }
+      val heaps = TopKHeaps.accumulate(
+        iter, UnsafeProjection.create(keyExprs, childOutput), ordering, limit)
       val forward = new java.util.Comparator[InternalRow] {
         def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(a, b)
       }
@@ -103,11 +85,87 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to the heap exec. */
+/** Shared heap accumulation: one k-bounded PriorityQueue per key.
+  * Heap head = WORST kept row (reverse ordering) so a better incoming
+  * row evicts it in O(log k); strict-< eviction keeps the first k
+  * arrivals among order-equal rows. */
+private[plans] object TopKHeaps {
+  def accumulate(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: java.util.Comparator[InternalRow],
+      limit: Int)
+      : java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
+    val reverse = new java.util.Comparator[InternalRow] {
+      def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
+    }
+    val heaps =
+      new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var q = heaps.get(key)
+      if (q == null) {
+        q = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
+        heaps.put(key.copy(), q)
+      }
+      if (q.size < limit) q.add(row.copy())
+      else if (ordering.compare(row, q.peek()) < 0) {
+        q.poll(); q.add(row.copy())
+      }
+    }
+    heaps
+  }
+}
+
+/** PARTIAL (map-side) top-k pruning — the combiner of the heap
+  * operator, run BEFORE the exchange with no distribution requirement:
+  * each upstream partition keeps at most k rows per key it has seen, so
+  * the shuffle moves ≤ k·keys·partitions rows instead of n. Lossless
+  * under a total order (a row outside its partition's local top-k can
+  * never be in the global top-k); Spark's own partial aggregation and
+  * WindowGroupLimit make the same move — this one needs no sort. The
+  * rank is NOT computed here (ranks only exist after the final merge).
+  */
+case class TopKPerKeyPartialExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val ordering = RowOrdering.create(sortOrder, childOutput)
+      val heaps = TopKHeaps.accumulate(
+        iter, UnsafeProjection.create(keyExprs, childOutput), ordering, limit)
+      import scala.jdk.CollectionConverters._
+      // emit order is irrelevant — the final heap re-ranks
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy: final heap over a partial (map-side) pruning pass.
+  * EnsureRequirements inserts the hash exchange between them exactly
+  * when the child isn't already clustered (e.g. bucketed reads skip it,
+  * and then partial+final run co-located — a cheap second pass). */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, rankAttr,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

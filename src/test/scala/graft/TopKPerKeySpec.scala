@@ -77,5 +77,12 @@ class TopKPerKeySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"))
     assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+    // the partial (map-side) pruning pass sits BELOW the exchange: the
+    // shuffle moves <= k rows per key per upstream partition, not n
+    assert(plan.contains("TopKPerKeyPartial"), s"no partial pass in:\n$plan")
+    val exchangeAt = plan.indexOf("Exchange")
+    assert(exchangeAt >= 0 &&
+      plan.indexOf("TopKPerKeyPartial") > exchangeAt,
+      s"partial pass must be below the exchange:\n$plan")
   }
 }
