@@ -842,6 +842,45 @@ object MetricsEtl {
       |         ORDER BY series_sum ASC, user_id) AS rk
       |FROM a QUALIFY rk <= 3""".stripMargin
 
+  /** q_stdvar_over_time — PromQL `stdvar_over_time` / `stddev_over_time`
+    * per series per 1h window. Naive variance is float-order-dependent
+    * (Welford or Σ(x−μ)² both accumulate doubles) and can never be
+    * hash-compared across engines; here the closed form runs on EXACT
+    * integers — n, Σx, Σx² in cents — so `n·Σx² − (Σx)²` is exact in
+    * both engines and only the final division/sqrt touch doubles, with
+    * identical operands. Population variance, like PromQL.
+    */
+  def qStdvarOverTime(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("name"), col("user_id"), col("w_start"), col("n"),
+        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n") * col("n")).cast("double") / 10000d, 6).as("stdvar_v"),
+        round(sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n") * col("n")).cast("double")) / 100d, 6).as("stddev_v"))
+  }
+
+  val stdvarOverTimeSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         CAST(round(value*100) AS BIGINT) AS c
+      |  FROM events),
+      |g AS (
+      |  SELECT name, user_id, w_start, COUNT(*) AS n,
+      |         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
+      |  FROM s GROUP BY 1, 2, 3)
+      |SELECT name, user_id, w_start, n,
+      |       round(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE) / 10000.0, 6) AS stdvar_v,
+      |       round(sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE)) / 100.0, 6) AS stddev_v
+      |FROM g""".stripMargin
+
   /** q_offset_compare — PromQL `offset` arithmetic (`sum(m) - sum(m
     * offset 1d)`): each series-window's sum against the SAME series 24h
     * earlier. The offset is a shifted-key EQUALITY self-join over the
