@@ -842,6 +842,86 @@ object MetricsEtl {
       |         ORDER BY series_sum ASC, user_id) AS rk
       |FROM a QUALIFY rk <= 3""".stripMargin
 
+  /** q_changes — PromQL `changes()`: number of times the series VALUE
+    * changed (successive delta ≠ 0) per series per 1h window —
+    * window-local deltas like [[qResets]], pure integer counting.
+    */
+  def qChanges(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("ts_us", "event_id")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("w_start",
+        (floor(col("ts_us") / 1000000L / 3600L) * 3600L).cast("long"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+      .groupBy("name", "user_id", "w_start")
+      .agg(sum(when(col("delta") =!= 0L, 1L).otherwise(0L)).as("changes"),
+        count(lit(1)).as("n_points"))
+  }
+
+  val changesSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT *, cents - lag(cents)
+      |           OVER (PARTITION BY name, user_id, w_start
+      |                 ORDER BY ts_us, event_id) AS delta
+      |  FROM s)
+      |SELECT name, user_id, w_start,
+      |       CAST(SUM(CASE WHEN delta <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+      |       COUNT(*) AS n_points
+      |FROM d GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_mad_over_time — PromQL `mad_over_time` (median absolute
+    * deviation): per series per 1h window, `median(|x − median(x)|)`.
+    * Two exact-interpolation `percentile` passes with the per-group
+    * median joined back onto the samples (aggregate-then-broadcast —
+    * the medians frame is one row per series-window, tiny next to the
+    * samples). Doubles appear only in the interpolation/abs, with
+    * identical operands both sides (q_percentiles parity rule).
+    */
+  def qMadOverTime(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val base = Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+      col("value"))
+    val med = base.groupBy("name", "user_id", "w_start")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+      .withColumnRenamed("name", "mn")
+      .withColumnRenamed("user_id", "mu")
+      .withColumnRenamed("w_start", "mw")
+    base.join(med, col("name") === col("mn") && col("user_id") === col("mu")
+        && col("w_start") === col("mw"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(
+        round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"),
+        round(max("med"), 4).as("median_v"),
+        count(lit(1)).as("n"))
+  }
+
+  val madOverTimeSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         value
+      |  FROM events),
+      |m AS (
+      |  SELECT name, user_id, w_start, quantile_cont(value, 0.5) AS med
+      |  FROM b GROUP BY 1, 2, 3)
+      |SELECT b.name, b.user_id, b.w_start,
+      |       round(quantile_cont(abs(b.value - m.med), 0.5), 4) AS mad,
+      |       round(max(m.med), 4) AS median_v,
+      |       COUNT(*) AS n
+      |FROM b JOIN m ON b.name = m.name AND b.user_id = m.user_id
+      |              AND b.w_start = m.w_start
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** q_stdvar_over_time — PromQL `stdvar_over_time` / `stddev_over_time`
     * per series per 1h window. Naive variance is float-order-dependent
     * (Welford or Σ(x−μ)² both accumulate doubles) and can never be
