@@ -118,6 +118,40 @@ class MetricsInvariantSpec extends SparkSpec {
     assert(deltaKeys == multi)
   }
 
+  test("changes bounded by n_points - 1; stddev^2 consistent with stdvar") {
+    val c = MetricsEtl.qChanges(spark, dir)
+    assert(c.agg(sum("n_points")).head().getLong(0) == nEvents)
+    assert(c.filter(col("changes") < 0 ||
+      col("changes") >= col("n_points")).count() == 0)
+    val sv = MetricsEtl.qStdvarOverTime(spark, dir).collect()
+    sv.foreach { r =>
+      val stdvar = r.getAs[Double]("stdvar_v")
+      val stddev = r.getAs[Double]("stddev_v")
+      assert(stdvar >= 0 && stddev >= 0)
+      assert(math.abs(stddev * stddev - stdvar) < 1e-4,
+        s"stddev^2 must track stdvar: $stddev $stdvar")
+    }
+  }
+
+  test("mad is non-negative and bounded by the window's value spread") {
+    val m = MetricsEtl.qMadOverTime(spark, dir)
+    assert(m.filter(col("mad") < 0).count() == 0)
+    val spread = MetricsEtl.qOverTime(spark, dir)
+      .select(col("name").as("on"), col("user_id").as("ou"),
+        col("w_start").as("ow"), (col("max_v") - col("min_v")).as("spread"))
+    val bad = m.join(spread, col("name") === col("on") &&
+        col("user_id") === col("ou") && col("w_start") === col("ow"))
+      .filter(col("mad") > col("spread") + 0.0001)
+    assert(bad.count() == 0, "MAD can never exceed max - min")
+  }
+
+  test("offset compare: delta is exactly curr - prev") {
+    val o = MetricsEtl.qOffsetCompare(spark, "/root/testdata/sf0.01")
+    val bad = o.filter(
+      abs(col("delta_v") - (col("curr_v") - col("prev_v"))) > 0.001)
+    assert(bad.count() == 0)
+  }
+
   test("quantile by label: p50 <= p90, one row per group") {
     val q = MetricsEtl.qQuantileByLabel(spark, dir)
     assert(q.filter(col("p50") > col("p90")).count() == 0)
