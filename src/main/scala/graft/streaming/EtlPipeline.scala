@@ -74,4 +74,25 @@ object EtlPipeline {
       "etl_pipeline.loaded.table" -> "(configured table_metrics)"))
     closed
   }
+
+  /** Continuous mode: the reference runs one iteration per cron tick;
+    * a long-running deployment calls this instead — N iterations (or
+    * Int.MaxValue), progress chained through the ledger exactly as
+    * across process restarts. `nowFn` injects wall-clock per iteration
+    * (specs pass fixed times; production passes
+    * `_ => System.currentTimeMillis / 1000`). Returns the closed
+    * records in order.
+    */
+  def runLoop(spark: SparkSession, app: AppConfig, jobId: String,
+              expr: String, inDir: String, outDir: String,
+              ledgerDir: String, initialProgress: Long,
+              iterations: Int, nowFn: Int => Long,
+              prom: PrometheusHttpClient, ch: ClickHouseHttpClient,
+              sleepMs: Long = 0L,
+              logger: StructuredLogger = defaultLogger): Seq[LedgerRecord] =
+    (0 until iterations).map { i =>
+      if (i > 0 && sleepMs > 0) Thread.sleep(sleepMs)
+      runOnce(spark, app, jobId, expr, inDir, outDir, ledgerDir,
+        initialProgress, nowFn(i), prom, ch, logger = logger)
+    }
 }

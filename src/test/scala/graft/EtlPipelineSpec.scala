@@ -110,4 +110,37 @@ class EtlPipelineSpec extends SparkSpec {
       }
     } finally { promServer.stop(0); chServer.stop(0) }
   }
+
+  test("runLoop chains progress across iterations through the ledger") {
+    val promServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    promServer.createContext("/api/v1/query_range", (ex: HttpExchange) => {
+      val body = promResponse(ex.getRequestURI.getRawQuery)
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    val chServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    chServer.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    promServer.start(); chServer.start()
+    try {
+      val app = EnvConfig.load(Map(
+        "PROMETHEUS_URL" ->
+          s"http://127.0.0.1:${promServer.getAddress.getPort}",
+        "CLICKHOUSE_URL" ->
+          s"http://127.0.0.1:${chServer.getAddress.getPort}/",
+        "BATCH_WINDOW_SIZE_SECONDS" -> "100"))
+      val closed = EtlPipeline.runLoop(spark, app, "loop_job",
+        """{__name__=~".+"}""", tmpDir("loop_in"), tmpDir("loop_out"),
+        tmpDir("loop_ledger") + "/ledger", initialProgress = 2000,
+        iterations = 3, nowFn = _ => 9000,
+        prom = new PrometheusHttpClient(app.prometheus, quietLogger),
+        ch = new ClickHouseHttpClient(app.clickhouse, quietLogger),
+        logger = quietLogger)
+      assert(closed.map(_.timestampStart) == Seq(2000L, 2100L, 2200L))
+      assert(closed.map(_.timestampProgress.get) == Seq(2100L, 2200L, 2300L))
+    } finally { promServer.stop(0); chServer.stop(0) }
+  }
 }
