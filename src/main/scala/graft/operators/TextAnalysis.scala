@@ -54,6 +54,71 @@ object TextAnalysis {
        |            THEN 'en' ELSE 'unk' END AS lang_pred
        |FROM documents""".stripMargin
 
+  /** Second stopword set for multi-language scoring (es-ish). */
+  private val stopwordsEs =
+    Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "no")
+  private val stopwordsEsSqlList =
+    stopwordsEs.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** q_lang_id_multi — the multi-language form q_lang_id's doc promises:
+    * one stopword-ratio score column PER LANGUAGE, still a single
+    * codegen'd projection (adding a language = adding a column, the scan
+    * count never changes), argmax with a deterministic tiebreak toward
+    * 'en', 'unk' when no score clears 3%.
+    */
+  def qLangIdMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words
+    val esArr = array(stopwordsEs.map(lit): _*)
+    val nEs = size(filter(ws, w => array_contains(esArr, w)))
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(ws))
+      .withColumn("score_en",
+        round(nStop(ws).cast("double") / size(ws), 4))
+      .withColumn("score_es",
+        round(nEs.cast("double") / size(ws), 4))
+      .withColumn("lang_pred",
+        when(col("score_en") < 0.03 && col("score_es") < 0.03, lit("unk"))
+          .when(col("score_en") >= col("score_es"), lit("en"))
+          .otherwise(lit("es")))
+      .select("doc_id", "n_words", "score_en", "score_es", "lang_pred")
+  }
+
+  val langIdMultiSql: String = {
+    val nw = s"len($wordsSql)"
+    val en = s"round(CAST($nStopSql AS DOUBLE) / $nw, 4)"
+    val es = s"round(CAST(len(list_filter($wordsSql, " +
+      s"w -> list_contains($stopwordsEsSqlList, w))) AS DOUBLE) / $nw, 4)"
+    s"""SELECT doc_id, $nw AS n_words,
+       |       $en AS score_en, $es AS score_es,
+       |       CASE WHEN $en < 0.03 AND $es < 0.03 THEN 'unk'
+       |            WHEN $en >= $es THEN 'en' ELSE 'es' END AS lang_pred
+       |FROM documents""".stripMargin
+  }
+
+  /** q_doc_len_hist — corpus length histogram in power-of-two token
+    * buckets: the distribution dashboard every data pipeline keeps.
+    * Bucket = floor(log2(n_words)) computed as bit length in INTEGER
+    * math (floating log2 rounds differently across libm builds), one
+    * map-side-combinable groupBy, output bounded by ~60 buckets at any
+    * corpus size.
+    */
+  def qDocLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(words).as("n_words"))
+      // floor(log2(n)) == bit_length(n) - 1 for n >= 1, exact integers
+      .withColumn("bucket",
+        expr("CAST(length(conv(CAST(n_words AS BIGINT), 10, 2)) AS INT) - 1"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_words").as("min_words"), max("n_words").as("max_words"))
+
+  val docLenHistSql: String =
+    s"""WITH d AS (SELECT len($wordsSql) AS n_words FROM documents)
+       |SELECT CAST(length(bin(n_words)) - 1 AS INT) AS bucket,
+       |       COUNT(*) AS n_docs,
+       |       min(n_words) AS min_words, max(n_words) AS max_words
+       |FROM d GROUP BY 1""".stripMargin
+
   /** q_quality — quality scoring: length, word count, avg word length,
     * stopword ratio, punctuation ratio, composite score in [0,1]. The
     * composite is written with identical operation order in both engines

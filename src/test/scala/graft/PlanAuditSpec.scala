@@ -80,6 +80,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("asof join: one window pass, no join operator at all") {
+    val plan = executed(Olap.qAsofJoin(spark, dir))
+    assert(!plan.contains("Join"), s"asof must be join-free:\n${plan.take(1500)}")
+    assert(plan.contains("Window"), "asof rides a window pass")
+  }
+
   test("metrics aggregations keep partial (map-side) aggregation") {
     val plan = executed(MetricsEtl.qAggByLabel(spark, dir))
     // two HashAggregates around the exchange = partial + final
