@@ -342,6 +342,44 @@ object Similarity {
        |         ORDER BY cos DESC, neighbor_id) AS rn
        |FROM p2 QUALIFY rn <= 3""".stripMargin
 
+  /** q_ivf_cells — IVF index-health diagnostic: per-cell population and
+    * exact mean squared norm (integer sums, truncating ×100 scaled
+    * division). Cell BALANCE is the operational metric of an IVF index
+    * (one hot cell = one slow probe); this is the query an operator
+    * runs before trusting q_ann_ivf's latency. Same assignment pass as
+    * the index itself, then one tiny groupBy on the cell id.
+    */
+  def qIvfCells(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("(sum(nrm) * 100) div count(1)").as("avg_nrm_x100"))
+  }
+
+  val ivfCellsSql: String =
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
+       |          WHERE vec_id < $IvfCells),
+       |asg AS (SELECT qn.vec_id, cents.cell, qn.nrm,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |             i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE)) DESC,
+       |           cents.cell) AS crn
+       |        FROM qn, cents)
+       |SELECT cell, COUNT(*) AS n_vectors,
+       |       CAST(SUM(nrm) AS BIGINT) * 100 // COUNT(*) AS avg_nrm_x100
+       |FROM asg WHERE crn = 1 GROUP BY cell""".stripMargin
+
   /** q_dedup_embed — embedding-cosine near-duplicate pairs: vectors in
     * the same sign-LSH bucket with cosine ≥ 0.4, each unordered pair
     * once (a < b). Same candidate mechanism as q_ann_lsh — bucket
