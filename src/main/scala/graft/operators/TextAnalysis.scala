@@ -416,4 +416,106 @@ object TextAnalysis {
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents GROUP BY 1, 2""".stripMargin
   }
+
+  /** Word n-grams of a document as an array column: gram i = words
+    * i..i+n-1 joined by a space. Guarded so a doc shorter than n yields
+    * an empty array (Spark's `sequence(1, 0)` DESCENDS — it must never
+    * be built). */
+  private def ngramsCol(ws: Column, n: Int): Column = {
+    val total = size(ws) - lit(n - 1)
+    when(total >= 1,
+      transform(sequence(lit(1), total),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** q_repetition — within-document repetition detection, the
+    * Gopher-style quality filter family (Rae et al. 2021 §A1.1): the
+    * fraction of duplicate words / 2-grams / 3-grams inside each doc.
+    * Highly repetitive documents (boilerplate, generated spam, scraper
+    * loops) poison LLM training and are dropped before dedup even runs.
+    * Fractions are INTEGER-scaled (×10000, truncating `div`) so the
+    * hash compare is engine-exact — no float division anywhere.
+    * Pure per-row projection: zero shuffles, runs at parquet scan speed
+    * at any corpus size; per-row cost is O(len·log len) for the
+    * distinct, independent of corpus size.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words
+    // integer-truncating (a*10000) div b over the materialized gram
+    // arrays; the two projections deliberately do NOT collapse (the
+    // gram HOFs are non-cheap), so each array is built once per row
+    def dupX10k(c: String): Column = expr(
+      s"CASE WHEN size($c) > 0 THEN (CAST(size($c) - size(array_distinct($c)) AS BIGINT) * 10000) div CAST(size($c) AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"),
+        ngramsCol(ws, 2).as("g2"), ngramsCol(ws, 3).as("g3"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        dupX10k("ws").as("dup_word_x10k"),
+        dupX10k("g2").as("dup_2gram_x10k"),
+        dupX10k("g3").as("dup_3gram_x10k"))
+      .withColumn("repetitive",
+        col("dup_2gram_x10k") >= 2000 || col("dup_3gram_x10k") >= 1000)
+  }
+
+  val repetitionSql: String = {
+    def dup(grams: String) =
+      s"CASE WHEN len($grams) > 0 THEN ((len($grams) - len(list_distinct($grams))) * 10000) // len($grams) ELSE 0 END"
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |g AS (SELECT doc_id, ws,
+       |  list_transform(generate_series(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+       |  list_transform(generate_series(1, len(ws) - 2),
+       |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS g3
+       |  FROM w),
+       |r AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+       |  CAST(${dup("ws")} AS BIGINT) AS dup_word_x10k,
+       |  CAST(${dup("g2")} AS BIGINT) AS dup_2gram_x10k,
+       |  CAST(${dup("g3")} AS BIGINT) AS dup_3gram_x10k
+       |  FROM g)
+       |SELECT doc_id, n_words, dup_word_x10k, dup_2gram_x10k,
+       |       dup_3gram_x10k,
+       |       dup_2gram_x10k >= 2000 OR dup_3gram_x10k >= 1000 AS repetitive
+       |FROM r""".stripMargin
+  }
+
+  /** Shard count for q_shard_order — a DIAL, not a law: 16 suits the
+    * test corpus; at 100 TB size it so one shard's (doc_id, hash) pairs
+    * — ~16 bytes/doc, never the text — fit a task's window comfortably
+    * (e.g. 2^14 shards for 10^11 docs → ~6M rows ≈ 100 MB per task). */
+  private val OrderShards = 16
+
+  /** q_shard_order — deterministic training-order shuffle: the stage
+    * that turns a filtered corpus into a randomized-but-reproducible
+    * read order for the trainer. Each doc's position is a pure function
+    * of (epoch salt, content): shard = hash % 16, pos = rank of the
+    * hash within the shard. Same corpus + same salt → bit-identical
+    * order on any engine, machine or rerun — the property rand() can
+    * never give and every serious training pipeline requires (resume
+    * after preemption must not reshuffle). Changing the salt string is
+    * a fresh epoch permutation.
+    * Scale shape: one shuffle on `shard` carrying only (doc_id, hash);
+    * the window sorts each shard independently — no global sort, no
+    * driver involvement. Text never leaves the scan projection.
+    */
+  def qShardOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ord_hash", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        hash60(concat_ws(":", lit("epoch0"), col("text"))).as("ord_hash"))
+      // hash60 is nonnegative (60-bit), so % is pmod here
+      .withColumn("shard", (col("ord_hash") % OrderShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+  }
+
+  val shardOrderSql: String = {
+    val h = graft.functions.Portable.hash60Sql("'epoch0:' || text")
+    s"""WITH h AS (SELECT doc_id, $h AS ord_hash FROM documents)
+       |SELECT doc_id, ord_hash,
+       |       CAST(ord_hash % $OrderShards AS INT) AS shard,
+       |       row_number() OVER (PARTITION BY ord_hash % $OrderShards
+       |         ORDER BY ord_hash, doc_id) AS pos
+       |FROM h""".stripMargin
+  }
 }

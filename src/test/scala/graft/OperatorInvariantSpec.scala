@@ -99,6 +99,44 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("repetition: fractions bounded; word fraction agrees with q_tokens") {
+    val rep = TextAnalysis.qRepetition(spark, dir).collect()
+    rep.foreach { r =>
+      Seq("dup_word_x10k", "dup_2gram_x10k", "dup_3gram_x10k").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 10000, s"$c=$v out of [0,10000]")
+      }
+    }
+    // cross-operator: dup_word_x10k must equal the same truncating
+    // formula over q_tokens' (n_ws_tokens, n_distinct_tokens)
+    val mismatch = TextAnalysis.qRepetition(spark, dir)
+      .select("doc_id", "dup_word_x10k")
+      .join(TextAnalysis.qTokens(spark, dir), "doc_id")
+      .filter(expr(
+        "dup_word_x10k != (CAST(n_ws_tokens - n_distinct_tokens AS BIGINT) * 10000) div CAST(n_ws_tokens AS BIGINT)"))
+    assert(mismatch.count() == 0, "q_repetition disagrees with q_tokens")
+  }
+
+  test("shard_order: a bijective, deterministic corpus permutation") {
+    val docs = Tables.documents(spark, dir).count()
+    val so = TextAnalysis.qShardOrder(spark, dir)
+    assert(so.count() == docs, "every doc gets exactly one slot")
+    assert(so.select("doc_id").distinct().count() == docs)
+    // per shard, positions are exactly 1..count (no gaps, no dups)
+    val bad = so.groupBy("shard").agg(
+      count(lit(1)).as("n"), max("pos").as("mx"),
+      countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.count() == 0, "positions must be a 1..n sequence per shard")
+    so.collect().foreach { r =>
+      val s = r.getAs[Int]("shard"); assert(s >= 0 && s < 16)
+    }
+    // deterministic: a second independent evaluation is bit-identical
+    val again = TextAnalysis.qShardOrder(spark, dir)
+    assert(so.exceptAll(again).count() == 0 &&
+      again.exceptAll(so).count() == 0, "order must be reproducible")
+  }
+
   test("quality/lang scores within declared ranges") {
     TextAnalysis.qQuality(spark, dir).collect().foreach { r =>
       val q = r.getAs[Double]("quality_score")
