@@ -1205,4 +1205,70 @@ object MetricsEtl {
       |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value,
       |       COUNT(DISTINCT event_type) AS n_series_names
       |FROM events GROUP BY 1""".stripMargin
+
+  /** Anchored pattern for q_label_replace — PromQL label_replace
+    * semantics require the regex to match the WHOLE source label
+    * (promql/functions.go funcLabelReplace: `^(?:" + regex + ")$`). */
+  private val labelReplacePat = "^(pu|si)(.+)$"
+
+  /** q_label_replace — PromQL `label_replace(v, dst, repl, src, regex)`:
+    * derive a new label from an existing one via regex captures; series
+    * whose source label does NOT match keep their existing dst value
+    * (here: absent → ''), they are never dropped. Rendered as the
+    * series-level mapping plus point counts — one codegen'd projection
+    * and a bounded groupBy (output cardinality = #distinct names).
+    * Both engines' regex dialects agree on this pattern subset; the
+    * match test and the captures use the SAME anchored pattern, matching
+    * Prometheus's whole-string anchoring.
+    */
+  def qLabelReplace(spark: SparkSession, dir: String): DataFrame = {
+    val fam = when(col("event_type").rlike(labelReplacePat),
+      concat(lit("grp_"),
+        regexp_extract(col("event_type"), labelReplacePat, 1), lit("_"),
+        regexp_extract(col("event_type"), labelReplacePat, 2)))
+      .otherwise(lit(""))
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), fam.as("family"))
+      .groupBy("name", "family").agg(count(lit(1)).as("n_points"))
+  }
+
+  val labelReplaceSql: String =
+    s"""SELECT event_type AS name,
+       |       CASE WHEN regexp_matches(event_type, '$labelReplacePat')
+       |            THEN 'grp_' || regexp_extract(event_type, '$labelReplacePat', 1)
+       |                 || '_' || regexp_extract(event_type, '$labelReplacePat', 2)
+       |            ELSE '' END AS family,
+       |       COUNT(*) AS n_points
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q_clamp — the PromQL scalar-math family applied per point:
+    * clamp(v,min,max) / clamp_min / clamp_max / abs / sgn, in integer
+    * cents so every output is exact. sgn is spelled as a CASE (Spark's
+    * `signum` returns DOUBLE, DuckDB's `sign` engine-typed — the CASE
+    * is identical integer logic in both). Pure projection: scan-speed
+    * at any corpus size, no shuffle at all.
+    */
+  def qClamp(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("cents"),
+        greatest(least(col("cents"), lit(8000L)), lit(2000L)).as("clamped"),
+        greatest(col("cents"), lit(2000L)).as("clamp_min"),
+        least(col("cents"), lit(8000L)).as("clamp_max"),
+        abs(col("cents")).as("abs_cents"),
+        when(col("cents") > 0, 1).when(col("cents") < 0, -1)
+          .otherwise(0).cast("int").as("sgn"))
+
+  val clampSql: String =
+    """WITH c AS (SELECT event_id,
+      |            CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT event_id, cents,
+      |       greatest(least(cents, 8000), 2000) AS clamped,
+      |       greatest(cents, 2000) AS clamp_min,
+      |       least(cents, 8000) AS clamp_max,
+      |       abs(cents) AS abs_cents,
+      |       CAST(CASE WHEN cents > 0 THEN 1 WHEN cents < 0 THEN -1
+      |                 ELSE 0 END AS INT) AS sgn
+      |FROM c""".stripMargin
 }

@@ -380,6 +380,64 @@ object Similarity {
        |       CAST(SUM(nrm) AS BIGINT) * 100 // COUNT(*) AS avg_nrm_x100
        |FROM asg WHERE crn = 1 GROUP BY cell""".stripMargin
 
+  /** q_kmeans_step — one Lloyd iteration of IVF centroid refinement:
+    * assign every vector to its nearest centroid (the q_ann_ivf
+    * assignment pass), then recompute each cell's centroid as the
+    * element-wise mean of its members. This is the index-BUILD step the
+    * IVF family needs (run it until assignments stabilize; q_ivf_cells
+    * is the balance check between rounds). Output is one row per
+    * (cell, dimension): member count and floor(100·mean(component)).
+    *
+    * Engine parity: components are quantized ints in [-1000, 1000], but
+    * truncating division differs between engines on NEGATIVE sums — so
+    * the mean is computed over (qv + 1000) ≥ 0 and the constant offset
+    * (an integer, so it passes through floor unchanged) is subtracted
+    * after: exact floor(100·mean) in both engines, no float math.
+    *
+    * Scale shape: assignment is the broadcast-K pattern (n·K codegen'd
+    * integer dots, no corpus shuffle); the explode multiplies rows ×d
+    * but carries only (cell, dim, component) ints, and the groupBy is
+    * map-side combinable down to K·d rows. One shuffle of K·d·P partial
+    * sums — independent of corpus size.
+    */
+  def qKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"), col("qv"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("(sum(qv + 1000) * 100) div count(1) - 100000")
+          .as("centroid_x100"))
+  }
+
+  val kmeansStepSql: String =
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
+       |          WHERE vec_id < $IvfCells),
+       |asg AS (SELECT qn.vec_id, cents.cell, qn.q,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |             i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE)) DESC,
+       |           cents.cell) AS crn
+       |        FROM qn, cents),
+       |a1 AS (SELECT cell, q FROM asg WHERE crn = 1),
+       |e AS (SELECT cell, unnest(generate_series(1, len(q))) AS dim, q
+       |      FROM a1)
+       |SELECT cell, CAST(dim AS INT) AS dim, COUNT(*) AS n_vectors,
+       |       CAST(SUM(q[dim] + 1000) AS BIGINT) * 100 // COUNT(*)
+       |         - 100000 AS centroid_x100
+       |FROM e GROUP BY cell, dim""".stripMargin
+
   /** q_dedup_embed — embedding-cosine near-duplicate pairs: vectors in
     * the same sign-LSH bucket with cosine ≥ 0.4, each unordered pair
     * once (a < b). Same candidate mechanism as q_ann_lsh — bucket
