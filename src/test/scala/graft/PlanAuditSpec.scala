@@ -92,4 +92,39 @@ class PlanAuditSpec extends SparkSpec {
     val n = "HashAggregate".r.findAllIn(plan).size
     assert(n >= 2, s"expected partial+final aggregation, found $n:\n${plan.take(1500)}")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // At 100 TB the win is pruning fact-table rows BEFORE the shuffle
+    // when the dim side is filtered hard: Spark's InjectRuntimeFilter
+    // plants a bloom filter built from the dim keys into the fact scan.
+    // The size thresholds gate it off at test scale — lower them here to
+    // prove the queries' join shapes are ELIGIBLE (shuffle join, creation
+    // side selective); production keeps the defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice")
+      val sel = Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") < 1000.0)
+        .select("o_orderkey")
+      val joined = li.join(sel,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"selective shuffle join must receive a runtime bloom filter:\n$plan")
+      joined.collect() // and it still executes correctly
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
