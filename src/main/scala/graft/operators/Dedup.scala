@@ -181,8 +181,22 @@ object Dedup {
     * fixpoint via a recursive CTE (transitive closure + min) — two
     * entirely different algorithms, one answer.
     */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupNgram(spark, dir).select("doc_a", "doc_b")
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(qDedupNgram(spark, dir).select("doc_a", "doc_b"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+
+  /** Min-label propagation to fixpoint over an undirected pair list
+    * (`doc_a`, `doc_b`) → (`node`, `label`) where label = minimum id
+    * reachable through edges. Shared by the n-gram and embedding
+    * cluster operators — the algorithm is identical, only the pair
+    * source differs. Nodes with no edges are not emitted (singleton
+    * docs are their own cluster trivially; callers that need them can
+    * union the complement).
+    */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct().persist()
@@ -216,14 +230,10 @@ object Dedup {
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"qDedupClusters did not converge in $iter rounds — component " +
+      s"connectedComponents did not converge in $iter rounds — component " +
         "diameter exceeds the cap; raise the cap (or switch to pointer " +
         "doubling) for chain-shaped duplicate graphs")
     labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("label")))
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"))
   }
 
   val dedupClustersSql: String =

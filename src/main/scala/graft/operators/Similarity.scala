@@ -493,6 +493,60 @@ object Similarity {
        |FROM p2 WHERE cos >= 0.4""".stripMargin
   }
 
+  /** q_dedup_embed_clusters — the DECISION stage of embedding dedup:
+    * q_dedup_embed's pairs under-merge transitive near-dups (A≈B, B≈C
+    * but A,C in the same cluster), so the keep list must come from
+    * connected components. Same min-label propagation as
+    * [[Dedup.connectedComponents]] (shared code), fed by the
+    * cosine-pair list; output is each clustered vector's cluster id,
+    * cluster size, and whether it is the canonical keeper (minimum
+    * vec_id). Vectors with no near-dup pair are trivially kept and not
+    * emitted. Oracle computes the same fixpoint via a recursive CTE —
+    * different algorithm, one answer.
+    */
+  def qDedupEmbedClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      qDedupEmbed(spark, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("label")).as("keep"))
+
+  val dedupEmbedClustersSql: String = {
+    val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+    s"""WITH RECURSIVE $quantizedSql,
+       |bp AS (SELECT vec_id, p,
+       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
+       |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
+       |       FROM qn, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |bk AS (SELECT vec_id,
+       |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bp GROUP BY vec_id),
+       |vb0 AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
+       |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+       |vb AS (SELECT * FROM vb0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+       |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |       FROM vb a JOIN vb b
+       |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |       WHERE CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= 0.4),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk AS (
+       |  SELECT doc_a AS node, doc_b AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.doc_b FROM walk w JOIN edges e ON w.reach = e.doc_a),
+       |cl AS (SELECT node, least(node, MIN(reach)) AS cluster_id
+       |       FROM walk GROUP BY node)
+       |SELECT node AS vec_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       node = cluster_id AS keep
+       |FROM cl""".stripMargin
+  }
+
   val annLshSql: String = {
     val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
     s"""WITH $quantizedSql,
