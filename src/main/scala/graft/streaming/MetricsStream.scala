@@ -73,6 +73,27 @@ object MetricsStream {
       .select(unix_micros(col("w.start")).as("w_start_us"),
         col("name"), col("n"), col("sum_value"))
 
+  /** Watermarked SESSION-window per-series aggregation — Spark's native
+    * `session_window` (gap-based): a session closes when no point
+    * arrives for 30 minutes, the streaming counterpart of
+    * [[graft.operators.Olap.qSessionize]]'s lag/cumsum gap logic. The
+    * watermark finalizes and EVICTS a session once event time passes
+    * its end + 10 min, so state is O(open sessions) — the only
+    * sessionization that works on an unbounded stream (the batch form
+    * needs each key's full history under a window function). Works on
+    * batch frames too (watermark is a no-op there), which is how the
+    * parity spec pins streaming == batch.
+    */
+  def sessionAgg(metrics: DataFrame): DataFrame =
+    metrics
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("name"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(unix_micros(col("sw.start")).as("s_start_us"),
+        unix_micros(col("sw.end")).as("s_end_us"),
+        col("name"), col("n"), col("sum_value"))
+
   /** End-to-end stream: responses dir → parse → TSV bulk files, one
     * atomically-committed batch per micro-batch (the reference's
     * insert_from_file loop, clickhouse_client.py:131-218). Skips are

@@ -193,4 +193,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamAgg == batchAgg)
     assert(batchAgg.map(_.getAs[Long]("n")).sum == 3)
   }
+
+  test("session windows: streaming (append + watermark) == batch") {
+    // series "up": two points 100s apart (one session), a third 50 min
+    // later (second session — past the 30-min gap)
+    val data =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"up","job":"a"},"values":[""" +
+        """[1700000000,"1"],[1700000100,"2"],[1700003000,"4"]]}]}}"""
+    // watermark flusher: a far-future point on a DIFFERENT series
+    // advances event time past both sessions' end + 10 min, so append
+    // mode finalizes and emits them; its own open session stays back
+    val flush =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"tick","job":"a"},"values":[""" +
+        """[1700100000,"0"]]}]}}"""
+    def parse(df: org.apache.spark.sql.DataFrame, c: String) =
+      PrometheusJson.metricRows(PrometheusJson.parse(df, c))
+    val batchAgg = MetricsStream.sessionAgg(parse(Seq(data, flush).toDF("json"), "json"))
+      .filter(col("name") === "up").orderBy("s_start_us").collect().toSeq
+    assert(batchAgg.size == 2, "the 50-min gap must split two sessions")
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream.sessionAgg(parse(ms.toDF(), "value"))
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("sess_ckpt"))
+      .start()
+    try {
+      ms.addData(data)
+      q.processAllAvailable()
+      ms.addData(flush) // second micro-batch moves the watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamAgg = spark.table("sess_test")
+      .filter(col("name") === "up").orderBy("s_start_us").collect().toSeq
+    assert(streamAgg == batchAgg,
+      s"streaming sessions $streamAgg != batch $batchAgg")
+  }
 }
