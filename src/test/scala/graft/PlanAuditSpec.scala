@@ -78,6 +78,11 @@ class PlanAuditSpec extends SparkSpec {
     // is the intended n·K assignment pass); the cell search must be a
     // hash join on cell equality, never a cartesian product
     assert(!plan.contains("CartesianProduct"))
+    // the self-join's two sides are the same assignment pass — AQE must
+    // reuse the exchange so the corpus is assigned ONCE, not twice
+    // (pre-AQE explain can't show this; only the executed plan proves it)
+    assert(plan.contains("ReusedExchange"),
+      "cell self-join must reuse the assignment exchange")
   }
 
   test("asof join: one window pass, no join operator at all") {
