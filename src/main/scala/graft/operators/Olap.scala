@@ -203,6 +203,40 @@ object Olap {
       |             ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber)
       |QUALIFY rn <= 100""".stripMargin
 
+  /** q_window_ranks — the analytic rank-function family in one window
+    * pass: rank, dense_rank, percent_rank, cume_dist, ntile(4) over
+    * events per type, value-ordered. All five share ONE window spec so
+    * Spark plans a single sort+Window node (one shuffle on event_type);
+    * the (cents, event_id) ordering is a total order, so every rank is
+    * deterministic and the doubles (percent_rank/cume_dist are exact
+    * small rationals divided identically in both engines) hash-compare
+    * bit-for-bit after round(6).
+    */
+  def qWindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("prk", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+  }
+
+  val qWindowRanksSql: String =
+    """SELECT event_type, event_id,
+      |       CAST(round(value*100) AS BIGINT) AS cents,
+      |       rank() OVER w AS rk,
+      |       dense_rank() OVER w AS drk,
+      |       round(percent_rank() OVER w, 6) AS prk,
+      |       round(cume_dist() OVER w, 6) AS cd,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type
+      |             ORDER BY CAST(round(value*100) AS BIGINT), event_id)""".stripMargin
+
   /** q_topk_per_group — top-3 orders per customer by totalprice with a
     * deterministic tiebreak on o_orderkey. Runs on the custom
     * [[graft.plans.TopKPerKey]] operator: bounded per-key heaps instead

@@ -329,6 +329,39 @@ object TextAnalysis {
        |       CAST(floor((cum - n_tokens) / $packBudget) AS BIGINT) AS bin_id
        |FROM cm""".stripMargin
 
+  /** q_dedup_passage — cross-corpus duplicated-passage detection (the
+    * RefinedWeb/Dolma "exact substring / passage dedup" stage, run at
+    * chunk granularity): a chunk whose content hash appears more than
+    * once ANYWHERE in the corpus is boilerplate; per document, report
+    * how much of it is duplicated passages. Sits between whole-doc
+    * exact dedup (q_dedup_exact) and fuzzy n-gram dedup (q_dedup_ngram)
+    * in the dedup ladder.
+    * Scale shape: chunk TEXT never shuffles — the corpus-wide frequency
+    * count, the join back, and the per-doc rollup all key on the 8-byte
+    * chunk hash / doc_id. Fractions integer-scaled as in q_repetition.
+    */
+  def qDedupPassage(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = qChunks(spark, dir)
+    val freq = chunks.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("cf"))
+    chunks.join(freq, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_x10k",
+        expr("(n_dup_chunks * 10000) div n_chunks"))
+  }
+
+  val dedupPassageSql: String =
+    s"""WITH $chunkCtes,
+       |cf AS (SELECT chunk_hash, COUNT(*) AS cf FROM chunks GROUP BY 1)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN cf.cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |       CAST(SUM(CASE WHEN cf.cf > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |         // COUNT(*) AS dup_x10k
+       |FROM chunks c JOIN cf ON c.chunk_hash = cf.chunk_hash
+       |GROUP BY c.doc_id""".stripMargin
+
   /** q_filter — the combined KEEP decision a training-data pipeline
     * executes after scoring: per document, each rule's verdict plus the
     * conjunction. Rules (thresholds are pipeline policy, the plan shape
