@@ -196,7 +196,7 @@ object Dedup {
     * docs are their own cluster trivially; callers that need them can
     * union the complement).
     */
-  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct().persist()

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable.hash60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed training-set writer — the §2.C operators assembled into
+  * the job a user actually runs, the LLM-data counterpart of
+  * [[graft.streaming.EtlPipeline]]'s metrics loop:
+  *
+  *   1. rule filter  — [[TextAnalysis.qFilter]]'s KEEP decision
+  *                     (language, length, quality, exact-dup canonical)
+  *   2. near-dedup   — n-gram Jaccard pairs → connected components
+  *                     ([[Dedup.connectedComponents]]); only each
+  *                     cluster's minimum doc_id survives
+  *   3. shard order  — the deterministic epoch permutation of
+  *                     [[TextAnalysis.qShardOrder]]: shard + position
+  *                     are pure functions of (salt, content)
+  *   4. write        — parquet partitioned by shard, one directory per
+  *                     shard, rows carrying (pos, doc_id, text)
+  *
+  * Everything is deterministic, so a rerun (or a resumed run after
+  * preemption) produces bit-identical shards — the property that makes
+  * the output safe to feed a resumable trainer. Scale shape: rules are
+  * projections; both dedups shuffle only 8-byte hashes; the write
+  * shuffles (doc text travels exactly once, scan → shard writer).
+  */
+object DocPipeline {
+
+  /** Drop/keep accounting returned by [[run]] — the numbers an operator
+    * alerts on (sudden jumps in any drop class mean upstream drift). */
+  case class Summary(
+      nDocs: Long,
+      nRuleDropped: Long,
+      nNearDupDropped: Long,
+      nWritten: Long,
+      nShards: Int)
+
+  /** doc_ids that LOSE near-dedup: in some n-gram near-dup cluster but
+    * not its minimum-id representative. */
+  private def nearDupLosers(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.qDedupNgram(spark, dir).select("doc_a", "doc_b"))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+
+  def run(spark: SparkSession, dir: String, outDir: String,
+          shards: Int = 16, salt: String = "epoch0"): Summary = {
+    val docs = Tables.documents(spark, dir)
+    val verdicts = TextAnalysis.qFilter(spark, dir)
+      .select("doc_id", "keep")
+    val losers = nearDupLosers(spark, dir)
+
+    val kept = docs.join(verdicts, "doc_id")
+      .filter(col("keep"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        hash60(concat_ws(":", lit(salt), col("text"))).as("ord_hash"))
+      .withColumn("shard", (col("ord_hash") % shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("ord_hash", "doc_id")))
+
+    kept.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+    val written = spark.read.parquet(outDir)
+    val nDocs = docs.count()
+    val nKeepRule = verdicts.filter(col("keep")).count()
+    val nWritten = written.count()
+    Summary(
+      nDocs = nDocs,
+      nRuleDropped = nDocs - nKeepRule,
+      nNearDupDropped = nKeepRule - nWritten,
+      nWritten = nWritten,
+      nShards = shards)
+  }
+}
