@@ -153,4 +153,41 @@ object Multimodal {
        |       CAST((224 * 100) // long_side AS INT) AS scale_pct,
        |       long_side <= 224 AS upscale
        |FROM g""".stripMargin
+
+  /** q_stft_plan — the AUDIO half of multimodal planning: STFT framing
+    * for a feature-extraction stage (16 kHz, 400-sample/25 ms window,
+    * 160-sample/10 ms hop — the Whisper/Kaldi fbank constants). Each
+    * blob pretends to be PCM with `n_samples = 8·n_bytes`; outputs are
+    * the numbers a batch scheduler actually needs — duration, frame
+    * count (uncentered and centered), padded tail — all in PURE INTEGER
+    * math (the n_samples ≥ win CASE keeps every division nonnegative:
+    * Spark `div` truncates toward zero, DuckDB `//` floors — they only
+    * agree on nonnegative operands). The FFT itself is the codec call
+    * that plugs into [[decodeStub]]; the plan stays one codegen'd
+    * projection at corpus scale.
+    */
+  def qStftPlan(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir)
+      .select(col("doc_id"),
+        (octet_length(col("content")).cast("long") * 8).as("n_samples"))
+      .select(col("doc_id"), col("n_samples"),
+        expr("(n_samples * 1000) div 16000").as("duration_ms"),
+        expr("CASE WHEN n_samples >= 400 THEN (n_samples - 400) div 160 + 1 ELSE 0 END")
+          .as("n_frames"),
+        expr("n_samples div 160 + 1").as("n_frames_centered"),
+        expr("CASE WHEN n_samples >= 400 THEN (n_samples - 400) % 160 ELSE 0 END")
+          .as("tail_samples"))
+
+  val stftPlanSql: String =
+    """WITH a AS (SELECT doc_id,
+      |            CAST(octet_length(encode(text)) AS BIGINT) * 8 AS n_samples
+      |           FROM documents)
+      |SELECT doc_id, n_samples,
+      |       (n_samples * 1000) // 16000 AS duration_ms,
+      |       CASE WHEN n_samples >= 400 THEN (n_samples - 400) // 160 + 1
+      |            ELSE 0 END AS n_frames,
+      |       n_samples // 160 + 1 AS n_frames_centered,
+      |       CASE WHEN n_samples >= 400 THEN (n_samples - 400) % 160
+      |            ELSE 0 END AS tail_samples
+      |FROM a""".stripMargin
 }
