@@ -6,13 +6,17 @@ import org.apache.spark.sql.SparkSession
   * parquet read and codegen before anything is timed (otherwise the first
   * query absorbs ~5 s of JVM/session warmup and per-query numbers are
   * meaningless); queries run in sorted name order so runs are comparable;
-  * a failing query is reported loudly as value −1 plus an `errors` list
-  * and stderr trace — never as a fake timing.
+  * each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and the
+  * MINIMUM reported — one-shot numbers carry ±30% Janino/JIT compilation
+  * noise, and min-of-N measures the query, not the compiler; a failing
+  * query is reported loudly as value −1 plus an `errors` list and stderr
+  * trace — never as a fake timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,15 +32,18 @@ object Bench {
     SparkEntry.entry(spark).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val outcome =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          Some(e)
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (outcome.isEmpty) sec else -1.0)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val outcome =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Some(e)
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (outcome.isEmpty) sec else -1.0
+      }
+      (name, if (times.contains(-1.0)) -1.0 else times.min)
     }
     val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
