@@ -633,6 +633,77 @@ object MetricsEtl {
       |       COUNT(*) AS n
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** q_quantile_over_time — PromQL `quantile_over_time(φ, v[1h])`:
+    * exact interpolated quantiles WITHIN each series' window (across
+    * time), the temporal complement of [[qQuantileByLabel]]'s
+    * cross-series quantile. Same engine-parity argument: Spark
+    * `percentile` and DuckDB `quantile_cont` share the rank = φ·(n−1)
+    * linear-interpolation definition, so the doubles agree bit-for-bit.
+    * Exact quantiles buffer the window's values — bounded by samples
+    * per series-hour (scrape cadence), NOT corpus size, so unlike
+    * q_percentiles this is safe at 100 TB without the sketch twin.
+    */
+  def qQuantileOverTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / 3600L) * 3600L).as("w_start"),
+        col("value"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+
+  val quantileOverTimeSql: String =
+    """SELECT event_type AS name, user_id,
+      |       CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       round(quantile_cont(value, 0.99), 4) AS p99,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Watch-list bound for q_absent_over_time: a CONSTANT (the alerting
+    * config is a fixed series list, never "the whole fleet"), so the
+    * output is ≤ watchlist·windows at any corpus size — the same
+    * constant-not-fraction rule as the similarity query sets. */
+  private val AbsentWatchUsers = 50L
+
+  /** q_absent_over_time — PromQL `absent_over_time(v[1h])` over a
+    * watch-list: which (watched series, window) slots have NO samples —
+    * the scrape-gap / dead-target alerting primitive. Plan shape is the
+    * interesting part: both grid dimensions are BOUNDED aggregated
+    * frames (watch-list series, distinct hours ≈ retention/3600), so
+    * the cross-join is dims×dims — constant-size at any corpus size —
+    * and the raw data participates only through two map-side-combined
+    * distincts and a left-anti join on 16-byte keys. The corpus is
+    * never cross-joined with anything.
+    */
+  def qAbsentOverTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") < AbsentWatchUsers)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / 3600L) * 3600L).as("w_start"))
+    val series = ev.select("name", "user_id").distinct()
+    val windows = ev.select("w_start").distinct()
+    series.crossJoin(windows)
+      .join(ev.distinct(), Seq("name", "user_id", "w_start"), "left_anti")
+  }
+
+  val absentOverTimeSql: String =
+    s"""WITH ev AS (SELECT event_type AS name, user_id,
+       |             CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start
+       |            FROM events WHERE user_id < $AbsentWatchUsers),
+       |s AS (SELECT DISTINCT name, user_id FROM ev),
+       |w AS (SELECT DISTINCT w_start FROM ev),
+       |o AS (SELECT DISTINCT name, user_id, w_start FROM ev)
+       |SELECT s.name, s.user_id, w.w_start
+       |FROM s CROSS JOIN w
+       |WHERE NOT EXISTS (SELECT 1 FROM o
+       |  WHERE o.name = s.name AND o.user_id = s.user_id
+       |    AND o.w_start = w.w_start)""".stripMargin
+
   /** q_increase — PromQL increase() with counter-reset handling: per
     * series, sum of reset-corrected successive deltas within each 1h
     * window. A negative delta = counter restart from 0 → that step

@@ -472,6 +472,31 @@ object Olap {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q_cube — the full grouping-set lattice over (returnflag,
+    * linestatus): all four aggregation levels (detail, each single-axis
+    * subtotal, grand total) in ONE shuffle — Spark expands the lattice
+    * map-side exactly as for rollup, so adding the cube's extra sets
+    * costs partial-aggregation width, not extra passes. grouping_id
+    * disambiguates subtotal rows from real NULL groups; integer-cents
+    * sums keep every level exact.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("cents").cast("double") / 100d, 2).as("revenue"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+      |       COUNT(*) AS n,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** q_promo_revenue — TPC-H Q14 shape: fraction of monthly revenue from
     * PROMO parts. Plan: the shipdate filter pushes to the lineitem scan,
     * `part` is a dimension (grows ~SF but far slower than lineitem) so
