@@ -31,7 +31,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query names, for targeted re-measurement; the
+    // driver passes none and gets the full set
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val outcome =

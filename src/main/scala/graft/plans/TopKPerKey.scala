@@ -45,13 +45,74 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode
+    with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+  import org.apache.spark.sql.execution.CodegenSupport
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+
+  /** Executor-side heap state, shared by both execution paths. */
+  def createAccumulator(): TopKAccumulator =
+    new TopKAccumulator(
+      UnsafeProjection.create(keys, child.output),
+      RowOrdering.create(order, child.output), k)
+
+  /** Codegen entry point: sort each key's ≤ k survivors, append ranks
+    * 1..k, project to the output schema (see [[TopKRanked.iterator]]). */
+  def rankedIterator(acc: TopKAccumulator): java.util.Iterator[UnsafeRow] =
+    TopKRanked.iterator(acc, output, order)
+
+  // ---- whole-stage codegen (blocking pattern, see partial below) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  private var accVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needAccum = ctx.addMutableState(
+      CodeGenerator.JAVA_BOOLEAN, "topkFinalNeedAccum", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("topkFinalPlan", this)
+    accVariable = ctx.addMutableState(
+      classOf[TopKAccumulator].getName, "topkFinalAcc",
+      v => s"$v = $thisPlan.createAccumulator();", forceInline = true)
+    val ranked = ctx.addMutableState(
+      "java.util.Iterator", "topkRanked", forceInline = true)
+    val addToAcc = ctx.freshName("addToTopKFinalHeaps")
+    val addToAccFunc = ctx.addNewFunction(addToAcc,
+      s"""
+         |private void $addToAcc() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkFinalRow")
+    s"""
+       |if ($needAccum) {
+       |  $addToAccFunc();
+       |  $ranked = $thisPlan.rankedIterator($accVariable);
+       |  $needAccum = false;
+       |}
+       |while ($limitNotReachedCond $ranked.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $ranked.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin.trim
+  }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$accVariable.insert(${row.value});
+     """.stripMargin
+
+  // ---- interpreted fallback ----
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -60,24 +121,12 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     child.execute().mapPartitions { iter =>
-      val ordering = RowOrdering.create(sortOrder, childOutput)
-      val heaps = TopKHeaps.accumulate(
-        iter, UnsafeProjection.create(keyExprs, childOutput), ordering, limit)
-      val forward = new java.util.Comparator[InternalRow] {
-        def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(a, b)
-      }
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
-      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val acc = new TopKAccumulator(
+        UnsafeProjection.create(keyExprs, childOutput),
+        RowOrdering.create(sortOrder, childOutput), limit)
+      while (iter.hasNext) acc.insert(iter.next())
       import scala.jdk.CollectionConverters._
-      heaps.entrySet().iterator().asScala.flatMap { e =>
-        val arr = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
-        java.util.Arrays.sort(arr, forward)
-        arr.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.setInt(0, i + 1)
-          outProj(joined(r, rankRow)).copy()
-        }
-      }
+      TopKRanked.iterator(acc, outAttrs, sortOrder).asScala
     }
   }
 
@@ -85,10 +134,75 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Shared heap accumulation: one k-bounded PriorityQueue per key.
-  * Heap head = WORST kept row (reverse ordering) so a better incoming
-  * row evicts it in O(log k); strict-< eviction keeps the first k
-  * arrivals among order-equal rows. */
+/** Shared ranked-emit: sort each key's ≤ k survivors with the forward
+  * ordering, append ranks 1..k, project to `outAttrs`. Output is
+  * ≤ k·keys rows — the per-row copy() (the projection reuses its
+  * buffer) is noise next to the input volume. The sort ordering is
+  * resolved against `outAttrs.dropRight(1)` = the child schema. */
+private[plans] object TopKRanked {
+  def iterator(
+      acc: TopKAccumulator,
+      outAttrs: Seq[Attribute],
+      sortOrder: Seq[SortOrder]): java.util.Iterator[UnsafeRow] = {
+    val ordering = RowOrdering.create(sortOrder, outAttrs.dropRight(1))
+    val forward = new java.util.Comparator[InternalRow] {
+      def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(a, b)
+    }
+    val joined = new JoinedRow
+    val rankRow = new GenericInternalRow(1)
+    val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+    import scala.jdk.CollectionConverters._
+    acc.heaps.entrySet().iterator().asScala.flatMap { e =>
+      val arr = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
+      java.util.Arrays.sort(arr, forward)
+      arr.iterator.zipWithIndex.map { case (r, i) =>
+        rankRow.setInt(0, i + 1)
+        outProj(joined(r, rankRow)).copy()
+      }
+    }.asJava
+  }
+}
+
+/** Incremental k-bounded heap state: one PriorityQueue per key. Heap
+  * head = WORST kept row (reverse ordering) so a better incoming row
+  * evicts it in O(log k); strict-< eviction keeps the first k arrivals
+  * among order-equal rows. `insert` is called row-at-a-time from
+  * whole-stage-generated code ([[TopKPerKeyPartialExec.doConsume]]), so
+  * the class and its methods are public and generics-free on the hot
+  * signature. Incoming rows are ephemeral (Spark reuses the buffer) —
+  * retained rows and keys are `copy()`d. */
+final class TopKAccumulator(
+    keyProj: UnsafeProjection,
+    ordering: java.util.Comparator[InternalRow],
+    limit: Int) {
+  private val reverse = new java.util.Comparator[InternalRow] {
+    def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
+  }
+  val heaps =
+    new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var q = heaps.get(key)
+    if (q == null) {
+      q = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
+      heaps.put(key.copy(), q)
+    }
+    if (q.size < limit) q.add(row.copy())
+    else if (ordering.compare(row, q.peek()) < 0) {
+      q.poll(); q.add(row.copy())
+    }
+  }
+
+  /** All surviving rows, heap emit order (the final heap re-ranks). */
+  def drain(): java.util.Iterator[InternalRow] = {
+    val vals = new java.util.ArrayList[InternalRow]()
+    val it = heaps.values().iterator()
+    while (it.hasNext) vals.addAll(it.next())
+    vals.iterator()
+  }
+}
+
 private[plans] object TopKHeaps {
   def accumulate(
       iter: Iterator[InternalRow],
@@ -96,25 +210,9 @@ private[plans] object TopKHeaps {
       ordering: java.util.Comparator[InternalRow],
       limit: Int)
       : java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
-    val reverse = new java.util.Comparator[InternalRow] {
-      def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
-    }
-    val heaps =
-      new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    while (iter.hasNext) {
-      val row = iter.next()
-      val key = keyProj(row)
-      var q = heaps.get(key)
-      if (q == null) {
-        q = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
-        heaps.put(key.copy(), q)
-      }
-      if (q.size < limit) q.add(row.copy())
-      else if (ordering.compare(row, q.peek()) < 0) {
-        q.poll(); q.add(row.copy())
-      }
-    }
-    heaps
+    val acc = new TopKAccumulator(keyProj, ordering, limit)
+    while (iter.hasNext) acc.insert(iter.next())
+    acc.heaps
   }
 }
 
@@ -131,12 +229,73 @@ case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode
+    with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+  import org.apache.spark.sql.execution.CodegenSupport
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning
       : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
+
+  // ---- whole-stage codegen (SortExec's blocking-operator pattern) ----
+  // The child's generated loop calls insert() directly on the heap state
+  // (doConsume), so accumulation runs inside the same JIT'd function as
+  // the scan/filter/project below it — no iterator boundary on the
+  // map-side hot path. Produce then drains the ≤ k·keys survivors.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  /** Executor-side state factory, invoked from generated code via a
+    * plan reference object. */
+  def createAccumulator(): TopKAccumulator =
+    new TopKAccumulator(
+      UnsafeProjection.create(keys, child.output),
+      RowOrdering.create(order, child.output), k)
+
+  private var accVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needAccum = ctx.addMutableState(
+      CodeGenerator.JAVA_BOOLEAN, "topkNeedAccum", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("topkPartialPlan", this)
+    accVariable = ctx.addMutableState(
+      classOf[TopKAccumulator].getName, "topkAcc",
+      v => s"$v = $thisPlan.createAccumulator();", forceInline = true)
+    val drained = ctx.addMutableState(
+      "java.util.Iterator", "topkDrained", forceInline = true)
+    val addToAcc = ctx.freshName("addToTopKHeaps")
+    val addToAccFunc = ctx.addNewFunction(addToAcc,
+      s"""
+         |private void $addToAcc() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkOutputRow")
+    s"""
+       |if ($needAccum) {
+       |  $addToAccFunc();
+       |  $drained = $accVariable.drain();
+       |  $needAccum = false;
+       |}
+       |while ($limitNotReachedCond $drained.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $drained.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin.trim
+  }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$accVariable.insert(${row.value});
+     """.stripMargin
+
+  // ---- interpreted fallback (codegen disabled / fallback path) ----
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

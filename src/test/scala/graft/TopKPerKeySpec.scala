@@ -85,4 +85,43 @@ class TopKPerKeySpec extends SparkSpec {
       plan.indexOf("TopKPerKeyPartial") > exchangeAt,
       s"partial pass must be below the exchange:\n$plan")
   }
+
+  test("partial pass participates in whole-stage codegen, and the " +
+       "generated path agrees with the interpreted one") {
+    val data = spark.range(20000)
+      .selectExpr("id % 37 AS key", "(id * 2654435761) % 100000 AS value",
+                  "id AS tie")
+    val df = TopKPerKey.topK(data, Seq("key"),
+      Seq(("value", true), ("tie", true)), k = 4)
+    // fallback=false: a codegen compile error in the partial's generated
+    // class THROWS instead of silently interpreting, so collect() below
+    // proves the generated insert/drain code actually compiled and ran
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val viaCodegen =
+      try canon(df) finally spark.conf.unset("spark.sql.codegen.fallback")
+    // AQE hides stage subtrees behind leaf QueryStageExec nodes, so
+    // assert on the plan STRING: `*(N) TopKPerKeyPartial` means the
+    // partial is inside codegen stage N, and the child Project/Range
+    // carrying the SAME stage id means the heap insert runs inside the
+    // same generated loop as the scan — not a stage of its own
+    val plan = df.queryExecution.executedPlan.toString
+    val stageId = "\\*\\((\\d+)\\) TopKPerKeyPartial".r
+      .findFirstMatchIn(plan).map(_.group(1))
+    assert(stageId.isDefined,
+      s"partial heap not inside a WholeStageCodegen stage:\n$plan")
+    assert(plan.contains(s"*(${stageId.get}) Project") ||
+           plan.contains(s"*(${stageId.get}) Range"),
+      s"partial heap fused alone:\n$plan")
+    // the final heap (post-shuffle) compiles into its own stage too —
+    // "TopKPerKey [" excludes the partial ("TopKPerKeyPartial [")
+    assert("\\*\\(\\d+\\) TopKPerKey \\[".r.findFirstIn(plan).isDefined,
+      s"final heap not inside a WholeStageCodegen stage:\n$plan")
+    val viaInterpreted = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try canon(TopKPerKey.topK(data, Seq("key"),
+        Seq(("value", true), ("tie", true)), k = 4))
+      finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+    assert(viaCodegen == viaInterpreted)
+  }
 }
