@@ -1342,4 +1342,148 @@ object MetricsEtl {
       |       CAST(CASE WHEN cents > 0 THEN 1 WHEN cents < 0 THEN -1
       |                 ELSE 0 END AS INT) AS sgn
       |FROM c""".stripMargin
+
+  /** q_vector_match — PromQL binary operation between two instant vectors
+    * with explicit vector matching, `sum by (user) (error) / on(user)
+    * sum by (user) (view)` per 1h window. Both sides aggregate FIRST
+    * (map-side combinable sum on (user, window)), then the one-to-one
+    * match is an equi-join on the SAME key both shuffles already landed
+    * on — no extra exchange for the join. Unmatched entries drop, as in
+    * PromQL. The ratio is an exact parts-per-million integer (nonneg
+    * truncating division — the division-parity rule).
+    */
+  def qVectorMatch(spark: SparkSession, dir: String): DataFrame = {
+    def side(metric: String, out: String): DataFrame =
+      Tables.events(spark, dir)
+        .filter(col("event_type") === metric)
+        .select(col("user_id").cast("string").as("user"),
+          expr("unix_micros(ts) div 3600000000").as("wnd"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user", "wnd")
+        .agg(sum("cents").as(out))
+    side("error", "err_cents")
+      .join(side("view", "view_cents"), Seq("user", "wnd"))
+      .select(col("user"), (col("wnd") * 3600000000L).as("w_start_us"),
+        round(col("err_cents").cast("double") / 100d, 2).as("err_sum"),
+        round(col("view_cents").cast("double") / 100d, 2).as("view_sum"),
+        expr("err_cents * 1000000 div view_cents").as("ratio_ppm"))
+  }
+
+  val vectorMatchSql: String =
+    """WITH e AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS "user",
+      |         epoch_us(ts) // 3600000000 AS wnd,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS err_cents
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |v AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS "user",
+      |         epoch_us(ts) // 3600000000 AS wnd,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS view_cents
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT e."user", e.wnd * 3600000000 AS w_start_us,
+      |       round(CAST(err_cents AS DOUBLE) / 100, 2) AS err_sum,
+      |       round(CAST(view_cents AS DOUBLE) / 100, 2) AS view_sum,
+      |       err_cents * 1000000 // view_cents AS ratio_ppm
+      |FROM e JOIN v ON e."user" = v."user" AND e.wnd = v.wnd""".stripMargin
+
+  /** q_compare_bool — PromQL comparison operators in BOTH semantics:
+    * filter form (`v > 100` keeps the sample, others drop) and `bool`
+    * form (`v > bool 100` → 0/1 per point). Per series (name) per 1h
+    * window: points total, points above (bool sum), the kept-sample sum
+    * (filter form), and the above-fraction in exact ppm. One scan, one
+    * bounded-key shuffle; the comparisons are integer-cents exact.
+    */
+  def qCompareBool(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        expr("unix_micros(ts) div 3600000000 * 3600000000").as("w_start_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("above", when(col("cents") > 10000L, 1L).otherwise(0L))
+      .groupBy("name", "w_start_us")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("above")).as("n_above"),
+        round(sum(when(col("above") === 1L, col("cents")).otherwise(0L))
+          .cast("double") / 100d, 2).as("kept_sum"),
+        expr("sum(above) * 1000000 div count(1)").as("above_ppm"))
+
+  val compareBoolSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS name,
+      |         epoch_us(ts) // 3600000000 * 3600000000 AS w_start_us,
+      |         CAST(round(value*100) AS BIGINT) AS cents,
+      |         CASE WHEN CAST(round(value*100) AS BIGINT) > 10000
+      |              THEN 1 ELSE 0 END AS above
+      |  FROM events)
+      |SELECT name, w_start_us, COUNT(*) AS n_points,
+      |       CAST(SUM(above) AS BIGINT) AS n_above,
+      |       round(CAST(SUM(CASE WHEN above = 1 THEN cents ELSE 0 END) AS DOUBLE) / 100, 2)
+      |         AS kept_sum,
+      |       CAST(SUM(above) AS BIGINT) * 1000000 // COUNT(*) AS above_ppm
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** q_agg_without — PromQL `sum without(k) (m)`: aggregation over the
+    * label-set COMPLEMENT. The dropped label is removed from the sorted
+    * key/value arrays by paired surgery (filter keys, re-derive values
+    * from the surviving keys — the R1 sorted invariant is preserved by
+    * construction), then the group key is (name, surviving labels).
+    * Unlike `by(user)`, this keeps EVERY remaining label dimension —
+    * the grouping key is the dynamic array itself, stringified for the
+    * driver compare. One shuffle on the (bounded-cardinality) label sig.
+    */
+  def qAggWithout(spark: SparkSession, dir: String): DataFrame = {
+    val labels = map_concat(
+      map_filter(from_json(col("props"), MapType(StringType, StringType)),
+        (k, _) => k =!= "user"),
+      map(lit("user"), col("user_id").cast("string")))
+    Tables.events(spark, dir)
+      .withColumn("labels", labels)
+      .withColumn("keys_wo",
+        filter(array_sort(map_keys(col("labels"))), k => k =!= "k"))
+      .select(col("event_type").as("name"),
+        array_join(col("keys_wo"), ",").as("label_keys_str"),
+        array_join(transform(col("keys_wo"),
+          k => element_at(col("labels"), k)), ",").as("label_values_str"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "label_keys_str", "label_values_str")
+      .agg(round(sum("cents").cast("double") / 100d, 2).as("sum_v"),
+        count(lit(1)).as("n"))
+  }
+
+  val aggWithoutSql: String = {
+    val keysWo = s"list_filter($keysSql, k -> k <> 'k')"
+    val valsWo =
+      s"""list_transform($keysWo, k -> CASE WHEN k = 'user'
+         |  THEN CAST(user_id AS VARCHAR)
+         |  ELSE json_extract_string(props, '$$.' || k) END)""".stripMargin
+    s"""SELECT event_type AS name,
+       |       array_to_string($keysWo, ',') AS label_keys_str,
+       |       array_to_string($valsWo, ',') AS label_values_str,
+       |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_v,
+       |       COUNT(*) AS n
+       |FROM events GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** q_time_group — the PromQL time-function family (`hour()`,
+    * `day_of_week()`) as grouping dimensions: per metric per hour-of-day
+    * per day-of-week (0=Sunday, Prometheus convention) sample counts and
+    * exact sums. Pure projection into a bounded 5×24×7 group space —
+    * map-side combine does nearly all the work at any corpus size.
+    */
+  def qTimeGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        (dayofweek(col("ts")) - 1).cast("long").as("day_of_week"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "hour_of_day", "day_of_week")
+      .agg(count(lit(1)).as("n"),
+        round(sum("cents").cast("double") / 100d, 2).as("sum_v"))
+
+  val timeGroupSql: String =
+    """SELECT event_type AS name,
+      |       CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+      |       CAST(date_part('dow', ts) AS BIGINT) AS day_of_week,
+      |       COUNT(*) AS n,
+      |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_v
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
 }

@@ -768,4 +768,234 @@ object Olap {
       |       event_type, COUNT(*) AS n,
       |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q_outer_join — LEFT OUTER join preserving unmatched rows (ClickHouse
+    * `LEFT JOIN` / SQL left outer): customers with NO orders survive with
+    * null order columns and are counted per nation. Scale shape:
+    * aggregate orders per custkey FIRST (map-side combinable, output ≈
+    * |customers| ≪ |orders|), then one shuffle join on custkey — the
+    * outer side never carries order-level fan-out, and the final
+    * per-nation rollup is bounded (25 rows).
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("order_cnt").isNull, 1L).otherwise(0L)).as("n_no_orders"),
+        coalesce(sum(col("order_cnt")), lit(0L)).as("n_orders"),
+        round(coalesce(sum(col("spend_cents")), lit(0L)).cast("double") / 100d, 2)
+          .as("total_spend"))
+  }
+
+  val qOuterJoinSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, COUNT(*) AS order_cnt,
+      |         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT c_nationkey, COUNT(*) AS n_customers,
+      |       CAST(SUM(CASE WHEN pc.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+      |       CAST(COALESCE(SUM(order_cnt), 0) AS BIGINT) AS n_orders,
+      |       round(CAST(COALESCE(SUM(spend_cents), 0) AS DOUBLE) / 100, 2) AS total_spend
+      |FROM customer LEFT JOIN pc ON c_custkey = pc.o_custkey
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** q_set_ops — INTERSECT / EXCEPT set algebra (ClickHouse supports both):
+    * customers who ordered in 1996 vs 1997, partitioned into both / only-A
+    * / only-B cohorts. Each set is an aggregate-first DISTINCT on custkey
+    * (map-side partial dedup), the set ops hash-join on the 8-byte key,
+    * and the output is three counters — bounded at any corpus size.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(yearN: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")) === yearN)
+        .select(col("o_custkey")).distinct()
+    val a = buyers(1996)
+    val b = buyers(1997)
+    def counted(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("cohort"), col("n"))
+    counted(a.intersect(b), "both")
+      .unionAll(counted(a.except(b), "only_1996"))
+      .unionAll(counted(b.except(a), "only_1997"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE date_part('year', o_orderdate) = 1996),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE date_part('year', o_orderdate) = 1997)
+      |SELECT 'both' AS cohort, COUNT(*) AS n
+      |FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1996', COUNT(*)
+      |FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1997', COUNT(*)
+      |FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""".stripMargin
+
+  /** q_avg_threshold — TPC-H Q17 shape (correlated-subquery decorrelated):
+    * revenue from lineitems whose quantity is below 20% of their part's
+    * average. The correlated `q < 0.2·avg(q)` becomes an aggregate-join:
+    * filter part to the watched brands, join lineitem once, aggregate that
+    * SAME subtree per partkey, join the aggregate back — Spark reuses the
+    * shuffle (both branches exchange on l_partkey; ReusedExchange in the
+    * plan). The threshold compare is EXACT integer cross-multiplication
+    * (5·q·n < Σq, all nonnegative) — no division, no float, no rounding
+    * rule to diverge between engines.
+    */
+  def qAvgThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#4", "Brand#19"))
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"))
+      .join(pk, col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("ag_partkey"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_q"))
+    li.join(perPart, col("l_partkey") === col("ag_partkey"))
+      .filter(lit(5L) * col("q") * col("n_q") < col("sum_q"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("p")).cast("double") / 100d, 2).as("low_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qAvgThresholdSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, p_brand,
+      |         CAST(round(l_quantity*100) AS BIGINT) AS q,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS p
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand IN ('Brand#4', 'Brand#19')),
+      |ag AS (
+      |  SELECT l_partkey AS ag_partkey, CAST(SUM(q) AS BIGINT) AS sum_q,
+      |         COUNT(*) AS n_q
+      |  FROM li GROUP BY 1)
+      |SELECT p_brand,
+      |       round(CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / 100, 2) AS low_qty_revenue,
+      |       COUNT(*) AS n_items
+      |FROM li JOIN ag ON l_partkey = ag_partkey
+      |WHERE 5 * q * n_q < sum_q
+      |GROUP BY p_brand""".stripMargin
+
+  /** q_market_share — TPC-H Q8 shape: one nation's share of yearly order
+    * revenue as a conditional-aggregate ratio. customer⋈nation is the
+    * size-gated dim join (nation force-broadcast — fixed 25 rows at any
+    * SF); orders⋈customer shuffles on custkey at scale. Share emitted as
+    * an exact parts-per-million integer via truncating division on
+    * nonnegative operands (identical in both engines — floor == trunc for
+    * nonneg, the division-parity rule).
+    */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("p"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(col("p")).cast("double") / 100d, 2).as("total_revenue"),
+        round(sum(when(col("n_name") === "NATION_3", col("p")).otherwise(0L))
+          .cast("double") / 100d, 2).as("nation_revenue"),
+        expr("sum(CASE WHEN n_name = 'NATION_3' THEN p ELSE 0 END) * 1000000 div sum(p)")
+          .as("share_ppm"))
+  }
+
+  val qMarketShareSql: String =
+    """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+      |       round(CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / 100, 2) AS total_revenue,
+      |       round(CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN p ELSE 0 END) AS BIGINT) AS DOUBLE) / 100, 2)
+      |         AS nation_revenue,
+      |       CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN p ELSE 0 END) AS BIGINT) * 1000000
+      |         // CAST(SUM(p) AS BIGINT) AS share_ppm
+      |FROM (SELECT o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS p, o_orderdate
+      |      FROM orders) o
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** q_window_frames — the window FRAME family in one pass per frame kind:
+    * a ROWS sliding frame (trailing 4 rows), a ROWS running prefix
+    * (first_value / nth_value), and a RANGE frame over day offsets
+    * (trailing 2 calendar days, ties = peers included). Both ROWS windows
+    * share one (suppkey)-partitioned sort; the RANGE window reuses the
+    * same exchange (same partition key, different order column) — one
+    * shuffle total, state per row is O(frame), not O(partition).
+    */
+  def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"),
+        datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))
+          .cast("long").as("ship_day"))
+    val rows = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_day"), col("l_orderkey"), col("l_linenumber"))
+    val range = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+    base
+      .withColumn("sliding_cents",
+        sum(col("p")).over(rows.rowsBetween(-3, Window.currentRow)))
+      .withColumn("first_cents",
+        first(col("p")).over(rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nth2_cents",
+        coalesce(nth_value(col("p"), 2)
+          .over(rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(-1L)))
+      .withColumn("day2_cents",
+        sum(col("p")).over(range.rangeBetween(-1, Window.currentRow)))
+      .drop("p")
+  }
+
+  val qWindowFramesSql: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, ship_day,
+      |       CAST(SUM(p) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS sliding_cents,
+      |       first_value(p) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS first_cents,
+      |       COALESCE(nth_value(p, 2) OVER
+      |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS nth2_cents,
+      |       CAST(SUM(p) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+      |         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS day2_cents
+      |FROM (SELECT l_orderkey, l_linenumber, l_suppkey,
+      |             CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+      |             date_diff('day', DATE '1995-01-01', l_shipdate) AS ship_day
+      |      FROM lineitem)
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY ship_day, l_orderkey, l_linenumber)""".stripMargin
+
+  /** q_mode — modal value per group (ClickHouse `topK(1)` / `anyHeavy`
+    * shape, exact): the most frequent orderpriority per orderstatus with
+    * a deterministic tie rule (count DESC, value ASC). Written as the
+    * universal row_number-filter idiom — which [[graft.plans.TopKRewriteRule]]
+    * rewrites onto the bounded-heap TopKPerKey operator, so the per-group
+    * pick is heap-k over the SMALL aggregated frame (|statuses|×|priorities|
+    * rows), sort-free at any corpus size.
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .drop("rn")
+  }
+
+  val qModeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, cnt FROM (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |           ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY 1, 2)
+      |WHERE rn = 1""".stripMargin
 }
