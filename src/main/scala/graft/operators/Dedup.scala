@@ -455,4 +455,106 @@ object Dedup {
        |       (simhash >> 30) & 32767 AS band2,
        |       (simhash >> 45) & 32767 AS band3
        |FROM sim""".stripMargin
+
+  /** Winnowing window size: each sliding window of [[winnowW]] consecutive
+    * 4-gram hashes contributes its MINIMUM as a fingerprint. Guarantees
+    * any match of ≥ w+3 tokens shares at least one fingerprint (the
+    * winnowing coverage theorem) while keeping ~1/w of the grams —
+    * density 2/(w+1) expected. */
+  private val winnowW = 4
+
+  /** Winnowed fingerprint base: one row per (doc_id, n, fp) where fp is
+    * a selected 4-gram hash and n the doc's distinct-fingerprint count.
+    * The selection is per-window MINIMUM (Schleimer/Wilkerson/Aiken,
+    * MOSS): the fingerprint SET = distinct minima over all windows — no
+    * tie-position bookkeeping needed because only the hash identity
+    * enters the set. Same hot-path shape as [[shingled]]: posexplode +
+    * `lead` (codegen'd, window shuffle lands on doc_id — the key the
+    * fingerprint aggregation needs anyway), hashes AFTER the explode in
+    * a codegen'd projection, and all downstream joins key on the 8-byte
+    * hash. Work per doc is O(tokens); selected set is ~tokens/w.
+    */
+  private def winnowed(spark: SparkSession, dir: String): DataFrame = {
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val words = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val grams = words
+      .withColumn("w2", lead("word", 1).over(wdoc))
+      .withColumn("w3", lead("word", 2).over(wdoc))
+      .withColumn("w4", lead("word", 3).over(wdoc))
+      .filter(col("w4").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        hash60(concat_ws(" ", col("word"), col("w2"), col("w3"), col("w4")))
+          .as("h"))
+    val sel = grams
+      .withColumn("wmin", min("h").over(wdoc.rowsBetween(0, winnowW - 1)))
+      // valid window starts only: the last w-1 positions have ragged
+      // (shorter) windows, which the algorithm does not emit
+      .withColumn("hend", lead("h", winnowW - 1).over(wdoc))
+      .filter(col("hend").isNotNull)
+      .select(col("doc_id"), col("wmin").as("fp"))
+    sel.groupBy("doc_id").agg(collect_set(col("fp")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n"),
+        explode(col("fps")).as("fp"))
+  }
+
+  /** DuckDB twin of [[winnowed]] as WITH-clause body (ending in `fpn`). */
+  private val winnowedSql: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS gs
+       |       FROM w WHERE len(ws) >= 4),
+       |g1 AS (SELECT doc_id, len(gs) AS ng, i, gs[CAST(i AS INT)] AS gram
+       |       FROM g0, UNNEST(generate_series(1, len(gs))) AS t(i)),
+       |g2 AS (SELECT doc_id, ng, i, ${hash60Sql("gram")} AS h FROM g1),
+       |selw AS (SELECT doc_id,
+       |          min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |            ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS fp
+       |        FROM g2 QUALIFY i <= ng - ${winnowW - 1}),
+       |fp0 AS (SELECT DISTINCT doc_id, fp FROM selw),
+       |fpsz AS (SELECT doc_id, COUNT(*) AS n FROM fp0 GROUP BY 1),
+       |fpn AS (SELECT fp0.doc_id, fpsz.n, fp0.fp
+       |        FROM fp0 JOIN fpsz ON fp0.doc_id = fpsz.doc_id)""".stripMargin
+
+  /** Hot-fingerprint guard, same rationale as [[dropStopShingles]]. */
+  private val maxFpDf = 1000
+
+  /** q_winnow — document fingerprinting by WINNOWING (the MOSS
+    * algorithm): per-window minima of 4-gram hashes form each doc's
+    * fingerprint set (~1/w of the grams, with the guarantee that any
+    * shared run of ≥ w+3 tokens shares a fingerprint), then near-dup
+    * candidate pairs come from the fingerprint-equality self-join —
+    * sub-linear candidate generation vs full shingle joins, the same
+    * coverage contract MOSS ships. Stop-fingerprint guard bounds the
+    * one quadratic risk (a boilerplate fingerprint shared corpus-wide),
+    * mirrored in the oracle.
+    */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowed(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxFpDf).drop("df")
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .filter(col("n_common") >= 2)
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("na"), col("nb"), col("jaccard"))
+  }
+
+  val winnowSql: String =
+    s"""WITH $winnowedSql,
+       |fpf AS (SELECT doc_id, n, fp FROM fpn
+       |        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= $maxFpDf)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       COUNT(*) AS n_common, max(a.n) AS na, max(b.n) AS nb,
+       |       round(CAST(COUNT(*) AS DOUBLE) /
+       |         CAST(max(a.n) + max(b.n) - COUNT(*) AS DOUBLE), 4) AS jaccard
+       |FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= 2""".stripMargin
 }

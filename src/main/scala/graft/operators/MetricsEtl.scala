@@ -1486,4 +1486,89 @@ object MetricsEtl {
       |       COUNT(*) AS n,
       |       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_v
       |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_holt_winters — PromQL `double_exponential_smoothing(v[1h], sf, tb)`
+    * (Prometheus functions.go funcDoubleExponentialSmoothing): level +
+    * trend smoothing over each series-window, Prometheus's exact update
+    * order (trend from the previous TWO levels, then the new level; the
+    * first iteration keeps the initial trend b = x₁−x₀).
+    *
+    * Engine-exact math: sf = tb = 1/2 (dyadic), every halving is
+    * floor(x/2) computed as `(x + 2·OFF) div 2 − OFF` with OFF = 2⁴⁰ —
+    * the offset keeps the dividend positive, where truncating and floor
+    * division coincide, so Spark `div`, DuckDB `//` and two's-complement
+    * shifts all agree (the division-parity rule; trend terms CAN go
+    * negative). The fold is a per-row `aggregate` HOF over the window's
+    * sorted points — state is O(1) and bounded by scrape cadence, not
+    * corpus; the oracle replays the identical recurrence as a recursive
+    * CTE (different algorithm shape, same fixpoint).
+    */
+  def qHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val OFF = 1L << 40
+    def halve(c: Column): Column = shiftright(c + lit(2 * OFF), 1) - lit(OFF)
+    val g = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")).as("pt"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(sort_array(collect_list(col("pt"))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+    val x0 = element_at(col("pts"), 1).getField("cents")
+    val x1 = element_at(col("pts"), 2).getField("cents")
+    val smoothed = aggregate(
+      slice(col("pts"), lit(2), size(col("pts")) - 1),
+      struct(lit(0L).as("s0"), x0.as("s1"), (x1 - x0).as("b"),
+        lit(1).as("first")),
+      (acc, pt) => {
+        val bn = when(acc.getField("first") === 1, acc.getField("b"))
+          .otherwise(halve(acc.getField("s1") - acc.getField("s0") + acc.getField("b")))
+        val sn = halve(pt.getField("cents") + acc.getField("s1") + bn)
+        struct(acc.getField("s1").as("s0"), sn.as("s1"), bn.as("b"),
+          lit(0).as("first"))
+      },
+      acc => acc.getField("s1"))
+    g.select(col("name"), col("user_id"), col("w_start"),
+      size(col("pts")).cast("long").as("n_points"),
+      round(smoothed.cast("double") / 100d, 2).as("smoothed"))
+  }
+
+  val holtWintersSql: String =
+    """WITH RECURSIVE
+      |b0 AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         epoch_us(ts) AS ts_us, event_id,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (
+      |  SELECT name, user_id, w_start, cents,
+      |         row_number() OVER (PARTITION BY name, user_id, w_start
+      |                            ORDER BY ts_us, event_id, cents) AS rn
+      |  FROM b0),
+      |sz AS (SELECT name, user_id, w_start, COUNT(*) AS n
+      |       FROM p GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+      |rec AS (
+      |  SELECT p0.name, p0.user_id, p0.w_start, 1 AS i,
+      |         CAST(0 AS BIGINT) AS s0, p0.cents AS s1,
+      |         p1.cents - p0.cents AS b
+      |  FROM p p0 JOIN p p1 ON p1.name = p0.name AND p1.user_id = p0.user_id
+      |       AND p1.w_start = p0.w_start AND p1.rn = 2
+      |  WHERE p0.rn = 1
+      |  UNION ALL
+      |  SELECT r.name, r.user_id, r.w_start, r.i + 1, r.s1,
+      |         ((px.cents + r.s1 +
+      |           (CASE WHEN r.i = 1 THEN r.b
+      |                 ELSE ((r.s1 - r.s0 + r.b + 2199023255552) // 2) - 1099511627776 END)
+      |           + 2199023255552) // 2) - 1099511627776,
+      |         CASE WHEN r.i = 1 THEN r.b
+      |              ELSE ((r.s1 - r.s0 + r.b + 2199023255552) // 2) - 1099511627776 END
+      |  FROM rec r JOIN p px ON px.name = r.name AND px.user_id = r.user_id
+      |       AND px.w_start = r.w_start AND px.rn = r.i + 1)
+      |SELECT r.name, r.user_id, r.w_start, sz.n AS n_points,
+      |       round(CAST(r.s1 AS DOUBLE) / 100, 2) AS smoothed
+      |FROM rec r JOIN sz ON sz.name = r.name AND sz.user_id = r.user_id
+      |     AND sz.w_start = r.w_start
+      |WHERE r.i = sz.n""".stripMargin
 }

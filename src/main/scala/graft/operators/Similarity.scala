@@ -573,4 +573,92 @@ object Similarity {
        |         ORDER BY cos DESC, neighbor_id) AS rn
        |FROM p2 QUALIFY rn <= 3""".stripMargin
   }
+
+  /** Product-quantization geometry: M subspaces × K centroids each.
+    * Codes are M·log₂K bits (here 8) — the index footprint that lets a
+    * 100 TB embedding corpus live in RAM as 1 byte/vector + a small
+    * codebook. Centroids are plan-time deterministic constants (same
+    * hash60Jvm device as the LSH planes); a data-adaptive codebook
+    * would come from q_kmeans_step per subspace. */
+  private val PqM = 4
+  private val PqK = 4
+  private def pqCentroids(sub: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(PqM, PqK)((m, k) =>
+      Array.tabulate(sub)(i => hash60Jvm(s"pq:$m:$k:$i") % 2001 - 1000))
+
+  /** q_pq_code — product-quantization encoding (Jégou et al., PQ for
+    * nearest neighbor search): split each quantized vector into M=4
+    * subvectors, assign each to its nearest of K=4 subspace centroids by
+    * EXACT integer squared distance (‖q‖² − 2·q·c + ‖c‖², the norms and
+    * dots all integer; q·c on the native codegen'd vec_dot), and pack
+    * the M choices into one code byte, carrying the total quantization
+    * error. Ties take the FIRST minimal centroid (array_position ==
+    * list_position: first occurrence) — deterministic in both engines.
+    * Pure projection: no shuffle, no join, scan-speed at any corpus
+    * size; the codebook is O(M·K·d) literals in the plan.
+    */
+  def qPqCode(spark: SparkSession, dir: String): DataFrame = {
+    val d = dim(spark, dir)
+    val sub = d / PqM
+    val cents = pqCentroids(sub)
+    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
+    val s1 = base.select(col("vec_id") +: (0 until PqM).map(m =>
+      slice(col("q"), m * sub + 1, sub).as(s"q$m")): _*)
+    val s2 = s1.select(col("vec_id") +: (0 until PqM).flatMap(m => Seq(
+      col(s"q$m"), vecDot(col(s"q$m"), col(s"q$m")).as(s"n$m"))): _*)
+    val s3 = s2.select(col("vec_id") +: (0 until PqM).map { m =>
+      array((0 until PqK).map { k =>
+        val c = cents(m)(k)
+        val cNorm = c.map(x => x * x).sum
+        col(s"n$m") - lit(2L) * vecDot(col(s"q$m"), typedLit(c.toSeq)) +
+          lit(cNorm)
+      }: _*).as(s"ds$m")
+    }: _*)
+    val codes = (0 until PqM).map(m =>
+      (array_position(col(s"ds$m"), array_min(col(s"ds$m"))) - 1L) *
+        lit(math.pow(PqK, m).toLong))
+    val qerr = (0 until PqM).map(m => array_min(col(s"ds$m"))).reduce(_ + _)
+    s3.select(col("vec_id"),
+      codes.reduce(_ + _).cast("long").as("code"),
+      qerr.cast("long").as("qerr"))
+  }
+
+  val pqCodeSql: String = {
+    val sub = 16 // embeddings are 64-dim (asserted in spec); 64 / PqM
+    val cents = pqCentroids(sub)
+    def centList(m: Int, k: Int): String =
+      cents(m)(k).mkString("[", ", ", "]")
+    def centNorm(m: Int, k: Int): Long =
+      cents(m)(k).map(x => x * x).sum
+    val dotCols = (for (m <- 0 until PqM; k <- 0 until PqK) yield
+      s"""CAST(list_sum(list_transform(generate_series(1, $sub),
+         |  i -> q[CAST(${m * sub} + i AS INT)] * (${centList(m, k)})[CAST(i AS INT)]))
+         |  AS BIGINT) AS d$m$k""".stripMargin).mkString(",\n")
+    val nrmCols = (0 until PqM).map(m =>
+      s"""CAST(list_sum(list_transform(generate_series(1, $sub),
+         |  i -> q[CAST(${m * sub} + i AS INT)] * q[CAST(${m * sub} + i AS INT)]))
+         |  AS BIGINT) AS n$m""".stripMargin).mkString(",\n")
+    val dsCols = (0 until PqM).map(m =>
+      "[" + (0 until PqK).map(k =>
+        s"n$m - 2*d$m$k + ${centNorm(m, k)}").mkString(", ") + s"] AS ds$m")
+      .mkString(",\n")
+    val code = (0 until PqM).map(m =>
+      s"(list_position(ds$m, list_min(ds$m)) - 1) * ${math.pow(PqK, m).toLong}")
+      .mkString(" + ")
+    val qerr = (0 until PqM).map(m => s"list_min(ds$m)").mkString(" + ")
+    s"""WITH qq AS (SELECT vec_id,
+       |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |mm AS (SELECT vec_id,
+       |$nrmCols,
+       |$dotCols
+       |FROM qq),
+       |dd AS (SELECT vec_id,
+       |$dsCols
+       |FROM mm)
+       |SELECT vec_id, CAST($code AS BIGINT) AS code,
+       |       CAST($qerr AS BIGINT) AS qerr
+       |FROM dd""".stripMargin
+  }
 }

@@ -551,4 +551,84 @@ object TextAnalysis {
        |         ORDER BY ord_hash, doc_id) AS pos
        |FROM h""".stripMargin
   }
+
+  /** Constant blocklist — the plan-time term list every corpus filter
+    * ships (profanity / boilerplate / SEO-spam lists in production; here
+    * vocabulary terms so the operator exercises real hits). Embedded as
+    * literals on both engines; the membership tests are codegen'd `In`
+    * checks, zero joins, zero shuffles for the scan phase. */
+  private val blockTerms = Seq("spark", "hash", "merge", "scan")
+
+  /** q_blocklist — blocklist filtering (the C4/RefinedWeb "bad words"
+    * stage): per doc the count of DISTINCT blocklist terms present, the
+    * total occurrence count, and the keep verdict (≤1 distinct term).
+    * Pure projection over the token array — the blocklist is a plan-time
+    * constant, so this is a single codegen'd scan at any corpus size
+    * (never a join against a terms table).
+    */
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nHit = blockTerms.map(t => array_contains(toks, t).cast("long"))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nHit.as("n_terms_hit"),
+        size(filter(toks, t => t.isInCollection(blockTerms)))
+          .cast("long").as("n_occurrences"))
+      .withColumn("keep", col("n_terms_hit") <= 1)
+  }
+
+  val blocklistSql: String = {
+    val inList = blockTerms.map(t => s"'$t'").mkString(", ")
+    val hitSum = blockTerms
+      .map(t => s"(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |       CAST($hitSum AS BIGINT) AS n_terms_hit,
+       |       CAST(len(list_filter(ws, t -> t IN ($inList))) AS BIGINT)
+       |         AS n_occurrences,
+       |       ($hitSum) <= 1 AS keep
+       |FROM w""".stripMargin
+  }
+
+  /** Token budget for the mixture plan (a plan-time constant — in
+    * production the run's global training-token target). */
+  private val MixBudgetTokens = 10000000L
+
+  /** q_mix_budget — training-mixture planning: per source, the corpus
+    * token supply vs the source's target share of a fixed token budget,
+    * and the oversampling (repeat) factor that share implies — the
+    * Pile/Dolma-style mixture-weights stage. One bounded groupBy (|sources|
+    * rows); weights are derived from the source index so both engines
+    * compute them from the data, not a side table. All integer math:
+    * shares in ppm, repeat factor ×1000 via nonneg truncating division.
+    */
+  def qMixBudget(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("target_ppm", (srcIdx % 3 + 1) * 50000L)
+      .withColumn("target_tokens",
+        expr(s"$MixBudgetTokens * target_ppm div 1000000"))
+      .withColumn("repeat_x1000",
+        expr("target_tokens * 1000 div n_tokens"))
+  }
+
+  val mixBudgetSql: String =
+    s"""WITH w AS (SELECT source, len(string_split(text, ' ')) AS n_toks
+       |           FROM documents),
+       |g AS (SELECT source, COUNT(*) AS n_docs,
+       |        CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |      FROM w GROUP BY 1),
+       |t AS (SELECT *, (CAST(substr(source, 4) AS BIGINT) % 3 + 1) * 50000
+       |        AS target_ppm FROM g)
+       |SELECT source, n_docs, n_tokens, target_ppm,
+       |       $MixBudgetTokens * target_ppm // 1000000 AS target_tokens,
+       |       ($MixBudgetTokens * target_ppm // 1000000) * 1000 // n_tokens
+       |         AS repeat_x1000
+       |FROM t""".stripMargin
 }
