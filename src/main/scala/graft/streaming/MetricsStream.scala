@@ -56,6 +56,62 @@ object MetricsStream {
       .drop("ts")
   }
 
+  /** Streaming dedup via `dropDuplicatesWithinWatermark` — the Spark
+    * 3.5+ API for the case where the dedup key does NOT encode event
+    * time: duplicates are only guaranteed to collapse while they arrive
+    * within the watermark delay of the first copy, and state is evicted
+    * purely by that clock. This is the exact semantic of the reference's
+    * batch-window overlap (re-deliveries happen within one overlap span,
+    * never a day later), so the weaker-but-bounded contract is the
+    * honest production dial next to [[dedupedMetrics]]'s
+    * key-encodes-time variant.
+    */
+  def dedupedMetricsWithinWatermark(metrics: DataFrame): DataFrame = {
+    import graft.functions.Portable._
+    metrics
+      .withColumn("id", hash60(concat_ws("\u0001",
+        col("ts_us").cast("string"), col("name"),
+        array_join(col("label_keys"), ","),
+        array_join(col("label_values"), ","),
+        formatFloat(col("value")))))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .drop("ts")
+  }
+
+  /** Stream-stream INTERVAL join: pair each `nameA` point with the
+    * `nameB` points on the SAME series labels within `[a.ts, a.ts+30m]`
+    * — the streaming counterpart of [[graft.operators.Olap.qRangeJoin]].
+    * Both sides carry the same watermark (they are two filters of one
+    * source) and the join condition bounds event-time distance, which
+    * is what lets Spark evict join state: a row older than
+    * watermark + range can never match again. Inner join, so matches
+    * emit as soon as both sides arrive — no flush needed for output,
+    * only for state cleanup. Works identically on batch frames (the
+    * parity spec pins it).
+    */
+  def intervalJoin(metrics: DataFrame, nameA: String = "click",
+      nameB: String = "purchase"): DataFrame = {
+    val base = metrics
+      .select(col("name"),
+        concat_ws("\u0001", array_join(col("label_keys"), ","),
+          array_join(col("label_values"), ",")).as("sig"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .withWatermark("ts", "10 minutes")
+    val a = base.filter(col("name") === nameA)
+      .select(col("sig"), col("ts").as("a_ts"), col("value").as("a_value"))
+    val b = base.filter(col("name") === nameB)
+      .select(col("sig").as("b_sig"), col("ts").as("b_ts"),
+        col("value").as("b_value"))
+    a.join(b, col("sig") === col("b_sig") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 minutes"))
+      .select(col("sig"), unix_micros(col("a_ts")).as("a_ts_us"),
+        unix_micros(col("b_ts")).as("b_ts_us"),
+        col("a_value"), col("b_value"))
+  }
+
   /** Watermarked tumbling-window per-series aggregation: the streaming
     * materialization of q_over_time. Watermark bounds state: windows
     * older than 10 min beyond max event time are finalized and evicted —

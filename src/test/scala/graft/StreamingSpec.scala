@@ -167,6 +167,71 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_test").count() == 2)
   }
 
+  test("dropDuplicatesWithinWatermark: overlap re-deliveries collapse") {
+    val fixture =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"up","job":"a"},"values":[""" +
+        """[1700000000,"1"],[1700000060,"2"]]}]}}"""
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream
+      .dedupedMetricsWithinWatermark(PrometheusJson.metricRows(
+        PrometheusJson.parse(ms.toDF(), "value")))
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("dedup_wm_ckpt"))
+      .start()
+    try {
+      ms.addData(fixture)
+      q.processAllAvailable()
+      // the overlap re-delivers the SAME response within the watermark
+      // delay — the contract window of this API
+      ms.addData(fixture)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_wm_test").count() == 2)
+  }
+
+  test("stream-stream interval join: streaming == batch, state bounded") {
+    // click at t0 and t0+2500s; purchases at t0+60 (pairs with click 1
+    // only: within 30 min and >= its ts) and t0+2560 (pairs with click 2
+    // only). A purchase 2h later on another series is the watermark mover.
+    val data =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"click","job":"a"},"values":[""" +
+        """[1700000000,"1"],[1700002500,"3"]]},""" +
+        """{"metric":{"__name__":"purchase","job":"a"},"values":[""" +
+        """[1700000060,"2"],[1700002560,"4"]]}]}}"""
+    val flush =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"purchase","job":"zz"},"values":[""" +
+        """[1700010000,"0"]]}]}}"""
+    def parse(df: org.apache.spark.sql.DataFrame, c: String) =
+      PrometheusJson.metricRows(PrometheusJson.parse(df, c))
+    val batch = MetricsStream
+      .intervalJoin(parse(Seq(data, flush).toDF("json"), "json"))
+      .orderBy("a_ts_us", "b_ts_us").collect().toSeq
+    assert(batch.size == 2, "each click pairs with exactly one purchase")
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream.intervalJoin(parse(ms.toDF(), "value"))
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ssj_ckpt"))
+      .start()
+    try {
+      ms.addData(data)
+      q.processAllAvailable()
+      ms.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj_test")
+      .orderBy("a_ts_us", "b_ts_us").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.map(r => (r.getAs[Double]("a_value"),
+      r.getAs[Double]("b_value"))) == Seq((1.0, 2.0), (3.0, 4.0)))
+  }
+
   test("windowed aggregation: streaming (complete mode) == batch") {
     val fixtures = Seq(
       """{"status":"success","data":{"resultType":"matrix","result":[""" +
