@@ -1571,4 +1571,272 @@ object MetricsEtl {
       |FROM rec r JOIN sz ON sz.name = r.name AND sz.user_id = r.user_id
       |     AND sz.w_start = r.w_start
       |WHERE r.i = sz.n""".stripMargin
+
+  /** q_vector_setops — PromQL logical/set binary operators between two
+    * instant vectors: `err and view`, `err unless view`, `err or view`
+    * on matching label sets (user) per 1h window. Both sides aggregate
+    * FIRST (map-side combinable), then ONE full-outer equi-join on the
+    * key both shuffles already landed on computes all three operators at
+    * once — presence flags decide membership exactly as PromQL's
+    * matching does. Absent-side values surface as the -1 sentinel so
+    * every output column stays non-null BIGINT (driver-hashable).
+    */
+  def qVectorSetops(spark: SparkSession, dir: String): DataFrame = {
+    def side(metric: String, out: String): DataFrame =
+      Tables.events(spark, dir)
+        .filter(col("event_type") === metric)
+        .select(col("user_id").cast("string").as("user"),
+          expr("unix_micros(ts) div 3600000000").as("wnd"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user", "wnd")
+        .agg(sum("cents").as(out))
+    side("error", "err_cents")
+      .join(side("view", "view_cents"), Seq("user", "wnd"), "full_outer")
+      .select(col("user"), (col("wnd") * 3600000000L).as("w_start_us"),
+        col("err_cents").isNotNull.cast("int").as("in_err"),
+        col("view_cents").isNotNull.cast("int").as("in_view"),
+        coalesce(when(col("view_cents").isNotNull, col("err_cents")), lit(-1L))
+          .as("and_cents"),
+        coalesce(when(col("view_cents").isNull, col("err_cents")), lit(-1L))
+          .as("unless_cents"),
+        coalesce(col("err_cents"), col("view_cents")).as("or_cents"))
+  }
+
+  val vectorSetopsSql: String =
+    """WITH e AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS "user",
+      |         epoch_us(ts) // 3600000000 AS wnd,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS err_cents
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |v AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS "user",
+      |         epoch_us(ts) // 3600000000 AS wnd,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS view_cents
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT "user", wnd * 3600000000 AS w_start_us,
+      |       CAST(err_cents IS NOT NULL AS INT) AS in_err,
+      |       CAST(view_cents IS NOT NULL AS INT) AS in_view,
+      |       coalesce(CASE WHEN view_cents IS NOT NULL THEN err_cents END, -1)
+      |         AS and_cents,
+      |       coalesce(CASE WHEN view_cents IS NULL THEN err_cents END, -1)
+      |         AS unless_cents,
+      |       coalesce(err_cents, view_cents) AS or_cents
+      |FROM e FULL JOIN v USING ("user", wnd)""".stripMargin
+
+  /** q_group_left — PromQL many-to-one vector matching:
+    * `sum by(name,user)(m) / on(user) group_left(tier)
+    *  sum by(user)(view)` per 1h window. The "one" side is the per-user
+    * view total plus a DERIVED label (`tier`) that group_left carries
+    * onto every matched many-side series — the canonical info-metric
+    * enrichment. Both sides aggregate first; the many-to-one join is an
+    * equi-join on the aggregation key (no extra exchange on the many
+    * side), and at 100 TB the one side is |users|-sized → AQE broadcasts
+    * it. Share is exact ppm via nonneg truncating division (all event
+    * values are positive; enforced by the WHERE guard anyway).
+    */
+  def qGroupLeft(spark: SparkSession, dir: String): DataFrame = {
+    val many = Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("wnd"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "user_id", "wnd")
+      .agg(sum("cents").as("m_cents"))
+    val one = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("wnd"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "wnd")
+      .agg(sum("cents").as("view_cents"), count(lit(1)).as("n_view"))
+      .withColumn("tier",
+        when(col("n_view") >= 3, lit("heavy")).otherwise(lit("light")))
+    many.join(one, Seq("user_id", "wnd"))
+      .filter(col("m_cents") > 0 && col("view_cents") > 0)
+      .select(col("name"), col("user_id"),
+        (col("wnd") * 3600000000L).as("w_start_us"),
+        col("m_cents"), col("view_cents"), col("tier"),
+        expr("m_cents * 1000000 div view_cents").as("share_ppm"))
+  }
+
+  val groupLeftSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS name, user_id,
+      |         epoch_us(ts) // 3600000000 AS wnd,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM events GROUP BY 1, 2, 3),
+      |o AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS wnd,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS view_cents,
+      |         COUNT(*) AS n_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT m.name, m.user_id, m.wnd * 3600000000 AS w_start_us,
+      |       m.m_cents, o.view_cents,
+      |       CASE WHEN o.n_view >= 3 THEN 'heavy' ELSE 'light' END AS tier,
+      |       m.m_cents * 1000000 // o.view_cents AS share_ppm
+      |FROM m JOIN o ON m.user_id = o.user_id AND m.wnd = o.wnd
+      |WHERE m.m_cents > 0 AND o.view_cents > 0""".stripMargin
+
+  /** q_idelta — PromQL `idelta()`: difference of the LAST TWO samples per
+    * series per 5m window (gauge semantics — no reset rule, unlike
+    * [[qIrate]]). Pure integers end to end: cents delta and µs gap, so no
+    * float division at all. The rank filter keeps O(1) state per
+    * series-window at any sample density.
+    */
+  def qIdelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      expr("unix_micros(ts) div 300000000 * 300000000").as("w_start"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("name", "user_id", "w_start")
+      .agg(max(when(col("rn") === 1, col("cents"))).as("last_c"),
+        max(when(col("rn") === 2, col("cents"))).as("prev_c"),
+        max(when(col("rn") === 1, col("ts_us"))).as("last_us"),
+        max(when(col("rn") === 2, col("ts_us"))).as("prev_us"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 2 && col("last_us") > col("prev_us"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        (col("last_c") - col("prev_c")).as("idelta_cents"),
+        (col("last_us") - col("prev_us")).as("gap_us"))
+  }
+
+  val ideltaSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         epoch_us(ts) // 300000000 * 300000000 AS w_start,
+      |         epoch_us(ts) AS ts_us,
+      |         CAST(round(value*100) AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY event_type, user_id,
+      |             epoch_us(ts) // 300000000
+      |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events),
+      |g AS (
+      |  SELECT name, user_id, w_start,
+      |         max(CASE WHEN rn = 1 THEN cents END) AS last_c,
+      |         max(CASE WHEN rn = 2 THEN cents END) AS prev_c,
+      |         max(CASE WHEN rn = 1 THEN ts_us END) AS last_us,
+      |         max(CASE WHEN rn = 2 THEN ts_us END) AS prev_us,
+      |         COUNT(*) AS n
+      |  FROM s WHERE rn <= 2 GROUP BY 1, 2, 3)
+      |SELECT name, user_id, w_start,
+      |       last_c - prev_c AS idelta_cents,
+      |       last_us - prev_us AS gap_us
+      |FROM g WHERE n = 2 AND last_us > prev_us""".stripMargin
+
+  /** q_subquery_rate — PromQL SUBQUERY: `max_over_time(rate(m[5m])[1h:5m])`
+    * — the inner function evaluates at each 5m step, the outer range
+    * function folds those results over the 1h window. Re-expressed as two
+    * stacked aggregations: the [[qRate]] core per (series, 5m window),
+    * then max/min/count over the 12 sub-windows inside each hour. The
+    * second aggregation groups by a pure FUNCTION of the first's key
+    * (w5 div 3600), so Catalyst keeps it on the same partitioning — the
+    * nested-subquery shape costs ONE extra map-side-combinable agg, not a
+    * second full shuffle of the corpus. max/min pick one of two
+    * bit-identical rounded doubles → engine-exact.
+    */
+  def qSubqueryRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w5")
+      .orderBy("ts_s", "event_id")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / 300L) * 300L).as("w5"),
+      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+      .withColumn("corrected",
+        when(col("delta") < 0, col("cents")).otherwise(col("delta")))
+      .groupBy("name", "user_id", "w5")
+      .agg(sum("corrected").as("inc_cents"),
+        min("ts_s").as("t_first"), max("ts_s").as("t_last"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("t_last") > col("t_first"))
+      .select(col("name"), col("user_id"), col("w5"),
+        round(col("inc_cents").cast("double") / 100d
+          / (col("t_last") - col("t_first")), 6).as("rate5"))
+      .groupBy(col("name"), col("user_id"),
+        expr("w5 div 3600 * 3600").as("w_start"))
+      .agg(max("rate5").as("max_rate"), min("rate5").as("min_rate"),
+        count(lit(1)).as("n_sub"))
+  }
+
+  val subqueryRateSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT) AS w5,
+      |         epoch_us(ts)/1000000.0 AS ts_s,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT *, cents - lag(cents) OVER (PARTITION BY name, user_id, w5
+      |           ORDER BY ts_s, event_id) AS delta
+      |  FROM s),
+      |c AS (
+      |  SELECT *, CASE WHEN delta < 0 THEN cents ELSE delta END AS corrected
+      |  FROM d),
+      |r AS (
+      |  SELECT name, user_id, w5,
+      |         round(CAST(SUM(corrected) AS BIGINT) / 100.0
+      |               / (max(ts_s) - min(ts_s)), 6) AS rate5
+      |  FROM c GROUP BY name, user_id, w5
+      |  HAVING COUNT(*) >= 2 AND max(ts_s) > min(ts_s))
+      |SELECT name, user_id, w5 // 3600 * 3600 AS w_start,
+      |       max(rate5) AS max_rate, min(rate5) AS min_rate,
+      |       COUNT(*) AS n_sub
+      |FROM r GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_histogram_fraction — the rest of the PromQL histogram family next
+    * to [[qHistogramQuantile]]: `histogram_count`, `histogram_sum`,
+    * `histogram_avg`, and `histogram_fraction(3, 8, ...)` from classic
+    * le-buckets {1,2,5,10,+Inf}. Bucket cumulative counts are CONDITIONAL
+    * integer sums in ONE groupBy (no per-bucket rows, no window pass —
+    * cheaper than the quantile's explicit bucket relation), and the
+    * fraction linearly interpolates inside the boundary buckets exactly
+    * as Prometheus does. Counts/cents are exact integers; the two
+    * interpolation divisions are written with identical association in
+    * both engines.
+    */
+  def qHistogramFraction(spark: SparkSession, dir: String): DataFrame = {
+    def leCnt(boundCents: Long): Column =
+      sum(when(col("cents") <= boundCents, 1L).otherwise(0L))
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        expr("unix_micros(ts) div 3600000000 * 3600").as("w_start"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "w_start")
+      .agg(count(lit(1)).as("h_count"),
+        sum("cents").as("h_sum_cents"),
+        leCnt(200L).as("le2"), leCnt(500L).as("le5"), leCnt(1000L).as("le10"))
+      .select(col("name"), col("w_start"), col("h_count"), col("h_sum_cents"),
+        round(col("h_sum_cents").cast("double") / 100d / col("h_count"), 6)
+          .as("h_avg"),
+        round(
+          ((col("le5") + (col("le10") - col("le5")).cast("double") * 300d / 500d)
+            - (col("le2") + (col("le5") - col("le2")).cast("double") * 100d / 300d))
+            / col("h_count"), 6).as("frac_3_8"))
+  }
+
+  val histogramFractionSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name,
+      |         epoch_us(ts) // 3600000000 * 3600 AS w_start,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT name, w_start, COUNT(*) AS h_count,
+      |         CAST(SUM(cents) AS BIGINT) AS h_sum_cents,
+      |         CAST(SUM(CASE WHEN cents <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS le2,
+      |         CAST(SUM(CASE WHEN cents <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS le5,
+      |         CAST(SUM(CASE WHEN cents <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS le10
+      |  FROM b GROUP BY 1, 2)
+      |SELECT name, w_start, h_count, h_sum_cents,
+      |       round(CAST(h_sum_cents AS DOUBLE) / 100.0 / h_count, 6) AS h_avg,
+      |       round(((le5 + CAST(le10 - le5 AS DOUBLE) * 300.0 / 500.0)
+      |              - (le2 + CAST(le5 - le2 AS DOUBLE) * 100.0 / 300.0))
+      |             / h_count, 6) AS frac_3_8
+      |FROM g""".stripMargin
 }
