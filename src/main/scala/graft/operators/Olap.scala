@@ -998,4 +998,238 @@ object Olap {
       |           ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
       |  FROM orders GROUP BY 1, 2)
       |WHERE rn = 1""".stripMargin
+
+  /** q_cust_distribution — TPC-H Q13 shape: the count-of-counts
+    * distribution "how many customers placed exactly N orders",
+    * INCLUDING the zero-order customers a plain join would drop. Orders
+    * aggregate FIRST (the fact table collapses to ≤|customers| rows
+    * map-side), then ONE left-outer join on custkey, then a second
+    * groupBy whose key space is bounded by max-orders-per-customer —
+    * tiny at any corpus size. No fact-×-dim row explosion anywhere.
+    */
+  def qCustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val qCustDistributionSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, COUNT(*) AS c_count
+      |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |  GROUP BY o_custkey)
+      |SELECT coalesce(c_count, 0) AS c_count, COUNT(*) AS custdist
+      |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** q_disjunctive — TPC-H Q19 shape: revenue under an OR-of-AND-blocks
+    * predicate spanning both join sides (brand × size × quantity bands).
+    * Catalyst cannot DERIVE the part-side union filter from a mixed
+    * disjunction, so the part-only weakening of each block is applied
+    * explicitly before the join — the dim side shrinks at the scan and
+    * the join build side stays small; the full predicate then runs
+    * post-join. Revenue is the exact ×10⁴ integer sum (q3's rule).
+    */
+  def qDisjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    // part-only weakening of the OR blocks (explicit partial pushdown)
+    val pt = Tables.part(spark, dir)
+      .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 15))
+        || (col("p_brand") === "Brand#23" && col("p_size").between(1, 25))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)))
+      .select("p_partkey", "p_brand", "p_size")
+    val full =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+        && col("l_quantity").between(20, 30))
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .filter(full)
+      .groupBy("p_brand")
+      .agg(round(sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .cast("double") / 10000d, 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val qDisjunctiveSql: String =
+    """SELECT p_brand,
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+      |             / 10000, 4) AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY p_brand""".stripMargin
+
+  /** q_top_share — TPC-H Q11 shape: parts whose aggregate traded value
+    * exceeds a FRACTION of the global total. Two stacked aggregations
+    * (part-level, then the 1-row global sum) and a broadcast of the
+    * single-row total back across the part-level frame; the threshold
+    * compare is exact integer cross-multiplication (val·10⁴ > total) and
+    * the share an exact ppm truncating division — no floats anywhere.
+    * The corpus shuffles ONCE (on partkey); the global total reuses that
+    * aggregated frame, not the corpus.
+    */
+  def qTopShare(spark: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("p_cents"))
+      .groupBy("l_partkey")
+      .agg(sum("p_cents").as("val_cents"))
+    val tot = pv.agg(sum("val_cents").as("tot_cents"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("val_cents") * 10000L > col("tot_cents"))
+      .select(col("l_partkey"), col("val_cents"),
+        expr("val_cents * 1000000 div tot_cents").as("share_ppm"))
+  }
+
+  val qTopShareSql: String =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |           AS val_cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT CAST(SUM(val_cents) AS BIGINT) AS tot_cents FROM pv)
+      |SELECT l_partkey, val_cents,
+      |       val_cents * 1000000 // tot_cents AS share_ppm
+      |FROM pv, tot
+      |WHERE val_cents * 10000 > tot_cents""".stripMargin
+
+  /** q_idle_customers — TPC-H Q22 shape: customers richer than the
+    * positive-balance average with no BIG order (>400k — Q22 filters its
+    * probe side the same way, by date window), summarized per nation.
+    * The global average is a 1-row aggregate broadcast back over
+    * customer; the "no big order" test is a LEFT ANTI join probing the
+    * FILTERED orders scan (the filter pushes to parquet, shrinking the
+    * probe before the shuffle). The average compare is exact integer
+    * cross-multiplication (bal·n > Σbal — no division, and a negative
+    * balance times positive n stays exact), so no float threshold can
+    * flake at a boundary. Output is bounded by |nations|.
+    */
+  def qIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("pos_sum"), count(lit(1)).as("pos_n"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 400000d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
+  }
+
+  val qIdleCustomersSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |a AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS pos_sum,
+      |             COUNT(*) AS pos_n
+      |      FROM c WHERE bal_cents > 0)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |       CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+      |FROM c, a
+      |WHERE bal_cents * pos_n > pos_sum
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** q_multi_supp_orders — TPC-H Q21 shape: among orders drawing from ≥2
+    * suppliers, exactly ONE lineitem is oversized (qty ≥ 45) — charge it
+    * to that supplier and rank suppliers by offence count. Both the
+    * qualifying aggregation and the culprit probe are keyed on orderkey
+    * (the qualifying frame reuses the same exchange), the supplier name
+    * join is a force-broadcast dim, and the final top-10 executes as
+    * TakeOrdered with a total (cnt, name) order — no global sort, output
+    * constant-bounded.
+    */
+  def qMultiSuppOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val qualifying = li.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        sum(when(col("l_quantity") >= 45, 1L).otherwise(0L)).as("n_big"))
+      .filter(col("n_supp") >= 2 && col("n_big") === 1)
+      .select("l_orderkey")
+    val culprit = li.filter(col("l_quantity") >= 45)
+      .join(qualifying, "l_orderkey")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+    culprit
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val qMultiSuppOrdersSql: String =
+    """WITH q AS (
+      |  SELECT l_orderkey
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING COUNT(DISTINCT l_suppkey) >= 2
+      |     AND SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) = 1),
+      |c AS (
+      |  SELECT l_suppkey, COUNT(*) AS numwait
+      |  FROM lineitem JOIN q USING (l_orderkey)
+      |  WHERE l_quantity >= 45
+      |  GROUP BY l_suppkey)
+      |SELECT s_name, numwait
+      |FROM c JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  /** q_min_price_supplier — TPC-H Q2 decorrelation shape: for each part,
+    * the supplier(s) offering its MINIMUM observed price. The correlated
+    * `price = (SELECT min ...)` subquery decorrelates into a two-level
+    * aggregate — (part, supplier) offers, then per-part minima — joined
+    * back on (partkey, min). Both aggregations and the join land on the
+    * partkey shuffle (one corpus exchange, reused); the supplier-name
+    * join is a broadcast dim. Cents stay integers so the min-equality
+    * never compares floats.
+    */
+  def qMinPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("price_cents").as("offer_cents"))
+    val minPer = offers.groupBy("l_partkey")
+      .agg(min("offer_cents").as("min_cents"))
+    offers.join(minPer, Seq("l_partkey"))
+      .filter(col("offer_cents") === col("min_cents"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_name"), col("min_cents"))
+  }
+
+  val qMinPriceSupplierSql: String =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(CAST(round(l_extendedprice*100) AS BIGINT)) AS offer_cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |mp AS (SELECT l_partkey, min(offer_cents) AS min_cents
+      |       FROM offers GROUP BY 1)
+      |SELECT o.l_partkey, s_name, mp.min_cents
+      |FROM offers o
+      |JOIN mp ON o.l_partkey = mp.l_partkey AND o.offer_cents = mp.min_cents
+      |JOIN supplier ON o.l_suppkey = s_suppkey""".stripMargin
 }
