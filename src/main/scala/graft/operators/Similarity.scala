@@ -661,4 +661,79 @@ object Similarity {
        |       CAST($qerr AS BIGINT) AS qerr
        |FROM dd""".stripMargin
   }
+
+  /** q_bitext_mine — parallel-corpus mining (LASER/CCMatrix shape): for
+    * each vector, its best CROSS-LABEL match (label ≈ language) above a
+    * cosine floor, candidates restricted to the same sign-LSH bucket.
+    * The same in-row bucketing as [[qAnnLsh]] — the only join is bucket
+    * equality with the hot-bucket cap, pair work (n/2^planes)² per
+    * bucket, and the top-1-per-query rank runs on the already-joined
+    * frame. The mined (src, tgt, score) triples are exactly what a
+    * translation-pair training set ingests.
+    */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val d = dim(spark, dir)
+    val pw = planeWeights(d)
+    val planeDot = (p: Int) => dot(col("q"), typedLit(pw(p).toSeq))
+    val bucket = (0 until NPlanes)
+      .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val v = capBuckets(
+      Tables.fanOut(Tables.embeddings(spark, dir)).select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+        .withColumn("nrm", vecDot(col("q"), col("q")))
+        .withColumn("bucket", bucket))
+    val a = v.select(col("vec_id").as("src_id"), col("label").as("src_label"),
+      col("bucket"), col("q").as("qa"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("tgt_id"), col("label").as("tgt_label"),
+      col("bucket").as("bucket_b"), col("q").as("qb"), col("nrm").as("nb"))
+    val rk = Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("tgt_id"))
+    a.join(b, col("bucket") === col("bucket_b") &&
+        col("src_label") =!= col("tgt_label"))
+      .withColumn("cos",
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= 0.3)
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("src_label"), col("tgt_id"),
+        col("tgt_label"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val bitextMineSql: String = {
+    val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+    s"""WITH q0 AS (SELECT vec_id, label,
+       |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |qn AS (SELECT vec_id, label, q,
+       |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+       |       FROM q0),
+       |bp AS (SELECT vec_id, p,
+       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
+       |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
+       |       FROM qn, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |bk AS (SELECT vec_id,
+       |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bp GROUP BY vec_id),
+       |vb0 AS (SELECT qn.vec_id, qn.label, qn.q, qn.nrm, bk.bucket
+       |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+       |vb AS (SELECT * FROM vb0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= $maxBucket),
+       |p2 AS (SELECT a.vec_id AS src_id, a.label AS src_label,
+       |        b.vec_id AS tgt_id, b.label AS tgt_label,
+       |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+       |       FROM vb a JOIN vb b
+       |         ON a.bucket = b.bucket AND a.label <> b.label)
+       |SELECT src_id, src_label, tgt_id, tgt_label,
+       |       round(cos, 6) AS cosine
+       |FROM p2
+       |WHERE cos >= 0.3
+       |QUALIFY row_number() OVER (PARTITION BY src_id
+       |          ORDER BY cos DESC, tgt_id) = 1""".stripMargin
+  }
 }

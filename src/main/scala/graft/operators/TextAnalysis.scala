@@ -631,4 +631,192 @@ object TextAnalysis {
        |       ($MixBudgetTokens * target_ppm // 1000000) * 1000 // n_tokens
        |         AS repeat_x1000
        |FROM t""".stripMargin
+
+  /** q_line_dedup — CCNet-style corpus-level passage REMOVAL (the
+    * decision stage on top of [[qDedupPassage]]'s diagnostic): a chunk
+    * survives iff it is corpus-unique OR this doc is its first (min
+    * doc_id) occurrence — every later duplicate is dropped. Emits the
+    * retained-chunk accounting and a position-weighted integer signature
+    * of the CLEANED document (Σ (hash mod p)·(idx+1) — order-sensitive,
+    * so two docs cleaned to different chunk orders sign differently),
+    * which is what the rewrite stage would write back. Only 8-byte
+    * chunk hashes shuffle; text never leaves the projection.
+    */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = qChunks(spark, dir)
+    val freq = chunks.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("cf"), min("doc_id").as("owner"))
+    chunks.join(freq, "chunk_hash")
+      .withColumn("kept", col("cf") === 1 || col("owner") === col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("kept"),
+          (col("chunk_hash") % 1000003L) * (col("chunk_id") + 1L))
+          .otherwise(0L)).as("cleaned_sig"))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH $chunkCtes,
+       |cf AS (SELECT chunk_hash, COUNT(*) AS cf, min(doc_id) AS owner
+       |       FROM chunks GROUP BY 1)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN cf.cf = 1 OR cf.owner = c.doc_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN cf.cf = 1 OR cf.owner = c.doc_id
+       |                     THEN c.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |       CAST(SUM(CASE WHEN cf.cf = 1 OR cf.owner = c.doc_id
+       |                     THEN (c.chunk_hash % 1000003) * (c.chunk_id + 1)
+       |                     ELSE 0 END) AS BIGINT) AS cleaned_sig
+       |FROM chunks c JOIN cf ON c.chunk_hash = cf.chunk_hash
+       |GROUP BY c.doc_id""".stripMargin
+
+  /** q_zipf — Zipf-shape quality signals (Gopher's "fraction of the most
+    * common word" family): per doc, the top-token share and type-token
+    * ratio as exact ×10⁴ integers. Token frequencies need the (doc,
+    * token) aggregation; both groupBys land on the SAME doc_id-prefixed
+    * key, so the corpus shuffles once and the second aggregation is
+    * map-side-local. Only (doc_id, token-hash)-sized rows shuffle.
+    */
+  def qZipf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("token"))
+      .select(col("doc_id"), hash60(col("token")).as("th"))
+      .groupBy("doc_id", "th")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_types"),
+        max("tf").as("max_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("max_tf * 10000 div n_tokens").as("top_share_x10k"),
+        expr("n_types * 10000 div n_tokens").as("ttr_x10k"))
+
+  val zipfSql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    s"""WITH t AS (
+       |  SELECT doc_id, $th AS th, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |         COUNT(*) AS n_types, CAST(max(tf) AS BIGINT) AS max_tf
+       |  FROM t GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_types,
+       |       max_tf * 10000 // n_tokens AS top_share_x10k,
+       |       n_types * 10000 // n_tokens AS ttr_x10k
+       |FROM g""".stripMargin
+  }
+
+  /** q_bpe_merge — ONE iteration of BPE tokenizer training: corpus
+    * frequencies of adjacent character pairs within words (the statistic
+    * whose argmax becomes the next merge rule), top-20 via TakeOrdered.
+    * The pair explosion fans out to Σ(word_len−1) rows, but each row is
+    * a 2-char string → 8-byte hash aggregation key; the count is
+    * map-side combinable and the output constant-bounded. A full BPE
+    * trainer is this operator in a driver loop with the merge table
+    * re-broadcast each round.
+    */
+  def qBpeMerge(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(20)
+
+  val bpeMergeSql: String =
+    s"""WITH wrd AS (SELECT unnest($wordsSql) AS w FROM documents),
+       |p AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+       |                i -> substring(w, i, 2))) AS pair
+       |  FROM wrd WHERE length(w) >= 2)
+       |SELECT pair, COUNT(*) AS freq
+       |FROM p GROUP BY pair
+       |ORDER BY freq DESC, pair
+       |LIMIT 20""".stripMargin
+
+  /** Plan-time constant DSIR bucket weights (hashed-feature log-ratio
+    * stand-ins): 16 integers in [-10, 10], derived from the portable
+    * JVM hash so the identical literals embed in both engines' plans. */
+  private val dsirWeights: Seq[Long] =
+    (0 until 16).map(b => graft.functions.Portable.hash60Jvm(s"dsir:$b") % 21L - 10L)
+
+  /** q_dsir — DSIR-style importance weighting (Xie et al. 2023): hashed
+    * n-gram features × a plan-time weight vector ≈ the target/source
+    * log-likelihood ratio that decides resampling. Each token hashes
+    * into one of 16 buckets and contributes that bucket's integer
+    * weight; the per-doc importance is a pure-projection HOF fold over
+    * the token array — ZERO shuffles, the corpus never leaves the map
+    * side (the honest 100 TB shape for per-doc scoring; per-row token
+    * math is the sanctioned HOF case). Keep = importance > 0.
+    */
+  def qDsir(spark: SparkSession, dir: String): DataFrame = {
+    val wArr = array(dsirWeights.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + element_at(wArr,
+            (hash60(w) % 16).cast("int") + 1)).as("importance"))
+      .withColumn("keep", (col("importance") > 0).cast("int"))
+  }
+
+  val dsirSql: String = {
+    val wList = dsirWeights.mkString("[", ", ", "]")
+    val wh = graft.functions.Portable.hash60Sql("w")
+    s"""SELECT doc_id, len($wordsSql) AS n_tokens,
+       |       CAST(list_sum(list_transform($wordsSql,
+       |         w -> ($wList)[CAST($wh % 16 AS INT) + 1])) AS BIGINT)
+       |         AS importance,
+       |       CAST(CAST(list_sum(list_transform($wordsSql,
+       |         w -> ($wList)[CAST($wh % 16 AS INT) + 1])) AS BIGINT) > 0
+       |         AS INT) AS keep
+       |FROM documents""".stripMargin
+  }
+
+  /** q_pii — PII detection + redaction (the privacy stage every training
+    * pipeline runs): pattern hits counted per record and a redacted twin
+    * hashed for the rewrite. Runs over `events.props` (the JSON blobs
+    * carry numeric identifiers; the document corpus is digit-free).
+    * Patterns avoid backslash escapes entirely ([.] classes) so the
+    * IDENTICAL pattern string feeds Java regex and RE2. Pure projection
+    * — zero shuffles, scan-speed at any corpus size.
+    */
+  def qPii(spark: SparkSession, dir: String): DataFrame = {
+    val numPat = "[0-9]+"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val ipPat = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_count(col("props"), lit(numPat)).as("n_num"),
+        regexp_count(col("props"), lit(emailPat)).as("n_email"),
+        regexp_count(col("props"), lit(ipPat)).as("n_ip"),
+        hash60(regexp_replace(col("props"), numPat, "<NUM>"))
+          .as("redacted_h"))
+      .withColumn("clean",
+        (col("n_email") === 0 && col("n_ip") === 0).cast("int"))
+  }
+
+  val piiSql: String = {
+    val rh = graft.functions.Portable.hash60Sql(
+      "regexp_replace(props, '[0-9]+', '<NUM>', 'g')")
+    s"""SELECT event_id,
+       |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_num,
+       |       CAST(len(regexp_extract_all(props,
+       |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS INT)
+       |         AS n_email,
+       |       CAST(len(regexp_extract_all(props,
+       |         '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS INT) AS n_ip,
+       |       $rh AS redacted_h,
+       |       CAST(len(regexp_extract_all(props,
+       |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) = 0
+       |         AND len(regexp_extract_all(props,
+       |           '([0-9]{1,3}[.]){3}[0-9]{1,3}')) = 0 AS INT) AS clean
+       |FROM events""".stripMargin
+  }
 }
