@@ -190,4 +190,120 @@ object Multimodal {
       |       CASE WHEN n_samples >= 400 THEN (n_samples - 400) % 160
       |            ELSE 0 END AS tail_samples
       |FROM a""".stripMargin
+
+  /** q_patch_grid — ViT tokenization planning: from each image's
+    * (fake-)decoded dimensions, the 16px patch grid after floor-cropping
+    * to patch multiples, the resulting sequence length (+1 CLS token),
+    * and the truncation decision against a 1024-token visual budget.
+    * Pure integer projection over the metadata — the blob bytes are
+    * never touched, so this plans a 100 TB image corpus at metadata
+    * scan speed.
+    */
+  def qPatchGrid(spark: SparkSession, dir: String): DataFrame =
+    qMultimodalMeta(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("width div 16").as("gw"),
+        expr("height div 16").as("gh"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("gw"), col("gh"),
+        (col("gw") * col("gh")).as("n_patches"),
+        (col("gw") * col("gh") + 1).as("seq_len"),
+        (col("gw") * col("gh") + 1 > 1024).cast("int").as("truncated"),
+        least(col("gw") * col("gh") + 1, lit(1024)).as("kept_tokens"))
+
+  val patchGridSql: String = {
+    val w = s"CAST(${hash60Sql("'w:' || text")} % 1024 + 16 AS INT)"
+    val h = s"CAST(${hash60Sql("'h:' || text")} % 1024 + 16 AS INT)"
+    s"""WITH m AS (SELECT doc_id, $w AS width, $h AS height FROM documents),
+       |g AS (SELECT doc_id, width, height,
+       |             width // 16 AS gw, height // 16 AS gh FROM m)
+       |SELECT doc_id, width, height, gw, gh,
+       |       gw * gh AS n_patches,
+       |       gw * gh + 1 AS seq_len,
+       |       CAST(gw * gh + 1 > 1024 AS INT) AS truncated,
+       |       least(gw * gh + 1, 1024) AS kept_tokens
+       |FROM g""".stripMargin
+  }
+
+  /** q_modal_balance — multimodal mixture accounting: corpus volume per
+    * (channels, power-of-two width bucket) — rows, bytes, visual tokens
+    * — the curation dashboard that decides per-modality sampling rates.
+    * One map-side-combinable groupBy over metadata; output bounded by
+    * 3 channels × ~7 buckets at ANY corpus size. The integer bit-length
+    * bucket avoids libm log2 (cross-engine exactness).
+    */
+  def qModalBalance(spark: SparkSession, dir: String): DataFrame =
+    qMultimodalMeta(spark, dir)
+      .select(col("channels"), col("n_bytes"), col("width"), col("height"),
+        expr("CAST(length(conv(CAST(width AS BIGINT), 10, 2)) AS INT) - 1")
+          .as("w_bucket"))
+      .groupBy("channels", "w_bucket")
+      .agg(count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        sum(expr("(width div 16) * (height div 16)")).as("total_patches"))
+
+  val modalBalanceSql: String = {
+    val w = s"CAST(${hash60Sql("'w:' || text")} % 1024 + 16 AS INT)"
+    val h = s"CAST(${hash60Sql("'h:' || text")} % 1024 + 16 AS INT)"
+    val c = s"CAST(${hash60Sql("'c:' || text")} % 3 + 1 AS INT)"
+    s"""WITH m AS (SELECT doc_id,
+       |            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       |            $w AS width, $h AS height, $c AS channels
+       |           FROM documents)
+       |SELECT channels,
+       |       CAST(length(bin(width)) - 1 AS INT) AS w_bucket,
+       |       COUNT(*) AS n_media,
+       |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |       CAST(SUM((width // 16) * (height // 16)) AS BIGINT) AS total_patches
+       |FROM m GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q_av_sync — audio-video alignment planning: each blob pretends to
+    * be a clip (16 kHz audio from [[qStftPlan]]'s framing; 4 fps video);
+    * 4 uniformly sampled video frames map to the 10ms-hop STFT frame
+    * covering their timestamp, clamped into range, with an
+    * audio-coverage flag. The multimodal-training alignment every
+    * AV model ingests — pure integer math, the metadata-sized
+    * sequence→explode fan-out of [[qFrameSample]] (work ∝ frames
+    * sampled), blobs never shuffle.
+    */
+  def qAvSync(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir)
+      .select(col("doc_id"),
+        (octet_length(col("content")).cast("long") * 8).as("n_samples"))
+      .select(col("doc_id"), col("n_samples"),
+        expr("(n_samples * 1000) div 16000").as("dur_ms"),
+        expr("CASE WHEN n_samples >= 400 THEN (n_samples - 400) div 160 + 1 ELSE 0 END")
+          .as("n_stft"))
+      .withColumn("n_vframes", expr("dur_ms * 4 div 1000 + 1"))
+      .select(col("doc_id"), col("dur_ms"), col("n_stft"), col("n_vframes"),
+        explode(sequence(lit(0L), lit(3L))).as("k"))
+      .select(col("doc_id"), col("n_stft"), col("n_vframes"),
+        expr("(k * n_vframes) div 4").as("vframe"))
+      .distinct()
+      .select(col("doc_id"), col("n_stft"), col("n_vframes"), col("vframe"),
+        expr("vframe * 250").as("t_ms"),
+        expr("CASE WHEN n_stft > 0 THEN least(vframe * 250 div 10, n_stft - 1) ELSE -1 END")
+          .as("stft_idx"),
+        expr("CAST(n_stft > 0 AND vframe * 250 div 10 < n_stft AS INT)")
+          .as("in_audio"))
+
+  val avSyncSql: String =
+    """WITH a AS (SELECT doc_id,
+      |            CAST(octet_length(encode(text)) AS BIGINT) * 8 AS n_samples
+      |           FROM documents),
+      |b AS (SELECT doc_id, (n_samples * 1000) // 16000 AS dur_ms,
+      |             CASE WHEN n_samples >= 400 THEN (n_samples - 400) // 160 + 1
+      |                  ELSE 0 END AS n_stft
+      |      FROM a),
+      |c AS (SELECT doc_id, n_stft, dur_ms * 4 // 1000 + 1 AS n_vframes FROM b),
+      |f AS (SELECT DISTINCT doc_id, n_stft, n_vframes,
+      |             (k * n_vframes) // 4 AS vframe
+      |      FROM c, (SELECT unnest(generate_series(0, 3)) AS k) ks)
+      |SELECT doc_id, n_stft, n_vframes, vframe,
+      |       vframe * 250 AS t_ms,
+      |       CASE WHEN n_stft > 0 THEN least(vframe * 250 // 10, n_stft - 1)
+      |            ELSE -1 END AS stft_idx,
+      |       CAST(n_stft > 0 AND vframe * 250 // 10 < n_stft AS INT) AS in_audio
+      |FROM f""".stripMargin
 }
