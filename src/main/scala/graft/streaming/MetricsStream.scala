@@ -20,9 +20,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object MetricsStream {
 
   /** Streaming source: one JSON response document per line, dropped as
-    * text files into `path`. */
-  def readResponses(spark: SparkSession, path: String): DataFrame =
-    PrometheusJson.parse(spark.readStream.text(path), "value")
+    * text files into `path`. `maxFilesPerTrigger` bounds each
+    * micro-batch (backpressure for backfills over a deep drop-dir:
+    * without it, the first micro-batch after downtime ingests the whole
+    * backlog in one planning unit). */
+  def readResponses(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    PrometheusJson.parse(reader.text(path), "value")
+  }
 
   /** Batch twin of [[readResponses]] — same transform, same result. */
   def readResponsesBatch(spark: SparkSession, path: String): DataFrame =
@@ -150,17 +157,40 @@ object MetricsStream {
         unix_micros(col("sw.end")).as("s_end_us"),
         col("name"), col("n"), col("sum_value"))
 
+  /** Stream-static broadcast enrichment: join the metrics stream to a
+    * static dimension frame (user → tier) on the `user` label extracted
+    * from the dynamic label arrays. The static side is re-resolved per
+    * micro-batch (Spark's stream-static contract — a dim-table update
+    * is picked up on the next batch) and explicitly `broadcast()` so
+    * the stream side never shuffles and the join keeps NO stream state:
+    * unlike a stream-stream join there is nothing to watermark. Works
+    * identically on batch frames — the parity spec pins it.
+    */
+  def enrich(metrics: DataFrame, userTiers: DataFrame): DataFrame = {
+    val pos = array_position(col("label_keys"), "user")
+    metrics
+      .withColumn("user",
+        when(pos > 0, element_at(col("label_values"), pos.cast("int"))))
+      .join(broadcast(userTiers), Seq("user"), "left_outer")
+      .select(col("ts_us"), col("name"), col("user"), col("value"),
+        coalesce(col("tier"), lit("unknown")).as("tier"))
+  }
+
   /** End-to-end stream: responses dir → parse → TSV bulk files, one
     * atomically-committed batch per micro-batch (the reference's
     * insert_from_file loop, clickhouse_client.py:131-218). Skips are
     * dropped per R2 — accounting for them is the job ledger's business
     * (JobStateMachine), not the data sink's. `Trigger.AvailableNow` so
     * tests and backfills drain everything then stop; a live deployment
-    * passes a processing-time trigger instead.
+    * passes a processing-time trigger instead. Re-invoking with the
+    * same checkpoint resumes INCREMENTALLY — only files the source log
+    * has not committed are processed (the reference's ledger-gated
+    * "don't re-fetch what's loaded" rule, owned by Spark's offset log).
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
-          checkpointDir: String): StreamingQuery =
-    readResponses(spark, inDir)
+          checkpointDir: String,
+          maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    readResponses(spark, inDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -296,4 +296,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamAgg == batchAgg,
       s"streaming sessions $streamAgg != batch $batchAgg")
   }
+
+  test("stream-static broadcast enrichment: streaming == batch, unmatched → unknown") {
+    val data =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"up","user":"7"},"values":[[1700000000,"1"]]},""" +
+        """{"metric":{"__name__":"up","user":"9"},"values":[[1700000060,"2"]]},""" +
+        """{"metric":{"__name__":"up","job":"nouser"},"values":[[1700000120,"3"]]}]}}"""
+    val tiers = Seq(("7", "gold")).toDF("user", "tier")
+    def parse(df: org.apache.spark.sql.DataFrame, c: String) =
+      PrometheusJson.metricRows(PrometheusJson.parse(df, c))
+    val batchRows = MetricsStream.enrich(parse(Seq(data).toDF("json"), "json"), tiers)
+      .orderBy("ts_us").collect().toSeq
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream.enrich(parse(ms.toDF(), "value"), tiers)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("enrich_ckpt"))
+      .start()
+    try {
+      ms.addData(data)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamRows = spark.table("enrich_test").orderBy("ts_us").collect().toSeq
+    assert(streamRows == batchRows)
+    // matched user gets its tier; unmatched user and label-less series
+    // fall back to 'unknown' (left-outer, not dropping)
+    assert(batchRows.map(r => (r.getAs[String]("user"), r.getAs[String]("tier")))
+      == Seq(("7", "gold"), ("9", "unknown"), (null, "unknown")))
+  }
+
+  test("AvailableNow resume: second run processes ONLY new files; maxFilesPerTrigger bounds batches") {
+    val inDir = tmpDir("incr_in")
+    val outDir = tmpDir("incr_out") + "/files"
+    val ckpt = tmpDir("incr_ckpt")
+    def drop(name: String, metric: String, ts: Long): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name),
+        s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+          s"""{"metric":{"__name__":"$metric","job":"a"},"values":[[$ts,"1"]]}]}}""")
+    drop("r1.json", "m1", 1700000000L)
+    drop("r2.json", "m2", 1700000060L)
+    // 2 files, 1 file per trigger → the drain must take ≥2 micro-batches
+    val q1 = MetricsStream.run(spark, inDir, outDir, ckpt, Some(1))
+    q1.awaitTermination()
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      "maxFilesPerTrigger=1 must split the backlog into multiple micro-batches")
+    val after1 = spark.read.text(outDir).count()
+    assert(after1 == 2, s"first drain wrote $after1 rows, want 2")
+    // a new file lands; resuming from the same checkpoint must ingest
+    // ONLY it (the offset log already committed r1/r2)
+    drop("r3.json", "m3", 1700000120L)
+    val q2 = MetricsStream.run(spark, inDir, outDir, ckpt, Some(1))
+    q2.awaitTermination()
+    val lines = spark.read.text(outDir).as[String].collect().toSeq
+    assert(lines.size == 3, s"incremental resume duplicated: $lines")
+    assert(lines.count(_.contains("\tm3\t")) == 1)
+    assert(lines.count(_.contains("\tm1\t")) == 1)
+  }
 }
