@@ -1733,10 +1733,10 @@ object MetricsEtl {
     * function folds those results over the 1h window. Re-expressed as two
     * stacked aggregations: the [[qRate]] core per (series, 5m window),
     * then max/min/count over the 12 sub-windows inside each hour. The
-    * second aggregation groups by a pure FUNCTION of the first's key
-    * (w5 div 3600), so Catalyst keeps it on the same partitioning — the
-    * nested-subquery shape costs ONE extra map-side-combinable agg, not a
-    * second full shuffle of the corpus. max/min pick one of two
+    * corpus shuffles ONCE (the 5m window pass); the outer fold's
+    * exchange moves only the per-5m aggregated frame — |series × 5m
+    * windows| rows, not corpus rows — with partial aggregation on top
+    * (PlanAuditSpec pins both exchanges). max/min pick one of two
     * bit-identical rounded doubles → engine-exact.
     */
   def qSubqueryRate(spark: SparkSession, dir: String): DataFrame = {

@@ -1154,57 +1154,65 @@ object Olap {
 
   /** q_multi_supp_orders — TPC-H Q21 shape: among orders drawing from ≥2
     * suppliers, exactly ONE lineitem is oversized (qty ≥ 45) — charge it
-    * to that supplier and rank suppliers by offence count. Both the
-    * qualifying aggregation and the culprit probe are keyed on orderkey
-    * (the qualifying frame reuses the same exchange), the supplier name
-    * join is a force-broadcast dim, and the final top-10 executes as
-    * TakeOrdered with a total (cnt, name) order — no global sort, output
-    * constant-bounded.
+    * to that supplier and rank suppliers by offence count. The culprit
+    * supplier is identified IN-AGGREGATE: a (orderkey, suppkey) rollup,
+    * then an orderkey fold that carries `max(suppkey where big)` — so
+    * the corpus is scanned and shuffled ONCE and there is NO probe join
+    * back to lineitem (the naïve EXISTS form scans it twice). The later
+    * exchanges move only aggregated frames; the supplier-name join is a
+    * force-broadcast dim; top-10 executes as TakeOrdered — no global
+    * sort, output constant-bounded.
     */
   def qMultiSuppOrders(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_suppkey", "l_quantity")
-    val qualifying = li.groupBy("l_orderkey")
-      .agg(countDistinct("l_suppkey").as("n_supp"),
-        sum(when(col("l_quantity") >= 45, 1L).otherwise(0L)).as("n_big"))
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_quantity") >= 45, 1L).otherwise(0L).as("big"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum("big").as("n_big_s"))
+    val culprit = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("n_big_s").as("n_big"),
+        max(when(col("n_big_s") >= 1, col("l_suppkey"))).as("culprit"))
       .filter(col("n_supp") >= 2 && col("n_big") === 1)
-      .select("l_orderkey")
-    val culprit = li.filter(col("l_quantity") >= 45)
-      .join(qualifying, "l_orderkey")
-      .groupBy("l_suppkey")
+      .groupBy("culprit")
       .agg(count(lit(1)).as("numwait"))
     culprit
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
+        col("culprit") === col("s_suppkey"))
       .select("s_name", "numwait")
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(10)
   }
 
   val qMultiSuppOrdersSql: String =
-    """WITH q AS (
-      |  SELECT l_orderkey
-      |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING COUNT(DISTINCT l_suppkey) >= 2
-      |     AND SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) = 1),
+    """WITH ps AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         CAST(SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_big_s
+      |  FROM lineitem GROUP BY 1, 2),
+      |q AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_supp,
+      |         CAST(SUM(n_big_s) AS BIGINT) AS n_big,
+      |         max(CASE WHEN n_big_s >= 1 THEN l_suppkey END) AS culprit
+      |  FROM ps GROUP BY 1),
       |c AS (
-      |  SELECT l_suppkey, COUNT(*) AS numwait
-      |  FROM lineitem JOIN q USING (l_orderkey)
-      |  WHERE l_quantity >= 45
-      |  GROUP BY l_suppkey)
+      |  SELECT culprit, COUNT(*) AS numwait
+      |  FROM q WHERE n_supp >= 2 AND n_big = 1
+      |  GROUP BY 1)
       |SELECT s_name, numwait
-      |FROM c JOIN supplier ON l_suppkey = s_suppkey
+      |FROM c JOIN supplier ON culprit = s_suppkey
       |ORDER BY numwait DESC, s_name
       |LIMIT 10""".stripMargin
 
   /** q_min_price_supplier — TPC-H Q2 decorrelation shape: for each part,
     * the supplier(s) offering its MINIMUM observed price. The correlated
-    * `price = (SELECT min ...)` subquery decorrelates into a two-level
-    * aggregate — (part, supplier) offers, then per-part minima — joined
-    * back on (partkey, min). Both aggregations and the join land on the
-    * partkey shuffle (one corpus exchange, reused); the supplier-name
-    * join is a broadcast dim. Cents stay integers so the min-equality
-    * never compares floats.
+    * `price = (SELECT min ...)` subquery decorrelates into the (part,
+    * supplier) offers aggregate plus a per-part MIN WINDOW over that
+    * aggregated frame — NOT an aggregate-then-self-join, which plans as
+    * a SECOND corpus scan + shuffle (measured: Catalyst does not reuse
+    * the offers exchange across the two consumers). Here the corpus is
+    * scanned and shuffled exactly once; the window re-shuffles only the
+    * |parts × suppliers-per-part| offers frame. Supplier names arrive by
+    * broadcast dim join; integer cents keep the min-equality float-free.
     */
   def qMinPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
     val offers = Tables.lineitem(spark, dir)
@@ -1212,9 +1220,9 @@ object Olap {
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min("price_cents").as("offer_cents"))
-    val minPer = offers.groupBy("l_partkey")
-      .agg(min("offer_cents").as("min_cents"))
-    offers.join(minPer, Seq("l_partkey"))
+    offers
+      .withColumn("min_cents",
+        min("offer_cents").over(Window.partitionBy("l_partkey")))
       .filter(col("offer_cents") === col("min_cents"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
@@ -1226,10 +1234,9 @@ object Olap {
       |  SELECT l_partkey, l_suppkey,
       |         min(CAST(round(l_extendedprice*100) AS BIGINT)) AS offer_cents
       |  FROM lineitem GROUP BY 1, 2),
-      |mp AS (SELECT l_partkey, min(offer_cents) AS min_cents
-      |       FROM offers GROUP BY 1)
-      |SELECT o.l_partkey, s_name, mp.min_cents
-      |FROM offers o
-      |JOIN mp ON o.l_partkey = mp.l_partkey AND o.offer_cents = mp.min_cents
-      |JOIN supplier ON o.l_suppkey = s_suppkey""".stripMargin
+      |w AS (SELECT *, min(offer_cents) OVER (PARTITION BY l_partkey) AS min_cents
+      |      FROM offers)
+      |SELECT l_partkey, s_name, min_cents
+      |FROM w JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE offer_cents = min_cents""".stripMargin
 }

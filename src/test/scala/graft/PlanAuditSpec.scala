@@ -174,4 +174,62 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_dsir and q_pii: pure projections — zero exchanges") {
+    for (df <- Seq(graft.operators.TextAnalysis.qDsir(spark, dir),
+        graft.operators.TextAnalysis.qPii(spark, dir))) {
+      val plan = executed(df)
+      assert(!plan.contains("Exchange"),
+        s"per-doc scoring must not shuffle:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q_top_share: corpus shuffles once, 1-row total broadcast back") {
+    val plan = executed(Olap.qTopShare(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the global total must come back as a broadcast, not a shuffle")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_multi_supp_orders: one lineitem scan, in-aggregate culprit, TakeOrdered") {
+    val plan = executed(Olap.qMultiSuppOrders(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    // the culprit is carried through the aggregation — the naïve EXISTS
+    // form scans lineitem a second time for the probe join
+    val scans = "lineitem".r.findAllIn(plan).size
+    assert(scans <= 2, // executed plans print the scan path ≤2× (final + stage)
+      s"lineitem must be scanned once, saw $scans mentions:\n${plan.take(2000)}")
+  }
+
+  test("q_min_price_supplier: window over offers — single corpus exchange, no self-join") {
+    // AQE plans print Final + Initial sections — audit the final one only
+    val plan = executed(Olap.qMinPriceSupplier(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"), "per-part min must ride a window pass")
+    val corpusEx = "Exchange hashpartitioning\\(l_partkey[^)]*l_suppkey".r
+      .findAllIn(plan).size
+    assert(corpusEx == 1,
+      s"exactly one corpus (part,supp) exchange expected, found $corpusEx:\n${plan.take(2000)}")
+  }
+
+  test("q_subquery_rate: corpus shuffles once; outer fold exchanges the aggregated frame only") {
+    val df = MetricsEtl.qSubqueryRate(spark, dir)
+    val plan = executed(df)
+    // exchange 1: the 5m window pass over the corpus; exchange 2 moves
+    // only per-5m aggregated rows (the |series × windows| frame) — a
+    // third exchange would mean the corpus shuffled twice
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 2, s"expected ≤2 hash exchanges, found $n:\n${plan.take(2000)}")
+    assert(plan.contains("Window"), "the rate core rides the 5m window pass")
+  }
+
+  test("q_disjunctive: the part-side weakening reaches the part scan") {
+    val plan = executed(Olap.qDisjunctive(spark, dir))
+    // the explicit OR-union filter on part must appear as a pushed scan
+    // filter (Or(EqualTo(p_brand...))) — not only post-join
+    assert(plan.contains("PushedFilters: [Or(") ||
+      "PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(plan).isDefined,
+      s"part-side disjunction not pushed:\n${plan.take(2000)}")
+  }
 }
