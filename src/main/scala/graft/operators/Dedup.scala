@@ -557,4 +557,85 @@ object Dedup {
        |FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= 2""".stripMargin
+
+  /** POSITIONED word 3-shingles — (doc_id, pos, sh), one row per
+    * occurrence (NOT distinct, unlike [[shingled]]): the base for
+    * span-level alignment, where position is the payload. Same codegen'd
+    * window form, same doc_id-keyed shuffle. */
+  private def shingledPos(spark: SparkSession, dir: String): DataFrame = {
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("w2", lead("word", 1).over(wdoc))
+      .withColumn("w3", lead("word", 2).over(wdoc))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        hash60(concat_ws(" ", col("word"), col("w2"), col("w3"))).as("sh"))
+  }
+
+  /** Minimum aligned 3-shingle run for a reported span: 5 shingles ≡ a
+    * duplicated substring of ≥ 7 words (Lee et al.'s 50-token threshold
+    * scaled to the test corpus — policy, not mechanism). */
+  private val minRun = 5
+
+  /** q_dup_span — EXACT duplicated-substring detection (the suffix-array
+    * dedup of Lee et al. 2022, re-expressed relationally): for each
+    * near-dup candidate pair, the LONGEST exactly-shared word span.
+    * Mechanism: positioned-shingle equality self-join → each shared
+    * occurrence lands on a DIAGONAL (pos_a − pos_b); an exactly shared
+    * k-word span is k−2 CONSECUTIVE positions on one diagonal, found
+    * with the rank-trick (pos_a − row_number is constant within a
+    * consecutive island — two windows, both on the (a,b,diag) key the
+    * join shuffle already produced). Work ∝ shared-shingle occurrences
+    * (never |a|·|b|); the stop-shingle guard caps hot keys exactly as in
+    * [[qDedupNgram]]. Suffix arrays do this in O(corpus) on one machine;
+    * this shape is the distributed equivalent with the same output
+    * contract: (pair, longest shared span).
+    */
+  def qDupSpan(spark: SparkSession, dir: String): DataFrame = {
+    val sp = shingledPos(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxShingleDf).drop("df")
+    val pairs = sp.as("a").join(sp.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.pos") - col("b.pos")).as("diag"), col("a.pos").as("pos_a"))
+    val wDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairs
+      .withColumn("island", col("pos_a") - row_number().over(wDiag))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("run_len").as("max_run"), sum("run_len").as("n_shared"))
+      .filter(col("max_run") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + 2).as("span_words"), col("n_shared"))
+  }
+
+  val dupSpanSql: String = {
+    val sh = hash60Sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sp0 AS (SELECT doc_id, unnest(generate_series(1, len(ws)-2)) AS i, ws
+       |        FROM w WHERE len(ws) >= 3),
+       |sp1 AS (SELECT doc_id, i - 1 AS pos, $sh AS sh FROM sp0),
+       |sp AS (SELECT doc_id, pos, sh FROM sp1
+       |       QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $maxShingleDf),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              a.pos - b.pos AS diag, a.pos AS pos_a
+       |       FROM sp a JOIN sp b
+       |         ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc_a, doc_b, diag,
+       |               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |                                          ORDER BY pos_a) AS island
+       |        FROM pr),
+       |runs AS (SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len
+       |         FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |       CAST(max(run_len) AS BIGINT) AS max_run,
+       |       CAST(max(run_len) + 2 AS BIGINT) AS span_words,
+       |       CAST(SUM(run_len) AS BIGINT) AS n_shared
+       |FROM runs GROUP BY 1, 2
+       |HAVING max(run_len) >= $minRun""".stripMargin
+  }
 }
