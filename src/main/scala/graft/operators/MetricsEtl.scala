@@ -1572,6 +1572,53 @@ object MetricsEtl {
       |     AND sz.w_start = r.w_start
       |WHERE r.i = sz.n""".stripMargin
 
+  /** q_stddev_by_label — PromQL `stddev/stdvar by (user)` ACROSS series:
+    * the spread of per-series sums within each (user, 1h window) group.
+    * Two stacked aggregations — per-series sums, then the cross-series
+    * moments — with the ENGINE-EXACT closed form on integer n/Σx/Σx²
+    * ([[qStdvarOverTime]]'s rule: incremental float variance is
+    * summation-order-dependent and can never hash-match). The outer
+    * group key is a prefix of the inner one, so the second exchange
+    * moves only the aggregated series frame.
+    */
+  def qStddevByLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        col("user_id"),
+        expr("unix_micros(ts) div 3600000000 * 3600").as("w_start"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id", "w_start", "name")
+      .agg(sum("c").as("sc"))
+      .groupBy("user_id", "w_start")
+      .agg(count(lit(1)).as("n_series"), sum("sc").as("s1"),
+        sum(col("sc") * col("sc")).as("s2"))
+      .filter(col("n_series") >= 2)
+      .select(col("user_id"), col("w_start"), col("n_series"),
+        round((col("n_series") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n_series") * col("n_series")).cast("double") / 10000d, 6)
+          .as("stdvar_v"),
+        round(sqrt((col("n_series") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n_series") * col("n_series")).cast("double")) / 100d, 6)
+          .as("stddev_v"))
+
+  val stddevByLabelSql: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 * 3600 AS w_start,
+      |         event_type AS name,
+      |         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sc
+      |  FROM events GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT user_id, w_start, COUNT(*) AS n_series,
+      |         CAST(SUM(sc) AS BIGINT) AS s1,
+      |         CAST(SUM(sc*sc) AS BIGINT) AS s2
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, w_start, n_series,
+      |       round(CAST(n_series*s2 - s1*s1 AS DOUBLE)
+      |             / CAST(n_series*n_series AS DOUBLE) / 10000.0, 6) AS stdvar_v,
+      |       round(sqrt(CAST(n_series*s2 - s1*s1 AS DOUBLE)
+      |             / CAST(n_series*n_series AS DOUBLE)) / 100.0, 6) AS stddev_v
+      |FROM g WHERE n_series >= 2""".stripMargin
+
   /** q_vector_setops — PromQL logical/set binary operators between two
     * instant vectors: `err and view`, `err unless view`, `err or view`
     * on matching label sets (user) per 1h window. Both sides aggregate

@@ -1239,4 +1239,31 @@ object Olap {
       |SELECT l_partkey, s_name, min_cents
       |FROM w JOIN supplier ON l_suppkey = s_suppkey
       |WHERE offer_cents = min_cents""".stripMargin
+
+  /** q_grouping_sets — EXPLICIT grouping sets, the lattice shape rollup
+    * and cube cannot express: ((returnflag), (linestatus), ()) — two
+    * independent single-axis subtotal views plus the grand total,
+    * WITHOUT the detail level a cube would force. Spark expands the
+    * requested sets map-side in ONE shuffle exactly as for
+    * rollup/cube; grouping_id separates the views; integer cents keep
+    * every level exact.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("cents").cast("double") / 100d, 2).as("revenue"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+      |       COUNT(*) AS n,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 }
