@@ -37,6 +37,29 @@ object Tables {
       case _ => raw
     }
   }
+  /** Time-sliced events read with the range predicate applied to the RAW
+    * nanos long BEFORE the µs conversion, so it reaches the parquet scan
+    * as a real PushedFilter (row-group stats pruning) — a predicate on
+    * the derived timestamp is only a post-scan DataFilter. Boundary math
+    * keeps EXACT equivalence with `(µs > loUs) ∧ (µs ≤ hiUs)` under
+    * floor division: µs = ns div 1000 > loUs ⟺ ns > loUs·1000+999, and
+    * µs ≤ hiUs ⟺ ns ≤ hiUs·1000+999 (nonneg ns).
+    */
+  def eventsSlice(spark: SparkSession, dir: String,
+      loUsExclusive: Long, hiUsInclusive: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") > loUsExclusive * 1000L + 999L &&
+            col("ts") <= hiUsInclusive * 1000L + 999L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.filter(unix_micros(col("ts")) > loUsExclusive &&
+          unix_micros(col("ts")) <= hiUsInclusive)
+    }
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

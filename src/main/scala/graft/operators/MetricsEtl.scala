@@ -1572,6 +1572,51 @@ object MetricsEtl {
       |     AND sz.w_start = r.w_start
       |WHERE r.i = sz.n""".stripMargin
 
+  /** Fixed evaluation timestamp for [[qInstantVector]] — 2024-01-15
+    * 12:00:00 UTC, mid-corpus; the `@` modifier makes this a plan-time
+    * constant. */
+  private val EvalTsUs = 1705320000L * 1000000L
+
+  /** q_instant_vector — PromQL's CORE evaluation rule, not yet a named
+    * operator elsewhere in §2.A: an instant vector at a fixed timestamp
+    * (`metric @ 1705320000`) selects, per series, the LATEST sample in
+    * the lookback window (T−Δ, T]. Δ=24h here (the synthetic corpus's
+    * scrape cadence is ~hours; Prometheus's default 5m is the same plan
+    * with a different literal). The time-range filter is a plan-time
+    * constant so it PUSHES TO THE PARQUET SCAN — an instant evaluation
+    * reads only the lookback slice of a 100 TB corpus, which is the
+    * whole point of the rule. One rank window per series on the sliced
+    * frame; age_us emitted for staleness accounting.
+    */
+  def qInstantVector(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.eventsSlice(spark, dir, EvalTsUs - 86400000000L, EvalTsUs)
+      .select(col("event_type").as("name"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("user_id"), col("ts_us"), col("cents"),
+        (lit(EvalTsUs) - col("ts_us")).as("age_us"))
+  }
+
+  val instantVectorSql: String = {
+    val t = 1705320000L * 1000000L
+    s"""WITH s AS (
+       |  SELECT event_type AS name, user_id, event_id,
+       |         epoch_us(ts) AS ts_us,
+       |         CAST(round(value*100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE epoch_us(ts) > $t - 86400000000 AND epoch_us(ts) <= $t),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY name, user_id
+       |           ORDER BY ts_us DESC, event_id DESC) AS rn
+       |  FROM s)
+       |SELECT name, user_id, ts_us, cents, $t - ts_us AS age_us
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   /** q_stddev_by_label — PromQL `stddev/stdvar by (user)` ACROSS series:
     * the spread of per-series sums within each (user, 1h window) group.
     * Two stacked aggregations — per-series sums, then the cross-series

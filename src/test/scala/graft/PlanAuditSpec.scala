@@ -175,6 +175,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_instant_vector: the lookback range is a real PushedFilter on the raw column") {
+    val plan = executed(MetricsEtl.qInstantVector(spark, dir))
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(ts".r.findFirstIn(plan).isDefined,
+      s"lookback must push to parquet row-group stats, not stay a DataFilter:\n${plan.take(1500)}")
+  }
+
   test("q_dsir and q_pii: pure projections — zero exchanges") {
     for (df <- Seq(graft.operators.TextAnalysis.qDsir(spark, dir),
         graft.operators.TextAnalysis.qPii(spark, dir))) {
