@@ -12,20 +12,28 @@ import org.apache.spark.sql.functions._
   *
   *   1. rule filter  — [[TextAnalysis.qFilter]]'s KEEP decision
   *                     (language, length, quality, exact-dup canonical)
-  *   2. near-dedup   — n-gram Jaccard pairs → connected components
+  *   2. DSIR gate    — [[TextAnalysis.qDsir]]'s importance score; docs
+  *                     with non-positive target-likelihood importance
+  *                     drop (the resampling stage of Xie et al.)
+  *   3. near-dedup   — n-gram Jaccard pairs → connected components
   *                     ([[Dedup.connectedComponents]]); only each
   *                     cluster's minimum doc_id survives
-  *   3. shard order  — the deterministic epoch permutation of
+  *   4. PII redact   — digit-run redaction on the outgoing text (the
+  *                     [[TextAnalysis.qPii]] rewrite, applied at write
+  *                     time so no un-redacted text reaches a shard)
+  *   5. shard order  — the deterministic epoch permutation of
   *                     [[TextAnalysis.qShardOrder]]: shard + position
-  *                     are pure functions of (salt, content)
-  *   4. write        — parquet partitioned by shard, one directory per
+  *                     are pure functions of (salt, ORIGINAL content) —
+  *                     redaction does not perturb the permutation
+  *   6. write        — parquet partitioned by shard, one directory per
   *                     shard, rows carrying (pos, doc_id, text)
   *
   * Everything is deterministic, so a rerun (or a resumed run after
   * preemption) produces bit-identical shards — the property that makes
-  * the output safe to feed a resumable trainer. Scale shape: rules are
-  * projections; both dedups shuffle only 8-byte hashes; the write
-  * shuffles (doc text travels exactly once, scan → shard writer).
+  * the output safe to feed a resumable trainer. Scale shape: rules,
+  * DSIR, and redaction are projections; both dedups shuffle only 8-byte
+  * hashes; the write shuffles (doc text travels exactly once,
+  * scan → shard writer).
   */
 object DocPipeline {
 
@@ -34,8 +42,10 @@ object DocPipeline {
   case class Summary(
       nDocs: Long,
       nRuleDropped: Long,
+      nDsirDropped: Long,
       nNearDupDropped: Long,
       nWritten: Long,
+      nRedacted: Long,
       nShards: Int)
 
   /** doc_ids that LOSE near-dedup: in some n-gram near-dup cluster but
@@ -51,12 +61,22 @@ object DocPipeline {
     val docs = Tables.documents(spark, dir)
     val verdicts = TextAnalysis.qFilter(spark, dir)
       .select("doc_id", "keep")
+    val dsir = TextAnalysis.qDsir(spark, dir)
+      .select(col("doc_id"), (col("importance") > 0).as("dsir_keep"))
     val losers = nearDupLosers(spark, dir)
 
     val kept = docs.join(verdicts, "doc_id")
       .filter(col("keep"))
+      .join(dsir, "doc_id")
+      .filter(col("dsir_keep"))
       .join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+      .select(col("doc_id"),
+        // redact at write time; order by the ORIGINAL content hash so
+        // the permutation is independent of redaction policy changes
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("text"),
+        (col("text") =!= regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+          .as("redacted"),
+        col("lang"), col("source"),
         hash60(concat_ws(":", lit(salt), col("text"))).as("ord_hash"))
       .withColumn("shard", (col("ord_hash") % shards).cast("int"))
       .withColumn("pos", row_number().over(
@@ -67,12 +87,16 @@ object DocPipeline {
     val written = spark.read.parquet(outDir)
     val nDocs = docs.count()
     val nKeepRule = verdicts.filter(col("keep")).count()
+    val nKeepDsir = TextAnalysis.qFilter(spark, dir).filter(col("keep"))
+      .join(dsir, "doc_id").filter(col("dsir_keep")).count()
     val nWritten = written.count()
     Summary(
       nDocs = nDocs,
       nRuleDropped = nDocs - nKeepRule,
-      nNearDupDropped = nKeepRule - nWritten,
+      nDsirDropped = nKeepRule - nKeepDsir,
+      nNearDupDropped = nKeepDsir - nWritten,
       nWritten = nWritten,
+      nRedacted = written.filter(col("redacted")).count(),
       nShards = shards)
   }
 }

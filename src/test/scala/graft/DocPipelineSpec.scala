@@ -18,11 +18,16 @@ class DocPipelineSpec extends SparkSpec {
 
     // accounting identities
     assert(s.nDocs == Tables.documents(spark, dir).count())
-    assert(s.nRuleDropped + s.nNearDupDropped + s.nWritten == s.nDocs)
+    assert(s.nRuleDropped + s.nDsirDropped + s.nNearDupDropped + s.nWritten
+      == s.nDocs)
+    // this corpus is digit-free, so redaction must be a observed no-op
+    assert(s.nRedacted == 0)
 
-    // membership: keep ∧ not-near-dup-loser, computed independently
+    // membership: keep ∧ dsir-keep ∧ not-near-dup-loser, independently
     val keepIds = TextAnalysis.qFilter(spark, dir)
       .filter(col("keep")).select("doc_id")
+      .join(TextAnalysis.qDsir(spark, dir)
+        .filter(col("importance") > 0).select("doc_id"), "doc_id")
     val losers = Dedup.connectedComponents(
       Dedup.qDedupNgram(spark, dir).select("doc_a", "doc_b"))
       .filter(col("node") =!= col("label"))
