@@ -1617,6 +1617,95 @@ object MetricsEtl {
        |FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** q_label_cardinality — the TSDB cardinality monitor (Prometheus's
+    * `/api/v1/status/tsdb` highest-cardinality dashboard): per label
+    * KEY, the distinct-value count, total occurrences, and the modal
+    * value with its share — the early-warning for label explosions that
+    * kill real TSDBs. The label map explodes to (key, value) PAIRS —
+    * 8-byte-hash-sized rows, not series — and both aggregations land on
+    * the same key-prefixed shuffle. Output bounded by |label keys|.
+    */
+  def qLabelCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val kv = metrics(spark, dir)
+      .select(explode(arrays_zip(col("label_keys"), col("label_values")))
+        .as("kv"))
+      .select(col("kv.label_keys").as("k"), col("kv.label_values").as("v"))
+    val perValue = kv.groupBy("k", "v").agg(count(lit(1)).as("n"))
+    val wk = Window.partitionBy("k").orderBy(col("n").desc, col("v"))
+    perValue
+      .withColumn("rn", row_number().over(wk))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_values"), sum("n").as("n_occurrences"),
+        max(when(col("rn") === 1, col("v"))).as("top_value"),
+        max(when(col("rn") === 1, col("n"))).as("top_n"))
+      .withColumn("top_share_ppm",
+        expr("top_n * 1000000 div n_occurrences"))
+  }
+
+  val labelCardinalitySql: String =
+    s"""WITH kv AS (
+       |  SELECT unnest($keysSql) AS k, unnest($valuesSql) AS v
+       |  FROM events),
+       |pv AS (SELECT k, v, COUNT(*) AS n FROM kv GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY k
+       |        ORDER BY n DESC, v) AS rn FROM pv)
+       |SELECT k, COUNT(*) AS n_values,
+       |       CAST(SUM(n) AS BIGINT) AS n_occurrences,
+       |       max(CASE WHEN rn = 1 THEN v END) AS top_value,
+       |       max(CASE WHEN rn = 1 THEN n END) AS top_n,
+       |       max(CASE WHEN rn = 1 THEN n END) * 1000000
+       |         // CAST(SUM(n) AS BIGINT) AS top_share_ppm
+       |FROM r GROUP BY k""".stripMargin
+
+  /** q_series_churn — series lifecycle monitoring: per day, how many
+    * series (name × user) are NEW (absent the previous day) and how
+    * many DISAPPEARED — the churn signal behind TSDB head-block bloat
+    * and scrape-target drift. Presence collapses to one row per
+    * (series, day) FIRST (map-side), then churn is a shifted-key
+    * full-outer self-join on the aggregated frame — the q_offset_compare
+    * mechanism applied to existence instead of sums. Output bounded by
+    * |days|.
+    */
+  def qSeriesChurn(spark: SparkSession, dir: String): DataFrame = {
+    val present = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val today = present.select(col("name"), col("user_id"), col("day"))
+    val yesterday = present.select(col("name").as("name_y"),
+      col("user_id").as("user_y"), (col("day") + 1).as("day_y"))
+    today.join(yesterday,
+        col("name") === col("name_y") && col("user_id") === col("user_y") &&
+          col("day") === col("day_y"), "full_outer")
+      .select(coalesce(col("day"), col("day_y")).as("day"),
+        when(col("name_y").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("name").isNull, 1L).otherwise(0L).as("is_gone"),
+        when(col("name").isNotNull && col("name_y").isNotNull, 1L)
+          .otherwise(0L).as("is_stable"))
+      .groupBy("day")
+      .agg(sum("is_new").as("n_new"), sum("is_gone").as("n_gone"),
+        sum("is_stable").as("n_stable"))
+  }
+
+  val seriesChurnSql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT event_type AS name, user_id,
+      |         epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |j AS (
+      |  SELECT coalesce(t.day, y.day + 1) AS day,
+      |         CASE WHEN y.name IS NULL THEN 1 ELSE 0 END AS is_new,
+      |         CASE WHEN t.name IS NULL THEN 1 ELSE 0 END AS is_gone,
+      |         CASE WHEN t.name IS NOT NULL AND y.name IS NOT NULL
+      |              THEN 1 ELSE 0 END AS is_stable
+      |  FROM p t FULL JOIN p y
+      |    ON t.name = y.name AND t.user_id = y.user_id
+      |   AND t.day = y.day + 1)
+      |SELECT day, CAST(SUM(is_new) AS BIGINT) AS n_new,
+      |       CAST(SUM(is_gone) AS BIGINT) AS n_gone,
+      |       CAST(SUM(is_stable) AS BIGINT) AS n_stable
+      |FROM j GROUP BY day""".stripMargin
+
   /** q_stddev_by_label — PromQL `stddev/stdvar by (user)` ACROSS series:
     * the spread of per-series sums within each (user, 1h window) group.
     * Two stacked aggregations — per-series sums, then the cross-series

@@ -148,4 +148,53 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(Set("en", "unk").contains(r.getAs[String]("lang_pred")))
     }
   }
+
+  test("dup_span: island runs equal brute-force longest common word span") {
+    // brute-force longest common substring (in WORDS) per doc pair,
+    // JVM-side, on the real corpus — the diagonal/island trick must
+    // agree exactly wherever it reports a pair
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def lcsWords(a: Seq[String], b: Seq[String]): Int = {
+      // O(|a|·|b|) DP over suffix match lengths
+      var best = 0
+      val prev = Array.fill(b.length + 1)(0)
+      for (i <- 1 to a.length) {
+        var diagVal = 0 // prev[j-1] before overwrite = dp(i-1, j-1)
+        for (j <- 1 to b.length) {
+          val tmp = prev(j)
+          prev(j) = if (a(i - 1) == b(j - 1)) diagVal + 1 else 0
+          if (prev(j) > best) best = prev(j)
+          diagVal = tmp
+        }
+      }
+      best
+    }
+    val reported = Dedup.qDupSpan(spark, dir).collect()
+    assert(reported.nonEmpty, "corpus plants duplicated spans — must find some")
+    reported.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val span = r.getAs[Long]("span_words")
+      val truth = lcsWords(docs(a), docs(b))
+      assert(a < b, "canonical pair order")
+      // span_words = longest aligned 3-shingle run + 2 == the true
+      // longest common word span (shingles are within-doc positions,
+      // so a k-word common substring is exactly k-2 consecutive
+      // diagonal hits)
+      assert(span == truth,
+        s"pair ($a,$b): reported span $span != brute-force $truth")
+    }
+    // completeness: every pair whose true span clears the 7-word
+    // threshold is reported (stop-shingle guard is a no-op at this SF)
+    val reportedPairs = reported.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val ids = docs.keys.toSeq.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val t = lcsWords(docs(ids(i)), docs(ids(j)))
+      if (t >= 7)
+        assert(reportedPairs.contains((ids(i), ids(j))),
+          s"missed pair (${ids(i)},${ids(j)}) with true span $t")
+    }
+  }
 }
