@@ -558,6 +558,40 @@ object Dedup {
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= 2""".stripMargin
 
+  /** q_dup_rate_by_source — duplication diagnostics per source (the
+    * curation dashboard that catches a crawler dumping the same site
+    * twice): per source, docs in any near-dup cluster, docs that LOSE
+    * dedup (non-canonical members), and the loss rate in ppm. Reuses
+    * the full [[qDedupClusters]] fixpoint; singleton docs arrive via
+    * the left join's null side. Output bounded by |sources|.
+    */
+  def qDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClusters(spark, dir)
+      .select(col("doc_id"), lit(1L).as("clustered"),
+        when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L)
+          .as("loser"))
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("clustered"), lit(0L))).as("n_clustered"),
+        sum(coalesce(col("loser"), lit(0L))).as("n_losers"))
+      .withColumn("loss_ppm", expr("n_losers * 1000000 div n_docs"))
+  }
+
+  val dupRateBySourceSql: String =
+    s"""SELECT d.source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_clustered,
+       |       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cluster_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_losers,
+       |       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cluster_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*)
+       |         AS loss_ppm
+       |FROM documents d LEFT JOIN ($dedupClustersSql) c
+       |  ON d.doc_id = c.doc_id
+       |GROUP BY d.source""".stripMargin
+
   /** POSITIONED word 3-shingles — (doc_id, pos, sh), one row per
     * occurrence (NOT distinct, unlike [[shingled]]): the base for
     * span-level alignment, where position is the payload. Same codegen'd

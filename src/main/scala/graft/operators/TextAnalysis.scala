@@ -779,6 +779,44 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** q_lang_mismatch — declared-vs-predicted language confusion audit:
+    * the QA dashboard that catches mislabeled sources and drifting
+    * language ID. Per (declared lang, predicted lang): doc count and
+    * the share of the declared language's docs in ppm (exact integer
+    * division over a window total). Prediction is [[qLangIdMulti]]'s
+    * pure projection; the only shuffle is the bounded
+    * |langs|×|predictions| groupBy.
+    */
+  def qLangMismatch(spark: SparkSession, dir: String): DataFrame = {
+    val pred = qLangIdMulti(spark, dir).select("doc_id", "lang_pred")
+    val conf = Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(pred, "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    conf
+      .withColumn("lang_total",
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("n * 1000000 div lang_total").as("share_ppm"))
+  }
+
+  val langMismatchSql: String = {
+    val nw = s"len($wordsSql)"
+    val en = s"round(CAST($nStopSql AS DOUBLE) / $nw, 4)"
+    val es = s"round(CAST(len(list_filter($wordsSql, " +
+      s"w -> list_contains($stopwordsEsSqlList, w))) AS DOUBLE) / $nw, 4)"
+    s"""WITH p AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN $en < 0.03 AND $es < 0.03 THEN 'unk'
+       |              WHEN $en >= $es THEN 'en' ELSE 'es' END AS lang_pred
+       |  FROM documents),
+       |c AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT lang, lang_pred, n,
+       |       n * 1000000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+       |         AS share_ppm
+       |FROM c""".stripMargin
+  }
+
   /** q_pii — PII detection + redaction (the privacy stage every training
     * pipeline runs): pattern hits counted per record and a redacted twin
     * hashed for the rewrite. Runs over `events.props` (the JSON blobs
