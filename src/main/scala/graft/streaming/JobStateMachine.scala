@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** ETL job configuration (reference config.py knobs that drive R6). */
 case class EtlConfig(
@@ -119,6 +121,49 @@ object JobStateMachine {
           state.update(JobProgress(progress))
           out.iterator
       }
+  }
+
+  /** The [[ledger]] state machine on Spark 4's `transformWithState` —
+    * the successor API to `flatMapGroupsWithState` (typed composite
+    * state handles, per-state TTL, timers, RocksDB-backed). Both twins
+    * share [[step]], so the semantics cannot drift; the parity spec
+    * pins identical output on identical input. Production notes: TWS
+    * requires the RocksDB state-store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` accordingly), which
+    * is also what bounds state memory at 100 TB — the store spills to
+    * local SSD instead of executor heap.
+    */
+  class LedgerProcessor(conf: EtlConfig, initialProgress: Long)
+      extends StatefulProcessor[String, BatchEvent, LedgerRecord] {
+    @transient private var progressState: ValueState[JobProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      progressState = getHandle.getValueState[JobProgress](
+        "progress", Encoders.product[JobProgress], TTLConfig.NONE)
+
+    override def handleInputRows(jobId: String, rows: Iterator[BatchEvent],
+        timerValues: TimerValues): Iterator[LedgerRecord] = {
+      var progress =
+        if (progressState.exists()) progressState.get().progress
+        else initialProgress
+      val out = rows.toSeq.sortBy(_.now).flatMap { e =>
+        val (records, p) = step(jobId, progress, e, conf)
+        progress = p
+        records
+      }
+      progressState.update(JobProgress(progress))
+      out.iterator
+    }
+  }
+
+  /** [[ledger]] via [[LedgerProcessor]] — see its scaladoc. */
+  def ledgerTws(events: Dataset[BatchEvent], conf: EtlConfig,
+                initialProgress: Long): Dataset[LedgerRecord] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.jobId)
+      .transformWithState(new LedgerProcessor(conf, initialProgress),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** R8 probe over a ledger: (job, timestampStart) keys whose LATEST

@@ -92,6 +92,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.timestampProgress.get).toSeq == Seq(1240L, 1480L))
   }
 
+  test("transformWithState ledger twin: cross-batch state, same output as fMGWS") {
+    // TWS requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val events = MemoryStream[BatchEvent]
+      val q = JobStateMachine.ledgerTws(events.toDS(), conf, initialProgress = 1000)
+        .writeStream.format("memory").queryName("ledger_tws_test")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("ledger_tws_ckpt"))
+        .start()
+      try {
+        events.addData(BatchEvent("j", 1500, 10, 0))
+        q.processAllAvailable()
+        events.addData(BatchEvent("j", 1800, 20, 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("ledger_tws_test").as[LedgerRecord]
+        .collect().filter(_.timestampEnd.isDefined)
+        .sortBy(_.timestampStart)
+      // identical to the flatMapGroupsWithState twin's asserted output —
+      // both APIs drive the same JobStateMachine.step
+      assert(rows.map(_.timestampStart).toSeq == Seq(940L, 1180L))
+      assert(rows.map(_.timestampProgress.get).toSeq == Seq(1240L, 1480L))
+      assert(rows.map(_.batchRows.get).toSeq == Seq(10L, 20L))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("runningJobs: open record without matching close = running (R8)") {
     val running = Seq(
       LedgerRecord("a", 100, None, None, None, None, None),
