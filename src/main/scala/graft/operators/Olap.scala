@@ -1240,6 +1240,121 @@ object Olap {
       |FROM w JOIN supplier ON l_suppkey = s_suppkey
       |WHERE offer_cents = min_cents""".stripMargin
 
+  /** q_funnel — sequential conversion funnel WITHIN the 30-min-gap
+    * sessions of [[qSessionize]]: view → click-after-view →
+    * purchase-after-that-click, per day. Stage timestamps are
+    * CONDITIONAL MINIMA with an ordering constraint folded into one
+    * aggregation pass (min view ts, min click ts > that, min purchase
+    * ts > that — the decorrelated form of a 3-way sequential EXISTS),
+    * so the whole funnel costs the sessionize window pass plus one
+    * session-keyed aggregation — no self-joins. Output bounded by
+    * |days|; conversion rates in exact ppm.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val bySession = Window.partitionBy("user_id", "session_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      // the view anchor rides a second window on the SAME user shuffle
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(bySession))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("t_start"), min("t_view").as("t_view"),
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t_view"), col("ts_us"))).as("t_click"))
+      .select(expr("t_start div 86400000000").as("day"),
+        col("t_view").isNotNull.as("s_view"),
+        col("t_click").isNotNull.as("s_click"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("s_view"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("s_click"), 1L).otherwise(0L)).as("n_view_click"))
+      .filter(col("n_view") > 0)
+      .withColumn("click_ppm", expr("n_view_click * 1000000 div n_view"))
+  }
+
+  val qFunnelSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev_ts
+      |  FROM events),
+      |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |                       OR ts_us - prev_ts > 1800 * 1000000
+      |                     THEN 1 ELSE 0 END AS is_new
+      |      FROM s),
+      |g AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY ts_us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS session_id
+      |      FROM m),
+      |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |               OVER (PARTITION BY user_id, session_id) AS t_view
+      |      FROM g),
+      |staged AS (
+      |  SELECT user_id, session_id,
+      |         min(ts_us) AS t_start, min(t_view) AS t_view,
+      |         min(CASE WHEN event_type = 'click' AND ts_us > t_view
+      |                  THEN ts_us END) AS t_click
+      |  FROM v GROUP BY 1, 2),
+      |f AS (SELECT t_start // 86400000000 AS day,
+      |             t_view IS NOT NULL AS s_view,
+      |             t_click IS NOT NULL AS s_click
+      |      FROM staged)
+      |SELECT day, COUNT(*) AS n_sessions,
+      |       CAST(SUM(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |       CAST(SUM(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |       CAST(SUM(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |         // CAST(SUM(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS click_ppm
+      |FROM f GROUP BY day
+      |HAVING CAST(SUM(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT) > 0""".stripMargin
+
+  /** q_retention — cohort retention triangle: users grouped by FIRST
+    * active week (cohort), counted again in each later week they
+    * return — the chart behind every growth dashboard. Shape: per-user
+    * first week via one aggregation, then (cohort, offset) counts over
+    * the distinct (user, week) activity frame; both aggregations key by
+    * user/week prefixes and the triangle output is |weeks|² — bounded
+    * regardless of corpus size. Retention in exact ppm of cohort size.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retained_ppm", expr("n_active * 1000000 div cohort_size"))
+  }
+
+  val qRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |                  epoch_us(ts) // 604800000000 AS week
+      |           FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1),
+      |sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY 1),
+      |r AS (SELECT c.cohort_week, a.week - c.cohort_week AS "offset",
+      |             COUNT(*) AS n_active
+      |      FROM a JOIN c ON a.user_id = c.user_id
+      |      GROUP BY 1, 2)
+      |SELECT r.cohort_week, r."offset", r.n_active, sz.cohort_size,
+      |       r.n_active * 1000000 // sz.cohort_size AS retained_ppm
+      |FROM r JOIN sz ON r.cohort_week = sz.cohort_week""".stripMargin
+
   /** q_grouping_sets — EXPLICIT grouping sets, the lattice shape rollup
     * and cube cannot express: ((returnflag), (linestatus), ()) — two
     * independent single-axis subtotal views plus the grand total,
