@@ -1617,6 +1617,48 @@ object MetricsEtl {
        |FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** q_range_eval — the PromQL RANGE-QUERY evaluation model, completing
+    * the family ([[qInstantVector]] = instant, [[qSubqueryRate]] =
+    * subquery): `sum_over_time(m[30m])` evaluated at every 10m STEP, so
+    * each sample contributes to the ⌈range/step⌉ = 3 OVERLAPPING
+    * evaluation steps that can see it. Re-expressed as a constant-width
+    * explode (each sample → its 3 member steps — work ∝ n·(range/step),
+    * a plan-time constant) followed by ONE map-side-combinable groupBy;
+    * no self-join, no window function, no per-step re-scan. Steps with
+    * no samples produce no row, exactly like PromQL staleness.
+    */
+  def qRangeEval(spark: SparkSession, dir: String): DataFrame = {
+    val stepS = 600L
+    val rangeSteps = 3 // 30m lookback / 10m step
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        expr(s"unix_micros(ts) div ${stepS * 1000000L}").as("sample_step"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("name"), col("user_id"), col("cents"),
+        explode(sequence(col("sample_step"),
+          col("sample_step") + (rangeSteps - 1))).as("eval_step"))
+      .groupBy("name", "user_id", "eval_step")
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_samples"))
+      .select(col("name"), col("user_id"),
+        (col("eval_step") * stepS).as("eval_ts_s"),
+        col("sum_cents"), col("n_samples"))
+  }
+
+  val rangeEvalSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id,
+      |         epoch_us(ts) // 600000000 AS sample_step,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |e AS (
+      |  SELECT name, user_id, cents,
+      |         unnest(generate_series(sample_step, sample_step + 2)) AS eval_step
+      |  FROM s)
+      |SELECT name, user_id, eval_step * 600 AS eval_ts_s,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       COUNT(*) AS n_samples
+      |FROM e GROUP BY 1, 2, eval_step""".stripMargin
+
   /** q_label_cardinality — the TSDB cardinality monitor (Prometheus's
     * `/api/v1/status/tsdb` highest-cardinality dashboard): per label
     * KEY, the distinct-value count, total occurrences, and the modal

@@ -149,6 +149,63 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("retention: offset-0 row is the full cohort; activity conserved") {
+    val r = Olap.qRetention(spark, dir).collect()
+    val week0 = r.filter(_.getAs[Long]("offset") == 0L)
+    assert(week0.nonEmpty)
+    week0.foreach { row =>
+      assert(row.getAs[Long]("n_active") == row.getAs[Long]("cohort_size"),
+        "every user is active in their own first week")
+      assert(row.getAs[Long]("retained_ppm") == 1000000L)
+    }
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_active") <= row.getAs[Long]("cohort_size"))
+      assert(row.getAs[Long]("offset") >= 0L)
+    }
+  }
+
+  test("funnel: stage counts are monotone per day") {
+    Olap.qFunnel(spark, dir).collect().foreach { row =>
+      val (s, v, c) = (row.getAs[Long]("n_sessions"),
+        row.getAs[Long]("n_view"), row.getAs[Long]("n_view_click"))
+      assert(c <= v && v <= s, s"funnel must narrow: $s >= $v >= $c")
+    }
+  }
+
+  test("label_cardinality: the user key counts every event exactly once") {
+    val total = Tables.events(spark, dir).count()
+    val r = MetricsEtl.qLabelCardinality(spark, dir).collect()
+      .map(x => x.getAs[String]("k") -> x).toMap
+    assert(r("user").getAs[Long]("n_occurrences") == total)
+    r.values.foreach { row =>
+      assert(row.getAs[Long]("top_n") <= row.getAs[Long]("n_occurrences"))
+      assert(row.getAs[Long]("top_share_ppm") <= 1000000L)
+    }
+  }
+
+  test("vector setops: and/unless partition the err side; or covers both") {
+    MetricsEtl.qVectorSetops(spark, dir).collect().foreach { row =>
+      val inErr = row.getAs[Int]("in_err") == 1
+      val inView = row.getAs[Int]("in_view") == 1
+      val andC = row.getAs[Long]("and_cents")
+      val unlessC = row.getAs[Long]("unless_cents")
+      val orC = row.getAs[Long]("or_cents")
+      assert(inErr || inView, "a row must come from at least one side")
+      // exactly one of and/unless carries the err value when err present
+      if (inErr) assert((andC == -1L) != (unlessC == -1L))
+      else assert(andC == -1L && unlessC == -1L)
+      assert(orC != -1L, "or always has a value from some side")
+    }
+  }
+
+  test("range_eval: every sample lands in exactly range/step eval steps") {
+    val totalSamples = Tables.events(spark, dir).count()
+    val summed = MetricsEtl.qRangeEval(spark, dir)
+      .agg(sum("n_samples")).head().getLong(0)
+    assert(summed == totalSamples * 3,
+      s"30m/10m lookback must triple-count: $summed != 3×$totalSamples")
+  }
+
   test("dup_span: island runs equal brute-force longest common word span") {
     // brute-force longest common substring (in WORDS) per doc pair,
     // JVM-side, on the real corpus — the diagonal/island trick must
