@@ -740,6 +740,70 @@ object TextAnalysis {
        |ORDER BY freq DESC, pair
        |LIMIT 20""".stripMargin
 
+  /** One learned BPE merge: the pair chosen at a round and its corpus
+    * frequency at selection time. */
+  case class BpeMerge(round: Int, left: String, right: String, freq: Long)
+
+  /** BPE tokenizer TRAINING ([[qBpeMerge]] is one round's statistic;
+    * this is the loop): learn `rounds` merge rules from the corpus.
+    * The classic algorithm runs on the WORD-FREQUENCY table, and so
+    * does this: the corpus is scanned and shuffled exactly ONCE into
+    * (word, freq) — everything after iterates on the vocabulary-sized
+    * frame (⋘ corpus; bounded by distinct words), so 10 rounds on
+    * 100 TB cost one corpus pass + 10 tiny jobs. Per round: adjacent
+    * symbol-pair counts weighted by word freq (flatMap + groupBy on the
+    * vocab frame), deterministic argmax (freq desc, then lexicographic
+    * pair), then the merge applied to each word's symbol array with a
+    * single left-to-right JVM fold (`mapPartitions`-backed Dataset.map —
+    * vocabulary-sized, the sanctioned imperative case). The 1-row argmax
+    * collect per round is the same class as the clustering convergence
+    * probe. Deterministic: same corpus → same merge table.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int): Seq[BpeMerge] = {
+    import spark.implicits._
+    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
+      Tables.documents(spark, dir)
+        .select(explode(words).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)]
+        .map { case (w, f) => (w.map(_.toString).toSeq, f) }
+    vocab = vocab.localCheckpoint()
+
+    def applyMerge(sym: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.toSeq
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      val top = vocab.flatMap { case (sym, f) =>
+        sym.iterator.zip(sym.iterator.drop(1)).map(p => (p._1, p._2, f))
+      }.toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top.head
+        val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += BpeMerge(round, l, r, f)
+        val next = vocab.map { case (sym, fr) => (applyMerge(sym, l, r), fr) }
+          .localCheckpoint() // truncate the iterative lineage each round
+        vocab = next
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
   /** Plan-time constant DSIR bucket weights (hashed-feature log-ratio
     * stand-ins): 16 integers in [-10, 10], derived from the portable
     * JVM hash so the identical literals embed in both engines' plans. */
