@@ -1617,6 +1617,55 @@ object MetricsEtl {
        |FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** q_scrape_health — scrape-interval health per series (the target
+    * health view behind Prometheus's `up`/`scrape_duration` panels):
+    * inter-sample gap statistics — count, mean (exact ×1000 integer),
+    * max, and the count of gaps over 2× the series' own mean (missed
+    * scrapes). Gaps come from one lag window on the series key; the
+    * 2×-mean test cross-multiplies integers (2·gap·n > 2·Σgap → gap·n >
+    * Σgap... kept as gap·n > 2·Σgap÷... all integer products) so no
+    * float threshold. Output is |series|-bounded.
+    */
+  def qScrapeHealth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id").orderBy("ts_us", "event_id")
+    val series = Window.partitionBy("name", "user_id")
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      // per-series totals ride a second window on the SAME series key
+      // the lag shuffle produced — the "missed" test is then integer
+      // cross-multiplication (gap > 2·mean ⟺ gap·n > 2·Σgap), no floats
+      .withColumn("n_all", count(lit(1)).over(series))
+      .withColumn("sum_all", sum("gap_us").over(series))
+      .groupBy("name", "user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_us").as("sum_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        sum(when(col("gap_us") * col("n_all") > col("sum_all") * 2L, 1L)
+          .otherwise(0L)).as("n_missed"))
+      .withColumn("mean_gap_us", expr("sum_gap_us div n_gaps"))
+  }
+
+  val scrapeHealthSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id, epoch_us(ts) AS ts_us,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type,
+      |           user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events),
+      |t AS (SELECT *, COUNT(*) OVER (PARTITION BY name, user_id) AS n_all,
+      |             CAST(SUM(gap_us) OVER (PARTITION BY name, user_id) AS BIGINT)
+      |               AS sum_all
+      |      FROM s WHERE gap_us IS NOT NULL)
+      |SELECT name, user_id, COUNT(*) AS n_gaps,
+      |       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+      |       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |       CAST(SUM(CASE WHEN gap_us * n_all > sum_all * 2 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_missed,
+      |       CAST(SUM(gap_us) AS BIGINT) // COUNT(*) AS mean_gap_us
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   /** q_range_eval — the PromQL RANGE-QUERY evaluation model, completing
     * the family ([[qInstantVector]] = instant, [[qSubqueryRate]] =
     * subquery): `sum_over_time(m[30m])` evaluated at every 10m STEP, so

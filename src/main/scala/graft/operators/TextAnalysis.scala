@@ -804,6 +804,27 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Apply a learned merge table to one word — BPE ENCODING, the
+    * inference-side twin of [[bpeTrain]]: merges apply in training-rank
+    * order (each rule rewrites all its occurrences left-to-right before
+    * the next rule runs, exactly like the trainer's own fold). In a
+    * corpus-wide encode this runs inside a `Dataset.map` with the merge
+    * table BROADCAST (it is rounds-sized — bytes, not data). */
+  def bpeEncode(word: String, merges: Seq[BpeMerge]): Seq[String] = {
+    var sym: Seq[String] = word.map(_.toString)
+    merges.sortBy(_.round).foreach { m =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == m.left && sym(i + 1) == m.right) {
+          out += (m.left + m.right); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      sym = out.toSeq
+    }
+    sym
+  }
+
   /** Plan-time constant DSIR bucket weights (hashed-feature log-ratio
     * stand-ins): 16 integers in [-10, 10], derived from the portable
     * JVM hash so the identical literals embed in both engines' plans. */

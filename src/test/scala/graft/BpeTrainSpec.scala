@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * statistic (q_bpe_merge).
   */
 class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -43,5 +44,27 @@ class BpeTrainSpec extends SparkSpec {
     // determinism: rerun produces the identical merge table
     val again = TextAnalysis.bpeTrain(spark, dir, rounds = 5)
     assert(again == merges, "trainer must be deterministic")
+  }
+
+  test("bpeEncode round-trips: lossless, monotone compression, rank order") {
+    val merges = TextAnalysis.bpeTrain(spark, dir, rounds = 5)
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect()
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val tokens = TextAnalysis.bpeEncode(w, merges)
+      assert(tokens.mkString == w, s"encoding of '$w' must be lossless")
+      assert(tokens.size <= w.length)
+      // zero merges = character split
+      assert(TextAnalysis.bpeEncode(w, Seq.empty).mkString == w)
+      assert(TextAnalysis.bpeEncode(w, Seq.empty).size == w.length)
+      // more merges can only compress further (prefix property of the
+      // rank-ordered greedy table)
+      (0 to merges.size).sliding(2).foreach { case Seq(k, k2) =>
+        assert(TextAnalysis.bpeEncode(w, merges.take(k2)).size <=
+          TextAnalysis.bpeEncode(w, merges.take(k)).size)
+      }
+    }
   }
 }
