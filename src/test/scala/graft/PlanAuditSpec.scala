@@ -230,6 +230,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), "the rate core rides the 5m window pass")
   }
 
+  test("q_range_eval: overlapping windows via explode — no join, one corpus exchange") {
+    val plan = executed(MetricsEtl.qRangeEval(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), "range evaluation must not self-join")
+    assert(plan.contains("Generate"), "membership fan-out rides explode")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 1, s"one aggregation exchange expected, found $n")
+  }
+
+  test("q_funnel: both windows and the aggregation share one user-keyed shuffle") {
+    val plan = executed(Olap.qFunnel(spark, dir))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one corpus exchange on user_id feeds session window + view-anchor
+    // window + session aggregation; the day rollup re-shuffles only the
+    // |sessions| frame
+    assert(n <= 2, s"expected ≤2 hash exchanges, found $n:\n${plan.take(2000)}")
+    assert("Window".r.findAllIn(plan).size >= 2, "two window passes expected")
+  }
+
+  test("q_retention: cohort sizes come back as a broadcast, no cartesian") {
+    val plan = executed(Olap.qRetention(spark, dir))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"), "sizes join must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_disjunctive: the part-side weakening reaches the part scan") {
     val plan = executed(Olap.qDisjunctive(spark, dir))
     // the explicit OR-union filter on part must appear as a pushed scan
