@@ -902,6 +902,68 @@ object TextAnalysis {
        |FROM c""".stripMargin
   }
 
+  /** q_pack_efficiency — sequence-packing DIAGNOSTICS over [[qPack]]'s
+    * bins: per-bin token fill vs the budget, rolled into a fill-ratio
+    * histogram (percent-decile buckets) — the utilization dashboard
+    * that tells you whether the packing policy wastes context window.
+    * Integer math only (fill decile = tokens·10 div budget, overflow
+    * bins clamp to 10); the rollup keys on bin then decile — both
+    * bounded frames after the chunk aggregation.
+    */
+  def qPackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    qPack(spark, dir)
+      .groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("bin_tokens"))
+      .select(least(expr(s"bin_tokens * 10 div $packBudget"), lit(10L))
+        .as("fill_decile"))
+      .groupBy("fill_decile")
+      .agg(count(lit(1)).as("n_bins"))
+
+  val packEfficiencySql: String =
+    s"""WITH $chunkCtes,
+       |sh AS (SELECT *, CAST((doc_id % 32 + 32) % 32 AS INT) AS shard FROM chunks),
+       |cm AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |        ORDER BY doc_id, chunk_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM sh),
+       |b AS (SELECT shard, CAST(floor((cum - n_tokens) / $packBudget) AS BIGINT)
+       |             AS bin_id, n_tokens
+       |      FROM cm),
+       |t AS (SELECT shard, bin_id, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |      FROM b GROUP BY 1, 2)
+       |SELECT least(bin_tokens * 10 // $packBudget, 10) AS fill_decile,
+       |       COUNT(*) AS n_bins
+       |FROM t GROUP BY 1""".stripMargin
+
+  /** q_sample_stratified — fixed-N-per-stratum deterministic sampling
+    * (the eval-set carve-out: exactly K docs per source, not a rate):
+    * rank docs within each source by their salted content hash and keep
+    * the K smallest — a deterministic "reservoir" reproducible across
+    * runs and engines. The rank runs on the custom bounded-heap
+    * [[graft.plans.TopKPerKey]] operator: per-source heaps of size K,
+    * no per-source sort, one shuffle on source. Complements [[qSample]]
+    * (per-source RATES) — quotas vs proportions.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.plans.TopKPerKey.topK(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          hash60(concat_ws(":", lit("strat0"), col("text"))).as("fate")),
+      keyNames = Seq("source"),
+      orderSpec = Seq(("fate", true), ("doc_id", true)),
+      k = 5)
+    ranked.select("source", "doc_id", "fate", "rk")
+  }
+
+  val sampleStratifiedSql: String = {
+    val fate = graft.functions.Portable.hash60Sql("'strat0:' || text")
+    s"""SELECT source, doc_id, $fate AS fate,
+       |       row_number() OVER (PARTITION BY source
+       |         ORDER BY $fate, doc_id) AS rk
+       |FROM documents
+       |QUALIFY rk <= 5""".stripMargin
+  }
+
   /** q_pii — PII detection + redaction (the privacy stage every training
     * pipeline runs): pattern hits counted per record and a redacted twin
     * hashed for the rewrite. Runs over `events.props` (the JSON blobs
