@@ -662,6 +662,35 @@ object Similarity {
        |FROM dd""".stripMargin
   }
 
+  /** q_embed_outliers — embedding sanity screening (the guard before
+    * any ANN index build: near-zero or exploded vectors poison every
+    * cosine): per vector, the exact integer squared norm against the
+    * corpus MEDIAN norm — flagged low (4·norm < median) or high
+    * (norm > 4·median). The median is a 1-row exact-percentile
+    * aggregate broadcast back over the corpus (same shape as
+    * q_top_share's global total); the comparison multiplies the
+    * INTEGER norm (the median, an interpolated half-integer, is the
+    * identical double in both engines; integer·4 stays exact) so the
+    * flags cannot flake at a boundary. One corpus scan, zero joins on
+    * the corpus side.
+    */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir).select(col("vec_id"), col("nrm"))
+    val med = v.agg(expr("percentile(nrm, 0.5)").as("med_nrm"))
+    v.crossJoin(broadcast(med))
+      .select(col("vec_id"), col("nrm"),
+        (col("nrm") * 4L < col("med_nrm")).cast("int").as("flag_low"),
+        (col("nrm") > col("med_nrm") * 4d).cast("int").as("flag_high"))
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH $quantizedSql,
+       |m AS (SELECT quantile_cont(nrm, 0.5) AS med_nrm FROM qn)
+       |SELECT vec_id, nrm,
+       |       CAST(nrm * 4 < med_nrm AS INT) AS flag_low,
+       |       CAST(nrm > med_nrm * 4 AS INT) AS flag_high
+       |FROM qn, m""".stripMargin
+
   /** q_bitext_mine — parallel-corpus mining (LASER/CCMatrix shape): for
     * each vector, its best CROSS-LABEL match (label ≈ language) above a
     * cosine floor, candidates restricted to the same sign-LSH bucket.
