@@ -171,36 +171,39 @@ object Olap {
     * small per partition at any scale.
     */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    // — the cents column completes a TOTAL order (zero (supp, ship, ok,
+    // ln, cents) duplicates verified at sf0.1); without it row_number
+    // and the running sum are tie-order-dependent across engines
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val ord = Window.partitionBy("l_suppkey")
+      .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"),
+        col("cents"))
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
-        col("l_extendedprice"))
-      .withColumn("rn", row_number().over(Window.partitionBy("l_suppkey")
-        .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))))
+        cents.as("cents"))
+      .withColumn("rn", row_number().over(ord))
       // exact cents under the running window sum — same boundary-proof
       // rationale as q1/q5
       .withColumn("running_rev",
-        round(sum(round(col("l_extendedprice") * 100).cast("long"))
-          .over(Window.partitionBy("l_suppkey")
-            .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))
-            .rowsBetween(Window.unboundedPreceding, 0))
+        round(sum(col("cents"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double") / 100d, 2))
       .filter(col("rn") <= 100)
-      .drop("l_extendedprice")
+      .drop("cents")
   }
 
   val qWindowRunningSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |       epoch_us(l_shipdate) AS ship_us,
       |       row_number() OVER w AS rn,
-      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) OVER (PARTITION BY l_suppkey
-      |         ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber
+      |       round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) OVER (w
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 2) AS running_rev
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber)
+      |             ORDER BY epoch_us(l_shipdate), l_orderkey, l_linenumber,
+      |                      CAST(round(l_extendedprice*100) AS BIGINT))
       |QUALIFY rn <= 100""".stripMargin
 
   /** q_window_ranks — the analytic rank-function family in one window
@@ -939,8 +942,13 @@ object Olap {
         round(col("l_extendedprice") * 100).cast("long").as("p"),
         datediff(col("l_shipdate"), lit("1995-01-01").cast("timestamp"))
           .cast("long").as("ship_day"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    // (118k duplicate pairs at sf0.1) — the price column completes a
+    // TOTAL order (verified: zero (supp,ok,ln,day,p) duplicates), without
+    // which the ROWS frames are tie-order-dependent and the two engines
+    // legally disagree (caught as a once-in-a-while sf0.1 hash flake)
     val rows = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("ship_day"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("ship_day"), col("l_orderkey"), col("l_linenumber"), col("p"))
     val range = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
     base
       .withColumn("sliding_cents",
@@ -970,7 +978,7 @@ object Olap {
       |             date_diff('day', DATE '1995-01-01', l_shipdate) AS ship_day
       |      FROM lineitem)
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY ship_day, l_orderkey, l_linenumber)""".stripMargin
+      |             ORDER BY ship_day, l_orderkey, l_linenumber, p)""".stripMargin
 
   /** q_mode — modal value per group (ClickHouse `topK(1)` / `anyHeavy`
     * shape, exact): the most frequent orderpriority per orderstatus with
