@@ -206,6 +206,36 @@ class OperatorInvariantSpec extends SparkSpec {
       s"30m/10m lookback must triple-count: $summed != 3×$totalSamples")
   }
 
+  test("bitext_mine: one best match per source vector, strictly cross-label") {
+    val rows = Similarity.qBitextMine(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val perSrc = rows.groupBy(_.getAs[Long]("src_id"))
+    perSrc.values.foreach(g => assert(g.length == 1, "top-1 per src"))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("src_label") != r.getAs[Int]("tgt_label"))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.3 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("patch_grid and av_sync: integer plan ranges hold") {
+    Multimodal.qPatchGrid(spark, dir).collect().foreach { r =>
+      def n(c: String): Long = r.getAs[Number](c).longValue()
+      val (w, h) = (n("width"), n("height"))
+      val np = n("n_patches")
+      assert(np == (w / 16) * (h / 16))
+      assert(n("kept_tokens") <= 1024L)
+      assert((n("truncated") == 1L) == (np + 1 > 1024))
+    }
+    Multimodal.qAvSync(spark, dir).collect().foreach { r =>
+      val nStft = r.getAs[Long]("n_stft")
+      val idx = r.getAs[Long]("stft_idx")
+      if (nStft > 0) assert(idx >= 0 && idx < nStft, s"stft idx $idx of $nStft")
+      else assert(idx == -1L)
+      assert(r.getAs[Long]("vframe") < r.getAs[Long]("n_vframes"))
+    }
+  }
+
   test("dup_span: island runs equal brute-force longest common word span") {
     // brute-force longest common substring (in WORDS) per doc pair,
     // JVM-side, on the real corpus — the diagonal/island trick must
