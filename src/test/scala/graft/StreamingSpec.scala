@@ -92,6 +92,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.timestampProgress.get).toSeq == Seq(1240L, 1480L))
   }
 
+  test("late data beyond the watermark is dropped from append-mode windows") {
+    // window [1700000000, 1700000300) closes once the watermark passes
+    // its end + 10 min; a later point INSIDE that window must be
+    // discarded, not re-emitted — the exactly-once contract downstream
+    // sinks rely on
+    def fix(ts: Long, v: String) =
+      s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+        s"""{"metric":{"__name__":"up","job":"a"},"values":[[$ts,"$v"]]}]}}"""
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream.windowedAgg(PrometheusJson.metricRows(
+      PrometheusJson.parse(ms.toDF(), "value")))
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("late_ckpt"))
+      .start()
+    try {
+      ms.addData(fix(1700000000L, "1"))
+      q.processAllAvailable()
+      // watermark mover: event time jumps far ahead → first window final
+      ms.addData(fix(1700010000L, "2"))
+      q.processAllAvailable()
+      // LATE: inside the long-closed first window
+      ms.addData(fix(1700000060L, "99"))
+      q.processAllAvailable()
+      // second mover so any (incorrect) re-opened window would flush
+      ms.addData(fix(1700020000L, "3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // tumbling windows align to epoch multiples of 300s: 1700000000 and
+    // the late 1700000060 both land in [1699999800, 1700000100)
+    val rows = spark.table("late_test")
+      .filter(col("w_start_us") === 1699999800L * 1000000L).collect()
+    assert(rows.length == 1, s"closed window must emit exactly once: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("n") == 1L,
+      "the late point must not be counted into the finalized window")
+  }
+
   test("transformWithState ledger twin: cross-batch state, same output as fMGWS") {
     // TWS requires the RocksDB state store provider
     val key = "spark.sql.streaming.stateStore.providerClass"
