@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * noise, and min-of-N measures the query, not the compiler; a failing
   * query is reported loudly as value −1 plus an `errors` list and stderr
   * trace — never as a fake timing.
+  *
+  * Besides the one-line stdout JSON (the driver's contract), the full
+  * result — every run's timing per query, min, and spread — is written to
+  * `SPARK_GRAFT_BENCH_OUT` (default `bench_local.json` in the CWD), because
+  * the driver's artifact truncates long stdout and round 4 lost half the
+  * per-query data to that.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,7 +42,7 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val allRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val outcome =
@@ -48,6 +54,9 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (outcome.isEmpty) sec else -1.0
       }
+      (name, times)
+    }
+    val results = allRuns.map { case (name, times) =>
       (name, if (times.contains(-1.0)) -1.0 else times.min)
     }
     val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
@@ -55,6 +64,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+
+    // Complete artifact: per-query all-run timings + min + max/min spread,
+    // immune to the driver's stdout tail-truncation.
+    val detail = allRuns.map { case (name, times) =>
+      val min = if (times.contains(-1.0)) -1.0 else times.min
+      val spread =
+        if (times.contains(-1.0) || times.min <= 0) -1.0
+        else times.max / times.min
+      s""""$name":{"runs":[${times.mkString(",")}],"min":$min,"spread":$spread}"""
+    }.mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"errors":${errors.mkString("[", ",", "]")},"queries":$detail}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full artifact written to $out")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1622,9 +1622,9 @@ object MetricsEtl {
     * inter-sample gap statistics — count, mean (exact ×1000 integer),
     * max, and the count of gaps over 2× the series' own mean (missed
     * scrapes). Gaps come from one lag window on the series key; the
-    * 2×-mean test cross-multiplies integers (2·gap·n > 2·Σgap → gap·n >
-    * Σgap... kept as gap·n > 2·Σgap÷... all integer products) so no
-    * float threshold. Output is |series|-bounded.
+    * 2×-mean test cross-multiplies integers: gap > 2·mean = 2·Σgap/n
+    * ⟺ gap·n > 2·Σgap (all integer products), so no float threshold.
+    * Output is |series|-bounded.
     */
   def qScrapeHealth(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("name", "user_id").orderBy("ts_us", "event_id")
@@ -1675,6 +1675,14 @@ object MetricsEtl {
     * a plan-time constant) followed by ONE map-side-combinable groupBy;
     * no self-join, no window function, no per-step re-scan. Steps with
     * no samples produce no row, exactly like PromQL staleness.
+    * STEP-FLOOR APPROXIMATION: sample time is floored to its step
+    * before membership, so a sample at step s maps to eval steps
+    * {s, s+1, s+2}. True PromQL (T−30m, T] membership gives
+    * {s+1, s+2, s+3} for a mid-step sample and agrees only for samples
+    * exactly on step boundaries. Both engines share the floor (the
+    * oracle uses the same `// step` bucketing), so parity holds; an
+    * exact-timestamp variant would explode
+    * `sequence(ceil(ts/step), ceil(ts/step)+2)` instead.
     */
   def qRangeEval(spark: SparkSession, dir: String): DataFrame = {
     val stepS = 600L

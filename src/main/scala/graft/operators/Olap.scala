@@ -1270,22 +1270,32 @@ object Olap {
           col("ts_us") - col("prev_ts") > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id", sum("is_new").over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      // the view anchor rides a second window on the SAME user shuffle
+      // the view and click anchors ride extra windows on the SAME
+      // user shuffle (no new exchange)
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("ts_us"))).over(bySession))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t_view"), col("ts_us"))).over(bySession))
       .groupBy("user_id", "session_id")
       .agg(min("ts_us").as("t_start"), min("t_view").as("t_view"),
-        min(when(col("event_type") === "click" &&
-          col("ts_us") > col("t_view"), col("ts_us"))).as("t_click"))
+        min("t_click").as("t_click"),
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t_click"), col("ts_us"))).as("t_purchase"))
       .select(expr("t_start div 86400000000").as("day"),
         col("t_view").isNotNull.as("s_view"),
-        col("t_click").isNotNull.as("s_click"))
+        col("t_click").isNotNull.as("s_click"),
+        col("t_purchase").isNotNull.as("s_purchase"))
       .groupBy("day")
       .agg(count(lit(1)).as("n_sessions"),
         sum(when(col("s_view"), 1L).otherwise(0L)).as("n_view"),
-        sum(when(col("s_click"), 1L).otherwise(0L)).as("n_view_click"))
+        sum(when(col("s_click"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("s_purchase"), 1L).otherwise(0L)).as("n_click_purchase"))
       .filter(col("n_view") > 0)
       .withColumn("click_ppm", expr("n_view_click * 1000000 div n_view"))
+      .withColumn("purchase_ppm", expr(
+        "CASE WHEN n_view_click > 0 " +
+          "THEN n_click_purchase * 1000000 div n_view_click ELSE 0 END"))
   }
 
   val qFunnelSql: String =
@@ -1306,24 +1316,37 @@ object Olap {
       |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
       |               OVER (PARTITION BY user_id, session_id) AS t_view
       |      FROM g),
+      |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t_view
+      |                         THEN ts_us END)
+      |               OVER (PARTITION BY user_id, session_id) AS t_click
+      |      FROM v),
       |staged AS (
       |  SELECT user_id, session_id,
       |         min(ts_us) AS t_start, min(t_view) AS t_view,
-      |         min(CASE WHEN event_type = 'click' AND ts_us > t_view
-      |                  THEN ts_us END) AS t_click
-      |  FROM v GROUP BY 1, 2),
+      |         min(t_click) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase' AND ts_us > t_click
+      |                  THEN ts_us END) AS t_purchase
+      |  FROM c GROUP BY 1, 2),
       |f AS (SELECT t_start // 86400000000 AS day,
       |             t_view IS NOT NULL AS s_view,
-      |             t_click IS NOT NULL AS s_click
-      |      FROM staged)
-      |SELECT day, COUNT(*) AS n_sessions,
-      |       CAST(SUM(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-      |       CAST(SUM(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
-      |       CAST(SUM(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT) * 1000000
-      |         // CAST(SUM(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT)
-      |         AS click_ppm
-      |FROM f GROUP BY day
-      |HAVING CAST(SUM(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT) > 0""".stripMargin
+      |             t_click IS NOT NULL AS s_click,
+      |             t_purchase IS NOT NULL AS s_purchase
+      |      FROM staged),
+      |agg AS (
+      |  SELECT day, COUNT(*) AS n_sessions,
+      |         CAST(SUM(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_view,
+      |         CAST(SUM(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_view_click,
+      |         CAST(SUM(CASE WHEN s_purchase THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_click_purchase
+      |  FROM f GROUP BY day)
+      |SELECT day, n_sessions, n_view, n_view_click, n_click_purchase,
+      |       n_view_click * 1000000 // n_view AS click_ppm,
+      |       CASE WHEN n_view_click > 0
+      |            THEN n_click_purchase * 1000000 // n_view_click
+      |            ELSE 0 END AS purchase_ppm
+      |FROM agg WHERE n_view > 0""".stripMargin
 
   /** q_retention — cohort retention triangle: users grouped by FIRST
     * active week (cohort), counted again in each later week they

@@ -668,7 +668,14 @@ object Similarity {
     * corpus MEDIAN norm — flagged low (4·norm < median) or high
     * (norm > 4·median). The median is a 1-row exact-percentile
     * aggregate broadcast back over the corpus (same shape as
-    * q_top_share's global total); the comparison multiplies the
+    * q_top_share's global total). SCALE CAVEAT: Spark's exact
+    * `percentile` buffers all norm values in aggregation state — O(n)
+    * driver-side memory at 100 TB. The scale-safe substitutes are
+    * `approx_percentile` (breaks bit-exact oracle parity, fine in
+    * production) or a bounded histogram over integer norms (norms here
+    * are small integers, so a count-per-norm groupBy + running-sum
+    * median is exact AND bounded); the exact aggregate is kept only
+    * for the hash-compared oracle path. The comparison multiplies the
     * INTEGER norm (the median, an interpolated half-integer, is the
     * identical double in both engines; integer·4 stays exact) so the
     * flags cannot flake at a boundary. One corpus scan, zero joins on

@@ -166,9 +166,11 @@ class OperatorInvariantSpec extends SparkSpec {
 
   test("funnel: stage counts are monotone per day") {
     Olap.qFunnel(spark, dir).collect().foreach { row =>
-      val (s, v, c) = (row.getAs[Long]("n_sessions"),
-        row.getAs[Long]("n_view"), row.getAs[Long]("n_view_click"))
-      assert(c <= v && v <= s, s"funnel must narrow: $s >= $v >= $c")
+      val (s, v, c, p) = (row.getAs[Long]("n_sessions"),
+        row.getAs[Long]("n_view"), row.getAs[Long]("n_view_click"),
+        row.getAs[Long]("n_click_purchase"))
+      assert(p <= c && c <= v && v <= s,
+        s"funnel must narrow: $s >= $v >= $c >= $p")
     }
   }
 
