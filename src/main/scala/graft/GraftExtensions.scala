@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ChArrayExpr, FormatFloatExpr, LongVectorDot}
+import graft.functions.{ChArrayExpr, CityHash64Expr, FormatFloatExpr, LongVectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ch_array"),
       new ExpressionInfo(classOf[ChArrayExpr].getName, "ch_array"),
       unary("ch_array", ChArrayExpr.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("city_hash64"),
+      new ExpressionInfo(classOf[CityHash64Expr].getName, "city_hash64"),
+      (children: Seq[Expression]) => CityHash64Expr(children)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // rank-filter → bounded-heap rewrite (Rule[LogicalPlan]): window-
     // idiom SQL plans onto TopKPerKeyExec automatically

@@ -105,6 +105,33 @@ object MetricsEtl {
        |FROM events""".stripMargin
   }
 
+  /** q_metrics_id_city — R5 row identity, BIT-EXACT vs ClickHouse: the
+    * reference's dedup id is `id UInt64 MATERIALIZED cityHash64(timestamp,
+    * name, labels.key, labels.value, value)` (reference README.md:119-134),
+    * computed server-side by ClickHouse. [[qMetricsId]]'s portable hash60
+    * reproduces the dedup SEMANTICS with different id values; this twin
+    * reproduces the VALUES, so rows graft writes can be cross-checked
+    * byte-for-byte against an existing deployment's materialized ids.
+    * Uses the native [[graft.functions.CityHash64Expr]] (CityHash v1.0.2 —
+    * the revision ClickHouse vendors — plus ClickHouse's FunctionAnyHash
+    * multi-arg/array/POD conventions; golden-vectored in CityHash64Spec
+    * against an independent Python twin, tools/cityhash_ref.py).
+    *
+    * NO DuckDB oracle is registrable: DuckDB has no cityHash64, and the
+    * per-SF corpora differ so literal vectors can't be pinned — the driver
+    * records the weaker rows-only check (SparkEntry.rowsOnlyQueries);
+    * value-correctness is carried by CityHash64Spec's vectors. The id is
+    * additionally surfaced as a signed decimal STRING: ClickHouse renders
+    * UInt64, and pandas would round a large UInt64-as-float64 id.
+    */
+  def qMetricsIdCity(spark: SparkSession, dir: String): DataFrame =
+    metrics(spark, dir)
+      .withColumn("city_id", graft.functions.CityHash64Expr.cityHash64(
+        col("ts_us"), col("name"), col("label_keys"), col("label_values"),
+        col("value")))
+      .select(col("city_id").cast("string").as("city_id"),
+        col("ts_us"), col("name"), col("value"))
+
   /** q_metrics_skipped — R2 value-parse classification. Prometheus may
     * return values as strings ("NaN", "Inf", "-Inf", numeric, or garbage);
     * the reference parses numerics + specials and counts the rest as
