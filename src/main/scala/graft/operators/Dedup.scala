@@ -204,11 +204,19 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint()
     // Near-dup clusters are clique-shaped (duplicates all pair with each
     // other), so 1-hop propagation converges in 2-3 rounds — measured at
-    // sf0.1. Pointer doubling (label-of-label) was tried and reverted:
-    // it only pays on chain-shaped graphs and adds a join per round.
+    // sf0.1 — and the first rounds run propagation alone (an extra join
+    // would be pure overhead on the common case). From round 5 on, a
+    // POINTER-DOUBLING shortcut (label ← label(label)) joins in after
+    // each propagation: labels only ever take values of reachable node
+    // ids and only decrease (label(n) is reachable from n, and
+    // label(label(n)) is reachable by path composition), so the shortcut
+    // preserves the fixpoint while covering 2^k hops after k rounds —
+    // a chain-shaped duplicate graph (serial crawl dumps) of diameter D
+    // converges in ~4 + log₂D rounds instead of D. Cap 50 ⇒ diameters
+    // beyond 2⁴⁰ — structurally unreachable — before the safety throw.
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < 50) {
       val prop = edges.join(labels, edges("doc_b") === labels("node"))
         .groupBy(edges("doc_a").as("pnode"))
         .agg(min("label").as("nlabel"))
@@ -217,11 +225,18 @@ object Dedup {
       // iterative lineage) AND returns the changed-label count — ONE job
       // per round, vs the round-2 form's propagate action + separate
       // anti-join convergence probe.
-      val next = labels.join(prop, labels("node") === prop("pnode"), "left")
+      val stepped = labels.join(prop, labels("node") === prop("pnode"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-        .localCheckpoint(eager = false)
+      val next = (if (iter < 4) stepped else {
+        // label(label): the lookup side is unique on n2, so the join is
+        // a plain hash join; hot converged labels are AQE-skew-splittable
+        val lut = stepped.select(col("node").as("n2"), col("label").as("l2"))
+        stepped.join(lut, stepped("label") === lut("n2"), "left")
+          .select(col("node"), col("prev"),
+            coalesce(col("l2"), col("label")).as("label"))
+      }).localCheckpoint(eager = false)
       converged = next.filter(col("label") =!= col("prev")).count() == 0L
       // superseded checkpoint blocks are released by the ContextCleaner
       // once this reference drops on reassignment
@@ -230,9 +245,9 @@ object Dedup {
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $iter rounds — component " +
-        "diameter exceeds the cap; raise the cap (or switch to pointer " +
-        "doubling) for chain-shaped duplicate graphs")
+      s"connectedComponents did not converge in $iter rounds despite " +
+        "pointer doubling — component diameter beyond 2^40 should be " +
+        "impossible; inspect the pair graph for pathological structure")
     labels
   }
 
