@@ -110,6 +110,45 @@ final class ClickHouseHttpClient(
     ()
   }
 
+  /** Execute one SQL statement (DDL/utility — not the insert path):
+    * POST with the statement as the request body, ClickHouse's native
+    * HTTP shape for non-INSERT queries. Non-2xx → exception with the
+    * response preview, same contract as [[insertFromFile]].
+    */
+  def execute(statement: String): Unit = {
+    val reqB = HttpRequest.newBuilder(URI.create(config.url))
+      .timeout(Duration.ofSeconds(config.sendReceiveTimeoutSeconds.toLong))
+      .POST(HttpRequest.BodyPublishers.ofString(statement,
+        StandardCharsets.UTF_8))
+    authHeader.foreach(reqB.header("Authorization", _))
+    val response =
+      client.send(reqB.build(), HttpResponse.BodyHandlers.ofString())
+    val status = response.statusCode()
+    if (status < 200 || status >= 300) {
+      logger.error(s"ClickHouse DDL returned HTTP $status", Map(
+        "clickhouse_client.execute_failed.status" -> status.toString,
+        "clickhouse_client.execute_failed.statement" -> statement.take(120)))
+      throw new ClickHouseHttpException(status, response.body().take(1000),
+        s"ClickHouse DDL returned HTTP $status")
+    }
+  }
+
+  /** Bootstrap the deployment's tables: the reference README's exact
+    * schemas (ReplacingMergeTree, daily partitioning, MATERIALIZED
+    * cityHash64 id — [[ClickHouseDdl]]) issued idempotently
+    * (IF NOT EXISTS, so safe on every startup), preceded by
+    * CREATE DATABASE for any non-default qualifier. Returns the
+    * executed statements for logging/inspection.
+    */
+  def ensureTables(): Seq[String] = {
+    val stmts =
+      ClickHouseDdl.bootstrapStatements(config.tableMetrics, config.tableEtl)
+    stmts.foreach(execute)
+    logger.info(s"Ensured ClickHouse tables exist " +
+      s"(${config.tableMetrics}, ${config.tableEtl})")
+    stmts
+  }
+
   /** Load every TsvSink part-file under `dir` (the reference's
     * per-batch insert loop over its temp files). Spark text sinks name
     * data files `part-*`; `_SUCCESS`/checksums are skipped. Files load
