@@ -49,14 +49,37 @@ object Multimodal {
     * `mapPartitions` (not `map`) so a real implementation can amortize
     * codec/model initialization once per batch and hand the iterator to a
     * vectorized decoder — the Spark-side contract of an Arrow/pandas-UDF
-    * style decode without the Python runtime. */
+    * style decode without the Python runtime.
+    *
+    * REAL decode for the two header-parseable formats ([[MediaDecode]]):
+    * a structurally valid BMP yields its true (width, height, channels)
+    * and media_type "image/bmp"; a valid RIFF/WAVE yields
+    * (frames-per-channel, sample_rate, channels) as "audio/wav" —
+    * width = temporal extent, height = rate, the documented mapping
+    * into the shared image-shaped meta. Anything else (including all
+    * document-text blobs — the strict parsers reject text that merely
+    * starts with the magic) falls back to the deterministic fake, which
+    * keeps [[qMultimodalMeta]] a faithful declarative twin on text
+    * corpora while real media decodes for real.
+    */
   def decodeStub(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // per-partition init would go here (codec handles, model weights)
       it.map { b =>
-        val (w, h, c) = fakeDecode(b.content)
-        MediaMeta(b.doc_id, b.media_type, b.content.length, w, h, c)
+        MediaDecode.decodeBmp(b.content) match {
+          case Some((w, h, c)) =>
+            MediaMeta(b.doc_id, "image/bmp", b.content.length, w, h, c)
+          case None => MediaDecode.decodeWav(b.content) match {
+            case Some(wav) =>
+              MediaMeta(b.doc_id, "audio/wav", b.content.length,
+                math.min(wav.frames, Int.MaxValue.toLong).toInt,
+                wav.sampleRate, wav.channels)
+            case None =>
+              val (w, h, c) = fakeDecode(b.content)
+              MediaMeta(b.doc_id, b.media_type, b.content.length, w, h, c)
+          }
+        }
       }
     }
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MediaBlob, Multimodal}
+import graft.operators.{MediaBlob, MediaDecode, Multimodal}
 
 /** The decode stub's contract: the batch-shaped mapPartitions decode and
   * the declarative q_multimodal_meta plan agree row-for-row, so swapping
@@ -32,5 +32,48 @@ class MultimodalSpec extends SparkSpec {
     assert(b.content.nonEmpty)
     assert(new String(b.content, "UTF-8").getBytes("UTF-8").length
       == b.content.length)
+  }
+
+  test("real BMP bytes decode to true dimensions through the stub") {
+    val bmp = MediaDecode.encodeBmp24(37, 21,
+      (x, y) => ((x % 256).toByte, (y % 256).toByte, ((x + y) % 256).toByte))
+    // round-trip through the parser directly...
+    assert(MediaDecode.decodeBmp(bmp).contains((37, 21, 3)))
+    // ...and through the distributed decode stage
+    val blobs = Seq(
+      MediaBlob(1L, "image", bmp),
+      MediaBlob(2L, "image", "just some text".getBytes("UTF-8"))).toDS()
+    val metas = Multimodal.decodeStub(blobs).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).media_type == "image/bmp")
+    assert((metas(1L).width, metas(1L).height, metas(1L).channels)
+      == ((37, 21, 3)))
+    assert(metas(1L).n_bytes == bmp.length)
+    // the text blob falls back to the deterministic fake
+    assert(metas(2L).media_type == "image")
+  }
+
+  test("real WAV bytes decode to rate/channels/frames through the stub") {
+    val wav = MediaDecode.encodeWavPcm(16000, 2, 16, frames = 4800)
+    val meta = MediaDecode.decodeWav(wav).get
+    assert(meta.sampleRate == 16000 && meta.channels == 2 &&
+      meta.bitsPerSample == 16 && meta.frames == 4800L)
+    assert(meta.durationMs == 300L)
+    val m = Multimodal.decodeStub(
+      Seq(MediaBlob(9L, "audio", wav)).toDS()).head()
+    assert(m.media_type == "audio/wav")
+    assert((m.width, m.height, m.channels) == ((4800, 16000, 2)))
+  }
+
+  test("strict parsers reject text starting with the magic bytes") {
+    val bmTrap = ("BM" + "x" * 100).getBytes("UTF-8")
+    assert(MediaDecode.decodeBmp(bmTrap).isEmpty)
+    val riffTrap = ("RIFFabcdWAVE" + "y" * 100).getBytes("UTF-8")
+    assert(MediaDecode.decodeWav(riffTrap).isEmpty)
+    // corrupt size fields: valid prefix, truncated body
+    val bmp = MediaDecode.encodeBmp24(8, 8, (_, _) => (0, 0, 0))
+    assert(MediaDecode.decodeBmp(bmp.dropRight(10)).isEmpty)
+    val wav = MediaDecode.encodeWavPcm(8000, 1, 8, 100)
+    assert(MediaDecode.decodeWav(wav.dropRight(5)).isEmpty)
   }
 }
