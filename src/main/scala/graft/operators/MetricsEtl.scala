@@ -770,6 +770,71 @@ object MetricsEtl {
       |FROM s WHERE delta IS NOT NULL
       |GROUP BY name, user_id, CAST(floor(ts_s/3600)*3600 AS BIGINT)""".stripMargin
 
+  /** q_sum_rate — the canonical RECORDING-RULE composite
+    * `sum by (name) (rate(m[5m]))`, the single most-executed query
+    * shape on any Prometheus deployment (every dashboard panel and
+    * alert threshold is some variant). Two stacked aggregations, ONE
+    * plan: per-series reset-corrected increases (the lag window on the
+    * series key), then the cross-series sum per (name, window) — both
+    * map-side combinable, and the second groupBy reuses nothing wider
+    * than |names|·|windows| rows. EXACTNESS is why the composition sums
+    * INCREASES (integer cents) and divides ONCE at the end: summing
+    * per-series double rates would be summation-order-dependent and
+    * could never hash-match (the identity sum(rate) = sum(increase)/Δ
+    * holds exactly for the fixed-grid windows). rate ×1e6 as integer:
+    * cents/100/300s·1e6 = inc_cents·1e6 div 30000 — cents·1e6 stays
+    * far under 2^63 at any real window volume.
+    */
+  def qSumRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("ts_us", "event_id")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("w_start",
+        (floor(col("ts_us") / 1000000L / 300L) * 300L).cast("long"))
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("corrected",
+        when(col("delta") < 0, col("cents")).otherwise(col("delta")))
+      .groupBy("name", "user_id", "w_start")
+      .agg(sum("corrected").as("inc_cents"))
+      .groupBy("name", "w_start")
+      .agg(sum("inc_cents").as("sum_inc_cents"),
+        count(lit(1)).as("n_series"))
+      .select(col("name"), col("w_start"), col("n_series"),
+        expr("CASE WHEN sum_inc_cents >= 0 " +
+          "THEN sum_inc_cents * 1000000 div 30000 " +
+          "ELSE -((-sum_inc_cents) * 1000000 div 30000) END")
+          .as("rate_x1e6"))
+  }
+
+  val sumRateSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         epoch_us(ts) AS ts_us,
+      |         CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT) AS w_start,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT *, cents - lag(cents)
+      |           OVER (PARTITION BY name, user_id, w_start
+      |                 ORDER BY ts_us, event_id) AS delta
+      |  FROM s),
+      |per_series AS (
+      |  SELECT name, user_id, w_start,
+      |         CAST(SUM(CASE WHEN delta < 0 THEN cents ELSE delta END)
+      |           AS BIGINT) AS inc_cents
+      |  FROM d WHERE delta IS NOT NULL
+      |  GROUP BY 1, 2, 3)
+      |SELECT name, w_start, COUNT(*) AS n_series,
+      |       CASE WHEN CAST(SUM(inc_cents) AS BIGINT) >= 0
+      |            THEN CAST(SUM(inc_cents) AS BIGINT) * 1000000 // 30000
+      |            ELSE -((-CAST(SUM(inc_cents) AS BIGINT)) * 1000000 // 30000)
+      |            END AS rate_x1e6
+      |FROM per_series GROUP BY 1, 2""".stripMargin
+
   /** q_over_time — avg/min/max/sum/count_over_time per series per 1h
     * window (PromQL *_over_time family) — one shuffle, map-side combine.
     */

@@ -1412,4 +1412,161 @@ object Olap {
       |       GROUPING(l_returnflag, l_linestatus) AS gid
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** q_late_ship_priority — TPC-H Q4 shape (order-priority checking):
+    * per priority, how many orders placed in 1997Q1 had AT LEAST ONE
+    * lineitem shipped more than 60 days after the order date. The Q4
+    * lesson is the EXISTS: a LEFT SEMI join with the correlated date
+    * predicate in the join condition — each order contributes once no
+    * matter how many late lines (no post-join distinct), and the
+    * quarter filter on orders is a plan-time constant that pushes to
+    * the parquet scan, so only one quarter of the orders table feeds
+    * the join. Output bounded by |priorities| = 5. Microsecond integer
+    * date math on both sides — no interval-type semantics to diverge.
+    */
+  def qLateShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"))
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sdate_us"))
+    orders
+      .join(lines, col("o_orderkey") === col("l_orderkey") &&
+        col("sdate_us") > col("odate_us") + 60L * 86400L * 1000000L,
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val qLateShipPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND epoch_us(l_shipdate) > epoch_us(o_orderdate)
+      |          + CAST(60 AS BIGINT) * 86400 * 1000000)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q_priority_class — TPC-H Q12 shape (shipping-priority classes):
+    * for lineitems shipped in 1997, per return flag (standing in for
+    * ship mode, absent from the synthetic schema), how many belong to
+    * critical-priority orders (1-URGENT / 2-HIGH) vs not. The Q12
+    * lesson: the CONDITIONAL COUNTS fold into one aggregation after a
+    * single fact⋈orders join — no per-class re-scan — and the year
+    * filter reaches the lineitem scan. Output bounded by |flags| = 3.
+    */
+  def qPriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  val qPriorityClassSql: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** q_small_qty_revenue — TPC-H Q17 shape (small-quantity-order
+    * revenue): total revenue from lineitems whose quantity is below
+    * 20% of their part's average quantity, parts restricted to one
+    * brand. The Q17 lesson is DECORRELATION: the textbook rewrite turns
+    * the correlated `l_quantity < 0.2 * (SELECT avg ...)` into a
+    * per-part aggregate RE-JOINED to the fact slice — two fact scans;
+    * here the aggregate instead rides a WINDOW over the same
+    * brand-broadcast-filtered slice (the q_min_price_supplier shape),
+    * so lineitem is scanned ONCE and the only exchange is the
+    * partkey-clustered window shuffle of the ~1/25 brand slice
+    * (PlanAuditSpec-enforced). The threshold test cross-multiplies
+    * integers (qty·10·n < Σqty·2 ⟺ qty < 0.2·avg) — no float boundary.
+    */
+  def qSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty", sum("qty_cents").over(perPart))
+      .withColumn("n_lines", count(lit(1)).over(perPart))
+      .filter(col("qty_cents") * 10L * col("n_lines") < col("sum_qty") * 2L)
+      .agg(coalesce(sum("price_cents"), lit(0L)).as("rev_cents"),
+        count(lit(1)).as("n_small"))
+      .select(expr("rev_cents div 7").as("avg_yearly_cents"), col("n_small"))
+  }
+
+  val qSmallQtyRevenueSql: String =
+    """WITH bl AS (
+      |  SELECT l_partkey,
+      |         CAST(round(l_quantity*100) AS BIGINT) AS qty_cents,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#13'),
+      |w AS (SELECT price_cents, qty_cents,
+      |             CAST(SUM(qty_cents) OVER (PARTITION BY l_partkey) AS BIGINT)
+      |               AS sum_qty,
+      |             COUNT(*) OVER (PARTITION BY l_partkey) AS n_lines
+      |      FROM bl),
+      |f AS (SELECT price_cents FROM w
+      |      WHERE qty_cents * 10 * n_lines < sum_qty * 2)
+      |SELECT CAST(coalesce(SUM(price_cents), 0) AS BIGINT) // 7
+      |         AS avg_yearly_cents,
+      |       COUNT(*) AS n_small
+      |FROM f""".stripMargin
+
+  /** q_band_revenue — TPC-H Q6 shape (forecasting revenue change): the
+    * canonical FULL-PUSHDOWN aggregate — revenue = Σ extprice·discount
+    * over one shipdate year, a discount band, and a quantity cap, with
+    * every predicate reaching the parquet scan (`PushedFilters` on
+    * shipdate; the discount/quantity bands are data filters ahead of
+    * the single map-side-combinable aggregate). One scan, one 1-row
+    * result, zero joins: the query that measures pure scan+filter
+    * throughput at 100 TB. Exact integer cents×cents (price·discount
+    * is ×10⁴).
+    */
+  def qBandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+      .filter(col("disc_pct") >= 5L && col("disc_pct") <= 7L &&
+        col("qty_cents") < 24L * 100L)
+      .agg(coalesce(sum(col("price_cents") * col("disc_pct")), lit(0L))
+        .as("revenue_x10000"),
+        count(lit(1)).as("n_lines"))
+
+  val qBandRevenueSql: String =
+    """SELECT CAST(coalesce(SUM(
+      |         CAST(round(l_extendedprice*100) AS BIGINT)
+      |         * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT)
+      |         AS revenue_x10000,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND CAST(round(l_quantity*100) AS BIGINT) < 24 * 100""".stripMargin
 }

@@ -1004,4 +1004,54 @@ object TextAnalysis {
        |           '([0-9]{1,3}[.]){3}[0-9]{1,3}')) = 0 AS INT) AS clean
        |FROM events""".stripMargin
   }
+
+  /** q_unigram_lp — unigram language-model quality score (the CCNet /
+    * Wikipedia-LM filter shape, the workhorse web-corpus quality
+    * signal): train a unigram LM on the corpus itself (token → corpus
+    * frequency), then score each document by its average per-token
+    * corpus-log-frequency — natural prose scores high, keyboard mash
+    * and rare-token soup score low. ENGINE-EXACT log: log2 via integer
+    * bit-length (`length(conv(tf,10,2))−1 = ⌊log2 tf⌋` — the same trick
+    * as q_modal_balance; libm log would diverge at 1 ulp between
+    * engines), summed per doc and averaged as an exact ×100 integer.
+    *
+    * Scale shape: the token explode produces n_tokens rows of
+    * (doc_id, 8-byte hash) — text never fans out; the LM table is
+    * VOCAB-sized (≪ corpus, Zipf) and its build is map-side
+    * combinable; the score join keys on the token hash (AQE handles
+    * the stop-word skew) and the final per-doc aggregation combines
+    * map-side. Three exchanges total, all on 8-byte-key frames. A
+    * held-out LM is this same plan with the lm CTE read from a table.
+    */
+  def qUnigramLp(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("token"))
+      .select(col("doc_id"), hash60(col("token")).as("th"))
+    val lm = toks.groupBy("th").agg(count(lit(1)).as("tf"))
+      .select(col("th").as("lm_th"),
+        (length(expr("conv(tf, 10, 2)")) - 1).cast("long").as("log2_tf"))
+    toks.join(lm, col("th") === col("lm_th"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("log2_tf").as("sum_log2"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_log2 * 100 div n_tokens").as("lp_x100"))
+  }
+
+  val unigramLpSql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    s"""WITH t AS (
+       |  SELECT doc_id, $th AS th
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)),
+       |lm AS (
+       |  SELECT th AS lm_th,
+       |         CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS log2_tf
+       |  FROM t GROUP BY th),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         CAST(SUM(log2_tf) AS BIGINT) AS sum_log2
+       |  FROM t JOIN lm ON th = lm_th
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, sum_log2 * 100 // n_tokens AS lp_x100
+       |FROM s""".stripMargin
+  }
 }

@@ -265,4 +265,41 @@ class PlanAuditSpec extends SparkSpec {
       "PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(plan).isDefined,
       s"part-side disjunction not pushed:\n${plan.take(2000)}")
   }
+
+  test("q_late_ship_priority: EXISTS stays a semi join; quarter pushed") {
+    val plan = executed(Olap.qLateShipPriority(spark, dir))
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(!plan.toLowerCase.contains("distinct"),
+      "semi join makes a post-join distinct redundant")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan)
+      .isDefined, s"quarter filter must reach the orders scan:\n${plan.take(1500)}")
+  }
+
+  test("q_small_qty_revenue: ONE lineitem scan (window, not re-join)") {
+    val plan = executed(Olap.qSmallQtyRevenue(spark, dir))
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, // lineitem + part, each exactly once
+      s"expected 2 scans (lineitem once, part once), found $scans:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), "brand cut must broadcast")
+  }
+
+  test("q_band_revenue: every band ahead of one aggregate, zero joins") {
+    val plan = executed(Olap.qBandRevenue(spark, dir))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"shipdate band must reach the scan:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), "Q6 is a zero-join scan benchmark")
+    val n = "Exchange".r.findAllIn(
+      plan.split("== Initial Plan ==").head).size
+    assert(n <= 1, s"one single-partition gather expected, found $n")
+  }
+
+  test("q_sum_rate: second aggregation adds only the |names|-sized exchange") {
+    val plan = executed(MetricsEtl.qSumRate(spark, dir))
+      .split("== Initial Plan ==").head
+    // lag window + per-series groupBy share the series-key shuffle;
+    // the cross-series rollup re-shuffles only the aggregated frame
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 2, s"expected ≤2 hash exchanges, found $n:\n${plan.take(2000)}")
+  }
 }
