@@ -22,7 +22,11 @@ case class ClickHouseSettings(
     sendReceiveTimeoutSeconds: Int = 300,
     insecure: Boolean = false,
     tableMetrics: String = "default.metrics",
-    tableEtl: String = "default.etl")
+    tableEtl: String = "default.etl",
+    // graft extension beyond the reference's knob set: opt-in one-call
+    // schema bootstrap (the reference README has the operator hand-run
+    // its CREATE TABLE blocks; ClickHouseDdl emits the same text)
+    ensureTables: Boolean = false)
 
 /** ETL behavior settings — reference config.py:144-192 (unprefixed
   * env vars). [[toEtlConfig]] projects the R6 knobs onto the state
@@ -132,7 +136,8 @@ object EnvConfig {
       sendReceiveTimeoutSeconds = intOr(env, p, "SEND_RECEIVE_TIMEOUT", 300).toInt,
       insecure = boolOr(env, p, "INSECURE", default = false),
       tableMetrics = get(env, p, "TABLE_METRICS").getOrElse("default.metrics"),
-      tableEtl = get(env, p, "TABLE_ETL").getOrElse("default.etl"))
+      tableEtl = get(env, p, "TABLE_ETL").getOrElse("default.etl"),
+      ensureTables = boolOr(env, p, "ENSURE_TABLES", default = false))
   }
 
   def etl(env: Map[String, String]): EtlSettings = {

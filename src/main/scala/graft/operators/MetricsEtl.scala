@@ -1259,6 +1259,68 @@ object MetricsEtl {
       |FROM m
       |WHERE cum >= total * 0.9 AND (cum - cnt) < total * 0.9""".stripMargin
 
+  /** q_histogram_avg — the bucket-midpoint MEAN estimator over the same
+    * classic le-histogram as [[qHistogramQuantile]] (the
+    * `histogram_sum/histogram_count` companion, for deployments whose
+    * exporters publish only buckets): per (name, window),
+    * avg ≈ Σ midpoint(bucket)·count / total, the +Inf bucket collapsed
+    * to its lower bound (the same highest-finite convention
+    * histogram_quantile uses). EXACT integers: the finite bounds are
+    * small integers, so midpoint×2 = lower+le stays integral — the
+    * output is the ×100-scaled integer mean with ONE division
+    * (Σ(lower+le)·cnt·100) div (2·total). Same single-shuffle
+    * aggregation as the quantile (bounded by names×windows×5 buckets);
+    * n_obs carried for the count half of the estimator pair.
+    */
+  def qHistogramAvg(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val le = when(col("value") <= 1, 1L).when(col("value") <= 2, 2L)
+      .when(col("value") <= 5, 5L).when(col("value") <= 10, 10L)
+      .otherwise(-1L) // -1 encodes +Inf: bucket collapses to its lower
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize)
+          .as("w_start"),
+        le.as("le"))
+      .groupBy("name", "w_start", "le").agg(count(lit(1)).as("cnt"))
+      .withColumn("lower",
+        coalesce(lag("le", 1).over(
+          Window.partitionBy("name", "w_start")
+            .orderBy(when(col("le") === -1L, Long.MaxValue)
+              .otherwise(col("le")))), lit(0L)))
+      .withColumn("mid2", when(col("le") === -1L, col("lower") * 2L)
+        .otherwise(col("lower") + col("le")))
+      .groupBy("name", "w_start")
+      .agg(sum(col("mid2") * col("cnt")).as("sum_mid2"),
+        sum("cnt").as("n_obs"))
+      .select(col("name"), col("w_start"), col("n_obs"),
+        expr("(sum_mid2 * 100) div (2 * n_obs)").as("avg_x100"))
+  }
+
+  val histogramAvgSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         CASE WHEN value <= 1 THEN 1 WHEN value <= 2 THEN 2
+      |              WHEN value <= 5 THEN 5 WHEN value <= 10 THEN 10
+      |              ELSE -1 END AS le
+      |  FROM events),
+      |c AS (SELECT name, w_start, le, COUNT(*) AS cnt
+      |      FROM b GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT *, coalesce(lag(le) OVER (PARTITION BY name, w_start
+      |    ORDER BY CASE WHEN le = -1 THEN 9223372036854775807
+      |                  ELSE le END), 0) AS lower
+      |  FROM c),
+      |x AS (SELECT name, w_start,
+      |             CASE WHEN le = -1 THEN lower * 2 ELSE lower + le END
+      |               AS mid2, cnt
+      |      FROM m)
+      |SELECT name, w_start, CAST(SUM(cnt) AS BIGINT) AS n_obs,
+      |       (CAST(SUM(mid2 * cnt) AS BIGINT) * 100)
+      |         // (2 * CAST(SUM(cnt) AS BIGINT)) AS avg_x100
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** q_deriv — PromQL `deriv()`: per-series per-1h-window least-squares
     * slope. NOT regr_slope: its incremental float accumulation is
     * summation-order-dependent and breaks cross-engine hashing. Instead

@@ -1535,6 +1535,30 @@ object Olap {
       |       COUNT(*) AS n_small
       |FROM f""".stripMargin
 
+  /** q_multi_distinct — MULTIPLE exact count-distincts in one
+    * aggregation (`count(DISTINCT partkey), count(DISTINCT suppkey)`
+    * per flag) — the plan shape every "unique users AND unique items
+    * per segment" dashboard needs. Spark plans this with EXPAND: each
+    * input row fans to one row per distinct-column (n× the rows, but
+    * only the grouped key + one column each), then a two-level
+    * aggregate dedups and counts — still ONE pass over the fact table,
+    * no per-column re-scan, map-side partial dedup before the shuffle.
+    * PlanAuditSpec pins the Expand. Output |flags|-bounded.
+    */
+  def qMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_lines"))
+
+  val qMultiDistinctSql: String =
+    """SELECT l_returnflag,
+      |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** q_band_revenue — TPC-H Q6 shape (forecasting revenue change): the
     * canonical FULL-PUSHDOWN aggregate — revenue = Σ extprice·discount
     * over one shipdate year, a discount band, and a quantity cap, with

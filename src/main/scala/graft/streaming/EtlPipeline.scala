@@ -39,6 +39,14 @@ object EtlPipeline {
               force: Boolean = false,
               logger: StructuredLogger = defaultLogger): LedgerRecord = {
     val conf = app.etl.toEtlConfig
+    // opt-in schema bootstrap (CLICKHOUSE_ENSURE_TABLES=true): the
+    // reference README's exact DDL, idempotent, so first-run
+    // deployments need no manual CREATE TABLE step
+    if (app.clickhouse.ensureTables) {
+      val stmts = ch.ensureTables()
+      logger.info("Ensured ClickHouse schema", Map(
+        "etl_pipeline.ensure_tables.statements" -> stmts.size))
+    }
     val progress = EtlJob.latestState(EtlJob.readLedger(spark, ledgerDir))
       .flatMap(_.timestampProgress).getOrElse(initialProgress)
     val (start, end) = JobStateMachine.calcWindow(progress, conf)

@@ -193,6 +193,53 @@ class EtlNegativePathSpec extends SparkSpec {
     } finally { promServer.stop(0); chServer.stop(0) }
   }
 
+  test("CLICKHOUSE_ENSURE_TABLES=true bootstraps the schema before the batch") {
+    val promServer =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    promServer.createContext("/api/v1/query_range", (ex: HttpExchange) => {
+      val q = ex.getRequestURI.getRawQuery
+      val params = q.split("&").map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+      val body = fixture(Seq(params("start").toLong + 5))
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    val chBodies = new ConcurrentLinkedQueue[String]()
+    val chServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    chServer.createContext("/", (ex: HttpExchange) => {
+      chBodies.add(new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    promServer.start(); chServer.start()
+    try {
+      val app = EnvConfig.load(Map(
+        "PROMETHEUS_URL" ->
+          s"http://127.0.0.1:${promServer.getAddress.getPort}",
+        "CLICKHOUSE_URL" ->
+          s"http://127.0.0.1:${chServer.getAddress.getPort}/",
+        "CLICKHOUSE_ENSURE_TABLES" -> "yes", // pydantic-breadth bool
+        "BATCH_WINDOW_SIZE_SECONDS" -> "100"))
+      assert(app.clickhouse.ensureTables)
+      EtlPipeline.runOnce(spark, app, "job", "up",
+        tmpDir("ddl_in"), tmpDir("ddl_out"), tmpDir("ddl_l") + "/ledger",
+        initialProgress = 1000, now = 5000,
+        new PrometheusHttpClient(app.prometheus, quietLogger),
+        new ClickHouseHttpClient(app.clickhouse, quietLogger),
+        logger = quietLogger)
+      val bodies = Iterator.continually(chBodies.poll())
+        .takeWhile(_ != null).toSeq
+      // DDL first (both tables, IF NOT EXISTS), then the TSV insert
+      assert(bodies.head.startsWith(
+        "CREATE TABLE IF NOT EXISTS default.metrics ("))
+      assert(bodies(1).startsWith(
+        "CREATE TABLE IF NOT EXISTS default.etl ("))
+      assert(bodies.drop(2).nonEmpty && bodies.drop(2).forall(
+        !_.startsWith("CREATE")), "inserts must follow the bootstrap")
+    } finally { promServer.stop(0); chServer.stop(0) }
+  }
+
   // ---- R6 window-math properties at the epoch boundaries ----
 
   test("property: window math invariants over 500 seeded configurations") {

@@ -294,6 +294,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 1, s"one single-partition gather expected, found $n")
   }
 
+  test("q_multi_distinct: one fact pass via Expand, no per-column re-scan") {
+    val plan = executed(Olap.qMultiDistinct(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), "multi-distinct must plan as Expand")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE lineitem scan, found $scans")
+  }
+
   test("q_sum_rate: second aggregation adds only the |names|-sized exchange") {
     val plan = executed(MetricsEtl.qSumRate(spark, dir))
       .split("== Initial Plan ==").head
