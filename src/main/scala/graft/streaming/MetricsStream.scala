@@ -119,6 +119,41 @@ object MetricsStream {
         col("a_value"), col("b_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the conversion-tracking
+    * twin of [[intervalJoin]] that also surfaces the NON-converting
+    * side ("every click, with its purchase if one came"): unmatched
+    * `nameA` rows emit NULL-padded, but — the semantic this exists to
+    * pin — only once the WATERMARK passes `a.ts + range + delay`,
+    * because until then a matching `nameB` row could still arrive.
+    * Inner matches still emit immediately. This is the streaming join
+    * mode with the strictest state/correctness coupling: the same
+    * eviction bound that caps state size is what licenses the null
+    * emission, so neither can be tuned without the other. Identical
+    * plan runs on batch frames (nulls appear immediately there — the
+    * parity spec compares final result sets, not emission times).
+    */
+  def intervalJoinOuter(metrics: DataFrame, nameA: String = "click",
+      nameB: String = "purchase"): DataFrame = {
+    val base = metrics
+      .select(col("name"),
+        concat_ws("\u0001", array_join(col("label_keys"), ","),
+          array_join(col("label_values"), ",")).as("sig"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .withWatermark("ts", "10 minutes")
+    val a = base.filter(col("name") === nameA)
+      .select(col("sig"), col("ts").as("a_ts"), col("value").as("a_value"))
+    val b = base.filter(col("name") === nameB)
+      .select(col("sig").as("b_sig"), col("ts").as("b_ts"),
+        col("value").as("b_value"))
+    a.join(b, col("sig") === col("b_sig") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 minutes"),
+      "left_outer")
+      .select(col("sig"), unix_micros(col("a_ts")).as("a_ts_us"),
+        unix_micros(col("b_ts")).as("b_ts_us"),
+        col("a_value"), col("b_value"))
+  }
+
   /** Watermarked tumbling-window per-series aggregation: the streaming
     * materialization of q_over_time. Watermark bounds state: windows
     * older than 10 min beyond max event time are finalized and evicted —

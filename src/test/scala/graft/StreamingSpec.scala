@@ -306,6 +306,60 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Double]("b_value"))) == Seq((1.0, 2.0), (3.0, 4.0)))
   }
 
+  test("stream-stream LEFT OUTER interval join: null row only after watermark") {
+    // click 1 converts (purchase 60 s later); click 3 (value "5") never
+    // converts — its null-padded row may emit only once the watermark
+    // passes click3.ts + 30 min range + 10 min delay. The flush event
+    // 4h later is the watermark mover.
+    val data =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"click","job":"a"},"values":[""" +
+        """[1700000000,"1"],[1700002500,"5"]]},""" +
+        """{"metric":{"__name__":"purchase","job":"a"},"values":[""" +
+        """[1700000060,"2"]]}]}}"""
+    val flush =
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+        """{"metric":{"__name__":"purchase","job":"zz"},"values":[""" +
+        """[1700014400,"0"]]}]}}"""
+    def parse(df: org.apache.spark.sql.DataFrame, c: String) =
+      PrometheusJson.metricRows(PrometheusJson.parse(df, c))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_ts_us"), Option(r.getAs[Any]("b_ts_us")),
+        r.getAs[Double]("a_value"), Option(r.getAs[Any]("b_value")))
+    val batch = MetricsStream
+      .intervalJoinOuter(parse(Seq(data, flush).toDF("json"), "json"))
+      .collect().map(key).toSet
+    assert(batch.size == 2, s"matched + null-padded expected: $batch")
+    assert(batch.exists(r => r._2.isEmpty && r._3 == 5.0),
+      "non-converting click must surface null-padded")
+
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = MetricsStream.intervalJoinOuter(parse(ms.toDF(), "value"))
+      .writeStream.format("memory").queryName("ssoj_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ssoj_ckpt"))
+      .start()
+    try {
+      ms.addData(data)
+      q.processAllAvailable()
+      // before the watermark moves, only the INNER match may have
+      // emitted — the unmatched click must still be withheld
+      val early = spark.table("ssoj_test").collect().map(key).toSet
+      assert(!early.exists(_._2.isEmpty),
+        s"null row emitted before the watermark allows it: $early")
+      ms.addData(flush)
+      q.processAllAvailable()
+      // watermark advances at the END of the flush batch; the eviction
+      // that emits the null row lands in the next batch
+      ms.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssoj_test").collect().map(key).toSet
+    assert(streamed == batch,
+      s"streaming end-state must equal batch: $streamed vs $batch")
+  }
+
   test("windowed aggregation: streaming (complete mode) == batch") {
     val fixtures = Seq(
       """{"status":"success","data":{"resultType":"matrix","result":[""" +
