@@ -370,12 +370,19 @@ object Dedup {
     * shuffle, no row explosion. At sf0.01 this finds the planted
     * near-dup pairs and nothing else.
     */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash signature frame: doc_id → s0..s15, one map-side-combinable
+    * shuffle (shared by the LSH pairing and the estimator-error
+    * diagnostic). */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
       .withColumn("h30", col("sh") % 1073741824L)
     val sigCols = (0 until 16).map(i =>
       min((col("h30") * mhA(i) + mhB(i)) % P).as(s"s$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
     val bandStructs = (0 until 4).map { b =>
       struct(
         lit(b.toLong).as("band_id"),
@@ -686,5 +693,143 @@ object Dedup {
        |       CAST(SUM(run_len) AS BIGINT) AS n_shared
        |FROM runs GROUP BY 1, 2
        |HAVING max(run_len) >= $minRun""".stripMargin
+  }
+
+  /** q_minhash_est_err — MinHash ESTIMATOR-ERROR diagnostics: for every
+    * exact near-dup pair, the k=16 signature's Jaccard estimate
+    * (matching components / 16) against the exact shingle Jaccard —
+    * the validation run every LSH deployment does before trusting a
+    * band configuration (expected |err| ≈ √(J(1−J)/k); gross outliers
+    * mean broken hashing). All-integer ×10⁴ scaling: the estimate is
+    * matches·625, the exact side reuses qDedupNgram's 4-decimal
+    * Jaccard ×10⁴. Shape: the thresholded pair list (tiny) joins the
+    * signature frame twice on doc_id — the 16-column signatures never
+    * explode to rows, and at 100 TB both joins key on the 8-byte id
+    * with the pair side far smaller than the corpus.
+    */
+  def qMinhashEstErr(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgram(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        // round() before the cast: Spark's double→long cast TRUNCATES
+        // while DuckDB's rounds — 0.2·10⁴ computed as 1999.999… would
+        // diverge; jaccard is already 4-decimal so the round is exact
+        round(col("jaccard") * 10000).cast("long").as("exact_x10k"))
+    val sig = minhashSig(spark, dir)
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until 16).map(i =>
+      when(col(s"a_s$i") === col(s"b_s$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigA, col("doc_a") === col("a_doc_id"))
+      .join(sigB, col("doc_b") === col("b_doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("exact_x10k"),
+        (matches * 625L).as("est_x10k"))
+      .withColumn("abs_err_x10k",
+        abs(col("est_x10k") - col("exact_x10k")))
+  }
+
+  val minhashEstErrSql: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"min((h30 * ${mhA(i)} + ${mhB(i)}) % $P) AS s$i")
+      .mkString(",\n|        ")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $ngramPairsCtes,
+       |hsh AS (SELECT doc_id, sh % 1073741824 AS h30 FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $sigExprs
+       |       FROM hsh GROUP BY doc_id),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(round(p.jaccard * 10000) AS BIGINT) AS exact_x10k,
+       |         CAST(($matchSum) * 625 AS BIGINT) AS est_x10k
+       |  FROM pairs p
+       |  JOIN sig sa ON p.doc_a = sa.doc_id
+       |  JOIN sig sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, exact_x10k, est_x10k,
+       |       abs(est_x10k - exact_x10k) AS abs_err_x10k
+       |FROM est""".stripMargin
+  }
+
+  /** q_cluster_canonical — the KEEP decision done right: per near-dup
+    * cluster, the canonical document is the HIGHEST-QUALITY member
+    * (longest text, doc_id tiebreak — the "keep the most complete
+    * copy" policy of CCNet/RefinedWeb), not the arbitrary minimum id
+    * the cluster label happens to use. One rank window over the
+    * cluster key (partitions = cluster sizes, bounded by the dedup
+    * semantics themselves), emitting per cluster: canonical doc, its
+    * length, member count, and the chars dropped by deduplication.
+    */
+  def qClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val members = qDedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "n_chars"),
+        Seq("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    members
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("canonical_doc"),
+        max(when(col("rk") === 1, col("n_chars"))).as("canonical_chars"),
+        (sum("n_chars") -
+          max(when(col("rk") === 1, col("n_chars")))).as("dropped_chars"))
+  }
+
+  val clusterCanonicalSql: String =
+    s"""WITH cl AS ($dedupClustersSql),
+       |m AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+       |             row_number() OVER (PARTITION BY cl.cluster_id
+       |               ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rk
+       |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+       |SELECT cluster_id, COUNT(*) AS n_members,
+       |       max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+       |       max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+       |       CAST(SUM(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END)
+       |         AS BIGINT) AS dropped_chars
+       |FROM m GROUP BY cluster_id""".stripMargin
+
+  /** The "new shard" for incremental dedup: one source's documents. */
+  private val newShardSource = "src0"
+
+  /** q_cross_dedup — INCREMENTAL cross-corpus dedup, the shape that
+    * actually runs at 100 TB: a freshly crawled shard (here `src0`)
+    * dedups against the EXISTING corpus — new↔base candidates only,
+    * never base↔base again (that work was paid when base was
+    * ingested). Fingerprint-level: the base side collapses to DISTINCT
+    * normalized-text hashes (one map-side-combinable aggregation of
+    * the big side, 8-byte keys), the new shard LEFT-joins it — work
+    * ∝ |base| + |new|, and only hashes shuffle. Per new doc: exact-dup
+    * flag and the kept/dropped decision a shard-append job executes.
+    */
+  def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")),
+      "[ \\t\\n\\r\\f]+", " "))
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), hash60(norm).as("fp"))
+    val base = fp.filter(col("source") =!= newShardSource)
+      .groupBy("fp").agg(count(lit(1)).as("n_base"))
+    fp.filter(col("source") === newShardSource)
+      .join(base.withColumnRenamed("fp", "base_fp"),
+        col("fp") === col("base_fp"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base_matches"),
+        (col("n_base").isNotNull).cast("int").as("is_dup"))
+  }
+
+  val crossDedupSql: String = {
+    val fpExpr = hash60Sql(
+      "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))")
+    s"""WITH fp AS (SELECT doc_id, source, $fpExpr AS fp FROM documents),
+       |base AS (SELECT fp, COUNT(*) AS n_base
+       |         FROM fp WHERE source <> '$newShardSource' GROUP BY fp),
+       |nw AS (SELECT doc_id, fp.fp FROM fp
+       |       WHERE source = '$newShardSource')
+       |SELECT nw.doc_id,
+       |       coalesce(base.n_base, 0) AS n_base_matches,
+       |       CAST(base.fp IS NOT NULL AS INT) AS is_dup
+       |FROM nw LEFT JOIN base ON nw.fp = base.fp""".stripMargin
   }
 }
