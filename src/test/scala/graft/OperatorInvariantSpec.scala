@@ -174,6 +174,53 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("minhash_est_err: estimates in range, exact side above threshold") {
+    val rows = Dedup.qMinhashEstErr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_x10k")
+      val exact = r.getAs[Long]("exact_x10k")
+      assert(est >= 0L && est <= 10000L && est % 625L == 0L,
+        s"estimate must be matches·625 in [0, 10⁴]: $est")
+      assert(exact >= 2000L, "pairs come from the 0.2-thresholded list")
+      assert(r.getAs[Long]("abs_err_x10k") == math.abs(est - exact))
+    }
+  }
+
+  test("cluster_canonical: canonical is the longest member, chars add up") {
+    val members = Dedup.qDedupClusters(spark, dir).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    val canon = Dedup.qClusterCanonical(spark, dir).collect()
+    assert(canon.nonEmpty && canon.length == members.size)
+    val docChars = graft.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    canon.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val cdoc = r.getAs[Long]("canonical_doc")
+      val ids = members(cid).map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(cdoc), "canonical must be a member")
+      assert(r.getAs[Long]("n_members") == ids.size.toLong)
+      val maxChars = ids.map(docChars).max
+      assert(r.getAs[Long]("canonical_chars") == maxChars,
+        "canonical must carry the cluster's max length")
+      assert(r.getAs[Long]("dropped_chars") ==
+        ids.toSeq.map(docChars).sum - maxChars)
+    }
+  }
+
+  test("cross_dedup: flags consistent, covers exactly the new shard") {
+    val rows = Dedup.qCrossDedup(spark, dir).collect()
+    val newShard = graft.Tables.documents(spark, dir)
+      .filter(col("source") === "src0").count()
+    assert(rows.length.toLong == newShard, "one row per new-shard doc")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_base_matches")
+      val dup = r.getAs[Int]("is_dup")
+      assert((n > 0) == (dup == 1), s"flag/count mismatch: $n vs $dup")
+    }
+  }
+
   test("label_cardinality: the user key counts every event exactly once") {
     val total = Tables.events(spark, dir).count()
     val r = MetricsEtl.qLabelCardinality(spark, dir).collect()
