@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** PromQL golden-vector conformance (VERDICT_r04 item 7).
   *
   * The oracle gate proves Spark↔DuckDB agreement; this suite proves
-  * PROMETHEUS agreement: 33 edge-case fixtures whose expected outputs
+  * PROMETHEUS agreement: 46 edge-case fixtures whose expected outputs
   * come from `tools/promql_ref.py` — an independent Python transcription
   * of Prometheus's PUBLIC algorithms (promql/functions.go
   * extrapolatedRate with the counter-reset / zero-cap /
@@ -127,6 +127,58 @@ class PromqlConformanceSpec extends SparkSpec {
       assert(got.contains(name), s"$name produced no q90 row")
       assert(math.abs(got(name) - want) < 1.01e-6,
         s"$name: q90 ${got(name)} != prometheus $want")
+    }
+  }
+
+  test("irate: last-two-samples rate with the reset rule (6 cases)") {
+    val cases = fixtures("irate")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = collectByName(
+      MetricsEtl.qIrate(spark, eventsDir(rows)), "irate")
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[Double]("expected_irate")
+      assert(got.contains(name), s"$name produced no irate row")
+      assert(math.abs(got(name) - want) < 1.01e-6,
+        s"$name: irate ${got(name)} != prometheus $want")
+    }
+  }
+
+  test("resets: negative-delta counting, window-local (4 cases)") {
+    val cases = fixtures("resets")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = MetricsEtl.qResets(spark, eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[Long]("resets"), r.getAs[Long]("n_points"))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      assert(got(name) == ((c.getAs[Long]("expected_resets"),
+        c.getAs[Long]("expected_n"))),
+        s"$name: ${got(name)}")
+    }
+  }
+
+  test("delta: last-first gauge change, no reset correction (3 cases)") {
+    val cases = fixtures("delta")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = collectByName(
+      MetricsEtl.qDelta(spark, eventsDir(rows)), "delta")
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      assert(got.get(name).contains(c.getAs[Double]("expected_delta")),
+        s"$name: ${got.get(name)}")
     }
   }
 

@@ -232,12 +232,101 @@ def hw_cases():
     return C
 
 
+# ---- qIrate twin: Prometheus irate() on the fixed 300 s grid —
+# last two samples of the window, reset rule (last < prev → last IS the
+# increase), rate over their exact time distance. Mirrors the operator's
+# integer-cents quantization so expected values are engine-exact. ----
+def irate(samples):
+    if len(samples) < 2:
+        return None
+    (pt, pv), (lt, lv) = samples[-2], samples[-1]
+    if lt <= pt:
+        return None
+    pc, lc = int(round(pv * 100)), int(round(lv * 100))
+    inc = lc if lc < pc else lc - pc
+    return round((inc / 100.0) / (lt - pt), 6)
+
+
+# ---- qResets twin: Prometheus resets() per 1h window — count of
+# negative successive deltas, window-local. ----
+def resets(samples):
+    c = 0
+    for (_, a), (_, b) in zip(samples, samples[1:]):
+        if b < a:
+            c += 1
+    return c
+
+
+# ---- qDelta twin: last − first per 1h window, no reset correction
+# (the operator's documented gauge scope; boundary extrapolation lives
+# in qRateExtrapolated). ----
+def delta(samples):
+    if len(samples) < 2:
+        return None
+    return round(samples[-1][1] - samples[0][1], 2)
+
+
+def irate_cases():
+    C = []
+
+    def case(name, pts):
+        C.append({"name": name, "samples": [[W + o, v] for o, v in pts]})
+
+    case("ir_steady", [(10, 1.00), (100, 5.00), (110, 10.00)])  # dt 10
+    case("ir_reset_last_pair", [(50, 100.00), (100, 200.00),
+                                (150, 3.00)])  # reset: irate from 3.00
+    case("ir_two_samples", [(60, 2.00), (120, 5.00)])  # dt 60
+    case("ir_subsecond", [(100.0, 1.00), (100.5, 2.00)])  # dt 0.5
+    case("ir_long_gap", [(10, 0.00), (250, 12.00)])  # dt 240
+    case("ir_decreasing_gauge", [(40, 9.00), (90, 6.00),
+                                 (140, 3.00)])  # reset rule fires
+    for c in C:
+        c["expected_irate"] = irate([(t, v) for t, v in c["samples"]])
+        c["w_start"] = W
+    return C
+
+
+def resets_cases():
+    C = []
+
+    def case(name, pts):
+        C.append({"name": name, "samples": [[W + o, v] for o, v in pts]})
+
+    case("rs_none", [(100, 1.00), (200, 2.00), (300, 3.00)])
+    case("rs_two", [(100, 5.00), (200, 1.00), (300, 6.00), (400, 2.00)])
+    case("rs_alternating", [(100, 2.00), (200, 1.00), (300, 2.00),
+                            (400, 1.00), (500, 2.00)])
+    case("rs_all_down", [(100, 9.00), (200, 7.00), (300, 5.00),
+                         (400, 3.00)])
+    for c in C:
+        c["expected_resets"] = resets([(t, v) for t, v in c["samples"]])
+        c["expected_n"] = len(c["samples"])
+    return C
+
+
+def delta_cases():
+    C = []
+
+    def case(name, pts):
+        C.append({"name": name, "samples": [[W + o, v] for o, v in pts]})
+
+    case("dl_gauge_down", [(100, 80.25), (900, 60.50), (1700, 40.75)])
+    case("dl_gauge_up", [(100, 1.25), (1700, 9.75)])
+    case("dl_round_trip", [(100, 5.00), (900, 50.00), (1700, 5.00)])
+    for c in C:
+        c["expected_delta"] = delta([(t, v) for t, v in c["samples"]])
+    return C
+
+
 if __name__ == "__main__":
     fixtures = {
         "rate": rate_cases(),
         "increase": increase_cases(),
         "histogram_quantile": hq_cases(),
         "holt_winters": hw_cases(),
+        "irate": irate_cases(),
+        "resets": resets_cases(),
+        "delta": delta_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
