@@ -45,6 +45,25 @@ object PrometheusJson {
     * Malformed responses (wrong status / resultType / unparseable JSON)
     * contribute zero rows, like the reference's fail-fast guard.
     */
+  /** Per-document validity: one row per NON-BLANK input line with its
+    * parse verdict. [[parse]] silently contributes zero rows for a
+    * malformed document (fine for ad-hoc queries), but the BATCH LOOP
+    * must fail instead — the reference raises on an invalid response
+    * (etl_job.py's status/parse guards), and a batch that silently
+    * drops a truncated drop-dir file would advance progress past data
+    * that was never loaded. EtlJob.runOnce gates on this frame; blank
+    * lines are not documents and don't count.
+    */
+  def docValidity(df: DataFrame, jsonCol: String): DataFrame =
+    df.filter(length(trim(col(jsonCol))) > 0)
+      .withColumn("r", from_json(col(jsonCol), responseSchema))
+      // coalesce matters: PERMISSIVE from_json turns corrupt JSON into a
+      // struct of NULL fields, so the conjunction is NULL (not false) —
+      // exactly the rows the gate exists to catch
+      .select(coalesce(
+        col("r").isNotNull && col("r.status") === "success" &&
+          col("r.data.resultType") === "matrix", lit(false)).as("doc_ok"))
+
   def parse(df: DataFrame, jsonCol: String): DataFrame = {
     val series = df
       .withColumn("r", from_json(col(jsonCol), responseSchema))

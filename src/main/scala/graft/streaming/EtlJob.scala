@@ -161,6 +161,17 @@ object EtlJob {
       "etl_job.batch_started.window_start" -> start,
       "etl_job.batch_started.window_end" -> end,
       "etl_job.batch_started.progress" -> progress))
+    // FAIL-FAST on malformed response documents (reference parity: the
+    // reference raises on an invalid response; silently dropping a
+    // truncated drop-dir file would advance progress past data that
+    // was never loaded). The throw lands after mark-start, so the open
+    // tombstone + force-takeover recovery applies, same as any other
+    // mid-batch failure.
+    val nBad = PrometheusJson.docValidity(spark.read.text(inDir), "value")
+      .filter(!col("doc_ok")).count()
+    if (nBad > 0) throw new IllegalStateException(
+      s"$nBad malformed response document(s) in $inDir — failing the " +
+        "batch (repair or remove them, then force-take-over)")
     // persist: the stats aggregation AND the sink write both consume the
     // parsed window — without it the whole drop-dir is read and parsed
     // twice per iteration, and a file landing between the two jobs would

@@ -240,6 +240,44 @@ class EtlNegativePathSpec extends SparkSpec {
     } finally { promServer.stop(0); chServer.stop(0) }
   }
 
+  test("truncated response document fails the batch; repair + force recovers") {
+    val inDir = tmpDir("neg_trunc_in")
+    val outDir = tmpDir("neg_trunc_out") + "/tsv"
+    val ledgerDir = tmpDir("neg_trunc") + "/ledger"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "good.json"), fixture(Seq(1005L)))
+    // a crashed fetch's leftover: truncated mid-JSON
+    val bad = java.nio.file.Paths.get(inDir, "truncated.json")
+    java.nio.file.Files.writeString(bad,
+      """{"status":"success","data":{"resultType":"mat""")
+
+    val e = intercept[IllegalStateException] {
+      EtlJob.runOnce(spark, conf, "job", inDir, outDir, ledgerDir,
+        initialProgress = 1000, now = 2000, logger = quietLogger)
+    }
+    assert(e.getMessage.contains("malformed response document"))
+    // mid-batch position: open tombstone, progress untouched
+    assert(EtlJob.hasRunningJob(spark, ledgerDir))
+    assert(EtlJob.latestState(EtlJob.readLedger(spark, ledgerDir)).isEmpty)
+
+    // operator repairs the drop dir, then force-takes-over
+    java.nio.file.Files.delete(bad)
+    val r = EtlJob.runOnce(spark, conf, "job", inDir, outDir, ledgerDir,
+      initialProgress = 1000, now = 2000, force = true,
+      logger = quietLogger)
+    assert(r.batchRows.contains(1L))
+    assert(!EtlJob.hasRunningJob(spark, ledgerDir))
+
+    // blank lines are NOT documents: a trailing newline must not trip
+    // the gate (the next run over the same dir succeeds without force)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "good2.json"),
+      fixture(Seq(1105L)) + "\n")
+    val r2 = EtlJob.runOnce(spark, conf, "job", inDir, outDir, ledgerDir,
+      initialProgress = -1, now = 2000, logger = quietLogger)
+    assert(r2.batchRows.contains(1L))
+  }
+
   // ---- R6 window-math properties at the epoch boundaries ----
 
   test("property: window math invariants over 500 seeded configurations") {
