@@ -772,4 +772,75 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY src_id
        |          ORDER BY cos DESC, tgt_id) = 1""".stripMargin
   }
+
+  /** q_ann_recall — the ANN acceptance test, AS AN OPERATOR: recall@3
+    * of both LSH variants against exact brute-force ground truth over
+    * the fixed query set. Every ANN deployment runs exactly this before
+    * trusting an index configuration (and after every re-tune of
+    * planes/bands/cells); keeping it as a first-class query means the
+    * recall/cost dial is measured by the engine itself, not a notebook.
+    * Composition, not re-implementation: ground truth = q_embed_cosine
+    * _topk cut to rank ≤ 3; candidates = q_ann_lsh / q_ann_lsh_bands
+    * filtered to the query set; hits are LEFT SEMI joins on the
+    * (query, neighbor) pair, counted per query — all frames bounded by
+    * |queries|·3, so the diagnostic costs the two index probes plus the
+    * constant-size ground truth, never a second corpus pass. Expected
+    * shape: hits_bands ≥ hits_lsh per query (band 0 of the 2-band
+    * variant is an independent plane set, not a superset — the
+    * invariant spec checks the MEAN, not per-row dominance).
+    */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qEmbedCosineTopk(spark, dir).filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val lsh = qAnnLsh(spark, dir)
+      .filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("l_vec"), col("neighbor_id").as("l_n"))
+    val bands = qAnnLshBands(spark, dir)
+      .filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("b_vec"), col("neighbor_id").as("b_n"))
+    val hitsLsh = exact.join(lsh,
+        col("vec_id") === col("l_vec") && col("neighbor_id") === col("l_n"),
+        "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("hits_lsh"))
+    val hitsBands = exact.join(bands,
+        col("vec_id") === col("b_vec") && col("neighbor_id") === col("b_n"),
+        "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("hits_bands"))
+    exact.groupBy("vec_id").agg(count(lit(1)).as("n_exact"))
+      .join(hitsLsh, Seq("vec_id"), "left_outer")
+      .join(hitsBands, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("n_exact"),
+        coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),
+        coalesce(col("hits_bands"), lit(0L)).as("hits_bands"))
+      .withColumn("recall_lsh_ppm",
+        expr("hits_lsh * 1000000 div n_exact"))
+      .withColumn("recall_bands_ppm",
+        expr("hits_bands * 1000000 div n_exact"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH ex AS (SELECT vec_id, neighbor_id
+       |           FROM ($embedCosineTopkSql) WHERE rn <= 3),
+       |l AS (SELECT vec_id, neighbor_id FROM ($annLshSql)
+       |      WHERE vec_id < $QuerySetSize),
+       |bn AS (SELECT vec_id, neighbor_id FROM ($annLshBandsSql)
+       |       WHERE vec_id < $QuerySetSize),
+       |hl AS (SELECT ex.vec_id, COUNT(*) AS hits_lsh
+       |       FROM ex JOIN l ON ex.vec_id = l.vec_id
+       |         AND ex.neighbor_id = l.neighbor_id
+       |       GROUP BY 1),
+       |hb AS (SELECT ex.vec_id, COUNT(*) AS hits_bands
+       |       FROM ex JOIN bn ON ex.vec_id = bn.vec_id
+       |         AND ex.neighbor_id = bn.neighbor_id
+       |       GROUP BY 1),
+       |n AS (SELECT vec_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+       |SELECT n.vec_id, n.n_exact,
+       |       coalesce(hl.hits_lsh, 0) AS hits_lsh,
+       |       coalesce(hb.hits_bands, 0) AS hits_bands,
+       |       coalesce(hl.hits_lsh, 0) * 1000000 // n.n_exact
+       |         AS recall_lsh_ppm,
+       |       coalesce(hb.hits_bands, 0) * 1000000 // n.n_exact
+       |         AS recall_bands_ppm
+       |FROM n LEFT JOIN hl ON n.vec_id = hl.vec_id
+       |       LEFT JOIN hb ON n.vec_id = hb.vec_id""".stripMargin
 }

@@ -221,6 +221,23 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall: hits bounded by truth; the banding dial buys recall") {
+    val rows = Similarity.qAnnRecall(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits_lsh") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("hits_bands") <= r.getAs[Long]("n_exact"))
+    }
+    // band 0 is an independent plane set (not a superset), so per-row
+    // dominance does not hold — but the MEAN must: two probes see at
+    // least what the average single probe sees
+    val meanLsh = rows.map(_.getAs[Long]("recall_lsh_ppm")).sum / rows.length
+    val meanBands =
+      rows.map(_.getAs[Long]("recall_bands_ppm")).sum / rows.length
+    assert(meanBands >= meanLsh,
+      s"banding must not lose recall on average: $meanBands < $meanLsh")
+  }
+
   test("label_cardinality: the user key counts every event exactly once") {
     val total = Tables.events(spark, dir).count()
     val r = MetricsEtl.qLabelCardinality(spark, dir).collect()
