@@ -1259,6 +1259,36 @@ object MetricsEtl {
       |FROM m
       |WHERE cum >= total * 0.9 AND (cum - cnt) < total * 0.9""".stripMargin
 
+  /** q_label_values — the Prometheus `/api/v1/label/<k>/values` API
+    * surface (every metadata dropdown in Grafana hits it): all
+    * (label key, value) pairs present in the corpus with their sample
+    * count and the number of distinct metric names carrying them. One
+    * arrays_zip explode of the ALREADY-SORTED label arrays (the R1
+    * invariant), then one map-side-combinable groupBy on the pair —
+    * output bounded by real label cardinality, never corpus size; at
+    * 100 TB this is the query whose result a deployment caches for its
+    * UI, and it costs one scan + one bounded aggregation.
+    */
+  def qLabelValues(spark: SparkSession, dir: String): DataFrame =
+    metrics(spark, dir)
+      .select(col("name"),
+        explode(arrays_zip(col("label_keys"), col("label_values")))
+          .as("kv"))
+      .select(col("name"), col("kv.label_keys").as("k"),
+        col("kv.label_values").as("v"))
+      .groupBy("k", "v")
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct("name").as("n_names"))
+
+  val labelValuesSql: String =
+    s"""WITH m AS (SELECT event_type AS name,
+       |            $keysSql AS ks, $valuesSql AS vs
+       |           FROM events),
+       |kv AS (SELECT name, unnest(ks) AS k, unnest(vs) AS v FROM m)
+       |SELECT k, v, COUNT(*) AS n_samples,
+       |       CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names
+       |FROM kv GROUP BY 1, 2""".stripMargin
+
   /** q_histogram_avg — the bucket-midpoint MEAN estimator over the same
     * classic le-histogram as [[qHistogramQuantile]] (the
     * `histogram_sum/histogram_count` companion, for deployments whose
