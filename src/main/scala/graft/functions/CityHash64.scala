@@ -236,6 +236,20 @@ object CityHash64 {
   def foldScalar(acc: Long, first: Boolean, h: Long): Long =
     if (first) h else combine(acc, h)
 
+  /** True iff the array holds a NULL element — [[CityHash64Expr]] yields
+    * NULL for such rows (ClickHouse's plain Array(String) cannot hold
+    * NULLs, so there is no ClickHouse value to be bit-exact against;
+    * silently hashing a substitute would fabricate parity). */
+  def hasNullElement(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Fold an array-of-strings column into the accumulator: length hash
     * first, then each element's CityHash64 (FunctionsHashing.h
     * executeArray).
@@ -276,7 +290,13 @@ case class CityHash64Expr(children: Seq[Expression]) extends Expression {
   }
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = children.exists(_.nullable)
+  // a NULL array ELEMENT also nullifies the result (no ClickHouse
+  // Array(String) value exists to be bit-exact against)
+  override def nullable: Boolean = children.exists(c =>
+    c.nullable || (c.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }))
   override def prettyName: String = "city_hash64"
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -300,7 +320,9 @@ case class CityHash64Expr(children: Seq[Expression]) extends Expression {
           CityHash64.foldScalar(acc, i == 0, CityHash64.intHash64(
             java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])))
         case ArrayType(StringType, _) =>
-          CityHash64.foldStringArray(acc, i == 0, v.asInstanceOf[ArrayData])
+          val arr = v.asInstanceOf[ArrayData]
+          if (CityHash64.hasNullElement(arr)) return null
+          CityHash64.foldStringArray(acc, i == 0, arr)
         case t => throw new IllegalStateException(s"unreachable: $t")
       }
       i += 1
@@ -329,10 +351,19 @@ case class CityHash64Expr(children: Seq[Expression]) extends Expression {
             s"$city.intHash64(Double.doubleToRawLongBits(${e.value})));"
         case t => throw new IllegalStateException(s"unreachable: $t")
       }
-      val nullCheck =
+      val elemNullable = c.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => false
+      }
+      val nullCheck = Seq(
         if (nullable && c.nullable)
           s"if (${e.isNull}) { ${ev.isNull} = true; break; }"
+        else "",
+        if (nullable && elemNullable)
+          s"if ($city.hasNullElement(${e.value})) " +
+            s"{ ${ev.isNull} = true; break; }"
         else ""
+      ).filter(_.nonEmpty).mkString("\n")
       s"""
          |${e.code}
          |$nullCheck
