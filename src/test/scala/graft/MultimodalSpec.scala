@@ -65,6 +65,23 @@ class MultimodalSpec extends SparkSpec {
     assert((m.width, m.height, m.channels) == ((4800, 16000, 2)))
   }
 
+  test("WAV chunk walk: extra odd-sized chunks before data still parse") {
+    val base = MediaDecode.encodeWavPcm(8000, 1, 16, frames = 100)
+    // splice a 7-byte LIST chunk (odd size → word-aligned with 1 pad)
+    // between the fmt chunk (ends at byte 36) and the data chunk
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 0, 0) ++ "junkpad".getBytes("US-ASCII") ++
+      Array[Byte](0)
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // fix the RIFF size field (total - 8), little-endian
+    val riffSize = spliced.length - 8
+    for (i <- 0 until 4)
+      spliced(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte
+    val meta = MediaDecode.decodeWav(spliced)
+    assert(meta.contains(MediaDecode.WavMeta(8000, 1, 16, 100L)),
+      s"chunk walk must skip unknown chunks: $meta")
+  }
+
   test("strict parsers reject text starting with the magic bytes") {
     val bmTrap = ("BM" + "x" * 100).getBytes("UTF-8")
     assert(MediaDecode.decodeBmp(bmTrap).isEmpty)
