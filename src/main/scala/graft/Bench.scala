@@ -77,9 +77,16 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"errors":${errors.mkString("[", ",", "]")},"queries":$detail}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] full artifact written to $out")
+    // best-effort: the stdout line above is the driver's contract; an
+    // unwritable CWD must not turn a successful bench into exit != 0
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full artifact written to $out")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
