@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodeBlock, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeBlock, CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -380,7 +380,12 @@ case class CityHash64Expr(children: Seq[Expression]) extends Expression {
          |} while (false);
          |final long ${ev.value} = $acc;
        """.stripMargin
-    ev.copy(code = CodeBlock(Seq(body), Seq.empty))
+    // When !nullable, no `boolean <isNull>` is declared above, so a parent
+    // that consults ev.isNull without checking child.nullable would emit a
+    // reference to an undeclared variable and force codegen fallback.
+    // Spark's nullSafeCodeGen convention: hand back FalseLiteral instead.
+    if (nullable) ev.copy(code = CodeBlock(Seq(body), Seq.empty))
+    else ev.copy(code = CodeBlock(Seq(body), Seq.empty), isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

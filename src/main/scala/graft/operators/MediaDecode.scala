@@ -41,11 +41,15 @@ object MediaDecode {
     val height = le32(b, 22) // negative = top-down row order
     val planes = le16(b, 26)
     val bitCount = le16(b, 28)
-    val ok = fileSize == b.length && hdrSize >= 40 && planes == 1 &&
+    // Long arithmetic for the offset inequality: an adversarial hdrSize
+    // near Int.MaxValue would wrap `14 + hdrSize` negative and let a
+    // structurally invalid header pass the strict-validation contract.
+    val ok = fileSize == b.length && hdrSize >= 40 && hdrSize <= b.length &&
+      planes == 1 &&
       width > 0 && width <= (1 << 20) &&
       height != 0 && math.abs(height) <= (1 << 20) &&
       (bitCount == 1 || bitCount == 8 || bitCount == 24 || bitCount == 32) &&
-      dataOffset >= 14 + hdrSize && dataOffset <= b.length
+      dataOffset.toLong >= 14L + hdrSize.toLong && dataOffset <= b.length
     if (ok) Some((width, math.abs(height), math.max(1, bitCount / 8)))
     else None
   }
@@ -67,7 +71,7 @@ object MediaDecode {
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return None
     var i = 12
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
     var dataLen = -1L
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -77,16 +81,19 @@ object MediaDecode {
         return None
       }
       if (id == "fmt " && size >= 16) {
-        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12),
+          le16(b, i + 22)))
       } else if (id == "data") {
         dataLen = size
       }
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     fmt match {
-      case Some((ch, rate, bits))
-          if ch > 0 && ch <= 64 && rate > 0 && rate <= 1000000 &&
-            bits > 0 && bits % 8 == 0 && dataLen >= 0 =>
+      // audioFormat must be 1 (WAVE_FORMAT_PCM): the frames math below is
+      // PCM block-align math and is meaningless for float/ADPCM payloads.
+      case Some((format, ch, rate, bits))
+          if format == 1 && ch > 0 && ch <= 64 && rate > 0 &&
+            rate <= 1000000 && bits > 0 && bits % 8 == 0 && dataLen >= 0 =>
         Some(WavMeta(rate, ch, bits, dataLen / (ch.toLong * (bits / 8))))
       case _ => None
     }

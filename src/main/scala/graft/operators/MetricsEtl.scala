@@ -117,20 +117,37 @@ object MetricsEtl {
     * multi-arg/array/POD conventions; golden-vectored in CityHash64Spec
     * against an independent Python twin, tools/cityhash_ref.py).
     *
-    * NO DuckDB oracle is registrable: DuckDB has no cityHash64, and the
-    * per-SF corpora differ so literal vectors can't be pinned — the driver
-    * records the weaker rows-only check (SparkEntry.rowsOnlyQueries);
-    * value-correctness is carried by CityHash64Spec's vectors. The id is
-    * additionally surfaced as a signed decimal STRING: ClickHouse renders
-    * UInt64, and pandas would round a large UInt64-as-float64 id.
+    * DuckDB has no cityHash64, so the oracle ([[metricsIdCitySql]]) joins
+    * a PRECOMPUTED lookup (tools/fixtures/cityhash_ids.parquet) generated
+    * by the independent Python twin tools/cityhash_ref.py over the same
+    * events — expected values from an implementation this code shares
+    * nothing with (regenerate with tools/gen_cityhash_lookup.py when
+    * testdata changes). The id is surfaced as an UNSIGNED decimal STRING
+    * (`conv(hex(x),16,10)`): ClickHouse renders UInt64, so a signed
+    * Long.toString would print half the ids negative and break textual
+    * cross-checks against a deployment's materialized ids (r5 advice);
+    * string also keeps pandas from rounding a UInt64-as-float64 id.
     */
   def qMetricsIdCity(spark: SparkSession, dir: String): DataFrame =
     metrics(spark, dir)
       .withColumn("city_id", graft.functions.CityHash64Expr.cityHash64(
         col("ts_us"), col("name"), col("label_keys"), col("label_values"),
         col("value")))
-      .select(col("city_id").cast("string").as("city_id"),
+      .select(conv(hex(col("city_id")), 16, 10).as("city_id"),
         col("ts_us"), col("name"), col("value"))
+
+  /** Oracle for [[qMetricsIdCity]]: join the independently-precomputed
+    * id lookup on (event_id, epoch µs) — verified unique across the SF
+    * union — so the driver's compare covers the hash VALUES, not just
+    * row counts. The inner join also asserts coverage: a missing lookup
+    * row shrinks the oracle side and fails the row-count compare.
+    */
+  val metricsIdCitySql: String =
+    """SELECT l.city_id, epoch_us(e.ts) AS ts_us,
+      |       e.event_type AS name, e.value
+      |FROM events e
+      |JOIN read_parquet('/root/repo/tools/fixtures/cityhash_ids.parquet') l
+      |  ON e.event_id = l.event_id AND epoch_us(e.ts) = l.ts_us""".stripMargin
 
   /** q_metrics_skipped — R2 value-parse classification. Prometheus may
     * return values as strings ("NaN", "Inf", "-Inf", numeric, or garbage);
@@ -588,23 +605,27 @@ object MetricsEtl {
     */
   def qDelta(spark: SparkSession, dir: String): DataFrame = {
     val winSize = 3600L
-    val w = Window.partitionBy("name", "user_id", "w_start")
-      .orderBy("ts_s", "event_id")
+    // ONE map-side-combinable aggregation, ZERO sorts: the first/last
+    // sample per series-window is min_by/max_by(cents, ts_us) — this
+    // replaces the former two opposite-direction row_number windows
+    // (= two full corpus sort passes on the same partition key, the r5
+    // bench's 5 s outlier). The ordering key is the LONG ts_us alone,
+    // keeping every aggregation buffer primitive so the plan stays a
+    // HashAggregate (a struct ordering key would demote it to
+    // SortAggregate and reintroduce the sort). ts_us is a total order
+    // within a series: a Prometheus TSDB series cannot carry two samples
+    // at one timestamp, and the synthetic events agree (zero duplicate
+    // (event_type, user_id, ts) triples at every SF — checked in DuckDB).
     Tables.events(spark, dir).select(
-      col("event_type").as("name"), col("user_id"), col("event_id"),
+      col("event_type").as("name"), col("user_id"),
       (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize).as("w_start"),
-      (unix_micros(col("ts")) / 1000000d).as("ts_s"),
+      unix_micros(col("ts")).as("ts_us"),
       round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rn_desc", row_number().over(
-        Window.partitionBy("name", "user_id", "w_start")
-          .orderBy(col("ts_s").desc, col("event_id").desc)))
-      .filter(col("rn") === 1 || col("rn_desc") === 1)
       .groupBy("name", "user_id", "w_start")
-      .agg(max(when(col("rn_desc") === 1, col("cents"))).as("last_c"),
-        max(when(col("rn") === 1, col("cents"))).as("first_c"),
+      .agg(max_by(col("cents"), col("ts_us")).as("last_c"),
+        min_by(col("cents"), col("ts_us")).as("first_c"),
         count(lit(1)).as("n"))
-      .filter(col("n") === 2) // first ≠ last ⇒ ≥ 2 samples in the window
+      .filter(col("n") >= 2) // delta needs at least two samples
       .select(col("name"), col("user_id"), col("w_start"),
         round((col("last_c") - col("first_c")).cast("double") / 100d, 2)
           .as("delta"))
@@ -612,24 +633,17 @@ object MetricsEtl {
 
   val deltaSql: String =
     """WITH s AS (
-      |  SELECT event_type AS name, user_id, event_id,
+      |  SELECT event_type AS name, user_id,
       |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
-      |         epoch_us(ts)/1000000.0 AS ts_s,
+      |         epoch_us(ts) AS ts_us,
       |         CAST(round(value*100) AS BIGINT) AS cents
-      |  FROM events),
-      |r AS (
-      |  SELECT *,
-      |         row_number() OVER (PARTITION BY name, user_id, w_start
-      |           ORDER BY ts_s, event_id) AS rn,
-      |         row_number() OVER (PARTITION BY name, user_id, w_start
-      |           ORDER BY ts_s DESC, event_id DESC) AS rn_desc
-      |  FROM s)
+      |  FROM events)
       |SELECT name, user_id, w_start,
-      |       round(CAST(max(CASE WHEN rn_desc = 1 THEN cents END)
-      |             - max(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100.0, 2) AS delta
-      |FROM r WHERE rn = 1 OR rn_desc = 1
+      |       round(CAST(arg_max(cents, ts_us) - arg_min(cents, ts_us)
+      |             AS DOUBLE) / 100.0, 2) AS delta
+      |FROM s
       |GROUP BY 1, 2, 3
-      |HAVING COUNT(*) = 2""".stripMargin
+      |HAVING COUNT(*) >= 2""".stripMargin
 
   /** q_quantile_by_label — PromQL aggregation `quantile(φ, m) by (k)`:
     * exact interpolated p50/p90 of the metric value across all series

@@ -161,26 +161,36 @@ object EtlJob {
       "etl_job.batch_started.window_start" -> start,
       "etl_job.batch_started.window_end" -> end,
       "etl_job.batch_started.progress" -> progress))
-    // FAIL-FAST on malformed response documents (reference parity: the
-    // reference raises on an invalid response; silently dropping a
-    // truncated drop-dir file would advance progress past data that
-    // was never loaded). The throw lands after mark-start, so the open
-    // tombstone + force-takeover recovery applies, same as any other
-    // mid-batch failure.
-    val nBad = PrometheusJson.docValidity(spark.read.text(inDir), "value")
-      .filter(!col("doc_ok")).count()
-    if (nBad > 0) throw new IllegalStateException(
-      s"$nBad malformed response document(s) in $inDir — failing the " +
-        "batch (repair or remove them, then force-take-over)")
+    // One raw read of the drop-dir per iteration: the validity gate and
+    // parse() both consume this cached frame, so the gate costs a cached
+    // scan, not a second read+parse job — and a file landing between the
+    // two cannot make the gate and the load disagree about dir contents.
+    val raw = spark.read.text(inDir).persist()
     // persist: the stats aggregation AND the sink write both consume the
     // parsed window — without it the whole drop-dir is read and parsed
     // twice per iteration, and a file landing between the two jobs would
     // make batchRows disagree with what the sink actually wrote
-    val parsed = PrometheusJson.parse(spark.read.text(inDir), "value")
+    val parsed = PrometheusJson.parse(raw, "value")
       .filter(col("ts_us") >= start * 1000000L &&
         col("ts_us") < end * 1000000L)
       .persist()
     try {
+      // FAIL-FAST on malformed response documents (reference parity: the
+      // reference raises on an invalid response; silently dropping a
+      // truncated drop-dir file would advance progress past data that was
+      // never loaded). The throw lands after mark-start, so the open
+      // tombstone + force-takeover recovery applies, same as any other
+      // mid-batch failure. Deliberately DIR-WIDE, not window-scoped: a
+      // malformed document has no trustworthy timestamp to scope by, so
+      // one corrupt file halts ALL future windows until it is repaired or
+      // removed — stricter than the reference's per-response check, by
+      // design (a drop-dir is an ingest queue; corruption anywhere in it
+      // is an operator-attention event, not a skippable row).
+      val nBad = PrometheusJson.docValidity(raw, "value")
+        .filter(!col("doc_ok")).count()
+      if (nBad > 0) throw new IllegalStateException(
+        s"$nBad malformed response document(s) in $inDir — failing the " +
+          "batch (repair or remove them, then force-take-over)")
       val stats = parsed.agg(
         sum(when(col("ok"), 1L).otherwise(0L)),
         sum(when(!col("ok"), 1L).otherwise(0L))).head()
@@ -209,6 +219,6 @@ object EtlJob {
           "etl_job.batch_failed.error" -> e.toString,
           "etl_job.batch_failed.error_type" -> e.getClass.getSimpleName))
         throw e
-    } finally parsed.unpersist()
+    } finally { parsed.unpersist(); raw.unpersist() }
   }
 }

@@ -302,6 +302,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected ONE lineitem scan, found $scans")
   }
 
+  test("q_delta: one-pass endpoint aggregate — zero sorts, zero windows") {
+    // r5 verdict: the former two opposite-order row_number windows cost
+    // two full corpus sort passes; endpoints are min/max of
+    // (ts_s, event_id, cents) structs in ONE map-side-combinable agg
+    val plan = executed(MetricsEtl.qDelta(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Sort"), s"delta must not sort:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), "delta must not use a window pass")
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final aggregation, found $n")
+  }
+
+  test("q_lang_mismatch: lang carried through the prediction — ONE documents scan, no join") {
+    val plan = executed(graft.operators.TextAnalysis.qLangMismatch(spark, dir))
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one documents scan, found $scans:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "declared lang must not re-join the corpus")
+  }
+
   test("q_sum_rate: second aggregation adds only the |names|-sized exchange") {
     val plan = executed(MetricsEtl.qSumRate(spark, dir))
       .split("== Initial Plan ==").head
