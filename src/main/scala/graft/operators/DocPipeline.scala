@@ -51,10 +51,9 @@ object DocPipeline {
   /** doc_ids that LOSE near-dedup: in some n-gram near-dup cluster but
     * not its minimum-id representative. */
   private def nearDupLosers(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.qDedupNgram(spark, dir).select("doc_a", "doc_b"))
-      .filter(col("node") =!= col("label"))
-      .select(col("node").as("doc_id"))
+    Dedup.clusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
 
   def run(spark: SparkSession, dir: String, outDir: String,
           shards: Int = 16, salt: String = "epoch0"): Summary = {

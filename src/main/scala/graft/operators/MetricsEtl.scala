@@ -1786,7 +1786,18 @@ object MetricsEtl {
     * whole point of the rule. One rank window per series on the sliced
     * frame; age_us emitted for staleness accounting.
     */
-  def qInstantVector(spark: SparkSession, dir: String): DataFrame = {
+  def qInstantVector(spark: SparkSession, dir: String): DataFrame =
+    instantVec(spark, dir)
+      .select(col("name"), col("user_id"), col("ts_us"), col("cents"),
+        (lit(EvalTsUs) - col("ts_us")).as("age_us"))
+
+  /** The instant vector at [[EvalTsUs]] — (name, user_id, ts_us, cents),
+    * one row per live series — SHARED by the PromQL function family
+    * below (`sort`, `timestamp()`, `scalar()`, `absent()`, math funcs).
+    * |series|-bounded: every consumer's cost is governed by the live
+    * series count, not the corpus, and the constant lookback filter
+    * pushes to the parquet scan. */
+  private def instantVec(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("name", "user_id")
       .orderBy(col("ts_us").desc, col("event_id").desc)
     Tables.eventsSlice(spark, dir, EvalTsUs - 86400000000L, EvalTsUs)
@@ -1795,25 +1806,27 @@ object MetricsEtl {
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("name"), col("user_id"), col("ts_us"), col("cents"),
-        (lit(EvalTsUs) - col("ts_us")).as("age_us"))
+      .select("name", "user_id", "ts_us", "cents")
   }
 
-  val instantVectorSql: String = {
-    val t = 1705320000L * 1000000L
+  /** Oracle twin of [[instantVec]]: CTE chain ending in `iv`. */
+  private val instantVecCte: String =
     s"""WITH s AS (
        |  SELECT event_type AS name, user_id, event_id,
        |         epoch_us(ts) AS ts_us,
        |         CAST(round(value*100) AS BIGINT) AS cents
        |  FROM events
-       |  WHERE epoch_us(ts) > $t - 86400000000 AND epoch_us(ts) <= $t),
+       |  WHERE epoch_us(ts) > $EvalTsUs - 86400000000 AND epoch_us(ts) <= $EvalTsUs),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY name, user_id
        |           ORDER BY ts_us DESC, event_id DESC) AS rn
-       |  FROM s)
-       |SELECT name, user_id, ts_us, cents, $t - ts_us AS age_us
-       |FROM r WHERE rn = 1""".stripMargin
-  }
+       |  FROM s),
+       |iv AS (SELECT name, user_id, ts_us, cents FROM r WHERE rn = 1)""".stripMargin
+
+  val instantVectorSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, ts_us, cents, $EvalTsUs - ts_us AS age_us
+       |FROM iv""".stripMargin
 
   /** q_scrape_health — scrape-interval health per series (the target
     * health view behind Prometheus's `up`/`scrape_duration` panels):
@@ -2317,4 +2330,200 @@ object MetricsEtl {
       |              - (le2 + CAST(le5 - le2 AS DOUBLE) * 100.0 / 300.0))
       |             / h_count, 6) AS frac_3_8
       |FROM g""".stripMargin
+
+  /** q_promql_sort — PromQL `sort()` / `sort_desc()` over the instant
+    * vector at T (reference consumers order Grafana tables this way).
+    * Value-ordered ranks with a deterministic (cents, name, user_id)
+    * tie-break; the desc rank is DERIVED from the asc rank against the
+    * exact-reverse tie-break, so ONE global sort serves both directions.
+    * The sorted frame is the |series|-bounded instant vector, never the
+    * corpus — a bounded final stage at any data size.
+    */
+  def qPromqlSort(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cents").asc, col("name").asc, col("user_id").asc)
+    instantVec(spark, dir)
+      .select(col("name"), col("user_id"), col("cents"))
+      .withColumn("rank_asc", row_number().over(w).cast("long"))
+      .withColumn("rank_desc",
+        count(lit(1)).over(Window.partitionBy()) - col("rank_asc") + 1L)
+  }
+
+  val promqlSortSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, cents,
+       |       row_number() OVER (ORDER BY cents, name, user_id) AS rank_asc,
+       |       COUNT(*) OVER ()
+       |         - row_number() OVER (ORDER BY cents, name, user_id) + 1 AS rank_desc
+       |FROM iv""".stripMargin
+
+  /** q_timestamp — PromQL `timestamp(v)`: the value of each instant-
+    * vector element becomes its own sample timestamp. Emitted as exact
+    * integer milliseconds (PromQL's float seconds carry ms precision);
+    * pure projection on the shared [[instantVec]] slice.
+    */
+  def qTimestamp(spark: SparkSession, dir: String): DataFrame =
+    instantVec(spark, dir)
+      .select(col("name"), col("user_id"),
+        expr("ts_us div 1000").as("ts_ms"), col("cents"))
+
+  val timestampSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, ts_us // 1000 AS ts_ms, cents FROM iv""".stripMargin
+
+  /** q_scalar — PromQL `scalar(v)` and `vector(s)`: scalar() yields the
+    * single element's value when |v| = 1 and NaN otherwise (NaN surfaces
+    * as NULL cents here); vector(s) lifts a literal into a labelless
+    * 1-element vector. Three cases in one 3-row output: scalar over an
+    * always-1-element aggregate, scalar over a multi-series selector
+    * (→ NULL), and a vector literal. One bounded aggregation of the
+    * shared instant vector — the corpus participates only through the
+    * pushed lookback scan.
+    */
+  def qScalar(spark: SparkSession, dir: String): DataFrame = {
+    val a = instantVec(spark, dir).filter(col("name") === "click")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"), min("cents").as("m"))
+    a.select(explode(array(
+        struct(lit("scalar_sum").as("kind"), col("s").as("cents")),
+        struct(lit("scalar_raw").as("kind"),
+          when(col("n") === 1L, col("m")).otherwise(lit(null).cast("long"))
+            .as("cents")),
+        struct(lit("vector_lit").as("kind"), lit(4200L).as("cents"))))
+        .as("r"))
+      .select(col("r.kind").as("kind"), col("r.cents").as("cents"))
+  }
+
+  val scalarSql: String =
+    s"""$instantVecCte,
+       |a AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+       |             MIN(cents) AS m
+       |      FROM iv WHERE name = 'click')
+       |SELECT 'scalar_sum' AS kind, s AS cents FROM a
+       |UNION ALL
+       |SELECT 'scalar_raw' AS kind,
+       |       CASE WHEN n = 1 THEN m ELSE NULL END AS cents FROM a
+       |UNION ALL
+       |SELECT 'vector_lit' AS kind, CAST(4200 AS BIGINT) AS cents FROM a""".stripMargin
+
+  /** Instant-absent watch-list: fixed alerting selectors, including two
+    * that never match — the subjects PromQL `absent()` exists for. A
+    * plan-time CONSTANT (same rule as [[AbsentWatchUsers]]). */
+  private val AbsentWatch: Seq[(String, Long)] =
+    Seq(("click", 11L), ("error", 3L), ("nosuch_metric", 1L),
+      ("purchase", 9999999L))
+
+  /** q_absent — instant-form PromQL `absent(v)` at T over the watch-list
+    * (completes the `absent_over_time` machinery at [[qAbsentOverTime]]
+    * with the single-instant rule): is_absent = 1 when the selector has
+    * no live sample in the lookback. The watched-selector disjunction is
+    * a plan-time constant pushed BELOW the rank window to the scan — at
+    * 100 TB this reads only the watched series' lookback slice, then
+    * joins two ≤|watch|-row frames.
+    */
+  def qAbsent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sel = AbsentWatch.map { case (n, u) =>
+      col("name") === n && col("user_id") === u }.reduce(_ || _)
+    val present = instantVec(spark, dir).filter(sel)
+      .select(col("name"), col("user_id"), lit(1L).as("present"))
+    AbsentWatch.toDF("name", "user_id")
+      .join(present, Seq("name", "user_id"), "left_outer")
+      .select(col("name"), col("user_id"),
+        when(col("present").isNull, 1L).otherwise(0L).as("is_absent"))
+  }
+
+  val absentSql: String = {
+    val values = AbsentWatch
+      .map { case (n, u) => s"('$n', CAST($u AS BIGINT))" }.mkString(", ")
+    val sel = AbsentWatch
+      .map { case (n, u) => s"(name = '$n' AND user_id = $u)" }
+      .mkString(" OR ")
+    s"""$instantVecCte,
+       |watch(name, user_id) AS (VALUES $values)
+       |SELECT w.name, w.user_id,
+       |       CAST(CASE WHEN p.name IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_absent
+       |FROM watch w LEFT JOIN (SELECT name, user_id FROM iv
+       |                        WHERE $sel) p
+       |  ON p.name = w.name AND p.user_id = w.user_id""".stripMargin
+  }
+
+  /** q_math_funcs — the PromQL scalar math family (`ln`, `log2`,
+    * `sqrt`, `exp`, `abs`, `sgn`, `ceil`, `floor`) over the instant
+    * vector. libm members are graded ERROR-BOUND: outputs are rounded
+    * to integer ×1000 — ln/log2/exp values are irrational, so a ≤2-ulp
+    * cross-engine libm difference cannot move the rounded integer
+    * (IEEE sqrt is correctly rounded and exact in both engines); the
+    * abs/sgn/ceil/floor members are integer-exact (boundary values hit
+    * exactly-representable doubles on both sides). Pure projection —
+    * codegen'd, no shuffle beyond the shared instant-vector rank.
+    */
+  def qMathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val c = greatest(col("cents"), lit(1L))
+    instantVec(spark, dir).select(col("name"), col("user_id"), col("cents"),
+      round(log(c) * 1000d).cast("long").as("ln_x1000"),
+      round(log2(c) * 1000d).cast("long").as("log2_x1000"),
+      round(sqrt(c) * 1000d).cast("long").as("sqrt_x1000"),
+      round(exp(col("cents").cast("double") / 10000d) * 1000d).cast("long")
+        .as("exp_x1000"),
+      abs(col("cents") - 5000L).as("abs_c"),
+      when(col("cents") > 5000L, 1L).when(col("cents") < 5000L, -1L)
+        .otherwise(0L).as("sgn_c"),
+      ceil((col("cents") - 5000L).cast("double") / 100d).cast("long")
+        .as("ceil_c"),
+      floor((col("cents") - 5000L).cast("double") / 100d).cast("long")
+        .as("floor_c"))
+  }
+
+  val mathFuncsSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, cents,
+       |  CAST(round(ln(greatest(cents, 1)) * 1000) AS BIGINT) AS ln_x1000,
+       |  CAST(round(log2(greatest(cents, 1)) * 1000) AS BIGINT) AS log2_x1000,
+       |  CAST(round(sqrt(greatest(cents, 1)) * 1000) AS BIGINT) AS sqrt_x1000,
+       |  CAST(round(exp(CAST(cents AS DOUBLE) / 10000) * 1000) AS BIGINT)
+       |    AS exp_x1000,
+       |  abs(cents - 5000) AS abs_c,
+       |  CAST(CASE WHEN cents > 5000 THEN 1 WHEN cents < 5000 THEN -1
+       |            ELSE 0 END AS BIGINT) AS sgn_c,
+       |  CAST(ceil(CAST(cents - 5000 AS DOUBLE) / 100) AS BIGINT) AS ceil_c,
+       |  CAST(floor(CAST(cents - 5000 AS DOUBLE) / 100) AS BIGINT) AS floor_c
+       |FROM iv""".stripMargin
+
+  /** q_time_funcs — the PromQL time family (`minute` `hour`
+    * `day_of_week` `day_of_month` `day_of_year` `month` `year`
+    * `days_in_month`) applied to each instant-vector element's own
+    * sample timestamp (the `f(timestamp(v))` recording-rule idiom).
+    * All UTC, like Prometheus — both session builders pin
+    * spark.sql.session.timeZone=UTC and the oracle's make_timestamp is
+    * timezone-naive, so the field extractions agree exactly.
+    * day_of_week is PromQL's 0=Sunday..6 (Spark's dayofweek is
+    * 1-based, shifted here). Integer-exact, codegen'd projection on the
+    * shared [[instantVec]] — corpus cost is the pushed lookback scan.
+    */
+  def qTimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ts = timestamp_seconds(expr("ts_us div 1000000"))
+    instantVec(spark, dir).select(col("name"), col("user_id"), col("ts_us"),
+      minute(ts).cast("long").as("minute_utc"),
+      hour(ts).cast("long").as("hour_utc"),
+      (dayofweek(ts) - 1).cast("long").as("day_of_week"),
+      dayofmonth(ts).cast("long").as("day_of_month"),
+      dayofyear(ts).cast("long").as("day_of_year"),
+      month(ts).cast("long").as("month_utc"),
+      year(ts).cast("long").as("year_utc"),
+      dayofmonth(last_day(ts)).cast("long").as("days_in_month"))
+  }
+
+  val timeFuncsSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, ts_us,
+       |  CAST(date_part('minute', t) AS BIGINT) AS minute_utc,
+       |  CAST(date_part('hour', t) AS BIGINT) AS hour_utc,
+       |  CAST(date_part('dow', t) AS BIGINT) AS day_of_week,
+       |  CAST(date_part('day', t) AS BIGINT) AS day_of_month,
+       |  CAST(date_part('doy', t) AS BIGINT) AS day_of_year,
+       |  CAST(date_part('month', t) AS BIGINT) AS month_utc,
+       |  CAST(date_part('year', t) AS BIGINT) AS year_utc,
+       |  CAST(date_part('day', last_day(t)) AS BIGINT) AS days_in_month
+       |FROM (SELECT *, make_timestamp((ts_us // 1000000) * 1000000) AS t
+       |      FROM iv)""".stripMargin
 }

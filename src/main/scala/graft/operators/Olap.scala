@@ -1593,4 +1593,211 @@ object Olap {
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
       |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
       |  AND CAST(round(l_quantity*100) AS BIGINT) < 24 * 100""".stripMargin
+
+  /** q_ship_volume — TPC-H Q7 shape (volume shipping between a nation
+    * pair): bilateral revenue by (supp_nation, cust_nation, ship year).
+    * Scale shape: the PAIR-FILTERED supplier dim broadcasts INTO the
+    * date-sliced lineitem scan first — cutting the fact to the pair
+    * nations' suppliers (~2/|nations|) before the only fact-fact
+    * shuffle (orders on orderkey); the customer side joins size-gated
+    * with the nation pair already applied. Output is
+    * 2×2×|years|-bounded. Exact ×10⁴ integer revenue.
+    */
+  def qShipVolume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(pair, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(pair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("v"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("v").as("volume_x10000"), count(lit(1)).as("n_lines"))
+  }
+
+  val qShipVolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(v) AS BIGINT) AS volume_x10000,
+      |       COUNT(*) AS n_lines
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+      |             CAST(round(l_extendedprice*100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount*100) AS BIGINT)) AS v
+      |      FROM lineitem
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      JOIN supplier ON l_suppkey = s_suppkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01'
+      |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_returned_items — TPC-H Q10 shape (returned-item reporting): the
+    * top-20 customers by revenue lost to returns in one quarter.
+    * Aggregate-first: returned lines collapse map-side per order BEFORE
+    * any join, and the orderkey join then REUSES that aggregation's
+    * hash partitioning (no second fact shuffle); the quarter filter on
+    * orders is pushed to its scan; customer/nation attach to the
+    * |custkey|-bounded aggregate; top-20 plans as TakeOrdered with a
+    * total (revenue, custkey) order — never a global sort.
+    */
+  def qReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("v"))
+      .groupBy("l_orderkey").agg(sum("v").as("ov"))
+    val quarter = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    rev.join(quarter, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("ov").as("revenue_x10000"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_x10000"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .orderBy(col("revenue_x10000").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val qReturnedItemsSql: String =
+    """WITH rev AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+      |           AS ov
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      |pc AS (
+      |  SELECT o_custkey, CAST(SUM(ov) AS BIGINT) AS revenue_x10000
+      |  FROM rev JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1)
+      |SELECT c_custkey, c_name, n_name, revenue_x10000,
+      |       CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+      |FROM pc
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue_x10000 DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** q_top_supplier — TPC-H Q15 shape (top supplier via the revenue
+    * view): per-supplier quarter revenue, keep the supplier(s) equal to
+    * the maximum. The max rides a GLOBAL WINDOW over the
+    * |suppliers|-bounded aggregate — the agg-then-rejoin form would
+    * scan lineitem twice (broadcast stages are not reused across
+    * consumers, see q_small_qty_revenue) while a single-partition pass
+    * over |suppliers| rows is O(dims); supplier names broadcast in.
+    */
+  def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("v"))
+      .groupBy("l_suppkey").agg(sum("v").as("total_revenue_x10000"))
+    rev
+      .withColumn("mx",
+        max("total_revenue_x10000").over(Window.partitionBy()))
+      .filter(col("total_revenue_x10000") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_x10000"))
+  }
+
+  val qTopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+      |           AS total_revenue_x10000
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue_x10000
+      |FROM (SELECT *, MAX(total_revenue_x10000) OVER () AS mx FROM rev)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue_x10000 = mx""".stripMargin
+
+  /** q_profit_by_nation — TPC-H Q9 shape (product-type profit): per
+    * (supplier nation, order year) profit on the widget product line,
+    * cost modeled as 20% of retail value (the synthetic schema has no
+    * partsupp/supplycost). The name-filtered part dim and the
+    * supplier⋈nation dim both BROADCAST into the fact scan — the part
+    * filter cuts lineitem before the one fact-fact shuffle (orders on
+    * orderkey for the year). Profit per line is exact ×10⁴ integer:
+    * price·(100−disc) − retail·qty div 5, the division truncating on
+    * nonnegative operands (identical in both engines); the signed SUM
+    * is exact. |nations|×|years|-bounded output.
+    */
+  def qProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val prt = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents")))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("amount",
+        col("price_cents") * (lit(100L) - col("disc_pct")) -
+          expr("retail_cents * qty_cents div 5"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum("amount").as("profit_x10000"), count(lit(1)).as("n_lines"))
+  }
+
+  val qProfitByNationSql: String =
+    """SELECT n_name, o_year,
+      |       CAST(SUM(amount) AS BIGINT) AS profit_x10000,
+      |       COUNT(*) AS n_lines
+      |FROM (SELECT n_name,
+      |             CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(round(l_extendedprice*100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount*100) AS BIGINT))
+      |               - CAST(round(p_retailprice*100) AS BIGINT)
+      |                 * CAST(round(l_quantity*100) AS BIGINT) // 5 AS amount
+      |      FROM lineitem
+      |      JOIN part ON l_partkey = p_partkey
+      |      JOIN supplier ON l_suppkey = s_suppkey
+      |      JOIN nation ON s_nationkey = n_nationkey
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      WHERE p_name LIKE '%widget%')
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -623,8 +623,10 @@ object Similarity {
       qerr.cast("long").as("qerr"))
   }
 
-  val pqCodeSql: String = {
-    val sub = 16 // embeddings are 64-dim (asserted in spec); 64 / PqM
+  /** Shared oracle CTE chain ending in `dd` = (vec_id, ds0..ds{M−1})
+    * — the per-subspace squared-distance arrays to every PQ centroid —
+    * consumed by both [[pqCodeSql]] and [[ivfPqSql]]. */
+  private def pqDdCtes(sub: Int): String = {
     val cents = pqCentroids(sub)
     def centList(m: Int, k: Int): String =
       cents(m)(k).mkString("[", ", ", "]")
@@ -642,11 +644,7 @@ object Similarity {
       "[" + (0 until PqK).map(k =>
         s"n$m - 2*d$m$k + ${centNorm(m, k)}").mkString(", ") + s"] AS ds$m")
       .mkString(",\n")
-    val code = (0 until PqM).map(m =>
-      s"(list_position(ds$m, list_min(ds$m)) - 1) * ${math.pow(PqK, m).toLong}")
-      .mkString(" + ")
-    val qerr = (0 until PqM).map(m => s"list_min(ds$m)").mkString(" + ")
-    s"""WITH qq AS (SELECT vec_id,
+    s"""qq AS (SELECT vec_id,
        |        list_transform(embedding,
        |          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |       FROM embeddings),
@@ -656,10 +654,96 @@ object Similarity {
        |FROM qq),
        |dd AS (SELECT vec_id,
        |$dsCols
-       |FROM mm)
-       |SELECT vec_id, CAST($code AS BIGINT) AS code,
-       |       CAST($qerr AS BIGINT) AS qerr
+       |FROM mm)""".stripMargin
+  }
+
+  /** Packed-code / total-error SQL over `dd`'s ds arrays. */
+  private val pqCodeExpr: String = (0 until PqM).map(m =>
+    s"(list_position(ds$m, list_min(ds$m)) - 1) * ${math.pow(PqK, m).toLong}")
+    .mkString(" + ")
+  private val pqErrExpr: String =
+    (0 until PqM).map(m => s"list_min(ds$m)").mkString(" + ")
+
+  val pqCodeSql: String =
+    // sub = 16: embeddings are 64-dim (asserted in spec); 64 / PqM
+    s"""WITH ${pqDdCtes(16)}
+       |SELECT vec_id, CAST($pqCodeExpr AS BIGINT) AS code,
+       |       CAST($pqErrExpr AS BIGINT) AS qerr
        |FROM dd""".stripMargin
+
+  /** Fixed ADC query set size — a plan-time CONSTANT (same rule as the
+    * brute-force query set): the broadcast is O(NQ) at any corpus
+    * size. */
+  private val PqNQ = 8
+
+  /** q_ivf_pq — the PRODUCTION ANN shape (Jégou et al.'s ADC search,
+    * the scan IVF-PQ indexes run inside each probed cell): corpus
+    * vectors are represented ONLY by their packed PQ code; each query
+    * precomputes a per-subspace lookup table of squared distances to
+    * every centroid (M·K entries), and a candidate's approximate
+    * distance is M table lookups on its code — no embedding arithmetic
+    * per pair. Top-3 per query by exact (adc, vec_id) order via the
+    * rank-filter idiom (WindowGroupLimit / TopKPerKey — per-partition
+    * heap, no corpus sort). Scale shape: the LUT side is NQ rows
+    * broadcast; the corpus side carries an 8-byte id + 1-byte code —
+    * the 100 TB embedding corpus scans as ~9 bytes/vector. All
+    * distances exact integers (the quantized-vector norms/dots), so
+    * ranking is bit-stable across engines.
+    */
+  def qIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val d = dim(spark, dir)
+    val sub = d / PqM
+    val cents = pqCentroids(sub)
+    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
+    val s1 = base.select(col("vec_id") +: (0 until PqM).map(m =>
+      slice(col("q"), m * sub + 1, sub).as(s"q$m")): _*)
+    val withDs = s1.select(col("vec_id") +: (0 until PqM).map { m =>
+      array((0 until PqK).map { k =>
+        val c = cents(m)(k)
+        val cNorm = c.map(x => x * x).sum
+        vecDot(col(s"q$m"), col(s"q$m")) -
+          lit(2L) * vecDot(col(s"q$m"), typedLit(c.toSeq)) + lit(cNorm)
+      }: _*).as(s"ds$m")
+    }: _*)
+    val codes = withDs.select(col("vec_id"),
+      (0 until PqM).map(m =>
+        (array_position(col(s"ds$m"), array_min(col(s"ds$m"))) - 1L) *
+          lit(math.pow(PqK, m).toLong)).reduce(_ + _).cast("long").as("code"))
+    val luts = withDs.filter(col("vec_id") < PqNQ)
+      .select(col("vec_id").as("query_id") +:
+        (0 until PqM).map(m => col(s"ds$m").as(s"lut$m")): _*)
+    val adc = (0 until PqM).map(m =>
+      element_at(col(s"lut$m"),
+        (expr(s"code div ${math.pow(PqK, m).toLong} % $PqK") + 1L)
+          .cast("int"))).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc.cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("rn"))
+  }
+
+  val ivfPqSql: String = {
+    val lutTerms = (0 until PqM).map { m =>
+      val p = math.pow(PqK, m).toLong
+      s"q.lut$m[CAST(c.code // $p % $PqK + 1 AS INT)]"
+    }.mkString(" + ")
+    val lutCols = (0 until PqM).map(m => s"ds$m AS lut$m").mkString(", ")
+    s"""WITH ${pqDdCtes(16)},
+       |cc AS (SELECT vec_id, CAST($pqCodeExpr AS BIGINT) AS code FROM dd),
+       |qs AS (SELECT vec_id AS query_id, $lutCols FROM dd
+       |       WHERE vec_id < $PqNQ),
+       |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |                 CAST($lutTerms AS BIGINT) AS adc
+       |          FROM cc c, qs q WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, adc,
+       |       row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, neighbor_id) AS rn
+       |FROM pairs QUALIFY rn <= 3""".stripMargin
   }
 
   /** q_embed_outliers — embedding sanity screening (the guard before

@@ -53,7 +53,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_dedup_ngram: the shingle base is computed once (reused exchange)") {
-    val plan = executed(Dedup.qDedupNgram(spark, dir))
+    // audit the raw PLAN — the registered query returns the
+    // materialize-once frame, whose executed plan is just an RDD scan
+    val plan = executed(Dedup.ngramPairsPlan(spark, dir))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
       || plan.contains("TableCacheQueryStage"),
       s"self-join must reuse the shingle exchange:\n${plan.take(2000)}")
@@ -329,5 +331,41 @@ class PlanAuditSpec extends SparkSpec {
     // the cross-series rollup re-shuffles only the aggregated frame
     val n = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(n <= 2, s"expected ≤2 hash exchanges, found $n:\n${plan.take(2000)}")
+  }
+
+  test("q_absent: watch-list disjunction pushed to the scan, rank-limited window") {
+    // the instant-absent check must read ONLY the watched series'
+    // lookback slice — both the time bounds and the (name,user_id)
+    // disjunction reach PushedFilters — and the latest-sample rank must
+    // plan as WindowGroupLimit (per-partition top-1, no full sort spill)
+    val plan = executed(MetricsEtl.qAbsent(spark, dir))
+      .split("== Initial Plan ==").head
+    // the plan string truncates the PushedFilters list — read the
+    // scan node's untruncated metadata instead. Collect from sparkPlan:
+    // executedPlan is an AdaptiveSparkPlanExec wrapper whose collect()
+    // cannot descend into the (private) inner plan
+    val pushed = MetricsEtl.qAbsent(spark, dir).queryExecution.sparkPlan
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString("\n")
+    assert(pushed.contains("GreaterThan(ts,"), "time bounds must reach the scan")
+    assert(pushed.contains("EqualTo(event_type,click)"),
+      s"watch-list disjunction must reach the scan:\n$pushed")
+    assert(plan.contains("WindowGroupLimit"),
+      "latest-sample rank must push as a group limit")
+  }
+
+  test("q_promql_sort: ONE bounded sort serves both rank directions") {
+    // sort()/sort_desc() share a single global sort of the
+    // |series|-bounded instant vector; the desc rank is arithmetic
+    val plan = executed(MetricsEtl.qPromqlSort(spark, dir))
+      .split("== Initial Plan ==").head
+    // one sort for the instant-vector rank window (WindowGroupLimit
+    // sorts per series partition) + one for the global rank — the desc
+    // direction must NOT add a third
+    val globalSorts = "Sort \\[cents".r.findAllIn(plan).size
+    assert(globalSorts <= 1,
+      s"desc rank must be derived, not re-sorted:\n${plan.take(2000)}")
   }
 }
