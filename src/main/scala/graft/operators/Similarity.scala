@@ -547,6 +547,150 @@ object Similarity {
        |FROM cl""".stripMargin
   }
 
+  /** Quantized embeddings WITH the class label (the supervised twin of
+    * [[quantized]]): drives the label-quality operators below. */
+  private def labeled(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.embeddings(spark, dir)).select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("nrm", vecDot(col("q"), col("q")))
+
+  private val labeledSql: String =
+    """l0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |        list_transform(embedding,
+      |          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |       FROM embeddings),
+      |lq AS (SELECT vec_id, label, q,
+      |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+      |       FROM l0)""".stripMargin
+
+  /** q_knn_classify — kNN label-noise detection (the Confident-Learning
+    * / cleanlab-style screen a labeled training set runs before use):
+    * each vector's label is re-predicted by majority vote of its 3
+    * nearest within-LSH-bucket neighbors (deterministic vote tie-break:
+    * count desc, label asc), and `mismatch` flags disagreement with the
+    * declared label — the review queue for relabeling. Scale shape:
+    * identical to q_ann_lsh (in-row bucket projection, capped
+    * bucket-equality self-join, heap top-3 per vector); the vote is one
+    * more map-side-combinable aggregation + a 3-row-per-vector rank.
+    * Vectors alone in their bucket have no neighbors and drop out
+    * (documented — multi-probe q_ann_lsh_bands is the recall dial).
+    */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val d = dim(spark, dir)
+    val pw = planeWeights(d)
+    val planeDot = (p: Int) => dot(col("q"), typedLit(pw(p).toSeq))
+    val bucket = (0 until NPlanes)
+      .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val v = capBuckets(labeled(spark, dir).withColumn("bucket", bucket))
+    val a = v.select(col("vec_id"), col("label"), col("bucket"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("bucket").as("bucket_b"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val wTop = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val top3 = a.join(b, col("bucket") === col("bucket_b") &&
+        col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("vec_id", "label", "n_label")
+    val wVote = Window.partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("n_label").asc)
+    top3.groupBy("vec_id", "label", "n_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrn", row_number().over(wVote))
+      .filter(col("vrn") === 1)
+      .select(col("vec_id"), col("label"), col("n_label").as("predicted"),
+        col("votes"), (col("n_label") =!= col("label")).as("mismatch"))
+  }
+
+  val knnClassifySql: String = {
+    val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+    s"""WITH $labeledSql,
+       |bp AS (SELECT vec_id, p,
+       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
+       |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
+       |       FROM lq, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |bk AS (SELECT vec_id,
+       |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bp GROUP BY vec_id),
+       |vb0 AS (SELECT lq.vec_id, lq.label, lq.q, lq.nrm, bk.bucket
+       |       FROM lq JOIN bk ON lq.vec_id = bk.vec_id),
+       |vb AS (SELECT * FROM vb0
+       |       QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+       |p2 AS (SELECT a.vec_id AS vec_id, a.label AS label,
+       |        b.label AS n_label, b.vec_id AS neighbor_id,
+       |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+       |       FROM vb a JOIN vb b
+       |         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |t3 AS (SELECT vec_id, label, n_label FROM p2
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY cos DESC, neighbor_id) <= 3),
+       |v AS (SELECT vec_id, label, n_label, COUNT(*) AS votes
+       |      FROM t3 GROUP BY 1, 2, 3)
+       |SELECT vec_id, label, n_label AS predicted, votes,
+       |       n_label <> label AS mismatch
+       |FROM v QUALIFY row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY votes DESC, n_label) = 1""".stripMargin
+  }
+
+  /** q_label_centroid — within-class coherence screen (the other half
+    * of label QA next to [[qKnnClassify]]): each class's centroid is
+    * the per-dimension integer floor-mean of its members (the
+    * q_kmeans_step offset-shift device — exact and engine-identical on
+    * nonnegative operands), and every vector scores the cosine to its
+    * OWN class centroid; `suspect` flags cosine < 0.5 — vectors that
+    * do not resemble their class, the candidate mislabels/outliers.
+    * Scale shape: the centroid build is one posexplode→groupBy on
+    * (label, dim) — a |labels|·d-bounded aggregate with map-side
+    * combine — reassembled and BROADCAST back; the scoring pass is a
+    * codegen'd projection over the corpus. No corpus self-join at all.
+    */
+  def qLabelCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val v = labeled(spark, dir)
+    val cent = v
+      .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("c_label", "pos")
+      .agg(expr("(sum(x + 1000) * 100) div count(1) - 100000").as("c"))
+      .groupBy("c_label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("qc"))
+      .withColumn("nc", vecDot(col("qc"), col("qc")))
+    v.join(broadcast(cent), col("label") === col("c_label"))
+      .withColumn("cos", cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
+      .select(col("vec_id"), col("label"),
+        round(col("cos"), 6).as("centroid_cos"),
+        (col("cos") < 0.5).as("suspect"))
+  }
+
+  val labelCentroidSql: String =
+    s"""WITH $labeledSql,
+       |e AS (SELECT label AS c_label,
+       |             unnest(generate_series(1, len(q))) AS dim, q
+       |      FROM lq),
+       |cd AS (SELECT c_label, dim,
+       |        CAST(SUM(q[dim] + 1000) AS BIGINT) * 100 // COUNT(*)
+       |          - 100000 AS c
+       |       FROM e GROUP BY 1, 2),
+       |ca AS (SELECT c_label, list(c ORDER BY dim) AS qc FROM cd GROUP BY 1),
+       |cn AS (SELECT c_label, qc,
+       |        CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS nc
+       |       FROM ca),
+       |j AS (SELECT vec_id, label,
+       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
+       |          i -> q[i] * qc[i])) AS DOUBLE)
+       |          / sqrt(CAST(nrm * nc AS DOUBLE)) AS cos
+       |      FROM lq JOIN cn ON label = c_label)
+       |SELECT vec_id, label, round(cos, 6) AS centroid_cos,
+       |       cos < 0.5 AS suspect
+       |FROM j""".stripMargin
+
   val annLshSql: String = {
     val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
     s"""WITH $quantizedSql,

@@ -1046,9 +1046,11 @@ object TextAnalysis {
         expr("sum_log2 * 100 div n_tokens").as("lp_x100"))
   }
 
-  val unigramLpSql: String = {
+  /** Oracle CTE chain ending in `lp` = (doc_id, n_tokens, lp_x100) —
+    * shared by [[unigramLpSql]] and [[ccnetBucketSql]]. */
+  private val unigramLpCtes: String = {
     val th = graft.functions.Portable.hash60Sql("token")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, $th AS th
        |  FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)),
        |lm AS (
@@ -1059,8 +1061,64 @@ object TextAnalysis {
        |  SELECT doc_id, COUNT(*) AS n_tokens,
        |         CAST(SUM(log2_tf) AS BIGINT) AS sum_log2
        |  FROM t JOIN lm ON th = lm_th
-       |  GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, sum_log2 * 100 // n_tokens AS lp_x100
-       |FROM s""".stripMargin
+       |  GROUP BY doc_id),
+       |lp AS (
+       |  SELECT doc_id, n_tokens, sum_log2 * 100 // n_tokens AS lp_x100
+       |  FROM s)""".stripMargin
   }
+
+  val unigramLpSql: String =
+    s"""WITH $unigramLpCtes
+       |SELECT doc_id, n_tokens, lp_x100 FROM lp""".stripMargin
+
+  /** q_ccnet_bucket — the CCNet head/middle/tail split: documents are
+    * bucketed by corpus-LM score TERCILES (top third = "head" = cleanest
+    * prose, bottom = "tail"), the partition CCNet publishes and
+    * downstream mixes sample from. The tercile thresholds are a 1-ROW
+    * exact-percentile aggregate over the |docs|-bounded score frame,
+    * broadcast back (q_embed_outliers' shape — its scale caveat on
+    * exact `percentile` state applies verbatim; approx_percentile is
+    * the production substitute). Threshold doubles are interpolated
+    * from the same integers by the same rule in both engines, so the
+    * >= comparisons are engine-exact. Output: per (source, bucket) doc
+    * and token accounting — |sources|×3-bounded.
+    */
+  def qCcnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    val lp = qUnigramLp(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+    val th = lp.agg(
+      expr("percentile(lp_x100, 1.0/3)").as("t33"),
+      expr("percentile(lp_x100, 2.0/3)").as("t67"))
+    lp.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("lp_x100") >= col("t67"), "head")
+          .when(col("lp_x100") >= col("t33"), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        min("lp_x100").as("min_lp_x100"),
+        max("lp_x100").as("max_lp_x100"))
+  }
+
+  val ccnetBucketSql: String =
+    s"""WITH $unigramLpCtes,
+       |lps AS (
+       |  SELECT lp.*, d.source
+       |  FROM lp JOIN documents d USING (doc_id)),
+       |th AS (
+       |  SELECT quantile_cont(lp_x100, 1.0/3) AS t33,
+       |         quantile_cont(lp_x100, 2.0/3) AS t67
+       |  FROM lps)
+       |SELECT source,
+       |       CASE WHEN lp_x100 >= t67 THEN 'head'
+       |            WHEN lp_x100 >= t33 THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       |       MIN(lp_x100) AS min_lp_x100,
+       |       MAX(lp_x100) AS max_lp_x100
+       |FROM lps, th
+       |GROUP BY 1, 2""".stripMargin
 }

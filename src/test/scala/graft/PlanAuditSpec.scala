@@ -356,6 +356,37 @@ class PlanAuditSpec extends SparkSpec {
       "latest-sample rank must push as a group limit")
   }
 
+  test("q_returned_items: TakeOrdered top-20, R-flag and quarter pushed") {
+    val plan = executed(Olap.qReturnedItems(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must not global-sort")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+      || plan.contains("EqualTo(l_returnflag,R)"),
+      "return-flag filter must reach the lineitem scan")
+    assert(plan.contains("o_orderdate"), "quarter filter must reach orders")
+  }
+
+  test("q_top_supplier: ONE lineitem scan (window max, no re-join)") {
+    val plan = executed(Olap.qTopSupplier(spark, dir))
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    // lineitem once + supplier once
+    assert(scans <= 2, s"expected ≤2 scans, found $scans:\n${plan.take(2000)}")
+  }
+
+  test("q_ivf_pq: corpus side is one scan, LUT side broadcast, heap rank") {
+    val plan = executed(Similarity.qIvfPq(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "query LUTs must broadcast")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerKey"),
+      "top-3 must rank via a group limit, not a full sort")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2,
+      s"embeddings must scan at most twice (codes + LUT queries), found $scans")
+  }
+
   test("q_promql_sort: ONE bounded sort serves both rank directions") {
     // sort()/sort_desc() share a single global sort of the
     // |series|-bounded instant vector; the desc rank is arithmetic
