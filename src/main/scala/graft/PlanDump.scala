@@ -53,7 +53,15 @@ object PlanDump {
       "q_band_revenue" -> "Q6 full-pushdown scan benchmark: zero joins, bands ahead of one aggregate",
       "q_sum_rate" -> "recording-rule composite: series shuffle reused by window+first agg, rollup re-exchanges the aggregated frame only",
       "q_unigram_lp" -> "vocab-sized LM table, token-hash join, map-side-combined per-doc fold",
-      "q_metrics_id_city" -> "bit-exact cityHash64 row ids: one codegen'd projection, zero exchanges")
+      "q_metrics_id_city" -> "bit-exact cityHash64 row ids: one codegen'd projection, zero exchanges",
+      "q_ship_volume" -> "Q7 matrix: dims broadcast into the date-sliced fact, one fact-fact shuffle",
+      "q_returned_items" -> "Q10: aggregate-first per order, orderkey join reuses the agg partitioning, TakeOrdered top-20",
+      "q_top_supplier" -> "Q15: global-window max over the |suppliers|-bounded aggregate — ONE lineitem scan",
+      "q_ivf_pq" -> "ADC scan: corpus carries id+code only, broadcast query LUTs, group-limit rank",
+      "q_knn_classify" -> "kNN vote: in-row bucket projection, capped bucket self-join, heap top-3 + map-side vote agg",
+      "q_label_centroid" -> "per-label centroid: |labels|·d-bounded aggregate broadcast back, zero corpus self-joins",
+      "q_absent" -> "instant absent(): watch-list disjunction in PushedFilters, WindowGroupLimit rank",
+      "q_ccnet_bucket" -> "LM terciles: 1-row exact-percentile broadcast back over the doc-level score frame")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")
