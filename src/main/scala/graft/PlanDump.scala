@@ -68,8 +68,14 @@ object PlanDump {
     sb.append(s"Source SF: `$sfDir`. Claims these plans support are in SURVEY.md §6.\n")
     sb.append("Note: at this SF the optimizer size-gates most joins to broadcast;\n")
     sb.append("the audit point is that only fixed-cardinality dims are FORCED.\n\n")
+    // materialize-once queries return a checkpointed RDD scan — dump
+    // the underlying PLAN (the thing the audit makes claims about)
+    val planOverrides: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "q_dedup_ngram" -> (graft.operators.Dedup.ngramPairsPlan _),
+      "q_unigram_lp" -> (graft.operators.TextAnalysis.unigramLpPlan _))
     audited.foreach { case (name, why) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       sb.append(s"## $name — $why\n\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

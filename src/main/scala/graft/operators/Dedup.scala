@@ -164,16 +164,12 @@ object Dedup {
     * not a re-derivation; on a cluster deployment the same API swaps to
     * a reliable `checkpoint` or an explicit parquet materialization.
     */
-  private val materialized = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
-
   private def materializeOnce(spark: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame =
-    materialized.computeIfAbsent((spark, dir, tag),
-      _ => build.localCheckpoint())
+    MaterializeOnce(spark, dir, "dedup:" + tag)(build)
 
   /** Test hook: drop all materialized frames (forces recomputation). */
-  private[graft] def invalidateMaterialized(): Unit = materialized.clear()
+  private[graft] def invalidateMaterialized(): Unit = MaterializeOnce.invalidate()
 
   /** The thresholded near-dup pair list, materialized once per session —
     * consumed by [[qDedupNgram]], [[clusters]] and [[qMinhashEstErr]]. */

@@ -2513,6 +2513,76 @@ object MetricsEtl {
       dayofmonth(last_day(ts)).cast("long").as("days_in_month"))
   }
 
+  /** q_autocorr — lag-1 autocorrelation per series (the seasonality /
+    * stuck-gauge detector behind anomaly dashboards: corr ≈ 1 means a
+    * smooth series, ≈ 0 white noise, < 0 oscillation). Pearson r over
+    * (xₜ, xₜ₋₁) pairs computed ENGINE-EXACTLY: every sum in
+    * r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is integer-cents
+    * arithmetic (order-independent), floating point only at the final
+    * √ and division with identical operands on both sides; emitted as
+    * round(r·10⁶). Zero-variance series (the stuck gauge itself) emit
+    * NULL via the nullif'd denominator. One corpus shuffle on the
+    * series key, lag + aggregation on the same partitioning;
+    * |series|-bounded output. Long-overflow bounds: the variance
+    * PRODUCT is computed in double (each factor < 2^53 stays exactly
+    * representable — the long product would overflow at ~1e22); the
+    * per-term bound n·Σx² then needs n < ~10⁶ samples/series at
+    * 2-decimal cents — beyond that, bucket the window (q_changes'
+    * w_start device) or widen to decimal.
+    */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id")
+      .orderBy("ts_us", "event_id")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("x"))
+      .withColumn("y", lag("x", 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy("name", "user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("name"), col("user_id"), col("n_pairs"),
+        round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            // each variance term is < 2^53 (exactly representable), so
+            // casting BEFORE the product keeps both engines identical
+            // while the long×long product would overflow (~1e22)
+            sqrt(nullif(
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"), lit(0.0))) * 1000000d)
+          .cast("long").as("corr_x1e6"))
+  }
+
+  val autocorrSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS name, user_id,
+      |         CAST(round(value*100) AS BIGINT) AS x,
+      |         lag(CAST(round(value*100) AS BIGINT)) OVER
+      |           (PARTITION BY event_type, user_id
+      |            ORDER BY epoch_us(ts), event_id) AS y
+      |  FROM events),
+      |a AS (
+      |  SELECT name, user_id, COUNT(*) AS n_pairs,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |         CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |         CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM p WHERE y IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT name, user_id, n_pairs,
+      |       CAST(round(CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+      |         / sqrt(nullif(CAST(n_pairs*sxx - sx*sx AS DOUBLE)
+      |                 * CAST(n_pairs*syy - sy*sy AS DOUBLE), 0.0))
+      |         * 1000000) AS BIGINT) AS corr_x1e6
+      |FROM a""".stripMargin
+
   val timeFuncsSql: String =
     s"""$instantVecCte
        |SELECT name, user_id, ts_us,

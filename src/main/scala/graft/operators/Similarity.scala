@@ -448,7 +448,18 @@ object Similarity {
     * production near-dup system exposes (add plane-set bands to raise
     * recall).
     */
-  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    embedPairs(spark, dir)
+
+  /** The thresholded cosine near-dup pair list, materialized once per
+    * (session, dir) — ONE bucket self-join serves [[qDedupEmbed]] and
+    * the [[qDedupEmbedClusters]] fixpoint (each previously re-ran the
+    * pairing standalone). Pair-count-bounded: well under one row per
+    * corpus vector in a deduplicated corpus. */
+  private def embedPairs(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "sim:embed_pairs")(embedPairsPlan(spark, dir))
+
+  private[graft] def embedPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     val d = dim(spark, dir)
     val pw = planeWeights(d)
     val planeDot = (p: Int) => dot(col("q"), typedLit(pw(p).toSeq))
@@ -506,7 +517,7 @@ object Similarity {
     */
   def qDedupEmbedClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      qDedupEmbed(spark, dir)
+      embedPairs(spark, dir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("label")))

@@ -1032,7 +1032,18 @@ object TextAnalysis {
     * map-side. Three exchanges total, all on 8-byte-key frames. A
     * held-out LM is this same plan with the lm CTE read from a table.
     */
-  def qUnigramLp(spark: SparkSession, dir: String): DataFrame = {
+  def qUnigramLp(spark: SparkSession, dir: String): DataFrame =
+    unigramLp(spark, dir)
+
+  /** The per-doc LM score frame, materialized once per (session, dir)
+    * — one narrow row per doc, SHARED by [[qUnigramLp]] and
+    * [[qCcnetBucket]] (whose tercile + bucket passes each consume it;
+    * un-materialized, the tercile aggregate and the bucket join would
+    * each re-run the whole token pipeline). */
+  private def unigramLp(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "text:unigram_lp")(unigramLpPlan(spark, dir))
+
+  private[graft] def unigramLpPlan(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words).as("token"))
       .select(col("doc_id"), hash60(col("token")).as("th"))
@@ -1045,6 +1056,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         expr("sum_log2 * 100 div n_tokens").as("lp_x100"))
   }
+
+  /** q_dataset_card — the one-row dataset summary a pipeline PUBLISHES
+    * with every corpus snapshot (the "dataset card" stats block): doc /
+    * char / token totals, language and source cardinalities, max and
+    * truncating-average document sizes. ONE corpus pass: the two exact
+    * count-distincts ride the same multi-distinct Expand aggregation as
+    * the sums (no per-column re-scan — q_multi_distinct's plan shape),
+    * 1-row output at any corpus size. All integers; averages are exact
+    * ×100 truncating division.
+    */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars").cast("long"),
+        size(words).cast("long").as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("toks").as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        max("n_chars").as("max_doc_chars"),
+        expr("sum(n_chars) * 100 div count(1)").as("avg_chars_x100"),
+        expr("sum(toks) * 100 div count(1)").as("avg_tokens_x100"))
+
+  val datasetCardSql: String =
+    s"""SELECT COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |       CAST(SUM(len($wordsSql)) AS BIGINT) AS total_tokens,
+       |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |       CAST(MAX(n_chars) AS BIGINT) AS max_doc_chars,
+       |       CAST(SUM(n_chars) AS BIGINT) * 100 // COUNT(*) AS avg_chars_x100,
+       |       CAST(SUM(len($wordsSql)) AS BIGINT) * 100 // COUNT(*)
+       |         AS avg_tokens_x100
+       |FROM documents""".stripMargin
 
   /** Oracle CTE chain ending in `lp` = (doc_id, n_tokens, lp_x100) —
     * shared by [[unigramLpSql]] and [[ccnetBucketSql]]. */
@@ -1084,7 +1129,7 @@ object TextAnalysis {
     * and token accounting — |sources|×3-bounded.
     */
   def qCcnetBucket(spark: SparkSession, dir: String): DataFrame = {
-    val lp = qUnigramLp(spark, dir)
+    val lp = unigramLp(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "source"),
         Seq("doc_id"))
     val th = lp.agg(

@@ -234,4 +234,37 @@ object MetricsStream {
           PrometheusJson.metricRows(batch), outDir)
       }
       .start()
+
+  /** The BASELINE north-star composition end-to-end: streaming source →
+    * parse → per-micro-batch TSV render → immediate HTTP POST into
+    * ClickHouse via [[graft.sinks.ClickHouseHttpClient.loadDir]] — the
+    * reference's fetch→temp-file→insert_from_file loop
+    * (etl_job.py:357-543 + clickhouse_client.py:131-218) with Spark
+    * owning the loop. Each micro-batch writes to its OWN
+    * `outDir/batch-<id>` directory (mode overwrite, so a replayed batch
+    * rewrites identical part-files rather than appending duplicates)
+    * and POSTs exactly that directory's part-files; earlier batches'
+    * files are never re-sent. Duplicate rows a replayed POST could
+    * still produce collapse server-side on the content-hash id
+    * (ReplacingMergeTree, R5/R9) — the reference's own idempotency
+    * story, unchanged. The POST runs on the driver (one HTTP stream per
+    * micro-batch, the reference's exact shape); a deployment needing
+    * parallel loads points N workers at the same part-file pile
+    * instead.
+    */
+  def runToClickHouse(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, ch: graft.sinks.ClickHouseHttpClient,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    readResponses(spark, inDir, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchDir = s"$outDir/batch-$batchId"
+        PrometheusJson.tsvLines(PrometheusJson.metricRows(batch))
+          .write.mode("overwrite").text(batchDir)
+        ch.loadDir(batchDir)
+        ()
+      }
+      .start()
 }

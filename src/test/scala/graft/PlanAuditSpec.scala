@@ -387,6 +387,23 @@ class PlanAuditSpec extends SparkSpec {
       s"embeddings must scan at most twice (codes + LUT queries), found $scans")
   }
 
+  test("q_autocorr: lag window and aggregation share ONE series shuffle") {
+    val plan = executed(MetricsEtl.qAutocorr(spark, dir))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 1, s"expected 1 series exchange, found $n:\n${plan.take(2000)}")
+  }
+
+  test("q_dataset_card: count-distincts ride one Expand pass, single scan") {
+    val plan = executed(
+      graft.operators.TextAnalysis.qDatasetCard(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"),
+      "multi-distinct must plan as Expand, not per-column re-scans")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, found $scans")
+  }
+
   test("q_promql_sort: ONE bounded sort serves both rank directions") {
     // sort()/sort_desc() share a single global sort of the
     // |series|-bounded instant vector; the desc rank is arithmetic

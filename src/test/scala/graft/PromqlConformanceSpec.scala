@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** PromQL golden-vector conformance (VERDICT_r04 item 7).
   *
   * The oracle gate proves Spark↔DuckDB agreement; this suite proves
-  * PROMETHEUS agreement: 46 edge-case fixtures whose expected outputs
+  * PROMETHEUS agreement: 64 edge-case fixtures whose expected outputs
   * come from `tools/promql_ref.py` — an independent Python transcription
   * of Prometheus's PUBLIC algorithms (promql/functions.go
   * extrapolatedRate with the counter-reset / zero-cap /
@@ -179,6 +179,75 @@ class PromqlConformanceSpec extends SparkSpec {
       val name = c.getAs[String]("name")
       assert(got.get(name).contains(c.getAs[Double]("expected_delta")),
         s"$name: ${got.get(name)}")
+    }
+  }
+
+  test("deriv: integer least squares == Prometheus linearRegression") {
+    // the twin computes promql/functions.go's covariance-form float
+    // regression in value/second; the operator computes exact-integer
+    // normal equations in cents/millisecond — rounded agreement proves
+    // the reformulation is the same line
+    val cases = fixtures("deriv")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = collectByName(
+      MetricsEtl.qDeriv(spark, eventsDir(rows)), "slope")
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[Double]("expected_slope")
+      assert(got.contains(name), s"$name produced no slope row")
+      assert(math.abs(got(name) - want) < 1.01e-6,
+        s"$name: slope ${got(name)} != prometheus $want")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("predict_linear: extrapolation 300s past the window end") {
+    val cases = fixtures("predict_linear")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = collectByName(
+      MetricsEtl.qPredictLinear(spark, eventsDir(rows)), "predicted")
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[Double]("expected_predicted")
+      assert(got.contains(name), s"$name produced no prediction row")
+      assert(math.abs(got(name) - want) < 1.01e-4,
+        s"$name: predicted ${got(name)} != prometheus $want")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("histogram_fraction: [3,8] mass interpolation incl. empty buckets") {
+    val W = 1704067200L
+    val reps = Seq(0.5, 1.5, 3.0, 7.0, 20.0)
+    val cases = fixtures("histogram_fraction")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      val counts = c.getAs[scala.collection.Seq[Long]]("counts")
+      counts.zip(reps).zipWithIndex.flatMap { case ((n, rep), b) =>
+        (0L until n).map(i => (name, (W + b * 600 + i).toDouble, rep))
+      }
+    }
+    val got = MetricsEtl.qHistogramFraction(spark, eventsDir(rows))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Long]("h_count"), r.getAs[Double]("h_avg"),
+          r.getAs[Double]("frac_3_8")))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val (n, avg, frac) = got(name)
+      assert(n == c.getAs[Long]("expected_count"), s"$name count $n")
+      assert(math.abs(avg - c.getAs[Double]("expected_avg")) < 1.01e-6,
+        s"$name: avg $avg")
+      assert(math.abs(frac - c.getAs[Double]("expected_frac")) < 1.01e-6,
+        s"$name: frac $frac != prometheus-style interpolation")
     }
   }
 

@@ -216,6 +216,68 @@ class StreamingSpec extends SparkSpec {
       "1700000000.500000\tup\t['job']\t['api']\t1")
   }
 
+  test("streaming -> ClickHouse HTTP: per-batch TSV arrives byte-exact") {
+    // The BASELINE north-star sentence composed end-to-end: streaming
+    // source → parse → per-micro-batch TSV → loadDir POST to a stub
+    // ClickHouse HTTP interface. Asserts byte-exact arrival (HTTP
+    // bodies == on-disk part-files == the batch-path render) and the
+    // reference's INSERT query per POST.
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.nio.charset.StandardCharsets
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val posts = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    server.createContext("/", (ex: HttpExchange) => {
+      posts.add((
+        java.net.URLDecoder.decode(
+          Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8"),
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val inDir = tmpDir("ch_in")
+      val outDir = tmpDir("ch_out") + "/batches"
+      def fixture(job: String, ts: Long): String =
+        s"""{"status":"success","data":{"resultType":"matrix","result":[""" +
+          s"""{"metric":{"__name__":"up","job":"$job"},""" +
+          s""""values":[[$ts,"1.5"],[${ts + 60},"2"]]}]}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "r1.json"), fixture("api", 1700000000L))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "r2.json"), fixture("web", 1700000300L))
+      val ch = new graft.sinks.ClickHouseHttpClient(
+        graft.config.ClickHouseSettings(
+          s"http://127.0.0.1:${server.getAddress.getPort}/",
+          tableMetrics = "db.metrics"),
+        new graft.logging.StructuredLogger("test", "CRITICAL",
+          new java.io.PrintStream(new java.io.ByteArrayOutputStream()),
+          new java.io.PrintStream(new java.io.ByteArrayOutputStream())))
+      // maxFilesPerTrigger=1 → two micro-batches → two per-batch POSTs
+      val q = MetricsStream.runToClickHouse(spark, inDir, outDir,
+        tmpDir("ch_ckpt"), ch, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+
+      val received = posts.toArray(Array.empty[(String, String)]).toSeq
+      // one non-empty POST per micro-batch, each the reference INSERT
+      assert(received.size == 2)
+      received.foreach { case (query, _) =>
+        assert(query == "query=INSERT INTO db.metrics FORMAT TabSeparated")
+      }
+      // byte-exact: HTTP bodies == what the batch path renders
+      val gotLines = received.flatMap(_._2.split("\n")).filter(_.nonEmpty)
+      val expected = PrometheusJson.tsvLines(PrometheusJson.metricRows(
+        MetricsStream.readResponsesBatch(spark, inDir)))
+        .as[String].collect().toSeq
+      assert(gotLines.sorted == expected.sorted)
+      assert(gotLines.contains("1700000000.000000\tup\t['job']\t['api']\t1.5"))
+      // ... and == the on-disk part-files the POSTs were streamed from
+      val onDisk = spark.read.text(outDir + "/batch-*")
+        .as[String].collect().toSeq
+      assert(onDisk.sorted == gotLines.sorted)
+    } finally server.stop(0)
+  }
+
   test("streaming dedup: replayed points collapse by content hash (R5/R9)") {
     val fixture =
       """{"status":"success","data":{"resultType":"matrix","result":[""" +

@@ -318,6 +318,118 @@ def delta_cases():
     return C
 
 
+# ---- qDeriv / qPredictLinear twin: Prometheus linearRegression
+# (promql/functions.go) in ITS OWN formulation — float seconds, value
+# units, covariance form — deliberately NOT the operator's
+# exact-integer cents/milliseconds normal equations. Agreement after
+# rounding proves the integer reformulation computes the same line. ----
+def linear_regression(samples, intercept_time):
+    """samples: [(t_seconds, value)]; returns (slope value/s, intercept
+    value at intercept_time) — funcDeriv/funcPredictLinear's shared
+    core."""
+    sx = sy = sxy = sx2 = 0.0
+    n = float(len(samples))
+    for t, v in samples:
+        x = float(t) - intercept_time
+        sx += x
+        sy += v
+        sxy += x * v
+        sx2 += x * x
+    cov_xy = sxy - sx * sy / n
+    var_x = sx2 - sx * sx / n
+    slope = cov_xy / var_x
+    intercept = sy / n - slope * sx / n
+    return slope, intercept
+
+
+def _regression_pts():
+    """Shared sample shapes for deriv + predict_linear (offsets s)."""
+    return [
+        ("steady_ramp", [(0, 1.00), (600, 2.00), (1200, 3.00),
+                         (1800, 4.00)]),
+        ("noisy", [(10, 1.23), (500, 4.56), (900, 3.21), (1500, 7.89),
+                   (2200, 6.54)]),
+        ("two_points", [(100, 5.00), (700, 8.50)]),
+        ("negative_slope", [(0, 50.00), (900, 30.00), (1800, 10.00)]),
+        ("flat", [(0, 3.14), (600, 3.14), (1200, 3.14)]),
+        # millisecond-grid spacing: x lands on the operator's ms floor
+        ("subsecond", [(100.001, 1.00), (100.501, 2.00),
+                       (101.001, 4.00)]),
+    ]
+
+
+def deriv_cases():
+    C = []
+    for name, pts in _regression_pts():
+        samples = [(W + o, v) for o, v in pts]
+        slope_per_s, _ = linear_regression(samples, samples[0][0])
+        C.append({"name": "dv_" + name,
+                  "samples": [[t, v] for t, v in samples],
+                  # operator emits cents/ms = (value/s) / 10
+                  "expected_slope": round(slope_per_s / 10.0, 6)})
+    return C
+
+
+def predict_linear_cases():
+    C = []
+    for name, pts in _regression_pts():
+        samples = [(W + o, v) for o, v in pts]
+        # predict_linear(v[1h], 300): intercept at the window end
+        # (= eval time T), predict 300 s ahead
+        slope, intercept = linear_regression(samples, W + 3600.0)
+        C.append({"name": "pl_" + name,
+                  "samples": [[t, v] for t, v in samples],
+                  "expected_predicted": round(intercept + slope * 300.0, 4)})
+    return C
+
+
+# ---- qHistogramFraction twin: linear interpolation of the [3, 8]
+# mass inside le-buckets {1,2,5,10,+Inf} — interp(x) = cum_below +
+# (x-lo)/(hi-lo) * bucket_count, fraction = (interp(8)-interp(3))/N.
+# Computed from per-bucket counts here vs the operator's conditional
+# cumulative sums over raw samples. ----
+def histogram_fraction(lower, upper, counts):
+    """counts: per-bucket for le {1,2,5,10,inf}; returns the fraction."""
+    bounds = [1.0, 2.0, 5.0, 10.0, float("inf")]
+    total = sum(counts)
+
+    def interp(x):
+        lo, cum_below = 0.0, 0
+        for hi, c in zip(bounds, counts):
+            if x <= hi:
+                return cum_below + (x - lo) / (hi - lo) * c
+            lo, cum_below = hi, cum_below + c
+        return float(total)
+
+    return (interp(float(upper)) - interp(float(lower))) / total
+
+
+def hf_cases():
+    """Per-bucket counts for le {1,2,5,10,+Inf}; representative sample
+    values 0.5/1.5/3.0/7.0/20.0 (cents 50/150/300/700/2000) as in
+    hq_cases — PromqlConformanceSpec materializes the samples."""
+    C = []
+
+    def case(name, c1, c2, c5, c10, cinf):
+        counts = [c1, c2, c5, c10, cinf]
+        reps = [0.5, 1.5, 3.0, 7.0, 20.0]
+        total = sum(counts)
+        s = sum(c * r for c, r in zip(counts, reps))
+        C.append({"name": name, "counts": counts,
+                  "expected_count": total,
+                  "expected_avg": round(s / total, 6),
+                  "expected_frac": round(
+                      histogram_fraction(3, 8, counts), 6)})
+
+    case("hf_uniform", 2, 2, 2, 2, 2)
+    case("hf_empty_middle", 3, 4, 0, 5, 1)       # (2,5] bucket empty
+    case("hf_all_below", 6, 4, 0, 0, 0)          # fraction 0
+    case("hf_all_in_range_bucket", 0, 0, 9, 0, 0)  # all mass in (2,5]
+    case("hf_all_above", 0, 0, 0, 7, 3)          # upper interp only
+    case("hf_skew_inf", 1, 1, 1, 1, 16)          # +Inf-heavy tail
+    return C
+
+
 if __name__ == "__main__":
     fixtures = {
         "rate": rate_cases(),
@@ -327,6 +439,9 @@ if __name__ == "__main__":
         "irate": irate_cases(),
         "resets": resets_cases(),
         "delta": delta_cases(),
+        "deriv": deriv_cases(),
+        "predict_linear": predict_linear_cases(),
+        "histogram_fraction": hf_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
