@@ -61,7 +61,11 @@ object PlanDump {
       "q_knn_classify" -> "kNN vote: in-row bucket projection, capped bucket self-join, heap top-3 + map-side vote agg",
       "q_label_centroid" -> "per-label centroid: |labels|·d-bounded aggregate broadcast back, zero corpus self-joins",
       "q_absent" -> "instant absent(): watch-list disjunction in PushedFilters, WindowGroupLimit rank",
-      "q_ccnet_bucket" -> "LM terciles: 1-row exact-percentile broadcast back over the doc-level score frame")
+      "q_ccnet_bucket" -> "LM terciles: 1-row exact-percentile broadcast back over the doc-level score frame",
+      "q_last_over_time" -> "argMax downsampling: ONE map-side-combinable HashAggregate, zero Sort nodes",
+      "q_autocorr" -> "lag window + Pearson aggregation share one series exchange",
+      "q_dataset_card" -> "count-distincts ride one multi-distinct Expand pass, single corpus scan",
+      "q_ngram_novelty" -> "first-occurrence attribution: sh-keyed distinct/agg/join, no self-join, |sources|-bounded tail")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

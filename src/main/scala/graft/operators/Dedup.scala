@@ -322,6 +322,47 @@ object Dedup {
        |FROM sh GROUP BY sh
        |ORDER BY df DESC, sh LIMIT 20""".stripMargin
 
+  /** q_ngram_novelty — per-source first-occurrence novelty profile:
+    * for each source (the ingest-shard axis, ordered lexicographically
+    * as its deterministic ingest order), the fraction of its distinct
+    * trigram shingles seen in NO earlier source. The freshness signal a
+    * data team reads before paying to ingest another crawl dump — a
+    * source whose novelty collapses toward 0 is re-crawling what the
+    * corpus already holds (and its complement is the cross-shard
+    * contamination rate). All frames are 8-byte-hash keyed: distinct
+    * (source, sh) pairs → min-source first-occurrence attribution →
+    * colocated equi-join on sh (both sides partitioned by the same
+    * key) → |sources|-bounded aggregate. No pair explosion anywhere —
+    * unlike the near-dup joins this never self-joins, so it needs no
+    * stop-shingle cap.
+    */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = shingled(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .select(col("source"), col("sh")).distinct()
+    val firsts = pairs.groupBy("sh").agg(min("source").as("first_source"))
+    pairs.join(firsts, Seq("sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_source") === col("source"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_x10000", expr("n_novel * 10000 div n_shingles"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH $shingledSql,
+       |ps AS (SELECT DISTINCT d.source, s.sh
+       |       FROM sh s JOIN documents d USING (doc_id)),
+       |fs AS (SELECT sh, MIN(source) AS first_source FROM ps GROUP BY sh)
+       |SELECT source, COUNT(*) AS n_shingles,
+       |       CAST(SUM(CASE WHEN first_source = source THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_novel,
+       |       CAST(SUM(CASE WHEN first_source = source THEN 1 ELSE 0 END)
+       |            AS BIGINT) * 10000 // COUNT(*) AS novelty_x10000
+       |FROM ps JOIN fs USING (sh)
+       |GROUP BY source""".stripMargin
+
   /** Size of the held-out benchmark set for decontamination: the first
     * K doc_ids stand in for an eval benchmark. A CONSTANT (not a corpus
     * fraction) so the broadcast side stays O(K) at any corpus size —

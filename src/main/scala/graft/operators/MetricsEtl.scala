@@ -882,6 +882,40 @@ object MetricsEtl {
       |       COUNT(*) AS count_v
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** q_last_over_time — PromQL `last_over_time(v[1h])` (and, by row
+    * presence, `present_over_time`): the latest sample and its
+    * timestamp per series-window — the argMax downsampling shape every
+    * metrics→ClickHouse rollup runs (ClickHouse `argMax(value, ts)` /
+    * the reference's ReplacingMergeTree latest-wins read path). ONE
+    * map-side-combinable HashAggregate, ZERO sorts — `max_by` on the
+    * long ts_us key exactly as [[qDelta]] (ts_us totally orders a
+    * series; duplicate-free at every SF, checked in DuckDB). Output is
+    * all-integer (cents + µs), |series×windows|-bounded.
+    */
+  def qLastOverTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"),
+      expr("unix_micros(ts) div 3600000000 * 3600").as("w_start"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(max("ts_us").as("ts_last_us"),
+        max_by(col("cents"), col("ts_us")).as("last_cents"),
+        count(lit(1)).as("n_samples"))
+
+  val lastOverTimeSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS name, user_id,
+      |         epoch_us(ts) // 3600000000 * 3600 AS w_start,
+      |         epoch_us(ts) AS ts_us,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT name, user_id, w_start,
+      |       CAST(MAX(ts_us) AS BIGINT) AS ts_last_us,
+      |       CAST(max_by(cents, ts_us) AS BIGINT) AS last_cents,
+      |       COUNT(*) AS n_samples
+      |FROM p GROUP BY 1, 2, 3""".stripMargin
+
   /** q_agg_by_label — PromQL aggregation operator `sum/avg/count by (k)`:
     * collapse the series dimension onto one label. One map-side-combinable
     * shuffle on (name, k) — the label cardinality, not the series count,

@@ -387,6 +387,15 @@ class PlanAuditSpec extends SparkSpec {
       s"embeddings must scan at most twice (codes + LUT queries), found $scans")
   }
 
+  test("q_last_over_time: one-pass HashAggregate, zero Sort nodes") {
+    val plan = executed(MetricsEtl.qLastOverTime(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Sort"),
+      s"max_by endpoints must not plan a sort:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"),
+      "expected a HashAggregate (primitive buffers keep it off SortAggregate)")
+  }
+
   test("q_autocorr: lag window and aggregation share ONE series shuffle") {
     val plan = executed(MetricsEtl.qAutocorr(spark, dir))
       .split("== Initial Plan ==").head

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** PromQL golden-vector conformance (VERDICT_r04 item 7).
   *
   * The oracle gate proves Spark↔DuckDB agreement; this suite proves
-  * PROMETHEUS agreement: 64 edge-case fixtures whose expected outputs
+  * PROMETHEUS agreement: 80 edge-case fixtures whose expected outputs
   * come from `tools/promql_ref.py` — an independent Python transcription
   * of Prometheus's PUBLIC algorithms (promql/functions.go
   * extrapolatedRate with the counter-reset / zero-cap /
@@ -249,6 +249,74 @@ class PromqlConformanceSpec extends SparkSpec {
       assert(math.abs(frac - c.getAs[Double]("expected_frac")) < 1.01e-6,
         s"$name: frac $frac != prometheus-style interpolation")
     }
+  }
+
+  /** Materialize per-case value lists (one window each) as events. */
+  private def valueRows(cases: Seq[Row]): Seq[(String, Double, Double)] = {
+    val W = 1704067200L
+    cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[Double]]("values").zipWithIndex
+        .map { case (v, i) => (name, (W + 60L * (i + 1)).toDouble, v) }
+    }
+  }
+
+  test("quantile_over_time: promql quantile() rank interpolation") {
+    // single-sample, even/odd counts, duplicate values, and a rank
+    // landing exactly on an index — promql/quantile.go's quantile()
+    // over raw samples vs Spark `percentile` (same q*(n-1) rank rule)
+    val cases = fixtures("quantile_over_time")
+    val got = MetricsEtl.qQuantileOverTime(spark, eventsDir(valueRows(cases)))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+          r.getAs[Double]("p99"), r.getAs[Long]("n")))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val (p50, p90, p99, n) = got(name)
+      assert(n == c.getAs[Long]("expected_n"), s"$name n=$n")
+      assert(math.abs(p50 - c.getAs[Double]("expected_p50")) < 1.01e-4,
+        s"$name: p50 $p50")
+      assert(math.abs(p90 - c.getAs[Double]("expected_p90")) < 1.01e-4,
+        s"$name: p90 $p90")
+      assert(math.abs(p99 - c.getAs[Double]("expected_p99")) < 1.01e-4,
+        s"$name: p99 $p99")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("mad_over_time: median absolute deviation, promql quantile rule") {
+    val cases = fixtures("mad_over_time")
+    val got = MetricsEtl.qMadOverTime(spark, eventsDir(valueRows(cases)))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Double]("mad"), r.getAs[Double]("median_v")))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val (mad, med) = got(name)
+      assert(math.abs(mad - c.getAs[Double]("expected_mad")) < 1.01e-4,
+        s"$name: mad $mad")
+      assert(math.abs(med - c.getAs[Double]("expected_median")) < 1.01e-4,
+        s"$name: median $med")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("stdvar_over_time: float population variance == integer form") {
+    val cases = fixtures("stdvar_over_time")
+    val got = MetricsEtl.qStdvarOverTime(spark, eventsDir(valueRows(cases)))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Double]("stdvar_v"), r.getAs[Double]("stddev_v")))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val (sv, sd) = got(name)
+      assert(math.abs(sv - c.getAs[Double]("expected_stdvar")) < 1.01e-6,
+        s"$name: stdvar $sv")
+      assert(math.abs(sd - c.getAs[Double]("expected_stddev")) < 1.01e-6,
+        s"$name: stddev $sd")
+    }
+    assert(got.size == cases.size)
   }
 
   test("holt_winters: exact-cents recurrence twin on five shapes") {

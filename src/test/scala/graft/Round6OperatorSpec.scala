@@ -138,4 +138,59 @@ class Round6OperatorSpec extends SparkSpec {
       assert(gotIds == want, s"query $qid: top-3 $gotIds want $want")
     }
   }
+
+  test("q_last_over_time matches a JVM brute-force over the raw events") {
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = raw.groupBy { case (n, u, t, _) =>
+      (n, u, t / 3600000000L * 3600L)
+    }.view.mapValues { rs =>
+      val last = rs.maxBy(_._3)
+      (last._3, last._4, rs.size.toLong)
+    }.toMap
+    val got = MetricsEtl.qLastOverTime(spark, dir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("w_start")) ->
+        ((r.getAs[Long]("ts_last_us"), r.getAs[Long]("last_cents"),
+          r.getAs[Long]("n_samples")))).toMap
+    assert(got == want, s"${got.size} got vs ${want.size} want groups")
+  }
+
+  test("q_ngram_novelty matches a JVM first-occurrence twin on strings") {
+    // the twin attributes first occurrence on the SHINGLE STRINGS (no
+    // hash60), so hash-level and relational formulation are both
+    // independently cross-checked
+    val docs = Tables.documents(spark, dir)
+      .select("text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSource: Map[String, Set[String]] = docs
+      .groupBy(_._2).view.mapValues(_.flatMap { case (text, _) =>
+        val ws = text.split(" ")
+        ws.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet).toMap
+    val firstOf: Map[String, String] = perSource.toSeq
+      .flatMap { case (src, shs) => shs.map(_ -> src) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val got = graft.operators.Dedup.qNgramNovelty(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_x10000")))).toMap
+    assert(got.keySet == perSource.keySet)
+    perSource.foreach { case (src, shs) =>
+      val novel = shs.count(firstOf(_) == src).toLong
+      val (gn, gv, gx) = got(src)
+      assert(gn == shs.size.toLong && gv == novel
+          && gx == novel * 10000L / shs.size,
+        s"$src: got ($gn,$gv,$gx) want (${shs.size},$novel)")
+    }
+    // global invariant: every distinct shingle is novel exactly once
+    assert(got.values.map(_._2).sum == firstOf.size.toLong)
+    // the lexicographically-first source is 100% novel by construction
+    val firstSrc = perSource.keySet.min
+    assert(got(firstSrc)._3 == 10000L, s"$firstSrc must be all-novel")
+  }
 }

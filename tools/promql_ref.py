@@ -430,6 +430,77 @@ def hf_cases():
     return C
 
 
+# ---- quantile_over_time / mad_over_time twin: promql/quantile.go
+# quantile() over RAW samples — sort, rank q*(n-1), linear
+# interpolation between the straddling values. Float arithmetic, the
+# form Prometheus actually runs; the operators run Spark `percentile`
+# (same rank definition) — rounded agreement proves it. ----
+def promql_quantile(q, values):
+    vs = sorted(values)
+    n = len(vs)
+    rank = q * (n - 1)
+    lower = int(rank)
+    upper = min(lower + 1, n - 1)
+    weight = rank - lower
+    return vs[lower] * (1 - weight) + vs[upper] * weight
+
+
+def _sample_shapes():
+    """Value lists exercising the rank arithmetic's branches."""
+    return [
+        ("odd_count", [1.25, 9.75, 3.50, 7.00, 5.25]),
+        ("even_count", [2.00, 4.00, 6.00, 8.00]),
+        ("single_sample", [42.17]),
+        ("two_samples", [1.00, 2.00]),
+        ("duplicates", [5.00, 5.00, 5.00, 9.00]),
+        # 11 values: p90 rank = 0.9*10 = 9.0 lands EXACTLY on an index
+        ("exact_rank", [float(i) for i in range(1, 12)]),
+    ]
+
+
+def qot_cases():
+    C = []
+    for name, vals in _sample_shapes():
+        C.append({"name": "qt_" + name,
+                  "values": vals,
+                  "expected_p50": round(promql_quantile(0.5, vals), 4),
+                  "expected_p90": round(promql_quantile(0.9, vals), 4),
+                  "expected_p99": round(promql_quantile(0.99, vals), 4),
+                  "expected_n": len(vals)})
+    return C
+
+
+def mad_cases():
+    C = []
+    for name, vals in _sample_shapes():
+        if len(vals) < 2:
+            continue
+        med = promql_quantile(0.5, vals)
+        mad = promql_quantile(0.5, [abs(v - med) for v in vals])
+        C.append({"name": "md_" + name,
+                  "values": vals,
+                  "expected_mad": round(mad, 4),
+                  "expected_median": round(med, 4)})
+    return C
+
+
+# ---- stdvar_over_time twin: population variance sum((x-mean)^2)/n in
+# FLOAT (Prometheus's aux/count incremental form reduces to this) vs
+# the operator's exact-integer (n*S2 - S1^2)/n^2 over cents. ----
+def stdvar_cases():
+    C = []
+    for name, vals in _sample_shapes():
+        if len(vals) < 2:
+            continue
+        mean = sum(vals) / len(vals)
+        var = sum((v - mean) ** 2 for v in vals) / len(vals)
+        C.append({"name": "sv_" + name,
+                  "values": vals,
+                  "expected_stdvar": round(var, 6),
+                  "expected_stddev": round(var ** 0.5, 6)})
+    return C
+
+
 if __name__ == "__main__":
     fixtures = {
         "rate": rate_cases(),
@@ -442,6 +513,9 @@ if __name__ == "__main__":
         "deriv": deriv_cases(),
         "predict_linear": predict_linear_cases(),
         "histogram_fraction": hf_cases(),
+        "quantile_over_time": qot_cases(),
+        "mad_over_time": mad_cases(),
+        "stdvar_over_time": stdvar_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
