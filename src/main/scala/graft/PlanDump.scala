@@ -65,7 +65,8 @@ object PlanDump {
       "q_last_over_time" -> "argMax downsampling: ONE map-side-combinable HashAggregate, zero Sort nodes",
       "q_autocorr" -> "lag window + Pearson aggregation share one series exchange",
       "q_dataset_card" -> "count-distincts ride one multi-distinct Expand pass, single corpus scan",
-      "q_ngram_novelty" -> "first-occurrence attribution: sh-keyed distinct/agg/join, no self-join, |sources|-bounded tail")
+      "q_ngram_novelty" -> "first-occurrence attribution: sh-keyed distinct/agg/join, no self-join, |sources|-bounded tail",
+      "q_bench_leakage" -> "reverse contamination: constant-size benchmark broadcast, |bench|-bounded aggregate tail")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

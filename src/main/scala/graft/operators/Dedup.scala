@@ -382,9 +382,12 @@ object Dedup {
     * one groupBy on 8-byte doc_id. Contaminated docs only in the
     * output, with the overlap fraction and the ≥10% flag.
     */
-  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc distinct 5-gram hashes (doc_id, n_grams, g) — the overlap
+    * unit for [[qDecontaminate]] and [[qBenchLeakage]]; same
+    * posexplode→lead→hash shape as [[shingled]]. */
+  private def fiveGrams(spark: SparkSession, dir: String): DataFrame = {
     val wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = Tables.fanOut(Tables.documents(spark, dir))
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .withColumn("w2", lead("word", 1).over(wdoc))
@@ -397,6 +400,24 @@ object Dedup {
       .groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
       .select(col("doc_id"), size(col("gs")).as("n_grams"),
         explode(col("gs")).as("g"))
+  }
+
+  /** DuckDB twin of [[fiveGrams]], CTE chain ending in `g`. NOTE: this
+    * string is EMBEDDED in consumers' s"""...""".stripMargin blocks, so
+    * no line may BEGIN with `||` — the outer stripMargin would eat the
+    * first pipe and corrupt the concat operator (cost a round-6 debug). */
+  private val fiveGramsSqlCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, len(ws)-4),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+       |              ' ' || ws[i+3] || ' ' || ws[i+4])) AS gs
+       |       FROM w WHERE len(ws) >= 5),
+       |g1 AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM g0),
+       |g AS (SELECT doc_id, n_grams, ${hash60Sql("gram")} AS g FROM g1)""".stripMargin
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = fiveGrams(spark, dir)
     val bench = grams.filter(col("doc_id") < benchDocs)
       .select("g").distinct()
     grams.filter(col("doc_id") >= benchDocs)
@@ -410,14 +431,7 @@ object Dedup {
   }
 
   val decontaminateSql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |g0 AS (SELECT doc_id, list_distinct(list_transform(
-       |         generate_series(1, len(ws)-4),
-       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-       |              || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gs
-       |       FROM w WHERE len(ws) >= 5),
-       |g1 AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM g0),
-       |g AS (SELECT doc_id, n_grams, ${hash60Sql("gram")} AS g FROM g1),
+    s"""WITH $fiveGramsSqlCtes,
        |bench AS (SELECT DISTINCT g.g FROM g WHERE doc_id < $benchDocs),
        |hits AS (SELECT g.doc_id, COUNT(*) AS n_hits, max(g.n_grams) AS n_grams
        |         FROM g JOIN bench ON g.g = bench.g
@@ -427,6 +441,73 @@ object Dedup {
        |       round(CAST(n_hits AS DOUBLE) / n_grams, 4) AS contamination,
        |       round(CAST(n_hits AS DOUBLE) / n_grams, 4) >= 0.1 AS flagged
        |FROM hits""".stripMargin
+
+  /** q_bench_leakage — the REVERSE contamination view: per held-out
+    * benchmark item, how badly has it leaked into the training corpus
+    * ([[qDecontaminate]] answers "which corpus docs to drop"; this
+    * answers "which EVAL ITEMS are compromised" — the table an eval
+    *-integrity report actually publishes). Corpus grams equi-join the
+    * broadcast constant-size benchmark gram set, then aggregate per
+    * benchmark item: distinct corpus docs hit, distinct grams leaked,
+    * leak fraction. Everything after the broadcast join is
+    * ≤|bench|-bounded; the corpus never self-joins or re-shuffles.
+    */
+  def qBenchLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val grams = fiveGrams(spark, dir)
+    val bench = grams.filter(col("doc_id") < benchDocs)
+      .select(col("doc_id").as("bench_id"), col("n_grams"), col("g"))
+    grams.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id").as("corpus_id"), col("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("bench_id")
+      .agg(countDistinct("corpus_id").as("n_corpus_docs"),
+        countDistinct("g").as("n_leaked_grams"),
+        max("n_grams").as("n_grams"))
+      .withColumn("leak_x10000",
+        expr("n_leaked_grams * 10000 div n_grams"))
+  }
+
+  val benchLeakageSql: String =
+    s"""WITH $fiveGramsSqlCtes,
+       |bench AS (SELECT doc_id AS bench_id, n_grams, g.g
+       |          FROM g WHERE doc_id < $benchDocs)
+       |SELECT b.bench_id,
+       |       CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs,
+       |       CAST(COUNT(DISTINCT b.g) AS BIGINT) AS n_leaked_grams,
+       |       CAST(MAX(b.n_grams) AS BIGINT) AS n_grams,
+       |       CAST(COUNT(DISTINCT b.g) AS BIGINT) * 10000
+       |         // CAST(MAX(b.n_grams) AS BIGINT) AS leak_x10000
+       |FROM g c JOIN bench b ON c.g = b.g AND c.doc_id >= $benchDocs
+       |GROUP BY 1""".stripMargin
+
+  /** q_cluster_size_hist — the near-dup cluster-size histogram (the
+    * power-law sanity plot every dedup report includes: a heavy tail of
+    * giant clusters means boilerplate is fusing unrelated docs and the
+    * stop-shingle cap / threshold need revisiting). Consumes the
+    * SHARED materialized [[clusters]] frame — no recomputation — and
+    * collapses it to a ≤|distinct sizes|-row table.
+    */
+  def qClusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir)
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+
+  val clusterSizeHistSql: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk AS (
+       |  SELECT doc_a AS node, doc_b AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.doc_b FROM walk w JOIN edges e ON w.reach = e.doc_a),
+       |cl AS (SELECT node, least(node, MIN(reach)) AS cluster_id
+       |       FROM walk GROUP BY node),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+       |       FROM cl GROUP BY 1)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY 1""".stripMargin
 
   /** MinHash universal-hash family: sig_i(x) = (a_i·h30(x) + b_i) mod P
     * over a 30-bit base hash — ONE md5 per shingle and 16 integer mixes,
