@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated testdata lake.
   *
@@ -21,19 +21,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as raw long (legacy flag) and truncate to µs with
-    * integer `div` (double division would lose precision at ~1.7e18 ns).
-    * DuckDB's `epoch_us` truncates identically, so oracle parity holds.
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * testdata generations: TIMESTAMP(NANOS) (read as raw long via the
+    * legacy flag and truncated to µs with integer `div` — double division
+    * would lose precision at ~1.7e18 ns) and TIMESTAMP(MICROS) without a
+    * timezone (which Spark ≥3.4 infers as TIMESTAMP_NTZ by default,
+    * breaking `unix_micros` consumers). Both are normalized here to a
+    * session-UTC TimestampType column: NTZ inference is disabled before
+    * the read, and a defensive NTZ→LTZ cast covers driver-owned sessions
+    * whose reader cached the NTZ schema. DuckDB reads the same file as a
+    * naive-UTC timestamp, so `epoch_us` oracle parity holds either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // also set at session build in Verify/Bench; this per-call set covers
-    // driver-owned sessions and is idempotent (same constant value), so
+    // also set at session build in Verify/Bench; these per-call sets cover
+    // driver-owned sessions and are idempotent (same constant values), so
     // concurrent callers cannot observe different configs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
@@ -48,15 +56,26 @@ object Tables {
   def eventsSlice(spark: SparkSession, dir: String,
       loUsExclusive: Long, hiUsInclusive: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.filter(col("ts") > loUsExclusive * 1000L + 999L &&
             col("ts") <= hiUsInclusive * 1000L + 999L)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // filter on the raw NTZ column against constant-folded NTZ
+        // literals so the range reaches the scan as a PushedFilter;
+        // NTZ↔LTZ casts use the session zone (UTC), preserving instants
+        raw.filter(col("ts") > timestamp_micros(lit(loUsExclusive)).cast(TimestampNTZType) &&
+            col("ts") <= timestamp_micros(lit(hiUsInclusive)).cast(TimestampNTZType))
+          .withColumn("ts", col("ts").cast(TimestampType))
       case _ =>
-        raw.filter(unix_micros(col("ts")) > loUsExclusive &&
-          unix_micros(col("ts")) <= hiUsInclusive)
+        // TimestampType (the NTZ-inference-disabled read): compare the
+        // column against timestamp_micros literals — foldable, so the
+        // range constant-folds and reaches the scan as a PushedFilter
+        raw.filter(col("ts") > timestamp_micros(lit(loUsExclusive)) &&
+          col("ts") <= timestamp_micros(lit(hiUsInclusive)))
     }
   }
 
