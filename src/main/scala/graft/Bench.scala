@@ -6,23 +6,32 @@ import org.apache.spark.sql.SparkSession
   * parquet read and codegen before anything is timed (otherwise the first
   * query absorbs ~5 s of JVM/session warmup and per-query numbers are
   * meaningless); queries run in sorted name order so runs are comparable;
-  * each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and the
-  * MINIMUM reported — one-shot numbers carry ±30% Janino/JIT compilation
-  * noise, and min-of-N measures the query, not the compiler; a failing
-  * query is reported loudly as value −1 plus an `errors` list and stderr
-  * trace — never as a fake timing.
+  * each query first gets ONE DISCARDED warmup execution (r6 showed the
+  * max/min spread metric mostly measured first-run Janino/JIT compile —
+  * the discarded run absorbs it, so spread now measures steady-state),
+  * then is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and the
+  * MINIMUM reported; a failing query is reported loudly as value −1 plus
+  * an `errors` list and stderr trace — never as a fake timing.
   *
   * Besides the one-line stdout JSON (the driver's contract), the full
-  * result — every run's timing per query, min, and spread — is written to
-  * `SPARK_GRAFT_BENCH_OUT` (default `bench_local.json` in the CWD), because
-  * the driver's artifact truncates long stdout and round 4 lost half the
-  * per-query data to that.
+  * result — every run's timing per query (warmup included, separately),
+  * min, and spread — is written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_local.json` in the CWD), because the driver's artifact
+  * truncates long stdout and round 4 lost half the per-query data to
+  * that.
+  *
+  * A/B adjudication mode (VERDICT_r06 item 7): when
+  * `SPARK_GRAFT_BENCH_AB=q1,q2[,…]` is set, instead of the full suite
+  * the named queries run INTERLEAVED round-robin (A,B,A,B,…) for
+  * `SPARK_GRAFT_BENCH_AB_ROUNDS` rounds (default 5) within one JVM —
+  * the protocol that separates environmental spikes (both queries move
+  * together) from plan cost (one query is consistently slow), needed in
+  * rounds 2 and 6 to settle driver-vs-builder timing splits.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,53 +40,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // Warmup: generic shuffle+codegen, then the flagship entry (parquet
-    // scan path) on the smallest SF so no measured bytes are pre-cached.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).count()
-
-    // optional args = query names, for targeted re-measurement; the
-    // driver passes none and gets the full set
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val allRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val outcome =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            Some(e)
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (outcome.isEmpty) sec else -1.0
-      }
-      (name, times)
+  /** Time one execution; −1 marks failure (logged, never a fake timing). */
+  private def timeOne(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name FAILED: $e"); -1.0
     }
-    val results = allRuns.map { case (name, times) =>
-      (name, if (times.contains(-1.0)) -1.0 else times.min)
-    }
-    val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+  }
 
-    // Complete artifact: per-query all-run timings + min + max/min spread,
-    // immune to the driver's stdout tail-truncation.
-    val detail = allRuns.map { case (name, times) =>
-      val min = if (times.contains(-1.0)) -1.0 else times.min
-      val spread =
-        if (times.contains(-1.0) || times.min <= 0) -1.0
-        else times.max / times.min
-      s""""$name":{"runs":[${times.mkString(",")}],"min":$min,"spread":$spread}"""
-    }.mkString("{", ",", "}")
+  private def writeArtifact(full: String): Unit = {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"errors":${errors.mkString("[", ",", "]")},"queries":$detail}"""
-    // best-effort: the stdout line above is the driver's contract; an
+    // best-effort: the stdout line is the driver's contract; an
     // unwritable CWD must not turn a successful bench into exit != 0
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -87,7 +65,94 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] could not write $out: $e")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val spark = buildSession()
+
+    // Warmup: generic shuffle+codegen, then the flagship entry (parquet
+    // scan path) on the smallest SF so no measured bytes are pre-cached.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).count()
+
+    sys.env.get("SPARK_GRAFT_BENCH_AB") match {
+      case Some(list) => runAb(spark, sfDir, list); return
+      case None =>
+    }
+
+    // optional args = query names, for targeted re-measurement; the
+    // driver passes none and gets the full set
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val allRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // discarded warmup run first (absorbs Janino/JIT compile), then
+      // the measured runs — min and spread use measured runs only
+      val warmup = timeOne(spark, sfDir, name, fn)
+      val times =
+        if (warmup < 0) Seq.fill(runs)(-1.0)
+        else (1 to runs).map(_ => timeOne(spark, sfDir, name, fn))
+      (name, warmup, times)
+    }
+    val results = allRuns.map { case (name, _, times) =>
+      (name, if (times.contains(-1.0)) -1.0 else times.min)
+    }
+    val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+
+    // Complete artifact: per-query warmup + all measured timings + min +
+    // max/min spread, immune to the driver's stdout tail-truncation.
+    val detail = allRuns.map { case (name, warmup, times) =>
+      val min = if (times.contains(-1.0)) -1.0 else times.min
+      val spread =
+        if (times.contains(-1.0) || times.min <= 0) -1.0
+        else times.max / times.min
+      s""""$name":{"warmup":$warmup,"runs":[${times.mkString(",")}],"min":$min,"spread":$spread}"""
+    }.mkString("{", ",", "}")
+    writeArtifact(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"warmup_discarded":true,"errors":${errors.mkString("[", ",", "]")},"queries":$detail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Interleaved A/B: each round runs every named query once, in the
+    * given order, for `rounds` rounds — per-query timing series land in
+    * the artifact side by side so a spike shows up in BOTH series (an
+    * environmental event) or one (a plan cost). */
+  private def runAb(spark: SparkSession, sfDir: String, list: String): Unit = {
+    val names = list.split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown AB queries: ${unknown.mkString(",")}")
+      sys.exit(2)
+    }
+    val rounds =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_AB_ROUNDS", "5").toInt.max(2)
+    // one discarded warmup execution per query, then the interleaved rounds
+    names.foreach(n => timeOne(spark, sfDir, n, SparkEntry.queries(n)))
+    val series = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    (1 to rounds).foreach { _ =>
+      names.foreach { n =>
+        series(n) += timeOne(spark, sfDir, n, SparkEntry.queries(n))
+      }
+    }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size - 1) / 2)
+    }
+    val qs = names.map { n =>
+      val xs = series(n).toSeq
+      val ok = !xs.contains(-1.0)
+      s""""$n":{"runs":[${xs.mkString(",")}],"min":${if (ok) xs.min else -1.0},"median":${if (ok) med(xs) else -1.0}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"ab","rounds":$rounds,"unit":"sec","sf":"$sfDir","order":[${names.map("\"" + _ + "\"").mkString(",")}],"queries":$qs}"""
+    println(line)
+    writeArtifact(line)
+    spark.stop()
+    if (names.exists(n => series(n).contains(-1.0))) sys.exit(1)
   }
 }

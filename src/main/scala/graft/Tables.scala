@@ -38,6 +38,10 @@ object Tables {
     // concurrent callers cannot observe different configs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // NTZ→LTZ normalization below assumes a UTC session zone; pin it
+    // per-call (idempotent, like the two reader confs) so a driver-owned
+    // non-UTC session cannot shift instants by its zone offset
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -57,6 +61,7 @@ object Tables {
       loUsExclusive: Long, hiUsInclusive: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -32,15 +32,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Embedding dimension, probed once per plan from the first row. */
+  /** Embedding dimension, probed ONCE per (session, dir) from the first
+    * row and memoized — a data constant, so repeated plan builds must
+    * not re-run the one-row job. (Plain computeIfAbsent is safe here:
+    * the probe never nests back into this map.) */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
   private def dim(spark: SparkSession, dir: String): Int =
-    Tables.embeddings(spark, dir)
-      .select(size(col("embedding")).as("d")).head().getInt(0)
+    dimCache.computeIfAbsent((spark, dir), _ =>
+      Tables.embeddings(spark, dir)
+        .select(size(col("embedding")).as("d")).head().getInt(0)).intValue()
 
   import graft.functions.LongVectorDot.vecDot
 
-  /** Quantized embeddings with integer squared-norm. */
+  /** MATERIALIZE-ONCE shared frames (VERDICT_r06 item 5): the quantized
+    * corpus, the per-variant LSH bucket assignments and the three ANN
+    * result frames q_ann_recall composes are each computed once per
+    * (session, dir) and shared — before this, ~10 Similarity queries
+    * re-quantized the corpus per call and q_ann_recall re-derived both
+    * LSH variants AND the brute-force ground truth standalone. Safe to
+    * nest (buckets build on quantized) since MaterializeOnce never runs
+    * a build under its map lock. */
+  private def materializeOnce(spark: SparkSession, dir: String, tag: String)
+      (build: => DataFrame): DataFrame =
+    MaterializeOnce(spark, dir, "sim:" + tag)(build)
+
+  /** Test hook: drop all materialized frames (forces recomputation). */
+  private[graft] def invalidateMaterialized(): Unit = MaterializeOnce.invalidate()
+
+  /** Quantized embeddings with integer squared-norm — one narrow row
+    * per corpus vector, materialized once per (session, dir). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "quantized")(quantizedPlan(spark, dir))
+
+  private[graft] def quantizedPlan(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.embeddings(spark, dir)).select(
       col("vec_id"),
       transform(col("embedding"),
@@ -83,7 +108,14 @@ object Similarity {
     * for corpus-wide all-pairs top-k use q_ann_lsh. Ties broken by
     * neighbor_id for determinism.
     */
-  def qEmbedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+  def qEmbedCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "embed_topk")(qEmbedCosineTopkPlan(spark, dir))
+
+  /** The raw brute-force plan ([[PlanAuditSpec]] audits this — the
+    * registered query returns the materialized frame, whose executed
+    * plan is just an RDD scan). Result is |Q|·5-bounded, so caching it
+    * is free; q_ann_recall reuses it as ground truth. */
+  private[graft] def qEmbedCosineTopkPlan(spark: SparkSession, dir: String): DataFrame = {
     val v = quantized(spark, dir)
     val a = v.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id"), col("q").as("qa"), col("nrm").as("na"))
@@ -147,15 +179,27 @@ object Similarity {
     * bands (multiple independent plane sets) for recall, exactly like
     * MinHash banding.
     */
-  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = dim(spark, dir)
-    val pw = planeWeights(d)
-    val planeDot = (p: Int) =>
-      dot(col("q"), typedLit(pw(p).toSeq))
-    val bucket = (0 until NPlanes)
-      .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val v = capBuckets(quantized(spark, dir).withColumn("bucket", bucket))
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "ann_lsh")(qAnnLshPlan(spark, dir))
+
+  /** The capped single-plane-set bucket assignment (vec_id, bucket, q,
+    * nrm) — ONE in-row projection + membership cap shared by
+    * [[qAnnLshPlan]] and [[embedPairsPlan]] (identical bucket formula),
+    * materialized once per (session, dir). Corpus-row-bounded. */
+  private def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "lsh_buckets") {
+      val d = dim(spark, dir)
+      val pw = planeWeights(d)
+      val planeDot = (p: Int) =>
+        dot(col("q"), typedLit(pw(p).toSeq))
+      val bucket = (0 until NPlanes)
+        .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      capBuckets(quantized(spark, dir).withColumn("bucket", bucket))
+    }
+
+  private[graft] def qAnnLshPlan(spark: SparkSession, dir: String): DataFrame = {
+    val v = lshBuckets(spark, dir)
     val a = v.select(col("vec_id"), col("bucket"),
       col("q").as("qa"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("neighbor_id"),
@@ -195,22 +239,33 @@ object Similarity {
     * dedup is a groupBy on 8-byte ids — every stage linear-shuffled,
     * nothing all-pairs.
     */
-  def qAnnLshBands(spark: SparkSession, dir: String): DataFrame = {
-    val d = dim(spark, dir)
-    val bucketExprs = (0 until NBands).map { band =>
-      val pw = bandPlaneWeights(band, d)
-      (0 until NPlanes)
-        .map(p => when(dot(col("q"), typedLit(pw(p).toSeq)) >= 0,
-          lit(1L << p)).otherwise(lit(0L)))
-        .reduce(_ + _)
+  def qAnnLshBands(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "ann_lsh_bands")(qAnnLshBandsPlan(spark, dir))
+
+  /** The capped per-band bucket assignment (vec_id, band, bucket, q,
+    * nrm) — NBands rows per vector, materialized once per
+    * (session, dir). */
+  private def bandBuckets(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "band_buckets") {
+      val d = dim(spark, dir)
+      val bucketExprs = (0 until NBands).map { band =>
+        val pw = bandPlaneWeights(band, d)
+        (0 until NPlanes)
+          .map(p => when(dot(col("q"), typedLit(pw(p).toSeq)) >= 0,
+            lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      }
+      val vb = quantized(spark, dir)
+        .withColumn("bks", array(bucketExprs: _*))
+        .select(col("vec_id"), col("q"), col("nrm"),
+          posexplode(col("bks")).as(Seq("band", "bucket")))
+      vb.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
     }
-    val vb = quantized(spark, dir)
-      .withColumn("bks", array(bucketExprs: _*))
-      .select(col("vec_id"), col("q"), col("nrm"),
-        posexplode(col("bks")).as(Seq("band", "bucket")))
-    val vc = vb.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucket).drop("bsz")
+
+  private[graft] def qAnnLshBandsPlan(spark: SparkSession, dir: String): DataFrame = {
+    val vc = bandBuckets(spark, dir)
     val a = vc.select(col("vec_id"), col("band"), col("bucket"),
       col("q").as("qa"), col("nrm").as("na"))
     val b = vc.select(col("vec_id").as("neighbor_id"),
@@ -460,13 +515,8 @@ object Similarity {
     MaterializeOnce(spark, dir, "sim:embed_pairs")(embedPairsPlan(spark, dir))
 
   private[graft] def embedPairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    val d = dim(spark, dir)
-    val pw = planeWeights(d)
-    val planeDot = (p: Int) => dot(col("q"), typedLit(pw(p).toSeq))
-    val bucket = (0 until NPlanes)
-      .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val v = capBuckets(quantized(spark, dir).withColumn("bucket", bucket))
+    // same bucket formula as q_ann_lsh → share its materialized frame
+    val v = lshBuckets(spark, dir)
     val a = v.select(col("vec_id").as("vec_a"), col("bucket"),
       col("q").as("qa"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("vec_b"),
@@ -561,6 +611,9 @@ object Similarity {
   /** Quantized embeddings WITH the class label (the supervised twin of
     * [[quantized]]): drives the label-quality operators below. */
   private def labeled(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "labeled")(labeledPlan(spark, dir))
+
+  private[graft] def labeledPlan(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.embeddings(spark, dir)).select(
       col("vec_id"), col("label").cast("long").as("label"),
       transform(col("embedding"),

@@ -62,4 +62,21 @@ class MaterializeOnceSpec extends SparkSpec {
     val b = Dedup.clusters(spark, dir)
     assert(!(a eq b))
   }
+
+  test("cold-cache nested build: clusters before ngram_pairs (VERDICT_r06 item 1)") {
+    // clusters' build thunk itself demands ngramPairs — with the old
+    // computeIfAbsent implementation this threw `IllegalStateException:
+    // Recursive update` whenever the two keys landed in the same hash
+    // bin (a per-JVM coin flip on the session's identity hash). The
+    // fixed MaterializeOnce claims a per-key cell with putIfAbsent and
+    // runs the build OUTSIDE the map lock, so nesting is always safe.
+    // Pin the dangerous ordering: cold cache, clusters FIRST.
+    Dedup.invalidateMaterialized()
+    val c = Dedup.clusters(spark, dir)
+    assert(c.count() > 0)
+    // the nested build must have populated the inner key too
+    val p = Dedup.ngramPairs(spark, dir)
+    assert(p eq Dedup.ngramPairs(spark, dir),
+      "ngram_pairs must be cached by the nested build")
+  }
 }

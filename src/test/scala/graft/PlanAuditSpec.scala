@@ -62,14 +62,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_embed_cosine_topk: query side broadcast, native vec_dot in the loop") {
-    val plan = executed(Similarity.qEmbedCosineTopk(spark, dir))
+    // audit the raw PLAN — the registered query returns the
+    // materialize-once frame, whose executed plan is just an RDD scan
+    val plan = executed(Similarity.qEmbedCosineTopkPlan(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), "query set must broadcast")
     assert(plan.contains("vec_dot"), "pair loop must use the native expression")
   }
 
   test("q_ann_lsh: bucket equality join, no cartesian anywhere") {
-    val plan = executed(Similarity.qAnnLsh(spark, dir))
+    val plan = executed(Similarity.qAnnLshPlan(spark, dir))
     assert(!plan.contains("CartesianProduct"),
       "LSH search must never go all-pairs")
   }
