@@ -42,13 +42,20 @@ object Tables {
     // per-call (idempotent, like the two reader confs) so a driver-owned
     // non-UTC session cannot shift instants by its zone offset
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = table(spark, dir, "events")
+    normalizeEvents(table(spark, dir, "events"))
+  }
+
+  /** The ts-encoding normalization, split out so specs can drive each
+    * branch with a raw frame of the matching schema (the checked-in
+    * testdata is TIMESTAMP(NANOS), so only the LongType branch is
+    * exercised end-to-end otherwise). Assumes a UTC session zone —
+    * pinned by the callers above. */
+  private[graft] def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
-  }
   /** Time-sliced events read with the range predicate applied to the RAW
     * nanos long BEFORE the µs conversion, so it reaches the parquet scan
     * as a real PushedFilter (row-group stats pruning) — a predicate on
@@ -62,7 +69,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = table(spark, dir, "events")
+    sliceEvents(table(spark, dir, "events"), loUsExclusive, hiUsInclusive)
+  }
+
+  /** The per-encoding slice logic behind [[eventsSlice]], spec-drivable
+    * like [[normalizeEvents]]. */
+  private[graft] def sliceEvents(raw: DataFrame,
+      loUsExclusive: Long, hiUsInclusive: Long): DataFrame = {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.filter(col("ts") > loUsExclusive * 1000L + 999L &&

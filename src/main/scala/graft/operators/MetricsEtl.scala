@@ -2630,4 +2630,105 @@ object MetricsEtl {
        |  CAST(date_part('day', last_day(t)) AS BIGINT) AS days_in_month
        |FROM (SELECT *, make_timestamp((ts_us // 1000000) * 1000000) AS t
        |      FROM iv)""".stripMargin
+
+  /** q_trig_funcs — the PromQL trig family (`sin` `cos` `atan`) plus
+    * the unit helpers (`deg` `rad` `pi`), closing the public PromQL
+    * function table (ref README: the query surface the ETL feeds;
+    * functions are Prometheus's own). Each sample's value (cents/10⁴)
+    * is treated as radians. libm treatment is q_math_funcs' rule:
+    * Java's StrictMath-adjacent sin/cos/atan and DuckDB's libm agree
+    * within 1 ulp, so outputs are rounded ×1000 — far past the
+    * divergence. deg/rad/pi are exact formula arithmetic on identical
+    * operands. Codegen'd projection on the shared [[instantVec]];
+    * corpus cost is the pushed lookback scan.
+    */
+  def qTrigFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val theta = col("cents").cast("double") / 10000d
+    instantVec(spark, dir).select(col("name"), col("user_id"), col("cents"),
+      round(sin(theta) * 1000d).cast("long").as("sin_x1000"),
+      round(cos(theta) * 1000d).cast("long").as("cos_x1000"),
+      round(atan(theta) * 1000d).cast("long").as("atan_x1000"),
+      round(degrees(theta) * 1000d).cast("long").as("deg_x1000"),
+      round(radians(col("cents").cast("double") / 100d) * 1000d)
+        .cast("long").as("rad_x1000"),
+      round(lit(math.Pi) * 1000d).cast("long").as("pi_x1000"))
+  }
+
+  val trigFuncsSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, cents,
+       |  CAST(round(sin(CAST(cents AS DOUBLE) / 10000) * 1000) AS BIGINT) AS sin_x1000,
+       |  CAST(round(cos(CAST(cents AS DOUBLE) / 10000) * 1000) AS BIGINT) AS cos_x1000,
+       |  CAST(round(atan(CAST(cents AS DOUBLE) / 10000) * 1000) AS BIGINT) AS atan_x1000,
+       |  CAST(round(degrees(CAST(cents AS DOUBLE) / 10000) * 1000) AS BIGINT) AS deg_x1000,
+       |  CAST(round(radians(CAST(cents AS DOUBLE) / 100) * 1000) AS BIGINT) AS rad_x1000,
+       |  CAST(round(pi() * 1000) AS BIGINT) AS pi_x1000
+       |FROM iv""".stripMargin
+
+  /** q_promql_round — PromQL `round(v, to)`: each sample value rounded
+    * to the nearest multiple of `to`, ties away from zero upward
+    * (Prometheus: floor(v/to + 0.5)·to). Three `to` granularities
+    * (0.01, 0.5, 1.0 value units) in one pass. ALL-INTEGER: with
+    * nonneg cents and to-in-cents T, floor(v/T + 0.5)·T =
+    * ((2·cents + T) div (2·T))·T — exact in both engines, no float
+    * rounding boundary exists. Projection on the shared
+    * [[instantVec]].
+    */
+  def qPromqlRound(spark: SparkSession, dir: String): DataFrame = {
+    def roundTo(t: Long) =
+      expr(s"((2 * cents + $t) div (2 * $t)) * $t")
+    instantVec(spark, dir).select(col("name"), col("user_id"), col("cents"),
+      roundTo(1L).as("round_c1"),
+      roundTo(50L).as("round_c50"),
+      roundTo(100L).as("round_c100"))
+  }
+
+  val promqlRoundSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, cents,
+       |  (2 * cents + 1) // 2 * 1 AS round_c1,
+       |  (2 * cents + 50) // 100 * 50 AS round_c50,
+       |  (2 * cents + 100) // 200 * 100 AS round_c100
+       |FROM iv""".stripMargin
+
+  /** q_sort_by_label — PromQL `sort_by_label(v, "name", "user_id")` /
+    * `sort_by_label_desc`: the instant vector ranked by LABEL values
+    * (vs [[qPromqlSort]]'s value order). Same one-global-sort device:
+    * the desc rank is derived from the asc rank, and the sorted frame
+    * is the |series|-bounded vector, never the corpus.
+    */
+  def qSortByLabel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("name").asc, col("user_id").asc)
+    instantVec(spark, dir)
+      .select(col("name"), col("user_id"), col("cents"))
+      .withColumn("rank_asc", row_number().over(w).cast("long"))
+      .withColumn("rank_desc",
+        count(lit(1)).over(Window.partitionBy()) - col("rank_asc") + 1L)
+  }
+
+  val sortByLabelSql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, cents,
+       |       row_number() OVER (ORDER BY name, user_id) AS rank_asc,
+       |       COUNT(*) OVER ()
+       |         - row_number() OVER (ORDER BY name, user_id) + 1 AS rank_desc
+       |FROM iv""".stripMargin
+
+  /** q_group_agg — the PromQL `group` aggregator: `group by (name) (v)`
+    * emits value 1 for every group with at least one element — the
+    * "which label combinations exist" primitive behind membership
+    * panels (count would over-inform; group is the boolean). n_series
+    * rides along for free off the same map-side-combinable shuffle;
+    * output is label-cardinality-bounded.
+    */
+  def qGroupAgg(spark: SparkSession, dir: String): DataFrame =
+    instantVec(spark, dir)
+      .groupBy("name")
+      .agg(lit(1L).as("group_value"), count(lit(1)).as("n_series"))
+      .select(col("name"), col("group_value"), col("n_series"))
+
+  val groupAggSql: String =
+    s"""$instantVecCte
+       |SELECT name, CAST(1 AS BIGINT) AS group_value, COUNT(*) AS n_series
+       |FROM iv GROUP BY name""".stripMargin
 }

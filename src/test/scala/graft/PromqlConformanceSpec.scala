@@ -336,4 +336,139 @@ class PromqlConformanceSpec extends SparkSpec {
         s"$name: smoothed ${got.get(name)} != $want")
     }
   }
+
+  // ---- aggregation-operator family (VERDICT_r06 item 8): the
+  // cross-SERIES aggregators vs tools/promql_ref.py transcriptions of
+  // promql/engine.go aggregation(). Fixture samples are
+  // [series_key, sample_idx, value] triples inside one 1h window. ----
+
+  private val W = 1704067200L
+
+  /** Events rows with an EXPLICIT user id (the cross-series fixtures
+    * need one series per user): (name, user, tSeconds, value). */
+  private def eventsDirU(rows: Seq[(String, Long, Double, Double)]): String = {
+    val dir = tmpDir("promql_fixture_u")
+    rows.zipWithIndex.map { case ((name, user, t, v), i) =>
+      (i.toLong, name, user, (t * 1e6).round, v, "{}")
+    }.toDF("event_id", "event_type", "user_id", "ts_us", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Per-case (series_key, sampleIdx, value) triples from `samples`. */
+  private def sampleTriples(c: Row): scala.collection.Seq[(Long, Long, Double)] =
+    c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+      .map(s => (s(0).toLong, s(1).toLong, s(2)))
+
+  test("topk/bottomk: k-heap selection with exact ties at and below rank k") {
+    val cases = fixtures("topk_bottomk")
+    // one name per case; series key → user_id; sample idx → seconds
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      sampleTriples(c).map { case (u, i, v) =>
+        (name, u, (W + 60L * (i + 1)).toDouble, v)
+      }
+    }
+    val dir = eventsDirU(rows)
+    def ranked(df: DataFrame): Map[String, Seq[(Long, Double)]] =
+      df.collect().groupBy(_.getAs[String]("name"))
+        .map { case (n, rs) =>
+          n -> rs.sortBy(_.getAs[Number]("rk").longValue)
+            .map(r => (r.getAs[Long]("user_id"),
+              r.getAs[Double]("series_sum"))).toSeq
+        }
+    val gotTop = ranked(MetricsEtl.qPromqlTopk(spark, dir))
+    val gotBot = ranked(MetricsEtl.qBottomk(spark, dir))
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      def want(field: String): Seq[(Long, Double)] =
+        c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](field)
+          .map(p => (p(0).toLong, p(1))).toSeq
+      assert(gotTop.get(name).contains(want("expected_topk")),
+        s"$name: topk ${gotTop.get(name)} != ${want("expected_topk")}")
+      assert(gotBot.get(name).contains(want("expected_bottomk")),
+        s"$name: bottomk ${gotBot.get(name)} != ${want("expected_bottomk")}")
+    }
+    assert(gotTop.size == cases.size && gotBot.size == cases.size)
+  }
+
+  test("quantile aggregator: rank interpolation across series") {
+    val cases = fixtures("quantile_agg")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      sampleTriples(c).map { case (u, _, v) =>
+        (name, u, (W + 60L * (u + 1)).toDouble, v)
+      }
+    }
+    // qQuantileByLabel groups by (name, k, w_start) — props are "{}",
+    // so k is NULL and each case's samples form exactly one group
+    val got = MetricsEtl.qQuantileByLabel(spark, eventsDirU(rows))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+          r.getAs[Long]("n")))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val (p50, p90, n) = got(name)
+      assert(n == c.getAs[Long]("expected_n"), s"$name n=$n")
+      assert(math.abs(p50 - c.getAs[Double]("expected_p50")) < 1.01e-4,
+        s"$name: p50 $p50")
+      assert(math.abs(p90 - c.getAs[Double]("expected_p90")) < 1.01e-4,
+        s"$name: p90 $p90")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("stddev/stdvar aggregator: population moments across series") {
+    val cases = fixtures("stddev_agg")
+    // qStddevByLabel groups by (user_id, w_start) ACROSS names — so the
+    // case key becomes the user id and each series key becomes a name
+    val rows = cases.zipWithIndex.flatMap { case (c, ci) =>
+      sampleTriples(c).map { case (s, i, v) =>
+        (s"s$s", ci.toLong, (W + 60L * (i + 1) + s).toDouble, v)
+      }
+    }
+    val got = MetricsEtl.qStddevByLabel(spark, eventsDirU(rows))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_series"), r.getAs[Double]("stdvar_v"),
+          r.getAs[Double]("stddev_v")))).toMap
+    cases.zipWithIndex.foreach { case (c, ci) =>
+      val name = c.getAs[String]("name")
+      val (n, sv, sd) = got(ci.toLong)
+      assert(n == c.getAs[Long]("expected_n"), s"$name n=$n")
+      assert(math.abs(sv - c.getAs[Double]("expected_stdvar")) < 2e-6,
+        s"$name: stdvar $sv != ${c.getAs[Double]("expected_stdvar")}")
+      assert(math.abs(sd - c.getAs[Double]("expected_stddev")) < 2e-6,
+        s"$name: stddev $sd != ${c.getAs[Double]("expected_stddev")}")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("count_values: per-value occurrence counting incl. cent rounding") {
+    val cases = fixtures("count_values")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      sampleTriples(c).map { case (u, i, v) =>
+        (name, u, (W + 60L * (i + 1)).toDouble, v)
+      }
+    }
+    val got = MetricsEtl.qCountValues(spark, eventsDirU(rows))
+      .collect()
+      .groupBy(_.getAs[String]("name"))
+      .map { case (n, rs) =>
+        n -> rs.map(r => (r.getAs[Long]("value_cents"),
+          r.getAs[Long]("n"))).sortBy(_._1).toSeq
+      }
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](
+        "expected").map(p => (p(0).toLong, p(1).toLong)).toSeq
+      assert(got.get(name).contains(want),
+        s"$name: ${got.get(name)} != $want")
+    }
+    assert(got.size == cases.size)
+  }
 }

@@ -501,6 +501,119 @@ def stdvar_cases():
     return C
 
 
+# ---- Aggregation-operator family (promql/engine.go aggregation():
+# topk/bottomk's k-element value heap — transcribed with the operators'
+# documented deterministic user tie-break; quantile() across series via
+# the same rank-interpolation rule as quantile_over_time; stddev/stdvar
+# across series in Prometheus's float aux/count incremental form (vs
+# the operator's exact-integer (n*S2-S1^2)/n^2); count_values()'s
+# value-bucket counting). Series values live inside ONE 1h window so
+# the aggregation grid cannot matter. ----
+def agg_series_shapes():
+    """[(case, [(series_key, [values...])...])] — the per-series sample
+    lists exercise sum-then-rank (multi-sample), exact ties AT and
+    BELOW rank k, duplicate values, fewer-than-k membership, and
+    negative values."""
+    return [
+        ("distinct", [(1, [5.00]), (2, [3.00]), (3, [7.00]), (4, [1.00])]),
+        ("tie_at_rank_k", [(1, [4.00]), (2, [4.00]), (3, [4.00]), (4, [4.00])]),
+        ("tie_below_k", [(1, [9.00]), (2, [1.00]), (3, [1.00]), (4, [8.00])]),
+        ("fewer_than_k", [(1, [4.00]), (2, [2.00])]),
+        ("multi_sample_sum", [(1, [1.00, 2.00]), (2, [4.00]),
+                              (3, [0.50, 0.25])]),
+        ("dup_values", [(1, [5.00]), (2, [5.00]), (3, [2.00]), (4, [5.00])]),
+        ("negative_values", [(1, [-3.00]), (2, [2.00]), (3, [-3.00]),
+                             (4, [0.00])]),
+    ]
+
+
+def _series_cents(series):
+    return [(k, sum(int(round(v * 100)) for v in vals))
+            for k, vals in series]
+
+
+def topk_bottomk_cases():
+    C = []
+    for name, series in agg_series_shapes():
+        sums = _series_cents(series)
+        top = sorted(sums, key=lambda x: (-x[1], x[0]))[:3]
+        bot = sorted(sums, key=lambda x: (x[1], x[0]))[:3]
+
+        def fmt(rows):
+            return [[float(k), round(c / 100.0, 2)] for k, c in rows]
+        C.append({"name": "tk_" + name,
+                  "samples": [[float(k), float(i), v]
+                              for k, vals in series
+                              for i, v in enumerate(vals)],
+                  "expected_topk": fmt(top),
+                  "expected_bottomk": fmt(bot)})
+    return C
+
+
+def quantile_agg_cases():
+    """quantile(phi, v) across series — one sample per series, the
+    instant-aggregation shape."""
+    C = []
+    for name, vals in _sample_shapes():
+        C.append({"name": "qa_" + name,
+                  "samples": [[float(u), 0.0, v]
+                              for u, v in enumerate(vals, start=1)],
+                  "expected_p50": round(promql_quantile(0.5, vals), 4),
+                  "expected_p90": round(promql_quantile(0.9, vals), 4),
+                  "expected_n": len(vals)})
+    return C
+
+
+def stddev_agg_cases():
+    """stddev/stdvar across series (population), per-series value = the
+    window sum — replicating the operator's exact float pipeline:
+    stdvar = (n*S2 - S1^2)/n^2 over cents, /1e4 to value units."""
+    C = []
+    for name, series in agg_series_shapes():
+        sums = [c for _, c in _series_cents(series)]
+        n = len(sums)
+        if n < 2:
+            continue
+        s1 = sum(sums)
+        s2 = sum(c * c for c in sums)
+        stdvar = (n * s2 - s1 * s1) / (n * n) / 10000.0
+        stddev = ((n * s2 - s1 * s1) / (n * n)) ** 0.5 / 100.0
+        C.append({"name": "sd_" + name,
+                  "samples": [[float(k), float(i), v]
+                              for k, vals in series
+                              for i, v in enumerate(vals)],
+                  "expected_n": n,
+                  "expected_stdvar": stdvar,
+                  "expected_stddev": stddev})
+    return C
+
+
+def count_values_cases():
+    """count_values("v", m): occurrences per distinct sample value."""
+    shapes = [
+        ("all_distinct", [1.00, 2.00, 3.00]),
+        ("all_equal", [7.25, 7.25, 7.25, 7.25]),
+        ("mixed", [1.00, 2.00, 1.00, 3.00, 1.00, 2.00]),
+        ("negative_and_zero", [-1.50, 0.00, -1.50, 0.00, 2.00]),
+        # no value may sit AT a .5-cent boundary: python round() is
+        # banker's, Spark's is HALF_UP — fixture values stay clear of
+        # the tie so both engines round identically
+        ("sub_cent_rounding", [1.004, 1.0049, 0.994, 1.006]),
+    ]
+    C = []
+    for name, vals in shapes:
+        counts = {}
+        for v in vals:
+            c = int(round(v * 100))
+            counts[c] = counts.get(c, 0) + 1
+        C.append({"name": "cv_" + name,
+                  "samples": [[1.0, float(i), v]
+                              for i, v in enumerate(vals)],
+                  "expected": sorted([[float(c), float(n)]
+                                      for c, n in counts.items()])})
+    return C
+
+
 if __name__ == "__main__":
     fixtures = {
         "rate": rate_cases(),
@@ -516,6 +629,10 @@ if __name__ == "__main__":
         "quantile_over_time": qot_cases(),
         "mad_over_time": mad_cases(),
         "stdvar_over_time": stdvar_cases(),
+        "topk_bottomk": topk_bottomk_cases(),
+        "quantile_agg": quantile_agg_cases(),
+        "stddev_agg": stddev_agg_cases(),
+        "count_values": count_values_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
