@@ -1799,4 +1799,84 @@ object Olap {
       |      JOIN orders ON l_orderkey = o_orderkey
       |      WHERE p_name LIKE '%widget%')
       |GROUP BY 1, 2""".stripMargin
+
+  /** q_supp_part_cnt — TPC-H Q16 shape (parts/supplier relationship):
+    * how many DISTINCT suppliers can furnish each (brand, type, size)
+    * part class, excluding suppliers with customer complaints — the
+    * synthetic schema has no partsupp, so the supplier↔part relation
+    * comes from shipped lineitems, and "complaints" is modeled as a
+    * negative account balance. Scale shape: the complained-supplier
+    * exclusion is an ANTI-join against a tiny broadcast side; the
+    * (partkey, suppkey) relation collapses to DISTINCT pairs BEFORE
+    * joining the part dim (8-byte-pair shuffle, the classic Q16
+    * decorrelation); count_distinct rides the final class aggregation.
+    * Output bounded by |brand|×|type|×|size| classes.
+    */
+  def qSuppPartCnt(spark: SparkSession, dir: String): DataFrame = {
+    val bad = broadcast(Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+    val rel = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .distinct()
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    rel.join(prt, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"), col("supplier_cnt"))
+  }
+
+  val qSuppPartCntSql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      |      WHERE l_suppkey NOT IN
+      |        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) rel
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_excess_supplier — TPC-H Q20 shape (potential part promotion):
+    * suppliers who shipped MORE than 50 units of some PROMO-type part
+    * in 1996 — the "who holds excess stock" screen, decorrelated: the
+    * correlated `ps_availqty > 0.5·sum(l_quantity)` subquery becomes
+    * one aggregation over the part-filtered, year-sliced fact
+    * (threshold vs the group's own sum — a HAVING, no second scan),
+    * then a SEMI-join carries the qualifying (part, supplier) pairs
+    * onto the supplier dim. Scale shape: part filter broadcasts into
+    * the fact scan; one (partkey, suppkey)-keyed shuffle; the semi
+    * side is aggregate-bounded. |suppliers|-bounded output, exact
+    * integer quantities.
+    */
+  def qExcessSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val promo = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+    val qualifying = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(sum("l_quantity")).cast("long").as("qty"))
+      .filter(col("qty") > 50L)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("long").as("s_nationkey"))
+  }
+
+  val qExcessSupplierSql: String =
+    """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+      |FROM supplier WHERE s_suppkey IN
+      |  (SELECT l_suppkey
+      |   FROM lineitem JOIN part ON l_partkey = p_partkey
+      |   WHERE p_type = 'PROMO'
+      |     AND date_part('year', l_shipdate) = 1996
+      |   GROUP BY l_partkey, l_suppkey
+      |   HAVING CAST(round(SUM(l_quantity)) AS BIGINT) > 50)""".stripMargin
 }

@@ -319,10 +319,36 @@ object Similarity {
        |FROM p2 QUALIFY rn <= 3""".stripMargin
   }
 
-  /** Number of IVF coarse cells. Production sizes this ~√n (classic IVF
-    * tradeoff: assignment cost n·K vs per-cell search (n/K)²); a
-    * plan-time constant here, like the LSH plane count. */
+  /** Minimum number of IVF coarse cells; the effective count is
+    * [[ivfK]], which grows with √n — the classic IVF tradeoff
+    * (assignment cost n·K vs per-cell search (n/K)²). */
   private val IvfCells = 16
+
+  /** Corpus vector count, probed once per (session, dir) and memoized
+    * (same device as [[dim]] — a data constant, not a per-plan job). */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def vecCount(spark: SparkSession, dir: String): Long =
+    countCache.computeIfAbsent((spark, dir), _ =>
+      Tables.embeddings(spark, dir).count()).longValue()
+
+  /** Effective IVF cell count: max([[IvfCells]], ⌊√(n/8)⌋) — the
+    * production √n sizing, as a plan-time constant probed from the
+    * corpus. At the fixture SFs this stays 16 (oracle rows unchanged);
+    * beyond, per-cell population stays ~√(8n) so the all-corpus in-cell
+    * search totals n^1.5 — the IVF law — instead of the n²/K a constant
+    * K degenerates to (measured: the r7 10× probe put constant-K
+    * q_ann_ivf at 12.7× for 10× data). floor(sqrt(n/8.0)) is identical
+    * IEEE double math in both engines (n exact, /8.0 a power-of-two
+    * division, sqrt correctly rounded), so the oracle's scalar-subquery
+    * twin computes the same K. */
+  private def ivfK(spark: SparkSession, dir: String): Int =
+    math.max(IvfCells,
+      math.floor(math.sqrt(vecCount(spark, dir) / 8.0)).toInt)
+
+  /** Oracle twin of [[ivfK]] as a scalar subquery over `qn`. */
+  private val ivfKSql: String =
+    s"(SELECT GREATEST($IvfCells, CAST(floor(sqrt(COUNT(*) / 8.0)) AS BIGINT)) FROM qn)"
 
   /** q_ann_ivf — IVF-style approximate nearest neighbors, the OTHER
     * classic ANN scale path next to sign-LSH (q_ann_lsh):
@@ -335,16 +361,25 @@ object Similarity {
     *     one codegen'd pass, no shuffle of the corpus), keeping the
     *     argmax-cosine cell with centroid-id tiebreak
     *  3. search: equality self-join on `cell` (the only corpus shuffle,
-    *     hash-partitioned on an int key), exact cosine top-3 in-cell
+    *     hash-partitioned on an int key), exact cosine top-3 in-cell,
+    *     with the SAME hot-bucket cap as the LSH variants — per-cell
+    *     search is (|cell|)², so with K a plan-time constant an uncapped
+    *     cell grows quadratically in the corpus (measured: the r7
+    *     sf0.1→sf1.0 probe put uncapped q_ann_ivf at 12.7× for 10×
+    *     data, the suite's only near-superlinear query); the cap bounds
+    *     worst-case per-cell work at maxBucket² regardless of scale
     *
     * vs q_ann_lsh: IVF adapts to the data distribution (cells follow
     * centroid geometry; LSH buckets are data-blind hyperplanes) at the
     * cost of the assignment pass. Same recall dial: probe the top-P
-    * nearest cells instead of 1 (P=1 here, documented).
+    * nearest cells instead of 1 (P=1 here, documented). Production
+    * additionally sizes K ~ √n (the classic IVF tradeoff); the cap is
+    * the backstop for the hot cell that k-means re-tuning hasn't
+    * caught yet.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < IvfCells)
+    val cents = v.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cell"))
@@ -354,6 +389,8 @@ object Similarity {
       .withColumn("crn", row_number().over(assignW))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"), col("q"), col("nrm"))
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("csz") <= maxBucket).drop("csz")
     val a = assigned.select(col("vec_id"), col("cell"),
       col("q").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("neighbor_id"),
@@ -373,7 +410,7 @@ object Similarity {
   val annIvfSql: String =
     s"""WITH $quantizedSql,
        |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
-       |          WHERE vec_id < $IvfCells),
+       |          WHERE vec_id < $ivfKSql),
        |asg AS (SELECT qn.vec_id, cents.cell, qn.q, qn.nrm,
        |         CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
        |           i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
@@ -384,7 +421,8 @@ object Similarity {
        |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE)) DESC,
        |           cents.cell) AS crn
        |        FROM qn, cents),
-       |cellv AS (SELECT vec_id, cell, q, nrm FROM asg WHERE crn = 1),
+       |cellv AS (SELECT vec_id, cell, q, nrm FROM asg WHERE crn = 1
+       |          QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $maxBucket),
        |p2 AS (SELECT a.vec_id AS vec_id, a.cell AS cell,
        |        b.vec_id AS neighbor_id,
        |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
@@ -406,7 +444,7 @@ object Similarity {
     */
   def qIvfCells(spark: SparkSession, dir: String): DataFrame = {
     val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < IvfCells)
+    val cents = v.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cell"))
@@ -423,7 +461,7 @@ object Similarity {
   val ivfCellsSql: String =
     s"""WITH $quantizedSql,
        |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
-       |          WHERE vec_id < $IvfCells),
+       |          WHERE vec_id < $ivfKSql),
        |asg AS (SELECT qn.vec_id, cents.cell, qn.nrm,
        |         row_number() OVER (PARTITION BY qn.vec_id
        |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
@@ -457,7 +495,7 @@ object Similarity {
     */
   def qKmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < IvfCells)
+    val cents = v.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cell"))
@@ -477,7 +515,7 @@ object Similarity {
   val kmeansStepSql: String =
     s"""WITH $quantizedSql,
        |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
-       |          WHERE vec_id < $IvfCells),
+       |          WHERE vec_id < $ivfKSql),
        |asg AS (SELECT qn.vec_id, cents.cell, qn.q,
        |         row_number() OVER (PARTITION BY qn.vec_id
        |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
