@@ -30,7 +30,9 @@ object PlanDump {
       "q_minhash_lsh" -> "single-shuffle 16-min signature aggregation",
       "q_embed_cosine_topk" -> "CONSTANT-size broadcast query set; native vec_dot in the pair loop",
       "q_ann_lsh" -> "in-row bucket computation, bucket-equality join",
-      "q_ann_ivf" -> "broadcast centroid assignment, cell-equality join",
+      "q_ann_ivf" -> "broadcast sqrt-n centroid assignment, hot-cell cap, cell-equality join",
+      "q_supp_part_cnt" -> "Q16: broadcast anti-join exclusion, DISTINCT pair collapse below the part join",
+      "q_excess_supplier" -> "Q20: decorrelated HAVING over the part-filtered year slice, LEFT SEMI onto the dim",
       "q_selector" -> "single get_json_object per row (pushdown barrier pins the filter above the projection)",
       "q_stream_window_agg" -> "tumbling window via groupBy(window) — map-side combine",
       "q_asof_join" -> "join-free asof: one window pass, single shuffle on user_id",
@@ -78,7 +80,9 @@ object PlanDump {
     val planOverrides: Map[String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "q_dedup_ngram" -> (graft.operators.Dedup.ngramPairsPlan _),
-      "q_unigram_lp" -> (graft.operators.TextAnalysis.unigramLpPlan _))
+      "q_unigram_lp" -> (graft.operators.TextAnalysis.unigramLpPlan _),
+      "q_embed_cosine_topk" -> (graft.operators.Similarity.qEmbedCosineTopkPlan _),
+      "q_ann_lsh" -> (graft.operators.Similarity.qAnnLshPlan _))
     audited.foreach { case (name, why) =>
       val df = planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       sb.append(s"## $name — $why\n\n```\n")

@@ -427,4 +427,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(globalSorts <= 1,
       s"desc rank must be derived, not re-sorted:\n${plan.take(2000)}")
   }
+
+  test("q_supp_part_cnt: anti-join broadcast, pairs DISTINCT before the dim join") {
+    val df = Olap.qSuppPartCnt(spark, dir)
+    val plan = executed(df)
+    assert(plan.contains("LeftAnti"), "complained suppliers must anti-join")
+    // the (partkey, suppkey) distinct must sit BELOW the part join in
+    // the optimized plan — collapsing the fact to 8-byte pairs first
+    val opt = df.queryExecution.optimizedPlan.toString
+    val aggIdx = opt.indexOf("Aggregate [l_partkey")
+    val joinIdx = opt.indexOf("Join Inner")
+    assert(aggIdx > joinIdx && joinIdx >= 0,
+      s"distinct-pair collapse must be under the part join:\n${opt.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_excess_supplier: decorrelated threshold, semi-join onto the dim") {
+    val plan = executed(Olap.qExcessSupplier(spark, dir))
+    assert(plan.contains("LeftSemi"), "qualifying pairs must semi-join")
+    assert(!plan.contains("CartesianProduct"))
+    // the year filter must reach the lineitem scan
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"))
+  }
+
+  test("q_ann_ivf: hot-cell cap window between assignment and search") {
+    val opt = Similarity.qAnnIvf(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("windowspecdefinition(cell"),
+      s"per-cell membership cap missing:\n${opt.take(1500)}")
+  }
 }
