@@ -27,7 +27,15 @@ object MetricsEtl {
     * parallel key/value arrays derived from the sorted keys. Timestamps as
     * epoch µs (BIGINT) so Spark and the DuckDB oracle compare exactly.
     */
-  def metrics(spark: SparkSession, dir: String): DataFrame = {
+  def metrics(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "etl:metrics")(metricsPlan(spark, dir))
+
+  /** The raw parse plan behind [[metrics]] — the JSON parse + label-map
+    * HOFs are the dominant per-row cost, and SEVEN queries consume the
+    * result, so the frame is materialized once per (session, dir) like
+    * the Dedup/Similarity shared frames (corpus-row-bounded: one narrow
+    * row per event). Audits plan against this builder. */
+  private[graft] def metricsPlan(spark: SparkSession, dir: String): DataFrame = {
     // drop a pre-existing 'user' key before adding ours: map_concat
     // THROWS on duplicate keys under the default mapKeyDedupPolicy, and
     // the explicit label must win over a same-named props label
@@ -1663,18 +1671,17 @@ object MetricsEtl {
     * driver compare. One shuffle on the (bounded-cardinality) label sig.
     */
   def qAggWithout(spark: SparkSession, dir: String): DataFrame = {
-    val labels = map_concat(
-      map_filter(from_json(col("props"), MapType(StringType, StringType)),
-        (k, _) => k =!= "user"),
-      map(lit("user"), col("user_id").cast("string")))
-    Tables.events(spark, dir)
-      .withColumn("labels", labels)
-      .withColumn("keys_wo",
-        filter(array_sort(map_keys(col("labels"))), k => k =!= "k"))
-      .select(col("event_type").as("name"),
-        array_join(col("keys_wo"), ",").as("label_keys_str"),
-        array_join(transform(col("keys_wo"),
-          k => element_at(col("labels"), k)), ",").as("label_values_str"),
+    // ride the materialized [[metrics]] frame instead of re-parsing the
+    // props JSON: dropping label "k" = filtering the parallel sorted
+    // key/value arrays at the positions where the key is "k"
+    val kvWo = filter(arrays_zip(col("label_keys"), col("label_values")),
+      s => s.getField("label_keys") =!= "k")
+    metrics(spark, dir)
+      .select(col("name"),
+        array_join(transform(kvWo, s => s.getField("label_keys")), ",")
+          .as("label_keys_str"),
+        array_join(transform(kvWo, s => s.getField("label_values")), ",")
+          .as("label_values_str"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy("name", "label_keys_str", "label_values_str")
       .agg(round(sum("cents").cast("double") / 100d, 2).as("sum_v"),
