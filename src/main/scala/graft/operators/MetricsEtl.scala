@@ -2672,6 +2672,57 @@ object MetricsEtl {
        |  CAST(round(pi() * 1000) AS BIGINT) AS pi_x1000
        |FROM iv""".stripMargin
 
+  /** q_trig_funcs2 — the REST of Prometheus's trig table (`tan` `asin`
+    * `acos` `atan2` `sinh` `cosh` `tanh` `asinh` `acosh` `atanh`) plus
+    * `log10`, completing the public PromQL function surface together
+    * with [[qTrigFuncs]] and [[qMathFuncs]]. Domain handling: asin/acos
+    * take tanh(θ) (always in (−1,1), and NOT an inverse identity —
+    * asin(sin θ)=θ lands EXACTLY on the ×1000 rounding grid, a
+    * half-boundary both engines round differently; tanh's irrational
+    * values never do); acosh takes 1+θ (≥1); atanh takes θ/10 (<0.5). DuckDB has no hyperbolic builtins, so the oracle uses
+    * the exact exponential/log identities (sinh=(eˣ−e⁻ˣ)/2, asinh =
+    * ln(x+√(x²+1)), …) — a different float path than Java's
+    * StrictMath-adjacent builtins, but within a few ulp, which the
+    * ×1000 rounding absorbs (q_math_funcs' rule; amplification at the
+    * asin/atanh domain edges stays ≤1e-8 at this value range).
+    */
+  def qTrigFuncs2(spark: SparkSession, dir: String): DataFrame = {
+    val theta = col("cents").cast("double") / 10000d
+    instantVec(spark, dir).select(col("name"), col("user_id"), col("cents"),
+      round(tan(theta) * 1000d).cast("long").as("tan_x1000"),
+      round(asin(tanh(theta)) * 1000d).cast("long").as("asin_x1000"),
+      round(acos(tanh(theta)) * 1000d).cast("long").as("acos_x1000"),
+      round(atan2(col("cents").cast("double"), lit(5000d)) * 1000d)
+        .cast("long").as("atan2_x1000"),
+      round(sinh(theta) * 1000d).cast("long").as("sinh_x1000"),
+      round(cosh(theta) * 1000d).cast("long").as("cosh_x1000"),
+      round(tanh(theta) * 1000d).cast("long").as("tanh_x1000"),
+      round(asinh(theta) * 1000d).cast("long").as("asinh_x1000"),
+      round(acosh(theta + 1d) * 1000d).cast("long").as("acosh_x1000"),
+      round(atanh(theta / 10d) * 1000d).cast("long").as("atanh_x1000"),
+      round(log10(greatest(col("cents"), lit(1L))) * 1000d)
+        .cast("long").as("log10_x1000"))
+  }
+
+  val trigFuncs2Sql: String =
+    s"""$instantVecCte
+       |SELECT name, user_id, cents,
+       |  CAST(round(tan(t) * 1000) AS BIGINT) AS tan_x1000,
+       |  CAST(round(asin(th) * 1000) AS BIGINT) AS asin_x1000,
+       |  CAST(round(acos(th) * 1000) AS BIGINT) AS acos_x1000,
+       |  CAST(round(atan2(CAST(cents AS DOUBLE), 5000.0) * 1000) AS BIGINT) AS atan2_x1000,
+       |  CAST(round((exp(t) - exp(-t)) / 2 * 1000) AS BIGINT) AS sinh_x1000,
+       |  CAST(round((exp(t) + exp(-t)) / 2 * 1000) AS BIGINT) AS cosh_x1000,
+       |  CAST(round((exp(t) - exp(-t)) / (exp(t) + exp(-t)) * 1000) AS BIGINT) AS tanh_x1000,
+       |  CAST(round(ln(t + sqrt(t*t + 1)) * 1000) AS BIGINT) AS asinh_x1000,
+       |  CAST(round(ln((t+1) + sqrt((t+1)*(t+1) - 1)) * 1000) AS BIGINT) AS acosh_x1000,
+       |  CAST(round(0.5 * ln((1 + t/10) / (1 - t/10)) * 1000) AS BIGINT) AS atanh_x1000,
+       |  CAST(round(log10(greatest(cents, 1)) * 1000) AS BIGINT) AS log10_x1000
+       |FROM (SELECT *, CAST(cents AS DOUBLE) / 10000 AS t,
+       |             (exp(CAST(cents AS DOUBLE) / 10000) - exp(-(CAST(cents AS DOUBLE) / 10000)))
+       |             / (exp(CAST(cents AS DOUBLE) / 10000) + exp(-(CAST(cents AS DOUBLE) / 10000))) AS th
+       |      FROM iv)""".stripMargin
+
   /** q_promql_round — PromQL `round(v, to)`: each sample value rounded
     * to the nearest multiple of `to`, ties away from zero upward
     * (Prometheus: floor(v/to + 0.5)·to). Three `to` granularities
