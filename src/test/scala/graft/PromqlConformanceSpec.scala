@@ -447,6 +447,27 @@ class PromqlConformanceSpec extends SparkSpec {
     assert(got.size == cases.size)
   }
 
+  test("over_time: min/max/avg/sum/count window aggregations") {
+    val cases = fixtures("over_time")
+    val got = MetricsEtl.qOverTime(spark, eventsDir(valueRows(cases)))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Double]("min_v"), r.getAs[Double]("max_v"),
+          r.getAs[Double]("sum_v"), r.getAs[Long]("avg_x10000"),
+          r.getAs[Long]("count_v")))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val (mn, mx, sm, avg, n) = got(name)
+      assert(mn == c.getAs[Double]("expected_min"), s"$name min $mn")
+      assert(mx == c.getAs[Double]("expected_max"), s"$name max $mx")
+      assert(math.abs(sm - c.getAs[Double]("expected_sum")) < 1.01e-2,
+        s"$name sum $sm")
+      assert(avg == c.getAs[Long]("expected_avg_x10000"), s"$name avg $avg")
+      assert(n == c.getAs[Long]("expected_count"), s"$name n $n")
+    }
+    assert(got.size == cases.size)
+  }
+
   test("count_values: per-value occurrence counting incl. cent rounding") {
     val cases = fixtures("count_values")
     val rows = cases.flatMap { c =>

@@ -588,6 +588,23 @@ def stddev_agg_cases():
     return C
 
 
+def over_time_cases():
+    """min/max/avg/sum/count_over_time per series-window — the simple
+    *_over_time aggregations, replicating the operator's exact pipeline
+    (avg as an exact x1e4 truncating-integer, sum via cents)."""
+    C = []
+    for name, vals in _sample_shapes():
+        cents = [int(round(v * 100)) for v in vals]
+        C.append({"name": "ot_" + name,
+                  "values": vals,
+                  "expected_min": round(min(vals), 4),
+                  "expected_max": round(max(vals), 4),
+                  "expected_sum": round(sum(cents) / 100.0, 2),
+                  "expected_avg_x10000": sum(cents) * 100 // len(cents),
+                  "expected_count": len(vals)})
+    return C
+
+
 def count_values_cases():
     """count_values("v", m): occurrences per distinct sample value."""
     shapes = [
@@ -633,6 +650,7 @@ if __name__ == "__main__":
         "quantile_agg": quantile_agg_cases(),
         "stddev_agg": stddev_agg_cases(),
         "count_values": count_values_cases(),
+        "over_time": over_time_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
