@@ -547,7 +547,17 @@ object Dedup {
     sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    bandPairs(spark, dir)
+
+  /** The banded candidate-pair frame, materialized once per
+    * (session, dir) — SHARED by [[qMinhashLsh]] and [[qJaccardCurve]]
+    * (un-materialized, the curve would re-run the band self-join).
+    * Pair-count-bounded, far below one row per corpus doc. */
+  private def bandPairs(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "minhash_band_pairs")(bandPairsPlan(spark, dir))
+
+  private[graft] def bandPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(spark, dir)
     val bandStructs = (0 until 4).map { b =>
       struct(
@@ -596,6 +606,74 @@ object Dedup {
        |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        | AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Estimated-Jaccard thresholds for [[qJaccardCurve]], in matching
+    * signature components out of 16 (8/16 ≈ J=0.5, 12/16 ≈ 0.75, 16/16
+    * = 1.0) — plan-time constants, like every bounded set here. */
+  private val curveThresholds = Seq(8, 12, 16)
+
+  /** q_jaccard_curve — the band-threshold TUNING TABLE: how many
+    * candidate pairs survive each estimated-Jaccard cutoff. This is the
+    * one-row report a pipeline owner reads before committing a dedup
+    * threshold at 100 TB — "drop everything ≥0.75" is cheap to decide
+    * here and irreversible after the delete. Estimate = matching MinHash
+    * components (integer, engine-exact, same k=16 signatures as
+    * q_minhash_est_err). Shape: the materialized candidate-pair frame
+    * (shared with q_minhash_lsh) joins the signature frame twice on
+    * 8-byte ids; signatures stay 16 COLUMNS (never explode to rows);
+    * output is ONE row regardless of corpus size, and the conditional
+    * sums all ride one aggregation pass.
+    */
+  def qJaccardCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until 16).map(i =>
+      when(col(s"a_s$i") === col(s"b_s$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val m = bandPairs(spark, dir).select("doc_a", "doc_b")
+      .join(sigA, col("doc_a") === col("a_doc_id"))
+      .join(sigB, col("doc_b") === col("b_doc_id"))
+      .select(matches.as("matches"))
+    val curveCols = curveThresholds.map(t =>
+      sum(when(col("matches") >= t, 1L).otherwise(0L)).as(s"n_ge_${t}_of_16"))
+    m.agg(count(lit(1)).as("n_cand_pairs"), curveCols: _*)
+  }
+
+  val jaccardCurveSql: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"min((h30 * ${mhA(i)} + ${mhB(i)}) % $P) AS s$i").mkString(",\n|        ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(j => s"CAST(s${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${hash60Sql(cat)} AS band_hash FROM sig"
+    }.mkString("\n|       UNION ALL ")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val curveSelects = curveThresholds.map(t =>
+      s"CAST(SUM(CASE WHEN matches >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_${t}_of_16")
+      .mkString(",\n|       ")
+    s"""WITH $shingledSql,
+       |hsh AS (SELECT doc_id, sh % 1073741824 AS h30 FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $sigExprs
+       |       FROM hsh GROUP BY doc_id),
+       |bands0 AS ($bandSelects),
+       |bands AS (SELECT * FROM bands0
+       |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash) <= 10000),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |          AND a.doc_id < b.doc_id),
+       |m AS (SELECT CAST($matchSum AS BIGINT) AS matches
+       |      FROM cand c
+       |      JOIN sig sa ON c.doc_a = sa.doc_id
+       |      JOIN sig sb ON c.doc_b = sb.doc_id)
+       |SELECT COUNT(*) AS n_cand_pairs,
+       |       $curveSelects
+       |FROM m""".stripMargin
   }
 
   /** q_simhash — 60-bit SimHash per doc from token hashes weighted by term

@@ -1869,6 +1869,40 @@ object MetricsEtl {
        |SELECT name, user_id, ts_us, cents, $EvalTsUs - ts_us AS age_us
        |FROM iv""".stripMargin
 
+  /** q_limitk — the PromQL EXPERIMENTAL sampling aggregators `limitk`
+    * and `limit_ratio`, deterministically re-expressed (Prometheus's
+    * `limitk` returns an arbitrary k series per group; a distributed
+    * re-expression must pick a reproducible k, so ours is the first k
+    * by series key — same contract, stable under retries, which is what
+    * an ETL actually wants). `limit_ratio` IS deterministic upstream —
+    * Prometheus keeps series whose label-hash falls below the ratio —
+    * mirrored here as hash60(series) mod 100 < 50. Both flags are
+    * emitted per live series over the shared instant vector, so the
+    * cost is one |series|-bounded window + one codegen'd hash
+    * projection; the sampled sub-vector at 100 TB is the same frame
+    * with a pushed filter on the flag.
+    */
+  def qLimitk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name").orderBy("user_id")
+    instantVec(spark, dir)
+      .withColumn("in_limitk",
+        (row_number().over(w) <= 2).cast("int"))
+      .withColumn("in_ratio",
+        (hash60(concat(col("name"), lit(":"), col("user_id").cast("string")))
+          % 100 < 50).cast("int"))
+      .select("name", "user_id", "cents", "in_limitk", "in_ratio")
+  }
+
+  val limitkSql: String = {
+    val h = hash60Sql("name || ':' || CAST(user_id AS VARCHAR)")
+    s"""$instantVecCte
+       |SELECT name, user_id, cents,
+       |       CAST(row_number() OVER (PARTITION BY name ORDER BY user_id) <= 2
+       |            AS INT) AS in_limitk,
+       |       CAST($h % 100 < 50 AS INT) AS in_ratio
+       |FROM iv""".stripMargin
+  }
+
   /** q_scrape_health — scrape-interval health per series (the target
     * health view behind Prometheus's `up`/`scrape_duration` panels):
     * inter-sample gap statistics — count, mean (exact ×1000 integer),

@@ -1028,6 +1028,32 @@ object Similarity {
        |       CAST(nrm > med_nrm * 4 AS INT) AS flag_high
        |FROM qn, m""".stripMargin
 
+  /** q_embed_norm_hist — embedding-norm magnitude histogram, the
+    * EMBEDDING-PIPELINE health check run before any similarity work:
+    * collapsed (near-zero) vectors silently poison cosine math (they
+    * land in LSH bucket 0 and match everything weakly), and
+    * magnitude-inflated ones dominate un-normalized dot products. Buckets
+    * are DECIMAL DIGIT COUNTS of the integer squared norm — a log10
+    * histogram computed engine-exactly as string length of a
+    * nonnegative BIGINT, no libm. One codegen'd projection over the
+    * shared quantized frame + a ≤20-bucket aggregate (a BIGINT has at
+    * most 19 digits): corpus-linear scan, constant-size output,
+    * map-side combinable.
+    */
+  def qEmbedNormHist(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .groupBy(length(col("nrm").cast("string")).as("nrm_digits"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min("nrm").as("min_nrm"), max("nrm").as("max_nrm"))
+
+  val embedNormHistSql: String =
+    s"""WITH $quantizedSql
+       |SELECT CAST(length(CAST(nrm AS VARCHAR)) AS INT) AS nrm_digits,
+       |       COUNT(*) AS n_vectors,
+       |       MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm
+       |FROM qn
+       |GROUP BY 1""".stripMargin
+
   /** q_bitext_mine — parallel-corpus mining (LASER/CCMatrix shape): for
     * each vector, its best CROSS-LABEL match (label ≈ language) above a
     * cosine floor, candidates restricted to the same sign-LSH bucket.

@@ -1166,4 +1166,103 @@ object TextAnalysis {
        |       MAX(lp_x100) AS max_lp_x100
        |FROM lps, th
        |GROUP BY 1, 2""".stripMargin
+
+  /** q_bigram_lp — bigram-LM fluency score, the ORDER-SENSITIVE
+    * companion to [[qUnigramLp]]: a unigram LM is permutation-invariant
+    * (shuffled word salad scores identically to prose), so quality
+    * pipelines pair it with the cheapest order-aware model — corpus
+    * bigram frequencies. Same engine-exact integer treatment: per-doc
+    * mean log2(bigram tf) via bit-length, no libm. Bigrams are built
+    * IN-ROW (one `transform` over the token array — no posexplode +
+    * self-join on position, which would shuffle the corpus twice), so
+    * the exploded frame is one row per token occurrence, same scale as
+    * the unigram pipeline; the LM join keys are 8-byte hashes and the
+    * bigram-vocab frame is sub-corpus (Zipf). Docs under 2 tokens have
+    * no bigrams and drop out in both engines.
+    */
+  def qBigramLp(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+        .as("bigram"))
+      .select(col("doc_id"), hash60(col("bigram")).as("bh"))
+    val lm = bg.groupBy("bh").agg(count(lit(1)).as("tf"))
+      .select(col("bh").as("lm_bh"),
+        (length(expr("conv(tf, 10, 2)")) - 1).cast("long").as("log2_tf"))
+    bg.join(lm, col("bh") === col("lm_bh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("log2_tf").as("sum_log2"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_log2 * 100 div n_bigrams").as("lp2_x100"))
+  }
+
+  val bigramLpSql: String = {
+    val bh = graft.functions.Portable.hash60Sql("bigram")
+    s"""WITH b AS (
+       |  SELECT doc_id, $bh AS bh
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(w)),
+       |            i -> w[i] || ' ' || w[i+1])) AS bigram
+       |        FROM (SELECT doc_id, $wordsSql AS w FROM documents)
+       |        WHERE len(w) >= 2)),
+       |lm AS (
+       |  SELECT bh AS lm_bh,
+       |         CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS log2_tf
+       |  FROM b GROUP BY bh),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |         CAST(SUM(log2_tf) AS BIGINT) AS sum_log2
+       |  FROM b JOIN lm ON bh = lm_bh
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, sum_log2 * 100 // n_bigrams AS lp2_x100
+       |FROM s""".stripMargin
+  }
+
+  /** Constant document-id prefixes for [[qVocabGrowth]] — plan-time
+    * constants (the largest bounds the scan via parquet pushdown), NOT
+    * corpus fractions: the curve costs the same at any corpus size. */
+  private val vocabPrefixes = Seq(50L, 200L, 450L)
+
+  /** q_vocab_growth — Heaps-law vocabulary-growth curve: distinct token
+    * types vs tokens seen over nested constant doc-id prefixes. The
+    * tokenizer/dedup health check a pipeline runs per snapshot: healthy
+    * prose grows vocab ≈ tokens^β (β≈0.5); a FLAT curve means the new
+    * data is duplicated boilerplate, a LINEAR one means the tokenizer is
+    * shredding (e.g. bad encoding). One token pass over the largest
+    * prefix (filter pushed to the scan), broadcast-joined to the 3-row
+    * prefix frame — each token row lands in the prefixes that include
+    * it, one |prefixes|-row aggregate out, constant total work at any
+    * corpus size.
+    */
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val maxPref = vocabPrefixes.max
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxPref)
+      .select(col("doc_id"), explode(words).as("token"))
+      .select(col("doc_id"), hash60(col("token")).as("th"))
+    val prefixes = spark.range(1)
+      .select(explode(typedLit(vocabPrefixes)).as("prefix_docs"))
+    toks.join(broadcast(prefixes), col("doc_id") < col("prefix_docs"))
+      .groupBy("prefix_docs")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("th").as("vocab"))
+  }
+
+  val vocabGrowthSql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    val prefList = vocabPrefixes.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, $th AS th
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS token
+       |        FROM documents WHERE doc_id < ${vocabPrefixes.max})),
+       |p AS (SELECT unnest($prefList) AS prefix_docs)
+       |SELECT CAST(p.prefix_docs AS BIGINT) AS prefix_docs,
+       |       COUNT(*) AS n_tokens,
+       |       CAST(COUNT(DISTINCT th) AS BIGINT) AS vocab
+       |FROM t JOIN p ON t.doc_id < p.prefix_docs
+       |GROUP BY 1""".stripMargin
+  }
 }

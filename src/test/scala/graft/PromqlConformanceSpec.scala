@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** PromQL golden-vector conformance (VERDICT_r04 item 7).
   *
   * The oracle gate proves Spark↔DuckDB agreement; this suite proves
-  * PROMETHEUS agreement: 80 edge-case fixtures whose expected outputs
+  * PROMETHEUS agreement: 125 edge-case fixtures (20 families) whose expected outputs
   * come from `tools/promql_ref.py` — an independent Python transcription
   * of Prometheus's PUBLIC algorithms (promql/functions.go
   * extrapolatedRate with the counter-reset / zero-cap /
@@ -145,6 +145,48 @@ class PromqlConformanceSpec extends SparkSpec {
       assert(got.contains(name), s"$name produced no irate row")
       assert(math.abs(got(name) - want) < 1.01e-6,
         s"$name: irate ${got(name)} != prometheus $want")
+    }
+  }
+
+  test("changes: successive-unequal counting matches funcChanges (7 cases)") {
+    val cases = fixtures("changes")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = MetricsEtl.qChanges(spark, eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[Long]("changes"), r.getAs[Long]("n_points"))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      assert(got(name) == ((c.getAs[Long]("expected_changes"),
+        c.getAs[Long]("expected_points"))),
+        s"$name: ${got(name)}")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("idelta: last-minus-previous with the two-sample guard (7 cases)") {
+    val cases = fixtures("idelta")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = MetricsEtl.qIdelta(spark, eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[Long]("idelta_cents"), r.getAs[Long]("gap_us"))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      if (c.isNullAt(c.fieldIndex("expected_idelta_cents"))) {
+        assert(!got.contains(name),
+          s"$name: under-two-sample window must emit NO row")
+      } else {
+        assert(got(name) == ((c.getAs[Long]("expected_idelta_cents"),
+          c.getAs[Long]("expected_gap_us"))),
+          s"$name: ${got(name)}")
+      }
     }
   }
 

@@ -98,4 +98,107 @@ class Round7OperatorSpec extends SparkSpec {
       assert(n == iv(name).length.toLong)
     }
   }
+
+  // ——— late-round-7 additions ———
+
+  private def docTokens: Map[Long, Array[String]] =
+    rows("documents").map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+
+  test("q_bigram_lp == from-scratch JVM bigram LM") {
+    val toks = docTokens
+    val freq = toks.values.flatMap(_.sliding(2).filter(_.length == 2)
+      .map(_.mkString(" "))).groupBy(identity).map { case (k, v) => k -> v.size }
+    def log2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = toks.collect { case (id, ws) if ws.length >= 2 =>
+      val lps = ws.sliding(2).map(b => log2(freq(b.mkString(" ")).toLong)).toSeq
+      id -> ((lps.length.toLong, lps.sum * 100L / lps.length))
+    }
+    val got = operators.TextAnalysis.qBigramLp(spark, dir).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("lp2_x100")))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_vocab_growth == from-scratch prefix type/token counts") {
+    val toks = docTokens
+    val expected = Seq(50L, 200L, 450L).map { p =>
+      val in = toks.filter(_._1 < p).values
+      p -> ((in.map(_.length.toLong).sum, in.flatten.toSet.size.toLong))
+    }.toMap
+    val got = operators.TextAnalysis.qVocabGrowth(spark, dir).collect().map(r =>
+      r.getAs[Long]("prefix_docs") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab")))).toMap
+    assert(got == expected)
+    // the curve must be nondecreasing in both coordinates
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted)
+  }
+
+  test("q_jaccard_curve == from-scratch JVM minhash banding") {
+    import graft.functions.Portable.hash60Jvm
+    val P = 2147483647L
+    val mhA = (0 until 16).map(i => hash60Jvm(s"mh_a:$i") % (P - 1) + 1)
+    val mhB = (0 until 16).map(i => hash60Jvm(s"mh_b:$i") % P)
+    val sigs: Map[Long, IndexedSeq[Long]] = docTokens.collect {
+      case (id, ws) if ws.length >= 3 =>
+        val shs = ws.sliding(3).map(w => hash60Jvm(w.mkString(" ")))
+          .toSeq.distinct.map(_ % 1073741824L)
+        id -> (0 until 16).map(i =>
+          shs.map(h => (h * mhA(i) + mhB(i)) % P).min)
+    }
+    val byBucket = sigs.toSeq.flatMap { case (id, s) =>
+      (0 until 4).map(b => (b.toLong,
+        hash60Jvm((0 until 4).map(j => s(b * 4 + j)).mkString(","))) -> id)
+    }.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val cand = byBucket.flatMap(ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j))).toSet
+    val matches = cand.toSeq.map { case (a, b) =>
+      (0 until 16).count(i => sigs(a)(i) == sigs(b)(i)) }
+    val expected = (matches.length.toLong,
+      matches.count(_ >= 8).toLong, matches.count(_ >= 12).toLong,
+      matches.count(_ >= 16).toLong)
+    val r = operators.Dedup.qJaccardCurve(spark, dir).collect().head
+    val got = (r.getAs[Long]("n_cand_pairs"), r.getAs[Long]("n_ge_8_of_16"),
+      r.getAs[Long]("n_ge_12_of_16"), r.getAs[Long]("n_ge_16_of_16"))
+    assert(got == expected)
+    assert(got._1 > 0, "planted near-dups must produce candidates")
+  }
+
+  test("q_limitk flags == from-scratch selection over the instant vector") {
+    import graft.functions.Portable.hash60Jvm
+    val iv = MetricsEtl.qInstantVector(spark, dir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("cents")))
+    val firstK = iv.groupBy(_._1).view.mapValues(
+      _.map(_._2).sorted.take(2).toSet).toMap
+    val got = MetricsEtl.qLimitk(spark, dir).collect()
+    assert(got.map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id"),
+      r.getAs[Long]("cents"))).toSet == iv.toSet,
+      "q_limitk must carry the exact instant vector")
+    got.foreach { r =>
+      val (name, uid) = (r.getAs[String]("name"), r.getAs[Long]("user_id"))
+      assert((r.getAs[Int]("in_limitk") == 1) == firstK(name)(uid))
+      assert((r.getAs[Int]("in_ratio") == 1) ==
+        (hash60Jvm(s"$name:$uid") % 100 < 50))
+    }
+    assert(got.exists(_.getAs[Int]("in_limitk") == 0),
+      "some series must fall outside the k-limit")
+  }
+
+  test("q_embed_norm_hist == from-scratch digit histogram") {
+    val nrms = rows("embeddings").map { r =>
+      val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => Math.round(x.toDouble * 1000))
+      q.map(v => v * v).sum
+    }
+    val expected = nrms.groupBy(_.toString.length).map { case (d, vs) =>
+      d -> ((vs.length.toLong, vs.min, vs.max)) }
+    val got = operators.Similarity.qEmbedNormHist(spark, dir).collect().map(r =>
+      r.getAs[Int]("nrm_digits") -> ((r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("min_nrm"), r.getAs[Long]("max_nrm")))).toMap
+    assert(got == expected)
+  }
 }

@@ -304,6 +304,74 @@ def resets_cases():
     return C
 
 
+# ---- qChanges twin: Prometheus changes() per 1h window — count of
+# successive UNEQUAL sample pairs, window-local (promql/functions.go
+# funcChanges; the NaN branch is out of scope — fixtures carry no
+# NaNs, and the operator's cents quantization makes 2-decimal
+# fixture values compare identically to the float path). ----
+def changes(samples):
+    return sum(1 for (_, a), (_, b) in zip(samples, samples[1:])
+               if a != b)
+
+
+def changes_cases():
+    C = []
+
+    def case(name, pts):
+        C.append({"name": name, "samples": [[W + o, v] for o, v in pts]})
+
+    case("ch_flat", [(60, 5.00), (120, 5.00), (180, 5.00), (240, 5.00)])
+    case("ch_single", [(90, 3.25)])
+    case("ch_alternating", [(60, 1.00), (120, 2.00), (180, 1.00),
+                            (240, 2.00), (300, 1.00)])
+    case("ch_plateaus", [(60, 1.00), (120, 1.00), (180, 2.00),
+                         (240, 2.00), (300, 2.00), (360, 3.00)])
+    case("ch_monotone", [(60, 1.00), (120, 2.00), (180, 3.00),
+                         (240, 4.00)])
+    case("ch_return_to_prev", [(60, 4.00), (120, 7.00), (180, 4.00)])
+    case("ch_negative_cross", [(60, -1.00), (120, 0.00), (180, 1.00),
+                               (240, 1.00), (300, -1.00)])
+    for c in C:
+        c["expected_changes"] = changes([(t, v) for t, v in c["samples"]])
+        c["expected_points"] = len(c["samples"])
+    return C
+
+
+# ---- qIdelta twin: Prometheus idelta() — last sample minus the one
+# before it (promql/functions.go funcIdelta → instantValue with
+# isRate=false), defined only when the window holds ≥2 samples with
+# distinct timestamps. graft evaluates on the 300 s grid and emits
+# exact cents plus the sample gap in µs. ----
+def idelta(samples):
+    if len(samples) < 2:
+        return None
+    (pt, pv), (lt, lv) = samples[-2], samples[-1]
+    if lt <= pt:
+        return None
+    return (int(round(lv * 100)) - int(round(pv * 100)),
+            int(round((lt - pt) * 1e6)))
+
+
+def idelta_cases():
+    C = []
+
+    def case(name, pts):
+        C.append({"name": name, "samples": [[W + o, v] for o, v in pts]})
+
+    case("id_increasing", [(10, 1.00), (70, 2.00), (130, 4.00)])
+    case("id_drop_last", [(10, 5.00), (150, 2.50)])
+    case("id_irregular_gap", [(5, 1.00), (20, 1.25), (290, 1.10)])
+    case("id_negative_values", [(30, -2.00), (90, -3.50)])
+    case("id_same_value", [(40, 2.00), (100, 2.00)])
+    case("id_subsecond_gap", [(100.0, 1.00), (100.5, 3.00)])
+    case("id_single_sample", [(50, 9.00)])
+    for c in C:
+        r = idelta([(t, v) for t, v in c["samples"]])
+        c["expected_idelta_cents"] = None if r is None else r[0]
+        c["expected_gap_us"] = None if r is None else r[1]
+    return C
+
+
 def delta_cases():
     C = []
 
@@ -639,6 +707,8 @@ if __name__ == "__main__":
         "holt_winters": hw_cases(),
         "irate": irate_cases(),
         "resets": resets_cases(),
+        "changes": changes_cases(),
+        "idelta": idelta_cases(),
         "delta": delta_cases(),
         "deriv": deriv_cases(),
         "predict_linear": predict_linear_cases(),
