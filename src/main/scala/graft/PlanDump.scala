@@ -68,7 +68,12 @@ object PlanDump {
       "q_autocorr" -> "lag window + Pearson aggregation share one series exchange",
       "q_dataset_card" -> "count-distincts ride one multi-distinct Expand pass, single corpus scan",
       "q_ngram_novelty" -> "first-occurrence attribution: sh-keyed distinct/agg/join, no self-join, |sources|-bounded tail",
-      "q_bench_leakage" -> "reverse contamination: constant-size benchmark broadcast, |bench|-bounded aggregate tail")
+      "q_bench_leakage" -> "reverse contamination: constant-size benchmark broadcast, |bench|-bounded aggregate tail",
+      "q_vocab_growth" -> "Heaps curve: constant prefix bound in PushedFilters, 3-row prefix frame broadcast",
+      "q_bigram_lp" -> "bigram LM: in-row Generate (no positional self-join), keyed tf join, map-side partials",
+      "q_jaccard_curve" -> "threshold curve: columnar 16-component signatures (no Generate), keyed pair joins, 1-row out",
+      "q_embed_norm_hist" -> "norm histogram: one projection over the quantized frame, partial+final digit aggregate",
+      "q_limitk" -> "limitk/limit_ratio: |series|-bounded rank window + codegen'd hash flag over the instant vector")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")
@@ -82,7 +87,8 @@ object PlanDump {
       "q_dedup_ngram" -> (graft.operators.Dedup.ngramPairsPlan _),
       "q_unigram_lp" -> (graft.operators.TextAnalysis.unigramLpPlan _),
       "q_embed_cosine_topk" -> (graft.operators.Similarity.qEmbedCosineTopkPlan _),
-      "q_ann_lsh" -> (graft.operators.Similarity.qAnnLshPlan _))
+      "q_ann_lsh" -> (graft.operators.Similarity.qAnnLshPlan _),
+      "q_minhash_lsh" -> (graft.operators.Dedup.bandPairsPlan _))
     audited.foreach { case (name, why) =>
       val df = planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       sb.append(s"## $name — $why\n\n```\n")

@@ -456,4 +456,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(opt.contains("windowspecdefinition(cell"),
       s"per-cell membership cap missing:\n${opt.take(1500)}")
   }
+
+  test("q_vocab_growth: largest prefix pushed to the scan, 3-row side broadcast") {
+    val plan = executed(operators.TextAnalysis.qVocabGrowth(spark, dir))
+    // the constant-prefix bound is the whole scale story: the scan must
+    // read only doc_id < 450 however large the corpus is
+    assert(plan.contains("PushedFilters:") && plan.contains("doc_id"),
+      "prefix bound must reach the parquet scan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the 3-row prefix frame must broadcast (never shuffle the tokens)")
+  }
+
+  test("q_bigram_lp: in-row bigrams, keyed LM join, map-side partials") {
+    val plan = executed(operators.TextAnalysis.qBigramLp(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    // bigrams come from ONE Generate per pass (the in-row array
+    // transform) — a positional self-join would add a corpus-scale
+    // equality join on (doc_id, pos) and a second shuffle
+    assert(plan.contains("Generate explode(transform("),
+      "bigrams must be built in-row, not via positional self-join")
+    // the LM frequency aggregate combines map-side before its exchange
+    // (same double-derive-over-materialize tradeoff as q_unigram_lp:
+    // the token-scale base is cheaper to recompute than to shuffle
+    // or pin, and the hash join keeps stop-bigram skew AQE-handled)
+    assert(plan.contains("partial_count"),
+      "LM tf aggregation must keep partial aggregation")
+  }
+
+  test("q_jaccard_curve: signatures stay columnar — no Generate, keyed joins only") {
+    val plan = executed(operators.Dedup.qJaccardCurve(spark, dir))
+    // consumes materialized sig + pair frames: the curve itself must not
+    // re-explode anything or pair anything un-keyed
+    assert(!plan.contains("Generate"),
+      "signature components must stay 16 columns, never explode to rows")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_embed_norm_hist: map-side partial aggregation on the digit key") {
+    val plan = executed(operators.Similarity.qEmbedNormHist(spark, dir))
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final aggregation, found $n")
+  }
 }
