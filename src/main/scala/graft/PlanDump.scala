@@ -73,7 +73,8 @@ object PlanDump {
       "q_bigram_lp" -> "bigram LM: in-row Generate (no positional self-join), keyed tf join, map-side partials",
       "q_jaccard_curve" -> "threshold curve: columnar 16-component signatures (no Generate), keyed pair joins, 1-row out",
       "q_embed_norm_hist" -> "norm histogram: one projection over the quantized frame, partial+final digit aggregate",
-      "q_limitk" -> "limitk/limit_ratio: |series|-bounded rank window + codegen'd hash flag over the instant vector")
+      "q_limitk" -> "limitk/limit_ratio: |series|-bounded rank window + codegen'd hash flag over the instant vector",
+      "q_ivf_probe_curve" -> "nprobe dial: constant |Q|·K probe ranking, cell-keyed candidates off the shared assignment, tier explode above the join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")
@@ -88,7 +89,8 @@ object PlanDump {
       "q_unigram_lp" -> (graft.operators.TextAnalysis.unigramLpPlan _),
       "q_embed_cosine_topk" -> (graft.operators.Similarity.qEmbedCosineTopkPlan _),
       "q_ann_lsh" -> (graft.operators.Similarity.qAnnLshPlan _),
-      "q_minhash_lsh" -> (graft.operators.Dedup.bandPairsPlan _))
+      "q_minhash_lsh" -> (graft.operators.Dedup.bandPairsPlan _),
+      "q_ann_ivf" -> (graft.operators.Similarity.qAnnIvfPlan _))
     audited.foreach { case (name, why) =>
       val df = planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       sb.append(s"## $name — $why\n\n```\n")

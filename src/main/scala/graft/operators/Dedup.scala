@@ -1076,4 +1076,93 @@ object Dedup {
        |       CAST(base.fp IS NOT NULL AS INT) AS is_dup
        |FROM nw LEFT JOIN base ON nw.fp = base.fp""".stripMargin
   }
+
+  /** q_pipeline_funnel — the END-TO-END LOSS-ACCOUNTING table: one row
+    * counting documents surviving each cumulative pipeline stage
+    * (raw → quality filter → exact dedup → near-dup dedup →
+    * decontamination) plus the token yield of the final survivor set.
+    * This is the report every training-data pipeline publishes with a
+    * snapshot — "we crawled N, we train on M tokens, here is where the
+    * rest went" — and the first thing an operator reads when yield
+    * drops. Stage conventions (documented, mirrored in the oracle):
+    * exact-dedup canonicals are corpus-wide (content decides, not
+    * quality order); near-dup keeps each cluster's longest member
+    * (q_cluster_canonical's rule); decontamination drops both flagged
+    * docs AND the held-out set itself (doc_id < benchDocs — the
+    * benchmark never trains). Shape: every input is either a
+    * materialized shared frame (near-dup clusters) or a single-pass
+    * flag projection, all joins key on the 8-byte doc_id, and the
+    * whole funnel collapses to ONE row in one aggregation pass — the
+    * marginal cost over the stages themselves is corpus-linear flag
+    * plumbing.
+    */
+  def qPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val flags = TextAnalysis.qFilter(spark, dir)
+      .select(col("doc_id").as("f_doc"),
+        (col("lang_ok") && col("len_ok") && col("quality_ok")).as("q_ok"),
+        col("canonical").as("exact_keep"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ndKeep = clusters(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "n_chars"),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id").as("nd_doc"), (col("rk") === 1).as("nd_keep"))
+    val contam = qDecontaminate(spark, dir)
+      .select(col("doc_id").as("ct_doc"), col("flagged"))
+    docs
+      .join(flags, col("doc_id") === col("f_doc"))
+      .join(ndKeep, col("doc_id") === col("nd_doc"), "left_outer")
+      .join(contam, col("doc_id") === col("ct_doc"), "left_outer")
+      .withColumn("s3", col("q_ok") && col("exact_keep"))
+      .withColumn("s4", col("s3") && coalesce(col("nd_keep"), lit(true)))
+      .withColumn("s5", col("s4") && col("doc_id") >= benchDocs &&
+        !coalesce(col("flagged"), lit(false)))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("q_ok").cast("long")).as("n_quality"),
+        sum(col("s3").cast("long")).as("n_exact"),
+        sum(col("s4").cast("long")).as("n_neardup"),
+        sum(col("s5").cast("long")).as("n_clean"),
+        sum(when(col("s5"), col("toks")).otherwise(0L)).as("tokens_out"))
+  }
+
+  val pipelineFunnelSql: String =
+    s"""WITH fl AS (SELECT doc_id,
+       |             lang_ok AND len_ok AND quality_ok AS q_ok,
+       |             canonical AS exact_keep
+       |            FROM (${TextAnalysis.filterSql})),
+       |cls AS (SELECT doc_id, cluster_id FROM ($dedupClustersSql)),
+       |nd AS (SELECT cls.doc_id,
+       |         row_number() OVER (PARTITION BY cls.cluster_id
+       |           ORDER BY d.n_chars DESC, cls.doc_id) = 1 AS nd_keep
+       |       FROM cls JOIN documents d ON cls.doc_id = d.doc_id),
+       |ct AS (SELECT doc_id, flagged FROM ($decontaminateSql)),
+       |st AS (SELECT d.doc_id,
+       |         len(string_split(d.text, ' ')) AS toks,
+       |         fl.q_ok,
+       |         fl.q_ok AND fl.exact_keep AS s3,
+       |         fl.q_ok AND fl.exact_keep
+       |           AND coalesce(nd.nd_keep, TRUE) AS s4,
+       |         fl.q_ok AND fl.exact_keep
+       |           AND coalesce(nd.nd_keep, TRUE)
+       |           AND d.doc_id >= $benchDocs
+       |           AND NOT coalesce(ct.flagged, FALSE) AS s5
+       |       FROM documents d
+       |       JOIN fl ON d.doc_id = fl.doc_id
+       |       LEFT JOIN nd ON d.doc_id = nd.doc_id
+       |       LEFT JOIN ct ON d.doc_id = ct.doc_id)
+       |SELECT COUNT(*) AS n_total,
+       |       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_quality,
+       |       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_neardup,
+       |       CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |       CAST(SUM(CASE WHEN s5 THEN toks ELSE 0 END) AS BIGINT)
+       |         AS tokens_out
+       |FROM st""".stripMargin
 }

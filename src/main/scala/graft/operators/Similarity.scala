@@ -375,20 +375,44 @@ object Similarity {
     * nearest cells instead of 1 (P=1 here, documented). Production
     * additionally sizes K ~ √n (the classic IVF tradeoff); the cap is
     * the backstop for the hot cell that k-means re-tuning hasn't
-    * caught yet.
+    * caught yet. The nprobe dial itself is measured by
+    * [[qIvfProbeCurve]].
     */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, ivfAssigned(spark, dir))
+
+  /** The full un-materialized plan (assignment inline) — what
+    * [[graft.PlanDump]] and the plan audits make claims about. */
+  private[graft] def qAnnIvfPlan(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, ivfAssignedPlan(spark, dir))
+
+  /** The UNCAPPED corpus cell assignment (vec_id, cell, q, nrm) —
+    * the n·K broadcast-nested-loop argmax pass, materialized once per
+    * (session, dir) and SHARED by [[qAnnIvf]], [[qIvfCells]] and
+    * [[qIvfProbeCurve]] (each previously re-ran the full assignment;
+    * one narrow row per corpus vector). The hot-cell cap is applied by
+    * the SEARCH consumers, not here: the cells diagnostic must see the
+    * uncapped population it reports on. */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "ivf_assigned")(ivfAssignedPlan(spark, dir))
+
+  private[graft] def ivfAssignedPlan(spark: SparkSession, dir: String): DataFrame = {
     val v = quantized(spark, dir)
     val cents = v.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cell"))
-    val assigned = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .withColumn("ccos",
         cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
       .withColumn("crn", row_number().over(assignW))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"), col("q"), col("nrm"))
+  }
+
+  /** Hot-cell cap + in-cell exact top-3 over an assignment frame. */
+  private def ivfSearch(spark: SparkSession, assignedRaw: DataFrame): DataFrame = {
+    val assigned = assignedRaw
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
       .filter(col("csz") <= maxBucket).drop("csz")
     val a = assigned.select(col("vec_id"), col("cell"),
@@ -442,21 +466,13 @@ object Similarity {
     * runs before trusting q_ann_ivf's latency. Same assignment pass as
     * the index itself, then one tiny groupBy on the cell id.
     */
-  def qIvfCells(spark: SparkSession, dir: String): DataFrame = {
-    val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < ivfK(spark, dir))
-      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cell"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
+  def qIvfCells(spark: SparkSession, dir: String): DataFrame =
+    // rides the SHARED materialized assignment (uncapped by design —
+    // the balance diagnostic must see the hot cell it exists to catch)
+    ivfAssigned(spark, dir)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vectors"),
         expr("(sum(nrm) * 100) div count(1)").as("avg_nrm_x100"))
-  }
 
   val ivfCellsSql: String =
     s"""WITH $quantizedSql,
@@ -472,6 +488,113 @@ object Similarity {
        |SELECT cell, COUNT(*) AS n_vectors,
        |       CAST(SUM(nrm) AS BIGINT) * 100 // COUNT(*) AS avg_nrm_x100
        |FROM asg WHERE crn = 1 GROUP BY cell""".stripMargin
+
+  /** nprobe tiers for [[qIvfProbeCurve]] — plan-time constants. */
+  private val ProbeTiers = Seq(1, 2, 4)
+
+  /** q_ivf_probe_curve — the IVF RECALL-vs-COST dial, measured: for the
+    * fixed query set, recall@3 against exact brute-force ground truth
+    * when the search probes the 1 / 2 / 4 nearest cells. This is THE
+    * production IVF tradeoff (every deployed IVF index ships an nprobe
+    * knob; the answer to "is one probe enough?" is this table, re-run
+    * as the corpus drifts). Shape: the query side ranks the K broadcast
+    * centroids per query (|Q|·K, constant), candidates come from the
+    * SHARED materialized assignment via a cell-equality join (each
+    * corpus vector lives in exactly ONE cell, so tiers need no pair
+    * dedup — a wider probe only adds cells), the 3-tier explode
+    * multiplies the |Q|-bounded candidate frame (never the corpus),
+    * and ground truth is the materialized brute-force top-3. Output:
+    * |tiers| rows at any corpus size.
+    */
+  def qIvfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = v.filter(col("vec_id") < ivfK(spark, dir))
+      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = v.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("nrm").as("na"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(dot(col("qa"), col("qc")), col("na"), col("nc")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= ProbeTiers.max)
+      .select(col("qid"), col("qa"), col("na"), col("cell"), col("probe_rank"))
+    // search side: capped like every in-cell search (qAnnIvf's rule)
+    val b = ivfAssigned(spark, dir)
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("csz") <= maxBucket).drop("csz")
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
+        col("q").as("qb"), col("nrm").as("nb"))
+    val cand = probes.join(b, col("cell") === col("cell_b") &&
+        col("qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .select(col("qid"), col("probe_rank"), col("neighbor_id"), col("cos"))
+    val w = Window.partitionBy("qid", "nprobe")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val found = cand
+      .select(col("qid"), col("probe_rank"), col("neighbor_id"), col("cos"),
+        explode(typedLit(ProbeTiers)).as("nprobe"))
+      .filter(col("probe_rank") <= col("nprobe"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nprobe"), col("neighbor_id"))
+    val gt = qEmbedCosineTopk(spark, dir).filter(col("rn") <= 3)
+      .select(col("vec_id").as("g_qid"), col("neighbor_id").as("g_nid"))
+    val hits = found.join(gt, col("qid") === col("g_qid") &&
+        col("neighbor_id") === col("g_nid"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    found.groupBy("nprobe").agg(count(lit(1)).as("n_found"))
+      .join(hits, Seq("nprobe"), "left_outer")
+      .select(col("nprobe"), col("n_found"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm",
+        expr(s"hits * 1000000 div ${QuerySetSize * 3}"))
+  }
+
+  val ivfProbeCurveSql: String = {
+    val ccos = """CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |             i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE))"""
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
+       |          WHERE vec_id < $ivfKSql),
+       |asg AS (SELECT qn.vec_id, cents.cell, qn.q, qn.nrm,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY $ccos DESC,
+       |           cents.cell) AS crn
+       |        FROM qn, cents),
+       |cellv AS (SELECT vec_id, cell, q, nrm FROM asg WHERE crn = 1
+       |          QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $maxBucket),
+       |pr AS (SELECT qn.vec_id AS qid, qn.q AS qa, qn.nrm AS na, cents.cell,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY $ccos DESC,
+       |           cents.cell) AS probe_rank
+       |        FROM qn, cents WHERE qn.vec_id < $QuerySetSize
+       |        QUALIFY probe_rank <= ${ProbeTiers.max}),
+       |cand AS (SELECT pr.qid, pr.probe_rank, b.vec_id AS neighbor_id,
+       |          CAST(list_sum(list_transform(generate_series(1, len(pr.qa)),
+       |            i -> pr.qa[i] * b.q[i])) AS DOUBLE)
+       |            / sqrt(CAST(pr.na * b.nrm AS DOUBLE)) AS cos
+       |         FROM pr JOIN cellv b
+       |           ON pr.cell = b.cell AND pr.qid <> b.vec_id),
+       |t AS (SELECT cand.*, tiers.np FROM cand,
+       |        (SELECT unnest(${ProbeTiers.mkString("[", ", ", "]")}) AS np) tiers
+       |      WHERE probe_rank <= np),
+       |top3 AS (SELECT qid, np, neighbor_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY qid, np
+       |             ORDER BY cos DESC, neighbor_id) AS rn FROM t)
+       |         WHERE rn <= 3),
+       |gt AS (SELECT vec_id AS g_qid, neighbor_id AS g_nid
+       |       FROM ($embedCosineTopkSql) WHERE rn <= 3),
+       |h AS (SELECT np, COUNT(*) AS hits FROM top3 JOIN gt
+       |        ON qid = g_qid AND neighbor_id = g_nid GROUP BY np),
+       |n AS (SELECT np, COUNT(*) AS n_found FROM top3 GROUP BY np)
+       |SELECT CAST(n.np AS INT) AS nprobe, n.n_found,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) * 1000000
+       |         // ${QuerySetSize * 3} AS recall_ppm
+       |FROM n LEFT JOIN h ON n.np = h.np""".stripMargin
+  }
 
   /** q_kmeans_step — one Lloyd iteration of IVF centroid refinement:
     * assign every vector to its nearest centroid (the q_ann_ivf

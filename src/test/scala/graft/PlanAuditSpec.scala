@@ -77,7 +77,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_ann_ivf: assignment is the only nested-loop, search is keyed") {
-    val plan = executed(Similarity.qAnnIvf(spark, dir))
+    // audit the raw PLAN (assignment inline) — the registered query
+    // consumes the materialized shared assignment frame
+    val plan = executed(Similarity.qAnnIvfPlan(spark, dir))
     // the K-row centroid side may plan as a broadcast nested loop (that
     // is the intended n·K assignment pass); the cell search must be a
     // hash join on cell equality, never a cartesian product
@@ -87,6 +89,20 @@ class PlanAuditSpec extends SparkSpec {
     // (pre-AQE explain can't show this; only the executed plan proves it)
     assert(plan.contains("ReusedExchange"),
       "cell self-join must reuse the assignment exchange")
+  }
+
+  test("q_ivf_probe_curve: tier explode multiplies only the query-bounded frame") {
+    val plan = Similarity.qIvfProbeCurve(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // every Generate must be the 3-tier literal explode over the
+    // |Q|-bounded candidate frame (it legitimately appears twice —
+    // `found` feeds both the hit semi-join and the found count); a
+    // corpus-side explode would multiply the big side
+    val all = "Generate explode".r.findAllIn(plan).size
+    val tier = java.util.regex.Pattern.quote("Generate explode([1,2,4]")
+      .r.findAllIn(plan).size
+    assert(all == tier && all >= 1,
+      s"found $all Generates, $tier tier explodes — corpus-side explode crept in")
   }
 
   test("asof join: one window pass, no join operator at all") {
@@ -451,7 +467,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_ann_ivf: hot-cell cap window between assignment and search") {
-    val opt = Similarity.qAnnIvf(spark, dir)
+    val opt = Similarity.qAnnIvfPlan(spark, dir)
       .queryExecution.optimizedPlan.toString
     assert(opt.contains("windowspecdefinition(cell"),
       s"per-cell membership cap missing:\n${opt.take(1500)}")

@@ -188,6 +188,44 @@ class Round7OperatorSpec extends SparkSpec {
       "some series must fall outside the k-limit")
   }
 
+  test("q_pipeline_funnel == funnel recomputed from the component queries") {
+    val flt = operators.TextAnalysis.qFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("lang_ok") && r.getAs[Boolean]("len_ok") &&
+          r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("canonical")))).toMap
+    val chars = rows("documents").map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val ndKeep = operators.Dedup.qDedupClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .groupBy(_._2).values.flatMap { members =>
+        val keep = members.map(_._1).maxBy(d => (chars(d), -d))
+        members.map { case (d, _) => d -> (d == keep) }
+      }.toMap
+    val flagged = operators.Dedup.qDecontaminate(spark, dir).collect()
+      .filter(_.getAs[Boolean]("flagged"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val toks = docTokens.view.mapValues(_.length.toLong).toMap
+    val stages = toks.keys.toSeq.sorted.map { d =>
+      val (qOk, exactKeep) = flt(d)
+      val s3 = qOk && exactKeep
+      val s4 = s3 && ndKeep.getOrElse(d, true)
+      val s5 = s4 && d >= 25 && !flagged(d)
+      (qOk, s3, s4, s5, if (s5) toks(d) else 0L)
+    }
+    val r = operators.Dedup.qPipelineFunnel(spark, dir).collect().head
+    assert(r.getAs[Long]("n_total") == toks.size.toLong)
+    assert(r.getAs[Long]("n_quality") == stages.count(_._1).toLong)
+    assert(r.getAs[Long]("n_exact") == stages.count(_._2).toLong)
+    assert(r.getAs[Long]("n_neardup") == stages.count(_._3).toLong)
+    assert(r.getAs[Long]("n_clean") == stages.count(_._4).toLong)
+    assert(r.getAs[Long]("tokens_out") == stages.map(_._5).sum)
+    // funnel must be monotone nonincreasing
+    val f = Seq(r.getAs[Long]("n_total"), r.getAs[Long]("n_quality"),
+      r.getAs[Long]("n_exact"), r.getAs[Long]("n_neardup"),
+      r.getAs[Long]("n_clean"))
+    assert(f == f.sorted.reverse, s"funnel not monotone: $f")
+  }
+
   test("q_embed_norm_hist == from-scratch digit histogram") {
     val nrms = rows("embeddings").map { r =>
       val q = r.getAs[scala.collection.Seq[Float]]("embedding")

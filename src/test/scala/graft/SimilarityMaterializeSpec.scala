@@ -66,4 +66,31 @@ class SimilarityMaterializeSpec extends SparkSpec {
     assert(rows.getLong(1) <= rows.getLong(0))
     assert(rows.getLong(2) <= rows.getLong(0))
   }
+
+  test("IVF assignment is computed once and matches a fresh recomputation") {
+    Similarity.invalidateMaterialized()
+    // nested cold build: q_ann_ivf demands ivf_assigned → quantized
+    Similarity.qAnnIvf(spark, dir).collect()
+    val cellsPlan = Similarity.qIvfCells(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // cells must consume the materialized assignment, never re-assign
+    assert(!cellsPlan.contains("parquet"),
+      s"q_ivf_cells re-reads the corpus:\n${cellsPlan.take(1200)}")
+    assert(cellsPlan.contains("LogicalRDD") || cellsPlan.contains("ExistingRDD"))
+    val viaShared = Similarity.qAnnIvf(spark, dir).collect().map(_.toSeq).toSet
+    Similarity.invalidateMaterialized()
+    val fresh = Similarity.qAnnIvfPlan(spark, dir).collect().map(_.toSeq).toSet
+    assert(viaShared == fresh)
+    Similarity.invalidateMaterialized()
+  }
+
+  test("probe curve: recall is monotone in nprobe and nprobe=1 matches in-cell search") {
+    Similarity.invalidateMaterialized()
+    val rows = Similarity.qIvfProbeCurve(spark, dir).collect()
+      .map(r => r.getAs[Int]("nprobe") -> r.getAs[Long]("recall_ppm")).toMap
+    // more probes can only add candidates — recall must be nondecreasing
+    assert(rows(1) <= rows(2) && rows(2) <= rows(4),
+      s"recall not monotone: $rows")
+    Similarity.invalidateMaterialized()
+  }
 }
