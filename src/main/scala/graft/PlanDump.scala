@@ -74,7 +74,9 @@ object PlanDump {
       "q_jaccard_curve" -> "threshold curve: columnar 16-component signatures (no Generate), keyed pair joins, 1-row out",
       "q_embed_norm_hist" -> "norm histogram: one projection over the quantized frame, partial+final digit aggregate",
       "q_limitk" -> "limitk/limit_ratio: |series|-bounded rank window + codegen'd hash flag over the instant vector",
-      "q_ivf_probe_curve" -> "nprobe dial: constant |Q|·K probe ranking, cell-keyed candidates off the shared assignment, tier explode above the join")
+      "q_ivf_probe_curve" -> "nprobe dial: constant |Q|·K probe ranking, cell-keyed candidates off the shared assignment, tier explode above the join",
+      "q_pipeline_funnel" -> "loss accounting: materialized clusters + flag projections, doc_id-keyed joins, ONE aggregation pass to one row",
+      "q_contam_by_source" -> "contamination triage: |hits|-bounded left join, |sources| aggregate, global share via 1-row window")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

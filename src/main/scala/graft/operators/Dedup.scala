@@ -1077,6 +1077,49 @@ object Dedup {
        |FROM nw LEFT JOIN base ON nw.fp = base.fp""".stripMargin
   }
 
+  /** q_contam_by_source — contamination TRIAGE by source (the question
+    * after q_decontaminate fires is always "WHICH crawl leaked the
+    * benchmark"): per source, docs, flagged docs, flagged ppm, and the
+    * source's share of all flagged docs. One left join of the
+    * |hits|-bounded contamination frame onto the doc→source projection,
+    * then a |sources|-bounded aggregate; the corpus-wide flagged total
+    * rides a 1-row window over the aggregated frame, not a second
+    * corpus pass. Benchmark docs themselves (doc_id < benchDocs) are
+    * excluded — they are the held-out set, not a source under
+    * suspicion.
+    */
+  def qContamBySource(spark: SparkSession, dir: String): DataFrame = {
+    val contam = qDecontaminate(spark, dir)
+      .select(col("doc_id").as("ct_doc"), col("flagged"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), col("source"))
+      .join(contam, col("doc_id") === col("ct_doc"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flagged"), lit(false)).cast("long"))
+          .as("n_flagged"))
+      .withColumn("flagged_ppm", expr("n_flagged * 1000000 div n_docs"))
+      .withColumn("share_ppm", expr(
+        "n_flagged * 1000000 div greatest(sum(n_flagged) over (), 1)"))
+  }
+
+  val contamBySourceSql: String =
+    s"""WITH ct AS (SELECT doc_id, flagged FROM ($decontaminateSql)),
+       |s AS (SELECT d.source,
+       |        COUNT(*) AS n_docs,
+       |        CAST(SUM(CASE WHEN coalesce(ct.flagged, FALSE)
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       |      FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
+       |      WHERE d.doc_id >= $benchDocs
+       |      GROUP BY d.source)
+       |SELECT source, n_docs, n_flagged,
+       |       n_flagged * 1000000 // n_docs AS flagged_ppm,
+       |       n_flagged * 1000000
+       |         // greatest(CAST(SUM(n_flagged) OVER () AS BIGINT), 1)
+       |         AS share_ppm
+       |FROM s""".stripMargin
+
   /** q_pipeline_funnel — the END-TO-END LOSS-ACCOUNTING table: one row
     * counting documents surviving each cumulative pipeline stage
     * (raw → quality filter → exact dedup → near-dup dedup →
