@@ -76,6 +76,38 @@ object JsonlDocs {
         (col("doc_id").isNull || col("text").isNull)).cast("long"))
         .as("n_missing_field"))
 
+  /** Streaming variant of [[read]] — INCREMENTAL corpus ingest (new
+    * JSONL dumps land in a directory; each is processed exactly once,
+    * offsets checkpointed by Structured Streaming's file source). Same
+    * declared schema, same coalesce(false) validity gate, applied
+    * per micro-batch. */
+  def stream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(dir)
+      .filter(valid)
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lang"), lit("unk")).as("lang"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Dedup-on-ingest over [[stream]]: drops any document whose CONTENT
+    * was already ingested in this stream's lifetime — dropDuplicates on
+    * the 60-bit content hash, so the state store holds 8 bytes per
+    * distinct document ever seen, never text. That state is unbounded
+    * by design (content dedup has no event-time horizon); at 100 TB
+    * the production split is this stream-local dedup for the in-flight
+    * window PLUS the batch incremental path against the settled corpus
+    * (q_cross_dedup's base-collapses-to-fingerprints shape) run per
+    * dump — the same two-tier design every large ingest uses. */
+  def dedupedStream(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", graft.functions.Portable.hash60(col("text")))
+      .dropDuplicates("fp")
+
   /** Reference-parity fail-fast read (etl_job.py:164's contract): any
     * invalid line aborts BEFORE any downstream consumption. */
   def readStrict(spark: SparkSession, path: String): DataFrame = {

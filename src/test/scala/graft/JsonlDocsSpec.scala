@@ -56,6 +56,34 @@ class JsonlDocsSpec extends SparkSpec {
     assert(JsonlDocs.readStrict(spark, clean).count() == 3L)
   }
 
+  test("stream: incremental ingest with cross-micro-batch content dedup") {
+    val inDir = tmpDir("jsonl_stream_in")
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(inDir, name),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    drop("a.jsonl", Seq(
+      """{"doc_id": 1, "text": "first doc"}""",
+      """{"doc_id": 2, "text": "second doc"}"""))
+    val q = JsonlDocs.dedupedStream(JsonlDocs.stream(spark, inDir))
+      .writeStream.format("memory").queryName("jsonl_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream_test").count() == 2L)
+      // a later dump re-ships doc 1's CONTENT under a new id, adds one
+      // genuinely new doc, and carries a corrupt line
+      drop("b.jsonl", Seq(
+        """{"doc_id": 7, "text": "first doc"}""",
+        """{"doc_id": 3, "text": "third doc"}""",
+        """{"doc_id": 8, "text": "broken"""))
+      q.processAllAvailable()
+      val ids = spark.table("jsonl_stream_test").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 3L),
+        s"re-shipped content must dedup across micro-batches: $ids")
+    } finally q.stop()
+  }
+
   test("round-trip: JSONL-read docs drive a real operator unchanged") {
     // the reader's output must be a drop-in documents frame: hash the
     // same texts through q_dedup_exact's grouping shape
