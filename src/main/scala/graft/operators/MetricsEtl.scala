@@ -924,6 +924,53 @@ object MetricsEtl {
       |       COUNT(*) AS n_samples
       |FROM p GROUP BY 1, 2, 3""".stripMargin
 
+  /** q_ts_of_extrema — PromQL's experimental `ts_of_max_over_time` /
+    * `ts_of_min_over_time` / `ts_of_last_over_time` (Prometheus 3.x
+    * promql/functions.go funcTsOfMaxOverTime: iterate in time order,
+    * `v >= max` keeps the LATEST maximal sample — value ties resolve to
+    * the latest timestamp, symmetrically for min): WHEN the extreme
+    * happened rather than what it was — the alerting/debugging
+    * companion to min/max_over_time (align a spike's timestamp across
+    * series; "did all shards spike together?"). Shape: one window pass
+    * marks each sample against its window max/min (exact integer
+    * cents), then the aggregate takes the latest qualifying timestamp —
+    * the groupBy lands on the window's own (name, user_id, w_start)
+    * hash partitioning, so the corpus shuffles ONCE; all-integer µs
+    * output, |series×windows|-bounded.
+    */
+  def qTsOfExtrema(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"),
+      expr("unix_micros(ts) div 3600000000 * 3600").as("w_start"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("mxc", max("cents").over(w))
+      .withColumn("mnc", min("cents").over(w))
+      .groupBy("name", "user_id", "w_start")
+      .agg(
+        max(when(col("cents") === col("mxc"), col("ts_us"))).as("ts_of_max_us"),
+        max(when(col("cents") === col("mnc"), col("ts_us"))).as("ts_of_min_us"),
+        max("ts_us").as("ts_of_last_us"))
+  }
+
+  val tsOfExtremaSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS name, user_id,
+      |         epoch_us(ts) // 3600000000 * 3600 AS w_start,
+      |         epoch_us(ts) AS ts_us,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (SELECT *,
+      |        MAX(cents) OVER (PARTITION BY name, user_id, w_start) AS mxc,
+      |        MIN(cents) OVER (PARTITION BY name, user_id, w_start) AS mnc
+      |      FROM p)
+      |SELECT name, user_id, w_start,
+      |       CAST(MAX(CASE WHEN cents = mxc THEN ts_us END) AS BIGINT) AS ts_of_max_us,
+      |       CAST(MAX(CASE WHEN cents = mnc THEN ts_us END) AS BIGINT) AS ts_of_min_us,
+      |       CAST(MAX(ts_us) AS BIGINT) AS ts_of_last_us
+      |FROM g GROUP BY 1, 2, 3""".stripMargin
+
   /** q_agg_by_label — PromQL aggregation operator `sum/avg/count by (k)`:
     * collapse the series dimension onto one label. One map-side-combinable
     * shuffle on (name, k) — the label cardinality, not the series count,

@@ -386,13 +386,15 @@ object Similarity {
   private[graft] def qAnnIvfPlan(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, ivfAssignedPlan(spark, dir))
 
-  /** The UNCAPPED corpus cell assignment (vec_id, cell, q, nrm) —
-    * the n·K broadcast-nested-loop argmax pass, materialized once per
-    * (session, dir) and SHARED by [[qAnnIvf]], [[qIvfCells]] and
-    * [[qIvfProbeCurve]] (each previously re-ran the full assignment;
-    * one narrow row per corpus vector). The hot-cell cap is applied by
-    * the SEARCH consumers, not here: the cells diagnostic must see the
-    * uncapped population it reports on. */
+  /** The UNCAPPED corpus cell assignment (vec_id, cell, q, nrm, ccos —
+    * the cosine to the OWN winning centroid, already computed by the
+    * argmax and kept for [[qSemdedup]]'s keep rule) — the n·K
+    * broadcast-nested-loop argmax pass, materialized once per
+    * (session, dir) and SHARED by [[qAnnIvf]], [[qIvfCells]],
+    * [[qIvfProbeCurve]] and [[qSemdedup]] (each previously re-ran the
+    * full assignment; one narrow row per corpus vector). The hot-cell
+    * cap is applied by the SEARCH consumers, not here: the cells
+    * diagnostic must see the uncapped population it reports on. */
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
     materializeOnce(spark, dir, "ivf_assigned")(ivfAssignedPlan(spark, dir))
 
@@ -407,7 +409,7 @@ object Similarity {
         cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
       .withColumn("crn", row_number().over(assignW))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"), col("q"), col("nrm"))
+      .select(col("vec_id"), col("cell"), col("q"), col("nrm"), col("ccos"))
   }
 
   /** Hot-cell cap + in-cell exact top-3 over an assignment frame. */
@@ -767,6 +769,91 @@ object Similarity {
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |       node = cluster_id AS keep
        |FROM cl""".stripMargin
+  }
+
+  /** SemDeDup within-cell cosine threshold. The paper sweeps 1−ε; the
+    * fixture embeddings are near-orthogonal, so the operative value
+    * matches the embedding near-dup stage's 0.4 — the knob, not the
+    * mechanism, is what a deployment re-tunes. */
+  private val SemThreshold = 0.4
+
+  /** q_semdedup — SEMANTIC deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv 2303.09540): prune semantically-redundant examples INSIDE
+    * k-means cells rather than across the whole corpus — the trick that
+    * makes embedding dedup tractable at web scale (within-cell pairing
+    * is (n/K)·maxCell work, never n²). This is the third dedup decision
+    * tier next to exact (q_dedup_exact) and lexical near-dup
+    * (q_dedup_clusters): it fires on paraphrases and re-renderings that
+    * share no shingles.
+    *
+    * Shape: rides the SHARED materialized IVF assignment (which carries
+    * each vector's cosine to its own centroid from the argmax pass —
+    * zero extra corpus work), applies the standard hot-cell cap, pairs
+    * within cells by equality join, thresholds at [[SemThreshold]], and
+    * applies the paper's keep rule GREEDILY: among τ-neighbors the
+    * vector FARTHEST from its centroid survives (low centroid-cosine =
+    * most atypical = most informative to keep; ties break on vec_id).
+    * A vector is dropped iff some within-cell τ-neighbor precedes it in
+    * (ccos asc, vec_id asc) order — one bounded aggregate over the pair
+    * list plus an 8-byte-key left join back to the corpus frame; the
+    * chain case (a≈b, b≈c, a̸≈c) keeps exactly the group minimum, same
+    * as a component-level keep-one. Output: per vector its cell,
+    * centroid affinity, τ-neighbor count, and the keep verdict.
+    */
+  def qSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val capped = ivfAssigned(spark, dir)
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("csz") <= maxBucket).drop("csz")
+    val a = capped.select(col("vec_id"), col("cell"),
+      col("q").as("qa"), col("nrm").as("na"), col("ccos").as("ca"))
+    val b = capped.select(col("vec_id").as("nid"), col("cell").as("cell_b"),
+      col("q").as("qb"), col("nrm").as("nb"), col("ccos").as("cb"))
+    val dups = a.join(b, col("cell") === col("cell_b") &&
+        col("vec_id") =!= col("nid"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= SemThreshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(col("cb") < col("ca") ||
+            (col("cb") === col("ca") && col("nid") < col("vec_id")),
+          1).otherwise(0)).as("drp"))
+    capped.select(col("vec_id"), col("cell"),
+        round(col("ccos"), 6).as("centroid_cos"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("centroid_cos"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("drp"), lit(0)) === 0).as("keep"))
+  }
+
+  val semdedupSql: String = {
+    val ccos = """CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |             i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE))"""
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
+       |          WHERE vec_id < $ivfKSql),
+       |asg AS (SELECT qn.vec_id, cents.cell, qn.q, qn.nrm,
+       |         $ccos AS ccos,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY $ccos DESC,
+       |           cents.cell) AS crn
+       |        FROM qn, cents),
+       |cellv AS (SELECT vec_id, cell, q, nrm, ccos FROM asg WHERE crn = 1
+       |          QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $maxBucket),
+       |d AS (SELECT a.vec_id, COUNT(*) AS n_dups,
+       |        MAX(CASE WHEN b.ccos < a.ccos
+       |                  OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)
+       |            THEN 1 ELSE 0 END) AS drp
+       |      FROM cellv a JOIN cellv b
+       |        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |      WHERE CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= $SemThreshold
+       |      GROUP BY 1)
+       |SELECT c.vec_id, c.cell, round(c.ccos, 6) AS centroid_cos,
+       |       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+       |       coalesce(d.drp, 0) = 0 AS keep
+       |FROM cellv c LEFT JOIN d ON c.vec_id = d.vec_id""".stripMargin
   }
 
   /** Quantized embeddings WITH the class label (the supervised twin of

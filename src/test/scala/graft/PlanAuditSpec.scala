@@ -473,6 +473,24 @@ class PlanAuditSpec extends SparkSpec {
       s"per-cell membership cap missing:\n${opt.take(1500)}")
   }
 
+  test("q_ts_of_extrema: extrema window and aggregate share ONE shuffle") {
+    val plan = executed(MetricsEtl.qTsOfExtrema(spark, dir))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 1, s"expected 1 series exchange, found $n:\n${plan.take(2000)}")
+  }
+
+  test("q_semdedup: capped keyed pair join, no cartesian") {
+    val plan = executed(Similarity.qSemdedup(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      "within-cell pairing must stay an equality join")
+    val opt = Similarity.qSemdedup(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("windowspecdefinition(cell"),
+      s"hot-cell membership cap missing:\n${opt.take(1500)}")
+  }
+
   test("q_vocab_growth: largest prefix pushed to the scan, 3-row side broadcast") {
     val plan = executed(operators.TextAnalysis.qVocabGrowth(spark, dir))
     // the constant-prefix bound is the whole scale story: the scan must

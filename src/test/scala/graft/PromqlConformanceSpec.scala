@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** PromQL golden-vector conformance (VERDICT_r04 item 7).
   *
   * The oracle gate proves Spark↔DuckDB agreement; this suite proves
-  * PROMETHEUS agreement: 125 edge-case fixtures (20 families) whose expected outputs
+  * PROMETHEUS agreement: 133 edge-case fixtures (21 families) whose expected outputs
   * come from `tools/promql_ref.py` — an independent Python transcription
   * of Prometheus's PUBLIC algorithms (promql/functions.go
   * extrapolatedRate with the counter-reset / zero-cap /
@@ -506,6 +506,28 @@ class PromqlConformanceSpec extends SparkSpec {
         s"$name sum $sm")
       assert(avg == c.getAs[Long]("expected_avg_x10000"), s"$name avg $avg")
       assert(n == c.getAs[Long]("expected_count"), s"$name n $n")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("ts_of: latest-tie extrema timestamps match funcTsOf*OverTime") {
+    val cases = fixtures("ts_of")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = MetricsEtl.qTsOfExtrema(spark, eventsDir(rows))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Long]("ts_of_max_us"), r.getAs[Long]("ts_of_min_us"),
+          r.getAs[Long]("ts_of_last_us")))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = (c.getAs[Long]("expected_ts_of_max_us"),
+        c.getAs[Long]("expected_ts_of_min_us"),
+        c.getAs[Long]("expected_ts_of_last_us"))
+      assert(got(name) == want, s"$name: ${got(name)} != $want")
     }
     assert(got.size == cases.size)
   }

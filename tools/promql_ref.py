@@ -673,6 +673,38 @@ def over_time_cases():
     return C
 
 
+# ---- qTsOfExtrema twin: Prometheus 3.x funcTsOfMaxOverTime /
+# funcTsOfMinOverTime / funcTsOfLastOverTime (promql/functions.go):
+# iterate samples in time order keeping `v >= max` (resp. `v <= min`),
+# so a VALUE TIE resolves to the LATEST timestamp; last is the final
+# sample's timestamp. The operator compares exact cents — fixture
+# values stay 2-decimal so both paths see identical comparisons. ----
+def ts_of_cases():
+    C = []
+
+    def case(name, pts):
+        C.append({"name": name, "samples": [[W + o, v] for o, v in pts]})
+
+    case("tso_monotone", [(60, 1.00), (120, 2.00), (180, 3.00)])
+    case("tso_single", [(90, 4.25)])
+    case("tso_max_tie_latest", [(60, 5.00), (120, 3.00), (180, 5.00),
+                                (240, 1.00)])
+    case("tso_min_tie_latest", [(60, -2.00), (120, 4.00), (180, -2.00),
+                                (240, 0.00)])
+    case("tso_all_equal", [(60, 7.00), (120, 7.00), (180, 7.00)])
+    case("tso_spike_then_fall", [(60, 1.00), (120, 9.50), (180, 0.50)])
+    case("tso_all_negative", [(60, -5.00), (120, -1.25), (180, -9.00)])
+    case("tso_extremes_at_ends", [(60, 9.00), (120, 5.00), (180, 0.25)])
+    for c in C:
+        s = c["samples"]
+        mx = max(v for _, v in s)
+        mn = min(v for _, v in s)
+        c["expected_ts_of_max_us"] = int(max(t for t, v in s if v == mx) * 1e6)
+        c["expected_ts_of_min_us"] = int(max(t for t, v in s if v == mn) * 1e6)
+        c["expected_ts_of_last_us"] = int(max(t for t, _ in s) * 1e6)
+    return C
+
+
 def count_values_cases():
     """count_values("v", m): occurrences per distinct sample value."""
     shapes = [
@@ -721,6 +753,7 @@ if __name__ == "__main__":
         "stddev_agg": stddev_agg_cases(),
         "count_values": count_values_cases(),
         "over_time": over_time_cases(),
+        "ts_of": ts_of_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
