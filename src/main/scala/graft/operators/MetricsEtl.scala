@@ -1454,6 +1454,84 @@ object MetricsEtl {
       |         // (2 * CAST(SUM(cnt) AS BIGINT)) AS avg_x100
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** q_histogram_stddev — the SPREAD companion to [[qHistogramAvg]]
+    * (Prometheus ships `histogram_stddev`/`histogram_stdvar` for native
+    * histograms; this is the same estimator on classic le-buckets):
+    * every observation in a bucket is assumed at the bucket MIDPOINT,
+    * variance is computed across those midpoints. Re-expressed exactly
+    * like the avg estimator — midpoint×2 = lower+le keeps everything
+    * integral (+Inf collapses to its lower bound), so n, Σm and Σm² are
+    * exact integers in both engines and the population variance uses
+    * the closed form (n·Σm²−(Σm)²)/n². `stdvar_x100` is an exact
+    * truncating-division integer; `stddev_x1000` follows q_math_funcs'
+    * libm rule — single exactly-rounded division + IEEE sqrt on
+    * identical integer operands, ×1000 rounding. Same plan shape as
+    * the avg: one (name,window,le) shuffle, a bucket-count-bounded
+    * window for the lower bounds, one (name,window)-bounded aggregate.
+    */
+  def qHistogramStddev(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 3600L
+    val le = when(col("value") <= 1, 1L).when(col("value") <= 2, 2L)
+      .when(col("value") <= 5, 5L).when(col("value") <= 10, 10L)
+      .otherwise(-1L)
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize)
+          .as("w_start"),
+        le.as("le"))
+      .groupBy("name", "w_start", "le").agg(count(lit(1)).as("cnt"))
+      .withColumn("lower",
+        coalesce(lag("le", 1).over(
+          Window.partitionBy("name", "w_start")
+            .orderBy(when(col("le") === -1L, Long.MaxValue)
+              .otherwise(col("le")))), lit(0L)))
+      .withColumn("mid2", when(col("le") === -1L, col("lower") * 2L)
+        .otherwise(col("lower") + col("le")))
+      .groupBy("name", "w_start")
+      .agg(sum(col("mid2") * col("cnt")).as("s1"),
+        sum(col("mid2") * col("mid2") * col("cnt")).as("s2"),
+        sum("cnt").as("n_obs"))
+    val num = col("n_obs") * col("s2") - col("s1") * col("s1")
+    val den = lit(4L) * col("n_obs") * col("n_obs")
+    agg.select(col("name"), col("w_start"), col("n_obs"),
+      expr("((n_obs * s2 - s1 * s1) * 100) div (4 * n_obs * n_obs)")
+        .as("stdvar_x100"),
+      round(sqrt(num.cast("double") / den.cast("double")) * 1000d)
+        .cast("long").as("stddev_x1000"))
+  }
+
+  val histogramStddevSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name,
+      |         CAST(floor(epoch_us(ts)/1000000/3600)*3600 AS BIGINT) AS w_start,
+      |         CASE WHEN value <= 1 THEN 1 WHEN value <= 2 THEN 2
+      |              WHEN value <= 5 THEN 5 WHEN value <= 10 THEN 10
+      |              ELSE -1 END AS le
+      |  FROM events),
+      |c AS (SELECT name, w_start, le, COUNT(*) AS cnt
+      |      FROM b GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT *, coalesce(lag(le) OVER (PARTITION BY name, w_start
+      |    ORDER BY CASE WHEN le = -1 THEN 9223372036854775807
+      |                  ELSE le END), 0) AS lower
+      |  FROM c),
+      |x AS (SELECT name, w_start,
+      |             CASE WHEN le = -1 THEN lower * 2 ELSE lower + le END
+      |               AS mid2, cnt
+      |      FROM m),
+      |s AS (SELECT name, w_start,
+      |             CAST(SUM(mid2 * cnt) AS BIGINT) AS s1,
+      |             CAST(SUM(mid2 * mid2 * cnt) AS BIGINT) AS s2,
+      |             CAST(SUM(cnt) AS BIGINT) AS n_obs
+      |      FROM x GROUP BY 1, 2)
+      |SELECT name, w_start, n_obs,
+      |       ((n_obs * s2 - s1 * s1) * 100) // (4 * n_obs * n_obs)
+      |         AS stdvar_x100,
+      |       CAST(round(sqrt(CAST(n_obs * s2 - s1 * s1 AS DOUBLE)
+      |           / CAST(4 * n_obs * n_obs AS DOUBLE)) * 1000) AS BIGINT)
+      |         AS stddev_x1000
+      |FROM s""".stripMargin
+
   /** q_deriv — PromQL `deriv()`: per-series per-1h-window least-squares
     * slope. NOT regr_slope: its incremental float accumulation is
     * summation-order-dependent and breaks cross-engine hashing. Instead

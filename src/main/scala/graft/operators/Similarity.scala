@@ -1409,4 +1409,143 @@ object Similarity {
        |         AS recall_bands_ppm
        |FROM n LEFT JOIN hl ON n.vec_id = hl.vec_id
        |       LEFT JOIN hb ON n.vec_id = hb.vec_id""".stripMargin
+
+  /** q_sq8_error — SCALAR 8-bit quantization (the SQ8 index format:
+    * per-DIMENSION min/max from the corpus, each component mapped to a
+    * 0..255 code) + reconstruction-error accounting. The memory story
+    * between float32 and PQ: d bytes/vector with no codebook training,
+    * and the error table below is the acceptance check run before an
+    * index ships. ALL-INTEGER: on the milli-quantized corpus, code =
+    * ((x−mn)·255) div (mx−mn) and the reconstruction residual is kept
+    * in ×255·(mx−mn) fixed point — `abs((x−mn)·255 − code·(mx−mn))` —
+    * so every output is an exact integer in both engines. Scale shape:
+    * one corpus posexplode (n·d narrow rows), the per-dim min/max
+    * frame is d-ROWS (broadcast back), zero corpus self-joins, n-row
+    * output.
+    */
+  def qSq8Error(spark: SparkSession, dir: String): DataFrame = {
+    val x = quantized(spark, dir)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
+    val dims = x.groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+    x.join(broadcast(dims), "d")
+      .withColumn("code", when(col("mx") > col("mn"),
+        expr("((x - mn) * 255) div (mx - mn)")).otherwise(0L))
+      .withColumn("err", abs((col("x") - col("mn")) * 255L
+        - col("code") * (col("mx") - col("mn"))))
+      .groupBy("vec_id")
+      .agg(sum("err").as("abs_err_x255"),
+        max("err").as("max_err_x255"),
+        sum("code").as("code_sum"))
+  }
+
+  val sq8ErrorSql: String =
+    s"""WITH $quantizedSql,
+       |e AS (SELECT vec_id, unnest(generate_series(1, len(q))) AS i, q
+       |      FROM qn),
+       |x AS (SELECT vec_id, i AS d, q[i] AS x FROM e),
+       |dm AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY d),
+       |c AS (SELECT vec_id, x.x, dm.mn, dm.mx,
+       |             CASE WHEN dm.mx > dm.mn
+       |                  THEN ((x.x - dm.mn) * 255) // (dm.mx - dm.mn)
+       |                  ELSE 0 END AS code
+       |      FROM x JOIN dm ON x.d = dm.d)
+       |SELECT vec_id,
+       |       CAST(SUM(abs((x - mn) * 255 - code * (mx - mn))) AS BIGINT)
+       |         AS abs_err_x255,
+       |       CAST(MAX(abs((x - mn) * 255 - code * (mx - mn))) AS BIGINT)
+       |         AS max_err_x255,
+       |       CAST(SUM(code) AS BIGINT) AS code_sum
+       |FROM c GROUP BY vec_id""".stripMargin
+
+  /** Matryoshka truncation tiers for [[qMrlRecall]] — plan-time
+    * constants (the MRL contract: an index can serve the first 16 or 32
+    * of 64 dims and keep most of the ranking). */
+  private val MrlPrefixes = Seq(16L, 32L)
+
+  /** q_mrl_recall — MATRYOSHKA retrieval-quality check (Kusupati et
+    * al. 2022): recall@3 of PREFIX-dimension cosine search (first
+    * 16/32 of the embedding) against full-dimension exact ground
+    * truth, over the constant query set. The table a deployment reads
+    * before switching its ANN index to truncated vectors — a 4×
+    * memory/bandwidth cut if recall holds. Same K·n brute-force shape
+    * as q_embed_cosine_topk (the |Q|×|tiers| side broadcasts, the
+    * corpus streams past ONCE), prefix dots/norms are exact integer
+    * arithmetic via `slice`, ground truth is the shared materialized
+    * top-k frame, and every post-pair frame is |Q|·3-bounded.
+    */
+  def qMrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val truth = qEmbedCosineTopk(spark, dir).filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val tiers = spark.range(1)
+      .select(explode(typedLit(MrlPrefixes)).as("prefix_dim"))
+    val a = v.filter(col("vec_id") < QuerySetSize)
+      .crossJoin(broadcast(tiers))
+      .select(col("vec_id"), col("prefix_dim"),
+        slice(col("q"), lit(1), col("prefix_dim").cast("int")).as("qa"))
+      .withColumn("na", dot(col("qa"), col("qa")))
+    val b = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"))
+    val w = Window.partitionBy("prefix_dim", "vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val pk = broadcast(a).crossJoin(b)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("qbp",
+        slice(col("qb"), lit(1), col("prefix_dim").cast("int")))
+      .withColumn("nb", dot(col("qbp"), col("qbp")))
+      .withColumn("cos",
+        cosine(dot(col("qa"), col("qbp")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("prefix_dim"), col("vec_id"), col("neighbor_id"))
+    val poss = truth.agg(count(lit(1)).as("possible"))
+    pk.join(truth.withColumn("hit", lit(1L)),
+        Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("prefix_dim")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .crossJoin(broadcast(poss))
+      .select(col("prefix_dim"), col("hits"), col("possible"),
+        expr("hits * 1000000 div possible").as("recall_ppm"))
+  }
+
+  val mrlRecallSql: String = {
+    val prefList = MrlPrefixes.mkString("[", ", ", "]")
+    def pdot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, t.prefix_dim)," +
+        s" i -> $a.q[i] * $b.q[i])) AS BIGINT)"
+    s"""WITH $quantizedSql,
+       |tr0 AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+       |        FROM qn a, qn b
+       |        WHERE a.vec_id < $QuerySetSize AND a.vec_id <> b.vec_id),
+       |truth AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM tr0) WHERE rn <= 3),
+       |tiers AS (SELECT CAST(unnest($prefList) AS BIGINT) AS prefix_dim),
+       |pr0 AS (SELECT t.prefix_dim, a.vec_id, b.vec_id AS neighbor_id,
+       |        CAST(${pdot("a", "b")} AS DOUBLE)
+       |          / sqrt(CAST(${pdot("a", "a")} * ${pdot("b", "b")}
+       |                      AS DOUBLE)) AS cos
+       |        FROM tiers t, qn a, qn b
+       |        WHERE a.vec_id < $QuerySetSize AND a.vec_id <> b.vec_id),
+       |pk AS (SELECT prefix_dim, vec_id, neighbor_id FROM (
+       |  SELECT prefix_dim, vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY prefix_dim, vec_id
+       |           ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM pr0) WHERE rn <= 3),
+       |poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM truth)
+       |SELECT p.prefix_dim,
+       |       CAST(COUNT(tr.vec_id) AS BIGINT) AS hits,
+       |       MAX(poss.possible) AS possible,
+       |       CAST(COUNT(tr.vec_id) AS BIGINT) * 1000000
+       |         // MAX(poss.possible) AS recall_ppm
+       |FROM pk p
+       |LEFT JOIN truth tr ON p.vec_id = tr.vec_id
+       |  AND p.neighbor_id = tr.neighbor_id
+       |CROSS JOIN poss
+       |GROUP BY p.prefix_dim""".stripMargin
+  }
 }

@@ -1221,6 +1221,210 @@ object TextAnalysis {
        |FROM s""".stripMargin
   }
 
+  /** q_token_drift — per-source token-distribution DRIFT vs the whole
+    * corpus: total-variation distance between each source's unigram
+    * distribution and the corpus distribution, in exact ppm integers.
+    * The mixture-QA table behind "did this crawl change register?" —
+    * a source whose TV distance jumps between snapshots is drifting
+    * (template spam, language shift, a scraper bug) and gets eyeballed
+    * before it trains. ALL-INTEGER: frequencies become truncating-ppm
+    * (`c*1e6 div tot`) so the distance is an exact integer in both
+    * engines (TV = ½Σ|p−q| over the corpus vocabulary; tokens a source
+    * lacks contribute their corpus ppm). Scale shape: the corpus
+    * shuffles ONCE into (source, token-hash) counts; the corpus vocab
+    * frame, per-source totals and the 1-row corpus total all DERIVE
+    * from that aggregate (vocab-sized, Zipf), and the vocab×|sources|
+    * comparison grid is a broadcast cross of two sub-corpus frames —
+    * |sources|-bounded output at any corpus size.
+    */
+  def qTokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val srcCnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(words).as("token"))
+      .select(col("source"), hash60(col("token")).as("th"))
+      .groupBy("source", "th").agg(count(lit(1)).as("c_s"))
+    val corpus = srcCnt.groupBy("th").agg(sum("c_s").as("c_c"))
+    val srcTot = srcCnt.groupBy("source").agg(sum("c_s").as("tot_s"))
+    val totC = corpus.agg(sum("c_c").as("tot_c"))
+    corpus.crossJoin(broadcast(srcTot)).crossJoin(broadcast(totC))
+      .join(srcCnt, Seq("source", "th"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+      .withColumn("ppm_s", expr("c_s * 1000000 div tot_s"))
+      .withColumn("ppm_c", expr("c_c * 1000000 div tot_c"))
+      .groupBy("source")
+      .agg(max("tot_s").as("n_tokens"),
+        sum(when(col("c_s") > 0, 1L).otherwise(0L)).as("n_types"),
+        expr("sum(abs(ppm_s - ppm_c)) div 2").as("tv_x1e6"))
+  }
+
+  val tokenDriftSql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    s"""WITH t AS (
+       |  SELECT source, $th AS th
+       |  FROM (SELECT source, unnest($wordsSql) AS token FROM documents)),
+       |sc AS (SELECT source, th, COUNT(*) AS c_s FROM t GROUP BY 1, 2),
+       |co AS (SELECT th, CAST(SUM(c_s) AS BIGINT) AS c_c FROM sc GROUP BY th),
+       |st AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS tot_s
+       |       FROM sc GROUP BY source),
+       |tc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS tot_c FROM co),
+       |g AS (
+       |  SELECT st.source, st.tot_s, co.c_c, tc.tot_c,
+       |         coalesce(sc.c_s, 0) AS c_s
+       |  FROM co CROSS JOIN st CROSS JOIN tc
+       |  LEFT JOIN sc ON sc.source = st.source AND sc.th = co.th)
+       |SELECT source, MAX(tot_s) AS n_tokens,
+       |       CAST(SUM(CASE WHEN c_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_types,
+       |       CAST(SUM(abs(c_s * 1000000 // tot_s
+       |                    - c_c * 1000000 // tot_c)) AS BIGINT) // 2
+       |         AS tv_x1e6
+       |FROM g GROUP BY source""".stripMargin
+  }
+
+  /** q_colloc_pmi — collocation extraction: the top-20 adjacent token
+    * pairs by count, scored with an integer log2-PMI. The phrase-mining
+    * pass behind tokenizer-vocab curation and boilerplate discovery
+    * ("new york" is a unit; "the the" is a bug). PMI = log2(N·c_xy /
+    * (c_x·c_y)) is re-expressed ENGINE-EXACT as bit-length arithmetic —
+    * ⌊log2 N⌋+⌊log2 c_xy⌋−⌊log2 c_x⌋−⌊log2 c_y⌋ — the same libm-free
+    * rule as the LM scores (never multiplies the big counts, so no
+    * overflow at any corpus size). Plan shape: bigrams built IN-ROW
+    * (q_bigram_lp's transform — one corpus explode), pair and unigram
+    * vocab frames are sub-corpus (Zipf), joins key on token STRINGS of
+    * the ≥3-count survivors only, N is a 1-row broadcast, TakeOrdered
+    * top-20 on the total (c_xy desc, wa, wb) order.
+    */
+  def qCollocPmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lg: String => String = c => s"(length(conv($c, 10, 2)) - 1)"
+    val pairCnt = docs
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w)-1)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+      .select(expr("split(bg, ' ')[0]").as("wa"),
+        expr("split(bg, ' ')[1]").as("wb"), col("c_xy"))
+    val uni = docs.select(explode(words).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_w"))
+    val tot = pairCnt.agg(sum("c_xy").as("n_pairs"))
+    val scored = pairCnt.filter(col("c_xy") >= 3)
+      .join(uni.select(col("tok").as("wa"), col("c_w").as("c_x")), "wa")
+      .join(uni.select(col("tok").as("wb"), col("c_w").as("c_y")), "wb")
+      .crossJoin(broadcast(tot))
+      .select(col("wa"), col("wb"), col("c_xy"),
+        expr(s"cast(${lg("n_pairs")} + ${lg("c_xy")}" +
+          s" - ${lg("c_x")} - ${lg("c_y")} as bigint)").as("pmi_lg2"))
+    scored.orderBy(col("c_xy").desc, col("wa"), col("wb")).limit(20)
+  }
+
+  val collocPmiSql: String = {
+    val lg: String => String = c => s"(length(bin($c)) - 1)"
+    s"""WITH wd AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT unnest(list_transform(range(1, len(w)),
+       |               i -> w[i] || ' ' || w[i+1])) AS bg
+       |      FROM wd WHERE len(w) >= 2),
+       |pc AS (SELECT string_split(bg, ' ')[1] AS wa,
+       |              string_split(bg, ' ')[2] AS wb,
+       |              COUNT(*) AS c_xy
+       |       FROM b GROUP BY 1, 2),
+       |uc AS (SELECT tok, COUNT(*) AS c_w
+       |       FROM (SELECT unnest(w) AS tok FROM wd) GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_pairs FROM pc)
+       |SELECT wa, wb, c_xy,
+       |       CAST(${lg("n_pairs")} + ${lg("c_xy")}
+       |            - ${lg("ux.c_w")} - ${lg("uy.c_w")} AS BIGINT) AS pmi_lg2
+       |FROM pc CROSS JOIN n
+       |JOIN uc ux ON ux.tok = wa
+       |JOIN uc uy ON uy.tok = wb
+       |WHERE c_xy >= 3
+       |ORDER BY c_xy DESC, wa, wb LIMIT 20""".stripMargin
+  }
+
+  /** Content-defined chunk boundary rate for [[qCdcChunks]]: a token
+    * ends its chunk when its hash ≡ 0 (mod 16) → expected chunk length
+    * 16 tokens, independent of document framing. */
+  private val cdcMod = 16L
+
+  /** q_cdc_chunks — CONTENT-DEFINED chunking (the FastCDC/rsync idea on
+    * token streams) + dedup-loss accounting: chunk boundaries fall
+    * where `hash(token) ≡ 0 (mod 16)`, so identical passages produce
+    * identical chunks NO MATTER their offset in the document — the
+    * property fixed-width chunking (q_chunks/q_line_dedup) lacks: one
+    * inserted word shifts every later fixed chunk and hides the
+    * duplication, while CDC boundaries re-synchronize at the next
+    * content boundary. Chunk identity is an order-sensitive integer
+    * signature (position-weighted mod-p token hashes — exact in both
+    * engines, no string re-assembly); duplicated-chunk ownership uses
+    * q_line_dedup's first-owner convention. Per-doc output: chunk
+    * count, token total, mean chunk length ×100, and the ppm of tokens
+    * sitting in chunks owned by an earlier document — what a
+    * CDC-granular dedup pass would strip. Scale: one corpus posexplode,
+    * the boundary cumsum rides a per-doc window on the SAME doc key the
+    * chunk aggregation lands on, the chunk-frequency frame is
+    * sub-corpus, and only 8-byte signatures shuffle for ownership.
+    */
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"), hash60(col("word")).as("th"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("b", when(col("th") % cdcMod === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_idx", coalesce(sum("b").over(w), lit(0L)))
+      .withColumn("thm", pmod(col("th"), lit(1000000007L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("thm") * (col("pos") + 1)) - min("pos") * sum("thm"))
+          .as("sig"))
+    val cf = chunks.groupBy("sig")
+      .agg(count(lit(1)).as("cf"), min("doc_id").as("owner"))
+    chunks.join(cf, "sig")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_toks").as("total_tokens"),
+        sum(when(col("cf") > 1 && col("owner") =!= col("doc_id"),
+          col("n_toks")).otherwise(0L)).as("dup_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("total_tokens"),
+        expr("total_tokens * 100 div n_chunks").as("avg_tokens_x100"),
+        expr("dup_tokens * 1000000 div total_tokens").as("dup_loss_ppm"))
+  }
+
+  val cdcChunksSql: String = {
+    val th = graft.functions.Portable.hash60Sql("ws[i]")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t0 AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+       |       FROM w),
+       |t AS (SELECT doc_id, i - 1 AS pos, $th AS th FROM t0),
+       |tb AS (SELECT doc_id, pos, th % 1000000007 AS thm,
+       |              CASE WHEN th % $cdcMod = 0 THEN 1 ELSE 0 END AS b
+       |       FROM t),
+       |tc AS (SELECT doc_id, pos, thm,
+       |              coalesce(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                0) AS chunk_idx
+       |       FROM tb),
+       |ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_toks,
+       |              CAST(SUM(thm * (pos + 1)) - MIN(pos) * SUM(thm)
+       |                   AS BIGINT) AS sig
+       |       FROM tc GROUP BY 1, 2),
+       |cf AS (SELECT sig, COUNT(*) AS cf, MIN(doc_id) AS owner
+       |       FROM ch GROUP BY sig)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(c.n_toks) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(c.n_toks) AS BIGINT) * 100 // COUNT(*)
+       |         AS avg_tokens_x100,
+       |       CAST(SUM(CASE WHEN cf.cf > 1 AND cf.owner <> c.doc_id
+       |                     THEN c.n_toks ELSE 0 END) AS BIGINT) * 1000000
+       |         // CAST(SUM(c.n_toks) AS BIGINT) AS dup_loss_ppm
+       |FROM ch c JOIN cf ON c.sig = cf.sig
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   /** Constant document-id prefixes for [[qVocabGrowth]] — plan-time
     * constants (the largest bounds the scan via parquet pushdown), NOT
     * corpus fractions: the curve costs the same at any corpus size. */
