@@ -516,10 +516,10 @@ object Dedup {
     * DuckDB oracle embeds the exact same numeric literals. Products stay
     * < 2^61: h30 < 2^30, a < P < 2^31 — no overflow in either engine.
     */
-  private val P = 2147483647L // 2^31 − 1, prime
-  private val mhA: IndexedSeq[Long] =
+  private[graft] val P = 2147483647L // 2^31 − 1, prime
+  private[graft] val mhA: IndexedSeq[Long] =
     (0 until 16).map(i => hash60Jvm(s"mh_a:$i") % (P - 1) + 1)
-  private val mhB: IndexedSeq[Long] =
+  private[graft] val mhB: IndexedSeq[Long] =
     (0 until 16).map(i => hash60Jvm(s"mh_b:$i") % P)
 
   /** q_minhash_lsh — MinHash signatures (k=16) banded 4×4; candidate
