@@ -76,7 +76,13 @@ object PlanDump {
       "q_limitk" -> "limitk/limit_ratio: |series|-bounded rank window + codegen'd hash flag over the instant vector",
       "q_ivf_probe_curve" -> "nprobe dial: constant |Q|·K probe ranking, cell-keyed candidates off the shared assignment, tier explode above the join",
       "q_pipeline_funnel" -> "loss accounting: materialized clusters + flag projections, doc_id-keyed joins, ONE aggregation pass to one row",
-      "q_contam_by_source" -> "contamination triage: |hits|-bounded left join, |sources| aggregate, global share via 1-row window")
+      "q_contam_by_source" -> "contamination triage: |hits|-bounded left join, |sources| aggregate, global share via 1-row window",
+      "q_histogram_stddev" -> "midpoint-spread estimator: one events scan, bucket window + (name,window) aggregate",
+      "q_token_drift" -> "per-source TV drift: corpus shuffles once into (source,th), vocab/total frames derive and broadcast",
+      "q_colloc_pmi" -> "collocations: in-row bigrams, sub-corpus vocab joins, 1-row N broadcast, TakeOrdered top-20",
+      "q_cdc_chunks" -> "content-defined chunking: one corpus posexplode, boundary cumsum on the doc key, 8-byte sig shuffle",
+      "q_sq8_error" -> "scalar quantization: corpus posexplode, d-row min/max broadcast back, zero self-joins",
+      "q_mrl_recall" -> "Matryoshka recall: |Q|-by-tiers broadcast, one corpus stream, |Q|-bounded tail")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

@@ -1365,15 +1365,18 @@ object TextAnalysis {
     * chunk aggregation lands on, the chunk-frequency frame is
     * sub-corpus, and only 8-byte signatures shuffle for ownership.
     */
-  def qCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The CDC chunk frame (doc_id, chunk_idx, n_toks, sig) for any
+    * (doc_id, text) frame — split out so the shift-robustness property
+    * is testable on synthetic documents (`Round7bOperatorSpec`). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .select(col("doc_id"), col("pos"), hash60(col("word")).as("th"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
+    toks
       .withColumn("b", when(col("th") % cdcMod === 0L, 1L).otherwise(0L))
       .withColumn("chunk_idx", coalesce(sum("b").over(w), lit(0L)))
       .withColumn("thm", pmod(col("th"), lit(1000000007L)))
@@ -1381,6 +1384,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_toks"),
         (sum(col("thm") * (col("pos") + 1)) - min("pos") * sum("thm"))
           .as("sig"))
+  }
+
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(spark, dir))
     val cf = chunks.groupBy("sig")
       .agg(count(lit(1)).as("cf"), min("doc_id").as("owner"))
     chunks.join(cf, "sig")

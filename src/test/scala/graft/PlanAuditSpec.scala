@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, MetricsEtl, Olap, Similarity}
+import graft.operators.{Dedup, MetricsEtl, Olap, Similarity, TextAnalysis}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The scale audit (SURVEY §6 / PLANS.md) as ENFORCED regression tests:
@@ -531,5 +531,55 @@ class PlanAuditSpec extends SparkSpec {
     val plan = executed(operators.Similarity.qEmbedNormHist(spark, dir))
     val n = "HashAggregate".r.findAllIn(plan).size
     assert(n >= 2, s"expected partial+final aggregation, found $n")
+  }
+
+  /** Scan count in the FINAL adaptive plan only — executedPlan.toString
+    * appends an `== Initial Plan ==` section that double-counts. */
+  private def finalScans(plan: String): Int =
+    "Scan parquet".r.findAllIn(plan.split("== Initial Plan ==")(0)).size
+
+  test("q_token_drift: corpus scanned once, per-source grid is broadcast") {
+    val df = TextAnalysis.qTokenDrift(spark, dir)
+    val plan = executed(df)
+    val scans = finalScans(plan)
+    assert(scans <= 2, s"documents must not re-scan per derived frame: $scans scans")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") || scans == 1,
+      "the (source,token) aggregate must be computed once and reused")
+    assert(plan.contains("BroadcastExchange"), "sources/total frames must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_cdc_chunks: no cartesian, one corpus scan, sig join keyed") {
+    val plan = executed(TextAnalysis.qCdcChunks(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    val scans = finalScans(plan)
+    assert(scans == 1, s"chunk frame must derive from one corpus pass: $scans scans")
+  }
+
+  test("q_colloc_pmi: TakeOrdered top-20, 1-row N broadcast") {
+    val plan = executed(TextAnalysis.qCollocPmi(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(plan.contains("BroadcastExchange"), "the pair total must broadcast")
+  }
+
+  test("q_sq8_error: d-row min/max frame broadcast back, zero self-joins") {
+    val plan = executed(Similarity.qSq8Error(spark, dir))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "per-dim stats must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_mrl_recall: query x tier side broadcast, corpus streams once") {
+    val plan = executed(Similarity.qMrlRecall(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the |Q|-by-tiers side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_histogram_stddev: events scanned once, aggregate two-phase") {
+    val plan = executed(MetricsEtl.qHistogramStddev(spark, dir))
+    val scans = finalScans(plan)
+    assert(scans == 1, s"estimator must be one corpus pass: $scans scans")
+    assert(!plan.contains("CartesianProduct"))
   }
 }
