@@ -1989,6 +1989,63 @@ object MetricsEtl {
        |  FROM s),
        |iv AS (SELECT name, user_id, ts_us, cents FROM r WHERE rn = 1)""".stripMargin
 
+  /** q_info_func — PromQL 3.x EXPERIMENTAL `info()`: enrich every
+    * instant-vector element with the DATA labels of its matching info
+    * metric (the OTel `target_info` pattern — identifying label here is
+    * `user_id`, the copied data labels are `tier` and `primary_type`).
+    * Unlike `group_left` (q_group_left, which the user must hand-wire
+    * per label), info() copies the info series' whole label set; the
+    * info metric itself is derived |users|-bounded state: per user, the
+    * modal event type (deterministic tie-break) and an activity-rank
+    * tercile tier. Scale shape: the info frame aggregates once and
+    * BROADCASTS into the shared lookback-sliced instant vector; its
+    * global tercile window sorts only |users| rows; elements without an
+    * info series keep their sample with 'unknown' labels (identity
+    * passthrough, like the function's no-match rule).
+    */
+  def qInfoFunc(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy("user_id")
+      .orderBy(col("c").desc, col("event_type"))
+    val info0 = perType
+      .withColumn("rn", row_number().over(wTop))
+      .withColumn("n_events", sum("c").over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("iu"),
+        col("event_type").as("primary_type"), col("n_events"))
+    val wT = Window.orderBy(col("n_events").desc, col("iu"))
+    val info = info0
+      .withColumn("tier", concat(lit("t"), ntile(3).over(wT).cast("string")))
+      .select(col("iu"), col("primary_type"), col("tier"))
+    instantVec(spark, dir)
+      .join(broadcast(info), col("user_id") === col("iu"), "left")
+      .select(col("name"), col("user_id"), col("cents"),
+        coalesce(col("tier"), lit("unknown")).as("tier"),
+        coalesce(col("primary_type"), lit("unknown")).as("primary_type"))
+  }
+
+  val infoFuncSql: String =
+    s"""$instantVecCte,
+       |pt AS (SELECT user_id, event_type, COUNT(*) AS c
+       |       FROM events GROUP BY 1, 2),
+       |tp AS (SELECT *,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY c DESC, event_type) AS rn,
+       |         CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT)
+       |           AS n_events
+       |       FROM pt),
+       |i0 AS (SELECT user_id AS iu, event_type AS primary_type, n_events
+       |       FROM tp WHERE rn = 1),
+       |inf AS (SELECT iu, primary_type,
+       |          't' || CAST(ntile(3) OVER (ORDER BY n_events DESC, iu)
+       |                      AS VARCHAR) AS tier
+       |        FROM i0)
+       |SELECT iv.name, iv.user_id, iv.cents,
+       |       coalesce(inf.tier, 'unknown') AS tier,
+       |       coalesce(inf.primary_type, 'unknown') AS primary_type
+       |FROM iv LEFT JOIN inf ON iv.user_id = inf.iu""".stripMargin
+
   val instantVectorSql: String =
     s"""$instantVecCte
        |SELECT name, user_id, ts_us, cents, $EvalTsUs - ts_us AS age_us

@@ -491,6 +491,59 @@ object Similarity {
        |       CAST(SUM(nrm) AS BIGINT) * 100 // COUNT(*) AS avg_nrm_x100
        |FROM asg WHERE crn = 1 GROUP BY cell""".stripMargin
 
+  /** q_cell_purity — label PURITY per IVF cell: for each cell, the
+    * member count, distinct-label count, majority label and its ppm
+    * share. The clustering-quality read between Lloyd rounds and the
+    * diversity check SemDeDup-style pipelines run before trusting
+    * within-cell dedup decisions (a 99%-pure cell is a topic; a
+    * 50/50 cell is a boundary artifact whose "near-dups" may be
+    * cross-topic false positives). Rides the SHARED materialized
+    * assignment; the label join keys on 8-byte vec ids; the per-label
+    * aggregate and both windows land on the same cell key, K-bounded
+    * output at any corpus size.
+    */
+  def qCellPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("lv"), col("label").cast("long").as("label"))
+    val perLabel = ivfAssigned(spark, dir).select("vec_id", "cell")
+      .join(labels, col("vec_id") === col("lv"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cell").orderBy(col("c").desc, col("label"))
+    perLabel
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_vectors", sum("c").over(Window.partitionBy("cell")))
+      .withColumn("n_labels", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_vectors"), col("n_labels"),
+        col("label").as("top_label"), col("c").as("top_count"),
+        expr("c * 1000000 div n_vectors").as("purity_ppm"))
+  }
+
+  val cellPuritySql: String =
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
+       |          WHERE vec_id < $ivfKSql),
+       |asg AS (SELECT qn.vec_id, cents.cell,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |             i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE)) DESC,
+       |           cents.cell) AS crn
+       |        FROM qn, cents),
+       |al AS (SELECT a.cell, CAST(e.label AS BIGINT) AS label
+       |       FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |       WHERE a.crn = 1),
+       |pl AS (SELECT cell, label, COUNT(*) AS c FROM al GROUP BY 1, 2),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY cell
+       |          ORDER BY c DESC, label) AS rn,
+       |        CAST(SUM(c) OVER (PARTITION BY cell) AS BIGINT) AS n_vectors,
+       |        CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_labels
+       |      FROM pl)
+       |SELECT cell, n_vectors, n_labels, label AS top_label,
+       |       c AS top_count, c * 1000000 // n_vectors AS purity_ppm
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** nprobe tiers for [[qIvfProbeCurve]] — plan-time constants. */
   private val ProbeTiers = Seq(1, 2, 4)
 
@@ -1456,6 +1509,53 @@ object Similarity {
        |         AS max_err_x255,
        |       CAST(SUM(code) AS BIGINT) AS code_sum
        |FROM c GROUP BY vec_id""".stripMargin
+
+  /** q_dim_variance — embedding ANISOTROPY table: per-dimension mean
+    * and variance share of the corpus. The index-health read before any
+    * cosine/LSH work — a dimension hoarding most of the variance means
+    * the embedding collapsed (rogue feature, bad normalization) and
+    * dominates every dot product; dead dimensions waste index bytes.
+    * ALL-INTEGER: per-dim n/Σx/Σx² are exact, the mean is an
+    * offset-shifted truncating division (nonnegative through the
+    * shift, so Spark `div` == DuckDB `//`), and the variance is the
+    * exact identity Σ(x−m)² = Σx² − 2mΣx + nm² about that integer mean
+    * — no n·Σx² product, so the arithmetic stays in int64 at any
+    * corpus size. One corpus posexplode, d-row aggregate, 1-row total
+    * broadcast back; d-row output.
+    */
+  def qDimVariance(spark: SparkSession, dir: String): DataFrame = {
+    val x = quantized(spark, dir)
+      .select(posexplode(col("q")).as(Seq("d", "x")))
+    val per = x.groupBy("d")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("m", expr("(s1 + n * 100000) div n - 100000"))
+      .withColumn("var_sum",
+        col("s2") - lit(2L) * col("m") * col("s1")
+          + col("n") * col("m") * col("m"))
+    val tot = per.agg(sum("var_sum").as("tot_var"))
+    per.crossJoin(broadcast(tot))
+      .select(col("d").cast("long").as("d"), col("n"),
+        col("m").as("mean_milli"), col("var_sum"),
+        expr("var_sum * 1000000 div tot_var").as("share_ppm"))
+  }
+
+  val dimVarianceSql: String =
+    s"""WITH $quantizedSql,
+       |e AS (SELECT vec_id, unnest(generate_series(1, len(q))) AS i, q
+       |      FROM qn),
+       |x AS (SELECT i - 1 AS d, q[i] AS x FROM e),
+       |p AS (SELECT d, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+       |             CAST(SUM(x * x) AS BIGINT) AS s2
+       |      FROM x GROUP BY d),
+       |mm AS (SELECT *, (s1 + n * 100000) // n - 100000 AS m FROM p),
+       |v AS (SELECT d, n, m AS mean_milli,
+       |             s2 - 2 * m * s1 + n * m * m AS var_sum
+       |      FROM mm),
+       |t AS (SELECT CAST(SUM(var_sum) AS BIGINT) AS tot_var FROM v)
+       |SELECT CAST(d AS BIGINT) AS d, n, mean_milli, var_sum,
+       |       var_sum * 1000000 // tot_var AS share_ppm
+       |FROM v CROSS JOIN t""".stripMargin
 
   /** Matryoshka truncation tiers for [[qMrlRecall]] — plan-time
     * constants (the MRL contract: an index can serve the first 16 or 32

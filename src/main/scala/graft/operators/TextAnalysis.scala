@@ -178,6 +178,42 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** q_quality_by_lang — the per-LANGUAGE quality profile: exact
+    * interpolated quartiles of the composite quality score per declared
+    * language, the mixture-QA companion to [[qQuality]] (a language
+    * whose quality distribution sits far below the others is either
+    * badly scraped or badly scored — both block its inclusion at the
+    * planned mixture weight). Scores are ×10⁶-rounded INTEGERS before
+    * the percentile so interpolation happens on exact values (the
+    * quartile of integers carries ≤2 extra decimals — round(.,4) never
+    * meets a half boundary). |langs|-bounded output; the exact
+    * `percentile` buffers per-group state — q_percentiles_approx's
+    * sketch is the production substitute at 100 TB, same caveat as
+    * every exact-percentile diagnostic here.
+    */
+  def qQualityByLang(spark: SparkSession, dir: String): DataFrame =
+    qQuality(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1000000d).cast("long").as("s"))
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(s, 0.25)"), 4).as("p25"),
+        round(expr("percentile(s, 0.5)"), 4).as("p50"),
+        round(expr("percentile(s, 0.75)"), 4).as("p75"))
+
+  val qualityByLangSql: String =
+    s"""WITH sc AS (
+       |  SELECT q.doc_id,
+       |         CAST(round(q.quality_score * 1000000) AS BIGINT) AS s,
+       |         d.lang
+       |  FROM ($qualitySql) q JOIN documents d USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       round(quantile_cont(s, 0.25), 4) AS p25,
+       |       round(quantile_cont(s, 0.5), 4) AS p50,
+       |       round(quantile_cont(s, 0.75), 4) AS p75
+       |FROM sc GROUP BY lang""".stripMargin
+
   /** q_tokens — token counting three ways: whitespace tokens, BPE-ish
     * regex tokens (letter runs / digit runs / single punctuation — the
     * pre-tokenization split every BPE tokenizer starts from), and
