@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ChArrayExpr, CityHash64Expr, FormatFloatExpr, LongVectorDot}
+import graft.functions.{ChArrayExpr, CityHash64Expr, FormatFloatExpr, LongVectorDot, LongVectorSum}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects exactly 1 argument, got ${children.length}")
       build(children.head)
     }
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[LongVectorSum].getName, "vec_sum"),
+      unary("vec_sum", e => LongVectorSum(e))))
     ext.injectFunction((
       FunctionIdentifier("format_float"),
       new ExpressionInfo(classOf[FormatFloatExpr].getName, "format_float"),

@@ -671,24 +671,21 @@ object Similarity {
     * map-side combinable down to K·d rows. One shuffle of K·d·P partial
     * sums — independent of corpus size.
     */
-  def qKmeansStep(spark: SparkSession, dir: String): DataFrame = {
-    val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < ivfK(spark, dir))
-      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cell"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
-      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"), col("qv"))
-      .groupBy("cell", "dim")
-      .agg(count(lit(1)).as("n_vectors"),
-        expr("(sum(qv + 1000) * 100) div count(1) - 100000")
-          .as("centroid_x100"))
-  }
+  def qKmeansStep(spark: SparkSession, dir: String): DataFrame =
+    // rides the SHARED materialized assignment; the element-wise sums
+    // run on the native vec_sum AGGREGATE (graft.functions.LongVectorSum)
+    // — vectors stay in-row, so the exchange moves K·d-long partial
+    // buffers instead of n·d exploded rows (the posexplode form this
+    // replaces shuffled 64× the rows). Identical integers: per dim,
+    // (Σq + 1000n)·100 div n − 100000 == the old sum(qv+1000) form.
+    ivfAssigned(spark, dir)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), graft.functions.LongVectorSum.vecSum(col("q")).as("qsum"))
+      .select(col("cell"), col("n"), posexplode(
+        expr("transform(qsum, s -> ((s + 1000 * n) * 100) div n - 100000)"))
+        .as(Seq("pos", "centroid_x100")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+        col("n").as("n_vectors"), col("centroid_x100"))
 
   val kmeansStepSql: String =
     s"""WITH $quantizedSql,
@@ -1019,13 +1016,15 @@ object Similarity {
     */
   def qLabelCentroid(spark: SparkSession, dir: String): DataFrame = {
     val v = labeled(spark, dir)
+    // native vec_sum aggregate: |labels| in-row vector buffers through
+    // the exchange instead of n·d exploded rows (see qKmeansStep)
     val cent = v
-      .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("pos", "x")))
-      .groupBy("c_label", "pos")
-      .agg(expr("(sum(x + 1000) * 100) div count(1) - 100000").as("c"))
-      .groupBy("c_label")
-      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
-        .as("qc"))
+      .groupBy(col("label").as("c_label"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.LongVectorSum.vecSum(col("q")).as("qsum"))
+      .select(col("c_label"),
+        expr("transform(qsum, s -> ((s + 1000 * n) * 100) div n - 100000)")
+          .as("qc"))
       .withColumn("nc", vecDot(col("qc"), col("qc")))
     v.join(broadcast(cent), col("label") === col("c_label"))
       .withColumn("cos", cosine(dot(col("q"), col("qc")), col("nrm"), col("nc")))

@@ -576,6 +576,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_kmeans_step/q_label_centroid: vec_sum keeps vectors in-row through the exchange") {
+    // the native aggregate replaces posexplode->groupBy(key, dim): the
+    // ONLY Generate allowed is the one ABOVE the aggregate that unpacks
+    // the K-row result — in plan strings upstream prints lower, so the
+    // Generate index must precede the vec_sum aggregate's
+    val p1 = Similarity.qKmeansStep(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p1.contains("longvectorsum") || p1.contains("vec_sum"),
+      s"kmeans must aggregate via the native vec_sum:\n${p1.take(1500)}")
+    val gen = p1.indexOf("Generate")
+    val agg = math.max(p1.indexOf("longvectorsum"), p1.indexOf("vec_sum"))
+    assert(gen >= 0 && gen < agg,
+      "the only explode must sit ABOVE the aggregate (K rows), not below (n rows)")
+    val p2 = Similarity.qLabelCentroid(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert((p2.contains("longvectorsum") || p2.contains("vec_sum")) &&
+      !p2.contains("Generate"),
+      "label centroids must aggregate in-row with no explode at all")
+  }
+
   test("q_histogram_stddev: events scanned once, aggregate two-phase") {
     val plan = executed(MetricsEtl.qHistogramStddev(spark, dir))
     val scans = finalScans(plan)

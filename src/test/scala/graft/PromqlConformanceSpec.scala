@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** PromQL golden-vector conformance (VERDICT_r04 item 7).
   *
   * The oracle gate proves Spark↔DuckDB agreement; this suite proves
-  * PROMETHEUS agreement: 133 edge-case fixtures (21 families) whose expected outputs
+  * PROMETHEUS agreement: 142 edge-case fixtures (22 families) whose expected outputs
   * come from `tools/promql_ref.py` — an independent Python transcription
   * of Prometheus's PUBLIC algorithms (promql/functions.go
   * extrapolatedRate with the counter-reset / zero-cap /
@@ -528,6 +528,27 @@ class PromqlConformanceSpec extends SparkSpec {
         c.getAs[Long]("expected_ts_of_min_us"),
         c.getAs[Long]("expected_ts_of_last_us"))
       assert(got(name) == want, s"$name: ${got(name)} != $want")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("round: funcRound ties-up rule at three granularities (9 cases)") {
+    val cases = fixtures("round")
+    val rows = cases.flatMap { c =>
+      val name = c.getAs[String]("name")
+      c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+        .map(s => (name, s(0), s(1)))
+    }
+    val got = MetricsEtl.qPromqlRound(spark, eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("name") ->
+        Seq(r.getAs[Long]("round_c1"), r.getAs[Long]("round_c50"),
+          r.getAs[Long]("round_c100"))).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[scala.collection.Seq[Double]]("expected")
+        .map(_.toLong).toSeq
+      assert(got.get(name).contains(want),
+        s"$name: ${got.get(name)} != $want")
     }
     assert(got.size == cases.size)
   }

@@ -731,6 +731,31 @@ def count_values_cases():
     return C
 
 
+def round_cases():
+    """round(v, to): Prometheus funcRound = floor(v*inv + 0.5)/inv with
+    inv = 1/to — ties round UP (toward +inf). Granularities mirror
+    q_promql_round: to = 0.01 / 0.5 / 1.0 (cents t = 1 / 50 / 100).
+    Fixture values are exact 2-decimal numbers so the operator's cent
+    quantization is lossless; expected outputs are computed with exact
+    rational arithmetic and emitted as cents integers."""
+    from fractions import Fraction
+    tos = [Fraction(1, 100), Fraction(1, 2), Fraction(1, 1)]
+    vals = [0.00, 0.25, 0.49, 0.50, 0.75, 1.49, 1.50, 2.37, 7.25]
+    C = []
+    for v in vals:
+        fv = Fraction(int(round(v * 100)), 100)
+        exp = []
+        for to in tos:
+            import math
+            q = fv / to + Fraction(1, 2)
+            r = math.floor(q) * to
+            exp.append(float(r * 100))  # cents
+        C.append({"name": ("round_%.2f" % v).replace(".", "_"),
+                  "samples": [[1705320000.0, v]],
+                  "expected": exp})
+    return C
+
+
 if __name__ == "__main__":
     fixtures = {
         "rate": rate_cases(),
@@ -754,6 +779,7 @@ if __name__ == "__main__":
         "count_values": count_values_cases(),
         "over_time": over_time_cases(),
         "ts_of": ts_of_cases(),
+        "round": round_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
