@@ -509,6 +509,58 @@ object Dedup {
        |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
        |FROM sz GROUP BY 1""".stripMargin
 
+  /** q_source_overlap — the pairwise SOURCE near-dup overlap matrix
+    * ("is src9 a mirror of src3?"): for every unordered source pair,
+    * how many near-dup pairs cross them and how many distinct documents
+    * are involved. The crawl-triage companion to [[qNgramNovelty]] —
+    * novelty says whether a new dump adds anything; this says WHICH
+    * existing dumps it duplicates, the read before deciding to drop a
+    * whole feed. Rides the SHARED materialized pair frame; the
+    * doc→source projection joins on 8-byte ids; output and both
+    * aggregates are \|sources\|²-bounded at any corpus size.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val tagged = ngramPairs(spark, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        col("doc_a"), col("doc_b"))
+    val nPairs = tagged.groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("source_lo"), col("source_hi"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("source_lo", "source_hi"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH pr AS (SELECT doc_a, doc_b FROM ($dedupNgramSql)),
+       |tg AS (SELECT least(sa.source, sb.source) AS source_lo,
+       |              greatest(sa.source, sb.source) AS source_hi,
+       |              pr.doc_a, pr.doc_b
+       |       FROM pr
+       |       JOIN documents sa ON sa.doc_id = pr.doc_a
+       |       JOIN documents sb ON sb.doc_id = pr.doc_b),
+       |np AS (SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+       |       FROM tg GROUP BY 1, 2),
+       |nd AS (SELECT source_lo, source_hi, COUNT(*) AS n_docs FROM (
+       |         SELECT DISTINCT source_lo, source_hi, doc_id
+       |         FROM (SELECT source_lo, source_hi,
+       |                      unnest([doc_a, doc_b]) AS doc_id
+       |               FROM tg))
+       |       GROUP BY 1, 2)
+       |SELECT np.source_lo, np.source_hi, np.n_pairs, nd.n_docs
+       |FROM np JOIN nd ON np.source_lo = nd.source_lo
+       |  AND np.source_hi = nd.source_hi""".stripMargin
+
   /** MinHash universal-hash family: sig_i(x) = (a_i·h30(x) + b_i) mod P
     * over a 30-bit base hash — ONE md5 per shingle and 16 integer mixes,
     * instead of 16 md5s (the classic (a·x+b) mod p MinHash construction).

@@ -1316,6 +1316,121 @@ object TextAnalysis {
        |FROM g GROUP BY source""".stripMargin
   }
 
+  /** Constant length thresholds for [[qFilterSweep]] — plan-time
+    * constants, never data-derived. */
+  private val sweepThresholds = Seq(10L, 20L, 40L, 60L, 80L)
+
+  /** q_filter_sweep — the THRESHOLD-SWEEP loss table read before
+    * committing an irreversible length filter (q_jaccard_curve's role,
+    * for the quality stage): documents and tokens surviving `n_words ≥
+    * T` for each candidate threshold, with exact ppm shares. One corpus
+    * pass collapses to the word-length histogram (bounded by the max
+    * document length, not the corpus), the 5-row threshold frame joins
+    * that bounded frame non-equi BROADCAST, totals broadcast back from
+    * one row; |thresholds| rows out.
+    */
+  def qFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Tables.documents(spark, dir)
+      .select(size(words).cast("long").as("n_words"))
+      .groupBy("n_words").agg(count(lit(1)).as("docs"),
+        sum("n_words").as("toks"))
+    val tot = wl.agg(sum("docs").as("tot_docs"), sum("toks").as("tot_toks"))
+    val th = wl.sparkSession.range(1)
+      .select(explode(typedLit(sweepThresholds)).as("threshold"))
+    wl.join(broadcast(th), col("n_words") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(sum("docs").as("docs_kept"), sum("toks").as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
+        expr("docs_kept * 1000000 div tot_docs").as("docs_ppm"),
+        expr("tokens_kept * 1000000 div tot_toks").as("tokens_ppm"))
+  }
+
+  val filterSweepSql: String = {
+    val thList = sweepThresholds.mkString("[", ", ", "]")
+    s"""WITH wl AS (
+       |  SELECT CAST(len($wordsSql) AS BIGINT) AS n_words,
+       |         COUNT(*) AS docs, CAST(SUM(len($wordsSql)) AS BIGINT) AS toks
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(docs) AS BIGINT) AS tot_docs,
+       |               CAST(SUM(toks) AS BIGINT) AS tot_toks FROM wl),
+       |th AS (SELECT CAST(unnest($thList) AS BIGINT) AS threshold)
+       |SELECT threshold,
+       |       CAST(SUM(docs) AS BIGINT) AS docs_kept,
+       |       CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+       |       CAST(SUM(docs) AS BIGINT) * 1000000 // MAX(tot_docs)
+       |         AS docs_ppm,
+       |       CAST(SUM(toks) AS BIGINT) * 1000000 // MAX(tot_toks)
+       |         AS tokens_ppm
+       |FROM wl JOIN th ON n_words >= threshold
+       |CROSS JOIN tot
+       |GROUP BY threshold""".stripMargin
+  }
+
+  /** q_token_len_hist — token-length histogram (tokenizer sanity: a
+    * mass of 1-char tokens means the splitter is shredding, a tail of
+    * 40-char "tokens" means markup leaked). One corpus explode to
+    * (length) ints, one map-side-combinable aggregate; output bounded
+    * by the max token length, not the corpus.
+    */
+  def qTokenLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words).as("token"))
+      .select(length(col("token")).cast("long").as("token_len"))
+      .groupBy("token_len")
+      .agg(count(lit(1)).as("n_tokens"))
+
+  val tokenLenHistSql: String =
+    s"""SELECT CAST(len(token) AS BIGINT) AS token_len,
+       |       COUNT(*) AS n_tokens
+       |FROM (SELECT unnest($wordsSql) AS token FROM documents)
+       |GROUP BY 1""".stripMargin
+
+  /** q_hapax_share — per-document RARE-TOKEN share: the fraction of a
+    * doc's tokens that are corpus hapax legomena (frequency 1) or
+    * near-hapax (≤2), in exact ppm. The no-signal detector quality
+    * stacks run next to the LM score: a doc whose tokens are mostly
+    * corpus-unique is gibberish, random IDs, or OCR noise — the unigram
+    * LM already scores it low, but THIS view says why, and survives LM
+    * retraining. Same scale shape as q_unigram_lp: one corpus token
+    * explode, the frequency table is vocab-sized (Zipf), the join keys
+    * are 8-byte hashes, per-doc output.
+    */
+  def qHapaxShare(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("token"))
+      .select(col("doc_id"), hash60(col("token")).as("th"))
+    val lm = toks.groupBy("th").agg(count(lit(1)).as("tf"))
+      .select(col("th").as("lm_th"), col("tf"))
+    toks.join(lm, col("th") === col("lm_th"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("rare"))
+      .select(col("doc_id"), col("n_tokens"), col("hapax"), col("rare"),
+        expr("hapax * 1000000 div n_tokens").as("hapax_ppm"),
+        expr("rare * 1000000 div n_tokens").as("rare_ppm"))
+  }
+
+  val hapaxShareSql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    s"""WITH t AS (
+       |  SELECT doc_id, $th AS th
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)),
+       |lm AS (SELECT th AS lm_th, COUNT(*) AS tf FROM t GROUP BY th),
+       |j AS (SELECT doc_id, tf FROM t JOIN lm ON th = lm_th)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS hapax,
+       |       CAST(SUM(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS rare,
+       |       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 1000000 // COUNT(*) AS hapax_ppm,
+       |       CAST(SUM(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 1000000 // COUNT(*) AS rare_ppm
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
   /** q_colloc_pmi — collocation extraction: the top-20 adjacent token
     * pairs by count, scored with an integer log2-PMI. The phrase-mining
     * pass behind tokenizer-vocab curation and boilerplate discovery
