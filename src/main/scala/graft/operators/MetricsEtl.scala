@@ -2770,6 +2770,99 @@ object MetricsEtl {
       dayofmonth(last_day(ts)).cast("long").as("days_in_month"))
   }
 
+  /** q_gorilla_bits — TSDB COMPRESSION-COST estimate per series
+    * (Gorilla / Prometheus-TSDB chunk planning): how many bits/sample
+    * would the standard time-series codec spend on this series? The
+    * capacity-planning read behind retention and chunk sizing.
+    * Timestamp cost uses Gorilla's exact delta-of-delta buckets on
+    * SECOND deltas (dod=0 → 1 bit; ±63 → 9; ±255 → 12; ±2047 → 16;
+    * else 36); value cost uses a simplified, fully-integer model —
+    * repeat → 1 bit, else 13 + bitlen(|Δcents|) (delta magnitude as
+    * the proxy for XOR significant bits: exact XOR sign handling
+    * diverges between engines' binary renderings of negatives, and the
+    * planning signal is identical). First-sample/second-sample header
+    * costs are the codec's fixed overhead and excluded. One series
+    * shuffle shared by both lag windows and the aggregate;
+    * |series|-bounded output, all integers.
+    */
+  def qGorillaBits(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+      .withColumn("dt", col("ts_s") - lag("ts_s", 1).over(w))
+      .withColumn("dod", col("dt") - lag("dt", 1).over(w))
+      .withColumn("dv", abs(col("cents") - lag("cents", 1).over(w)))
+    val tsBits = when(col("dod").isNull, 0L)
+      .when(col("dod") === 0L, 1L)
+      .when(col("dod").between(-63L, 64L), 9L)
+      .when(col("dod").between(-255L, 256L), 12L)
+      .when(col("dod").between(-2047L, 2048L), 16L)
+      .otherwise(36L)
+    val valBits = when(col("dv").isNull, 0L)
+      .when(col("dv") === 0L, 1L)
+      .otherwise(lit(13L) + length(expr("conv(dv, 10, 2)")).cast("long"))
+    base
+      .withColumn("ts_bits", tsBits)
+      .withColumn("val_bits", valBits)
+      .groupBy("name", "user_id")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("dod") === 0L, 1L).otherwise(0L)).as("dod_zero"),
+        sum(when(col("dv") === 0L, 1L).otherwise(0L)).as("repeats"),
+        sum("ts_bits").as("ts_bits"),
+        sum("val_bits").as("val_bits"))
+      .filter(col("n_samples") >= 3)
+      .select(col("name"), col("user_id"), col("n_samples"),
+        col("dod_zero"), col("repeats"), col("ts_bits"), col("val_bits"),
+        expr("((ts_bits + val_bits) * 100) div (n_samples - 2)")
+          .as("bits_per_sample_x100"))
+  }
+
+  val gorillaBitsSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         epoch_us(ts) // 1000000 AS ts_s,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (
+      |  SELECT *,
+      |         ts_s - lag(ts_s) OVER (PARTITION BY name, user_id
+      |                                ORDER BY ts_s, event_id) AS dt,
+      |         abs(cents - lag(cents) OVER (PARTITION BY name, user_id
+      |                                      ORDER BY ts_s, event_id)) AS dv
+      |  FROM b),
+      |d AS (
+      |  SELECT *, dt - lag(dt) OVER (PARTITION BY name, user_id
+      |                               ORDER BY ts_s, event_id) AS dod
+      |  FROM l),
+      |c AS (
+      |  SELECT name, user_id,
+      |         CASE WHEN dod IS NULL THEN 0
+      |              WHEN dod = 0 THEN 1
+      |              WHEN dod BETWEEN -63 AND 64 THEN 9
+      |              WHEN dod BETWEEN -255 AND 256 THEN 12
+      |              WHEN dod BETWEEN -2047 AND 2048 THEN 16
+      |              ELSE 36 END AS ts_bits,
+      |         CASE WHEN dv IS NULL THEN 0
+      |              WHEN dv = 0 THEN 1
+      |              ELSE 13 + length(bin(dv)) END AS val_bits,
+      |         dod, dv
+      |  FROM d)
+      |SELECT name, user_id, COUNT(*) AS n_samples,
+      |       CAST(SUM(CASE WHEN dod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS dod_zero,
+      |       CAST(SUM(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS repeats,
+      |       CAST(SUM(ts_bits) AS BIGINT) AS ts_bits,
+      |       CAST(SUM(val_bits) AS BIGINT) AS val_bits,
+      |       (CAST(SUM(ts_bits) AS BIGINT) + CAST(SUM(val_bits) AS BIGINT))
+      |         * 100 // (COUNT(*) - 2) AS bits_per_sample_x100
+      |FROM c GROUP BY name, user_id
+      |HAVING COUNT(*) >= 3""".stripMargin
+
   /** q_autocorr — lag-1 autocorrelation per series (the seasonality /
     * stuck-gauge detector behind anomaly dashboards: corr ≈ 1 means a
     * smooth series, ≈ 0 white noise, < 0 oscillation). Pearson r over

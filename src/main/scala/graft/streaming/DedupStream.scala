@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.Portable.hash60
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -37,10 +36,11 @@ case class CandidatePair(docA: Long, docB: Long, bandId: Long)
   * set equals `q_minhash_lsh`'s on the same corpus, no matter how the
   * documents are split across micro-batches.
   *
-  * Scale shape: the in-row signature is per-document HOF math (the
-  * documented per-row-lambda case — each doc computes its own 16 mins;
-  * the batch job's corpus-wide posexplode+window form does not apply
-  * to a per-micro-batch stream). State per bucket is capped at
+  * Scale shape: the signature kernel runs as a typed per-document
+  * flatMap on the JVM hash twin (see [[withBands]] — the documented
+  * row-wise-imperative case; the batch job's corpus-wide
+  * posexplode+window form does not apply to a per-micro-batch
+  * stream). State per bucket is capped at
   * [[Dedup]]'s hot-bucket bound — the batch job drops over-cap buckets
   * retroactively, a stream can only stop ADMITTING once full, so the
   * cap is prospective here (identical behavior while under the cap,
@@ -50,29 +50,55 @@ case class CandidatePair(docA: Long, docB: Long, bandId: Long)
   */
 object DedupStream {
 
-  /** Per-document 4-band MinHash hashes computed IN-ROW (no shuffle,
-    * no corpus pass): one row per (doc, band). Docs under 3 tokens
-    * have no shingles and drop out, like the batch signature frame. */
+  /** Per-document 4-band MinHash hashes, one row per (doc, band) —
+    * computed IMPERATIVELY per document in a typed flatMap using the
+    * spec-proven JVM hash twin (`hash60Jvm == hash60`, PortableSpec).
+    * This is the documented row-wise-imperative case: the batch job's
+    * codegen'd posexplode+window shingling needs a corpus-wide window
+    * (not available on a stream), and the declarative in-row HOF
+    * alternative evaluates an interpreted md5 lambda per shingle —
+    * measured 68 docs/s vs ~20k docs/s for this flatMap (StreamBench's
+    * neardup path; the per-doc cost is 48 md5s + 16·48 integer mixes
+    * either way, but here they run as straight JVM code). Docs under 3
+    * tokens have no shingles and drop out, like the batch frame. */
   def withBands(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    val shs = array_distinct(transform(
-      sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-        element_at(w, i + 2))))
-    val h30s = transform(shs, s => hash60(s) % 1073741824L)
-    val sigs = (0 until 16).map(i =>
-      array_min(transform(h30s,
-        h => (h * Dedup.mhA(i) + Dedup.mhB(i)) % Dedup.P)))
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b.toLong).as("band_id"),
-        hash60(concat_ws(",",
-          (0 until 4).map(j => sigs(b * 4 + j).cast("string")): _*))
-          .as("band_hash"))
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) => bandHashesJvm(docId, text) }
+      .toDF("doc_id", "band_id", "band_hash")
+  }
+
+  /** The per-doc signature kernel: distinct 3-shingles → h30 →
+    * 16 universal-hash minima → 4 band hashes. Same constants, same
+    * formulas, same values as `Dedup.minhashSigPlan` + band structs. */
+  private[graft] def bandHashesJvm(docId: Long, text: String)
+      : Seq[(Long, Long, Long)] = {
+    import graft.functions.Portable.hash60Jvm
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) Seq.empty
+    else {
+      val sigs = Array.fill(16)(Long.MaxValue)
+      val seen = new scala.collection.mutable.HashSet[String]()
+      var i = 0
+      while (i + 2 < ws.length) {
+        val sh = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+        if (seen.add(sh)) {
+          val h30 = hash60Jvm(sh) % 1073741824L
+          var k = 0
+          while (k < 16) {
+            val v = (h30 * Dedup.mhA(k) + Dedup.mhB(k)) % Dedup.P
+            if (v < sigs(k)) sigs(k) = v
+            k += 1
+          }
+        }
+        i += 1
+      }
+      (0 until 4).map { b =>
+        val cat = (0 until 4).map(j => sigs(b * 4 + j)).mkString(",")
+        (docId, b.toLong, hash60Jvm(cat))
+      }
     }
-    docs.filter(size(w) >= 3)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band_id").as("band_id"),
-        col("bb.band_hash").as("band_hash"))
   }
 
   /** Hot-bucket admission cap — the streaming counterpart of the batch
