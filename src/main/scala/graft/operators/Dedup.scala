@@ -509,6 +509,68 @@ object Dedup {
        |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
        |FROM sz GROUP BY 1""".stripMargin
 
+  /** q_split_leakage — train/val/test SPLIT assignment + the near-dup
+    * LEAKAGE audit: documents are deterministically hashed into
+    * 80/10/10 splits (fate = f(content hash) — reproducible across
+    * runs and engines, q_sample's rule), then every near-dup pair is
+    * classified by the splits it touches. Cross-split rows are EVAL
+    * LEAKAGE — a val/test doc whose near-duplicate trains is the
+    * classic inflated-benchmark bug, and this table is the check a
+    * pipeline publishes with every split (the fix — cluster-aware
+    * splitting — re-runs this until cross rows are zero). Rides the
+    * shared materialized pair frame; split assignment is a pure
+    * projection; everything after the 8-byte-id joins is
+    * |splits|²-bounded.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(hash60(concat(lit("split:"), col("text"))), lit(100L))
+    val split = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"))
+    val sizes = split.groupBy("split").agg(count(lit(1)).as("docs"))
+    ngramPairs(spark, dir).select("doc_a", "doc_b")
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(sizes.select(col("split").as("split_a"),
+        col("docs").as("docs_a"))), "split_a")
+      .join(broadcast(sizes.select(col("split").as("split_b"),
+        col("docs").as("docs_b"))), "split_b")
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("docs_a"), col("docs_b"),
+        (col("split_a") =!= col("split_b")).cast("long").as("leaked"))
+  }
+
+  val splitLeakageSql: String = {
+    val h = hash60Sql("'split:' || text")
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $h % 100 < 80 THEN 'train'
+       |              WHEN $h % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |sz AS (SELECT split, COUNT(*) AS docs FROM sp GROUP BY split),
+       |pr AS (SELECT doc_a, doc_b FROM ($dedupNgramSql)),
+       |tg AS (SELECT least(a.split, b.split) AS split_a,
+       |              greatest(a.split, b.split) AS split_b
+       |       FROM pr
+       |       JOIN sp a ON a.doc_id = pr.doc_a
+       |       JOIN sp b ON b.doc_id = pr.doc_b),
+       |np AS (SELECT split_a, split_b, COUNT(*) AS n_pairs
+       |       FROM tg GROUP BY 1, 2)
+       |SELECT np.split_a, np.split_b, np.n_pairs,
+       |       za.docs AS docs_a, zb.docs AS docs_b,
+       |       CAST(CASE WHEN np.split_a <> np.split_b THEN 1 ELSE 0 END
+       |            AS BIGINT) AS leaked
+       |FROM np JOIN sz za ON za.split = np.split_a
+       |        JOIN sz zb ON zb.split = np.split_b""".stripMargin
+  }
+
   /** q_source_overlap — the pairwise SOURCE near-dup overlap matrix
     * ("is src9 a mirror of src3?"): for every unordered source pair,
     * how many near-dup pairs cross them and how many distinct documents

@@ -491,6 +491,45 @@ object Similarity {
        |       CAST(SUM(nrm) AS BIGINT) * 100 // COUNT(*) AS avg_nrm_x100
        |FROM asg WHERE crn = 1 GROUP BY cell""".stripMargin
 
+  /** q_kmeans_shift — Lloyd CONVERGENCE read: per cell, the squared
+    * distance between the refined centroid ([[qKmeansStep]]) and its
+    * seed, plus the largest single-component move. THE stopping
+    * criterion of iterative k-means — an index build loops
+    * assignment→refine until this table's shifts flatten, so the
+    * operator IS the loop-control read. All integers: centroids are
+    * ×100-milli exact, seeds lift to the same scale, shift = Σ(Δ)².
+    * K·d-bounded join of two K·d frames (both derive from the shared
+    * quantized/assignment passes); K rows out.
+    */
+  def qKmeansShift(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = quantized(spark, dir)
+      .filter(col("vec_id") < ivfK(spark, dir))
+      .select(col("vec_id").as("cell"), posexplode(col("q")).as(Seq("pos", "qs")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"), col("qs"))
+    qKmeansStep(spark, dir).join(seeds, Seq("cell", "dim"))
+      .withColumn("d", col("centroid_x100") - col("qs") * 100L)
+      .groupBy("cell")
+      .agg(max("n_vectors").as("n_vectors"),
+        sum(col("d") * col("d")).as("shift_sq_x10000"),
+        max(abs(col("d"))).as("max_comp_x100"))
+  }
+
+  /** lazy: composes [[kmeansStepSql]], defined later in the file. */
+  lazy val kmeansShiftSql: String =
+    s"""WITH ks AS (SELECT * FROM ($kmeansStepSql)),
+       |sd0 AS (SELECT cell, unnest(generate_series(1, len(q))) AS dim, q
+       |        FROM (WITH $quantizedSql
+       |              SELECT vec_id AS cell, q FROM qn
+       |              WHERE vec_id < $ivfKSql)),
+       |sd AS (SELECT cell, dim, q[dim] AS qs FROM sd0),
+       |j AS (SELECT ks.cell, ks.n_vectors,
+       |             ks.centroid_x100 - sd.qs * 100 AS d
+       |      FROM ks JOIN sd ON ks.cell = sd.cell AND ks.dim = sd.dim)
+       |SELECT cell, CAST(MAX(n_vectors) AS BIGINT) AS n_vectors,
+       |       CAST(SUM(d * d) AS BIGINT) AS shift_sq_x10000,
+       |       CAST(MAX(abs(d)) AS BIGINT) AS max_comp_x100
+       |FROM j GROUP BY cell""".stripMargin
+
   /** q_cell_purity — label PURITY per IVF cell: for each cell, the
     * member count, distinct-label count, majority label and its ppm
     * share. The clustering-quality read between Lloyd rounds and the
