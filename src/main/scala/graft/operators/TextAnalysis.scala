@@ -1079,12 +1079,27 @@ object TextAnalysis {
   private def unigramLp(spark: SparkSession, dir: String): DataFrame =
     MaterializeOnce(spark, dir, "text:unigram_lp")(unigramLpPlan(spark, dir))
 
+  /** (doc_id, token-hash) rows — the corpus token explode, materialized
+    * once per (session, dir); SHARED by the unigram-LM score and the
+    * hapax/rare-share diagnostic (each previously re-exploded the
+    * corpus). */
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "text:doc_tokens")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(words).as("token"))
+        .select(col("doc_id"), hash60(col("token")).as("th")))
+
+  /** The corpus token-frequency table (th → tf), vocab-sized (Zipf),
+    * materialized once and SHARED by the same two consumers. */
+  private def unigramTf(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "text:unigram_tf")(
+      docTokens(spark, dir).groupBy("th").agg(count(lit(1)).as("tf"))
+        .select(col("th").as("lm_th"), col("tf")))
+
   private[graft] def unigramLpPlan(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words).as("token"))
-      .select(col("doc_id"), hash60(col("token")).as("th"))
-    val lm = toks.groupBy("th").agg(count(lit(1)).as("tf"))
-      .select(col("th").as("lm_th"),
+    val toks = docTokens(spark, dir)
+    val lm = unigramTf(spark, dir)
+      .select(col("lm_th"),
         (length(expr("conv(tf, 10, 2)")) - 1).cast("long").as("log2_tf"))
     toks.join(lm, col("th") === col("lm_th"))
       .groupBy("doc_id")
@@ -1397,11 +1412,8 @@ object TextAnalysis {
     * are 8-byte hashes, per-doc output.
     */
   def qHapaxShare(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words).as("token"))
-      .select(col("doc_id"), hash60(col("token")).as("th"))
-    val lm = toks.groupBy("th").agg(count(lit(1)).as("tf"))
-      .select(col("th").as("lm_th"), col("tf"))
+    val toks = docTokens(spark, dir)
+    val lm = unigramTf(spark, dir)
     toks.join(lm, col("th") === col("lm_th"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

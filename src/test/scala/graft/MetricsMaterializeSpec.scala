@@ -51,4 +51,16 @@ class MetricsMaterializeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(cached == direct)
   }
+
+  test("token frames shared by unigram-LM and hapax (r7 late)") {
+    graft.operators.Dedup.invalidateMaterialized()
+    // force both consumers; the hapax plan must read the SAME
+    // materialized token/tf scans the LM pipeline built (no re-explode)
+    graft.operators.TextAnalysis.qUnigramLp(spark, dir).collect()
+    val plan = graft.operators.TextAnalysis.qHapaxShare(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("parquet") && !plan.contains("explode"),
+      s"hapax re-explodes the corpus:\n${plan.take(1200)}")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"))
+  }
 }
