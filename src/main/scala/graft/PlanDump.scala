@@ -82,7 +82,13 @@ object PlanDump {
       "q_colloc_pmi" -> "collocations: in-row bigrams, sub-corpus vocab joins, 1-row N broadcast, TakeOrdered top-20",
       "q_cdc_chunks" -> "content-defined chunking: one corpus posexplode, boundary cumsum on the doc key, 8-byte sig shuffle",
       "q_sq8_error" -> "scalar quantization: corpus posexplode, d-row min/max broadcast back, zero self-joins",
-      "q_mrl_recall" -> "Matryoshka recall: |Q|-by-tiers broadcast, one corpus stream, |Q|-bounded tail")
+      "q_mrl_recall" -> "Matryoshka recall: |Q|-by-tiers broadcast, one corpus stream, |Q|-bounded tail",
+      "q_gorilla_bits" -> "Gorilla cost: one events scan, both lag windows + aggregate on one series exchange",
+      "q_split_leakage" -> "split leakage: pure-projection split fate, pair-frame scan, |splits|-bounded broadcast joins",
+      "q_source_overlap" -> "source overlap: materialized pair frame, 8-byte-id source joins, |sources|^2 tail",
+      "q_filter_sweep" -> "threshold sweep: corpus collapses to the word-length histogram, broadcast non-equi threshold join",
+      "q_hapax_share" -> "hapax share: shared materialized token/tf frames, 8-byte-hash join, per-doc fold",
+      "q_kmeans_shift" -> "Lloyd shift: K-d-bounded centroid-vs-seed join off the shared assignment")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

@@ -2786,8 +2786,13 @@ object MetricsEtl {
     * |series|-bounded output, all integers.
     */
   def qGorillaBits(spark: SparkSession, dir: String): DataFrame = {
+    // order by the SECOND-granularity key the codec sees (ts_s), with
+    // the unique event_id completing the total order — ordering by raw
+    // µs would legally diverge from the oracle whenever two samples
+    // share a second (same cross-engine tie trap as the lineitem
+    // windows)
     val w = Window.partitionBy("name", "user_id")
-      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .orderBy(col("ts_s").asc, col("event_id").asc)
     val base = Tables.events(spark, dir)
       .select(col("event_type").as("name"), col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),

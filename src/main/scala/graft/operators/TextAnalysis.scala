@@ -1345,41 +1345,54 @@ object TextAnalysis {
     * one row; |thresholds| rows out.
     */
   def qFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wl = Tables.documents(spark, dir)
       .select(size(words).cast("long").as("n_words"))
       .groupBy("n_words").agg(count(lit(1)).as("docs"),
         sum("n_words").as("toks"))
-    val tot = wl.agg(sum("docs").as("tot_docs"), sum("toks").as("tot_toks"))
+    // threshold 0 rides the same sweep as the corpus-total anchor — a
+    // separate totals aggregate would RE-SCAN the corpus (caught by
+    // PlanAuditSpec: Catalyst does not reuse the histogram exchange
+    // across the two consumers); the 0-row is dropped from the output
     val th = wl.sparkSession.range(1)
-      .select(explode(typedLit(sweepThresholds)).as("threshold"))
+      .select(explode(typedLit(0L +: sweepThresholds)).as("threshold"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     wl.join(broadcast(th), col("n_words") >= col("threshold"))
       .groupBy("threshold")
       .agg(sum("docs").as("docs_kept"), sum("toks").as("tokens_kept"))
-      .crossJoin(broadcast(tot))
+      .withColumn("tot_docs",
+        max(when(col("threshold") === 0L, col("docs_kept"))).over(w))
+      .withColumn("tot_toks",
+        max(when(col("threshold") === 0L, col("tokens_kept"))).over(w))
+      .filter(col("threshold") =!= 0L)
       .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
         expr("docs_kept * 1000000 div tot_docs").as("docs_ppm"),
         expr("tokens_kept * 1000000 div tot_toks").as("tokens_ppm"))
   }
 
   val filterSweepSql: String = {
-    val thList = sweepThresholds.mkString("[", ", ", "]")
+    val thList = (0L +: sweepThresholds).mkString("[", ", ", "]")
     s"""WITH wl AS (
        |  SELECT CAST(len($wordsSql) AS BIGINT) AS n_words,
        |         COUNT(*) AS docs, CAST(SUM(len($wordsSql)) AS BIGINT) AS toks
        |  FROM documents GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(docs) AS BIGINT) AS tot_docs,
-       |               CAST(SUM(toks) AS BIGINT) AS tot_toks FROM wl),
-       |th AS (SELECT CAST(unnest($thList) AS BIGINT) AS threshold)
-       |SELECT threshold,
-       |       CAST(SUM(docs) AS BIGINT) AS docs_kept,
-       |       CAST(SUM(toks) AS BIGINT) AS tokens_kept,
-       |       CAST(SUM(docs) AS BIGINT) * 1000000 // MAX(tot_docs)
-       |         AS docs_ppm,
-       |       CAST(SUM(toks) AS BIGINT) * 1000000 // MAX(tot_toks)
-       |         AS tokens_ppm
-       |FROM wl JOIN th ON n_words >= threshold
-       |CROSS JOIN tot
-       |GROUP BY threshold""".stripMargin
+       |th AS (SELECT CAST(unnest($thList) AS BIGINT) AS threshold),
+       |sw AS (SELECT threshold,
+       |              CAST(SUM(docs) AS BIGINT) AS docs_kept,
+       |              CAST(SUM(toks) AS BIGINT) AS tokens_kept
+       |       FROM wl JOIN th ON n_words >= threshold
+       |       GROUP BY threshold),
+       |an AS (SELECT *,
+       |         MAX(CASE WHEN threshold = 0 THEN docs_kept END) OVER ()
+       |           AS tot_docs,
+       |         MAX(CASE WHEN threshold = 0 THEN tokens_kept END) OVER ()
+       |           AS tot_toks
+       |       FROM sw)
+       |SELECT threshold, docs_kept, tokens_kept,
+       |       docs_kept * 1000000 // tot_docs AS docs_ppm,
+       |       tokens_kept * 1000000 // tot_toks AS tokens_ppm
+       |FROM an WHERE threshold <> 0""".stripMargin
   }
 
   /** q_token_len_hist — token-length histogram (tokenizer sanity: a

@@ -596,6 +596,31 @@ class PlanAuditSpec extends SparkSpec {
       "label centroids must aggregate in-row with no explode at all")
   }
 
+  test("q_gorilla_bits: both lags and the aggregate share one series exchange") {
+    val df = MetricsEtl.qGorillaBits(spark, dir)
+    val plan = executed(df)
+    assert(finalScans(plan) == 1, "one events scan")
+    // two Window nodes over the same (name, user_id) key + the final
+    // aggregate must not add exchanges beyond the single series shuffle
+    val fin = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(fin).size
+    assert(exchanges <= 2, s"series shuffle must be shared: $exchanges exchanges")
+  }
+
+  test("q_split_leakage: sizes broadcast, no cartesian, pure-projection fate") {
+    val plan = executed(Dedup.qSplitLeakage(spark, dir))
+    assert(plan.contains("BroadcastExchange"), "split sizes must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_filter_sweep: corpus collapses before the threshold join") {
+    val plan = executed(TextAnalysis.qFilterSweep(spark, dir))
+    assert(finalScans(plan) == 1, "one documents scan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the 5-row threshold frame must broadcast into the bounded histogram")
+  }
+
   test("q_histogram_stddev: events scanned once, aggregate two-phase") {
     val plan = executed(MetricsEtl.qHistogramStddev(spark, dir))
     val scans = finalScans(plan)
