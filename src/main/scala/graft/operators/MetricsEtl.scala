@@ -253,6 +253,58 @@ object MetricsEtl {
       |       CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS batch_skipped_count
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q_overlap_rows — R6/R9 overlap RE-DELIVERY accounting: the
+    * reference re-fetches each batch window with a leading overlap
+    * (`window_start = progress − overlap`, etl_job.py:357-393), so the
+    * last `overlap` seconds of every window are DELIVERED TWICE and
+    * collapse only through the content-hash id + ReplacingMergeTree
+    * (R5/R9). This operator quantifies that idempotency traffic per
+    * batch: new rows, re-delivered rows, fetched total and the
+    * re-delivery ppm — the table that justifies (or re-tunes) the
+    * overlap setting. No self-join: each event fans out IN-ROW to ≤2
+    * (window, kind) memberships (its own window as `new`, the NEXT
+    * window as `re-delivered` iff it sits in the tail band), one
+    * map-side-combinable aggregate, |windows|-bounded output.
+    */
+  def qOverlapRows(spark: SparkSession, dir: String): DataFrame = {
+    val winSize = 300L
+    val ov = 60L
+    val e = Tables.events(spark, dir).select(
+      (floor(unix_micros(col("ts")) / 1000000L / winSize) * winSize)
+        .as("w0"),
+      expr("unix_micros(ts) div 1000000").as("ts_s"))
+    val memb = e.select(explode(when(
+      col("ts_s") >= col("w0") + (winSize - ov),
+      array(struct(col("w0").as("w"), lit(0L).as("redeliv")),
+        struct((col("w0") + winSize).as("w"), lit(1L).as("redeliv"))))
+      .otherwise(array(struct(col("w0").as("w"), lit(0L).as("redeliv")))))
+      .as("m"))
+      .select(col("m.w").as("window_start"), col("m.redeliv"))
+    memb.groupBy("window_start")
+      .agg(sum(lit(1L) - col("redeliv")).as("new_rows"),
+        sum("redeliv").as("redelivered_rows"))
+      .select(col("window_start"), col("new_rows"), col("redelivered_rows"),
+        (col("new_rows") + col("redelivered_rows")).as("fetched_rows"),
+        expr("redelivered_rows * 1000000 div (new_rows + redelivered_rows)")
+          .as("redeliv_ppm"))
+  }
+
+  val overlapRowsSql: String =
+    """WITH r AS (
+      |  SELECT CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT) AS w0,
+      |         epoch_us(ts) // 1000000 AS ts_s
+      |  FROM events),
+      |m AS (SELECT w0 AS window_start, 0 AS redeliv FROM r
+      |      UNION ALL
+      |      SELECT w0 + 300, 1 FROM r WHERE ts_s >= w0 + 240)
+      |SELECT window_start,
+      |       CAST(SUM(1 - redeliv) AS BIGINT) AS new_rows,
+      |       CAST(SUM(redeliv) AS BIGINT) AS redelivered_rows,
+      |       COUNT(*) AS fetched_rows,
+      |       CAST(SUM(redeliv) AS BIGINT) * 1000000 // COUNT(*)
+      |         AS redeliv_ppm
+      |FROM m GROUP BY window_start""".stripMargin
+
   /** q_etl_state — R6/R7: the job-state ledger the reference keeps in its
     * ClickHouse `etl` table, simulated over the event stream. Each batch
     * window produces one state record; `timestamp_progress` advances to

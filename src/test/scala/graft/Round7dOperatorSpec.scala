@@ -139,6 +139,26 @@ class Round7dOperatorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_overlap_rows == JVM re-delivery accounting") {
+    val ts = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us")).collect().map(_.getLong(0))
+    val memb = ts.flatMap { us =>
+      val s = us / 1000000L
+      val w0 = math.floorDiv(s, 300L) * 300L
+      if (s >= w0 + 240L) Seq((w0, 0L), (w0 + 300L, 1L)) else Seq((w0, 0L))
+    }
+    val expected = memb.groupBy(_._1).map { case (w, ms) =>
+      val re = ms.count(_._2 == 1L).toLong
+      val nw = ms.length - re
+      w -> ((nw, re, nw + re, re * 1000000L / (nw + re)))
+    }
+    val got = MetricsEtl.qOverlapRows(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("q_kmeans_shift == JVM assignment + floor-mean shift") {
     val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .collect().map { r =>
