@@ -509,6 +509,48 @@ object Dedup {
        |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
        |FROM sz GROUP BY 1""".stripMargin
 
+  /** q_band_recall — the BAND-CONFIG acceptance summary: one row
+    * grading the 4×4 MinHash banding against the exact shingle-Jaccard
+    * pair set — recall (exact pairs the bands surfaced) and precision
+    * (band candidates that are real). q_minhash_est_err grades the
+    * per-pair estimator, q_jaccard_curve sweeps cutoffs; THIS is the
+    * headline number an irreversible dedup run is signed off on. Both
+    * inputs are shared materialized pair frames; two 8-byte-id joins,
+    * 1-row output. Zero-denominator guards mirror in both engines
+    * (DuckDB `// 0` errors where Spark yields NULL).
+    */
+  def qBandRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramPairs(spark, dir).select("doc_a", "doc_b")
+    val band = bandPairs(spark, dir).select("doc_a", "doc_b")
+    val hits = exact.join(band, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("hits"))
+    val ne = exact.agg(count(lit(1)).as("exact_pairs"))
+    val nb = band.agg(count(lit(1)).as("band_pairs"))
+    hits.crossJoin(broadcast(ne)).crossJoin(broadcast(nb))
+      .select(col("exact_pairs"), col("band_pairs"), col("hits"),
+        when(col("exact_pairs") === 0L, 0L)
+          .otherwise(expr("hits * 1000000 div exact_pairs"))
+          .as("recall_ppm"),
+        when(col("band_pairs") === 0L, 0L)
+          .otherwise(expr("hits * 1000000 div band_pairs"))
+          .as("precision_ppm"))
+  }
+
+  lazy val bandRecallSql: String =
+    s"""WITH ex AS (SELECT doc_a, doc_b FROM ($dedupNgramSql)),
+       |bd AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |      FROM ex JOIN bd USING (doc_a, doc_b)),
+       |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM ex),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS band_pairs FROM bd)
+       |SELECT ne.exact_pairs, nb.band_pairs, h.hits,
+       |       CASE WHEN ne.exact_pairs = 0 THEN 0
+       |            ELSE h.hits * 1000000 // ne.exact_pairs END AS recall_ppm,
+       |       CASE WHEN nb.band_pairs = 0 THEN 0
+       |            ELSE h.hits * 1000000 // nb.band_pairs END
+       |         AS precision_ppm
+       |FROM h CROSS JOIN ne CROSS JOIN nb""".stripMargin
+
   /** q_split_leakage — train/val/test SPLIT assignment + the near-dup
     * LEAKAGE audit: documents are deterministically hashed into
     * 80/10/10 splits (fate = f(content hash) — reproducible across

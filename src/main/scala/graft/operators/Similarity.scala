@@ -1501,6 +1501,73 @@ object Similarity {
        |FROM n LEFT JOIN hl ON n.vec_id = hl.vec_id
        |       LEFT JOIN hb ON n.vec_id = hb.vec_id""".stripMargin
 
+  /** q_pq_recall — the ACCEPTANCE test for the production ANN scan:
+    * recall@3 of the IVF-PQ ADC results ([[qIvfPq]]) against exact
+    * ground truth IN THE SCAN'S OWN METRIC (integer L2 over the
+    * full-precision vectors — grading ADC against cosine truth would
+    * conflate metric choice with quantization loss, and the acceptance
+    * question is the latter). q_ann_recall grades the LSH variants;
+    * this grades the path a deployment ships (~9 B/vector ADC) — the
+    * number that decides whether the PQ codebook trains further or
+    * ships. At fixture scale the verdict is a TRUE ZERO: the demo
+    * M=4×K=4 plan-time codebook (256 codes for 500+ random vectors —
+    * chosen to exercise the plan SHAPE, q_ivf_pq's contract) measures
+    * a median true-L2 rank of ~172/500 for its picks, and this
+    * operator is exactly the check that catches it (cross-checked by a
+    * from-scratch JVM twin in Round7dOperatorSpec). Truth is the same
+    * K·n constant-broadcast pass as q_embed_cosine_topk; everything
+    * after is |Q|·3-bounded.
+    */
+  def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    // ground truth in the SCAN'S OWN metric — exact integer L2 over the
+    // full-precision quantized vectors (ADC approximates L2; grading it
+    // against cosine truth would conflate metric choice with
+    // quantization loss, and the acceptance question is the latter)
+    val v = quantized(spark, dir)
+    val a = v.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("neighbor_id"))
+    val truth = broadcast(a).crossJoin(b)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("d2",
+        col("na") - lit(2L) * dot(col("qa"), col("qb")) + col("nb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val pq = qIvfPq(spark, dir)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
+    val hits = truth.join(pq, Seq("vec_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    val poss = truth.agg(count(lit(1)).as("possible"))
+    hits.crossJoin(broadcast(poss))
+      .select(col("hits"), col("possible"),
+        expr("hits * 1000000 div possible").as("recall_ppm"))
+  }
+
+  lazy val pqRecallSql: String =
+    s"""WITH $quantizedSql,
+       |t0 AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |        a.nrm - 2 * CAST(list_sum(list_transform(
+       |          generate_series(1, len(a.q)),
+       |          i -> a.q[i] * b.q[i])) AS BIGINT) + b.nrm AS d2
+       |       FROM qn a, qn b
+       |       WHERE a.vec_id < $QuerySetSize AND a.vec_id <> b.vec_id),
+       |t AS (SELECT vec_id, neighbor_id FROM (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY d2 ASC, neighbor_id) AS rn
+       |  FROM t0) WHERE rn <= 3),
+       |p AS (SELECT query_id AS vec_id, neighbor_id FROM ($ivfPqSql)),
+       |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |      FROM t JOIN p USING (vec_id, neighbor_id)),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM t)
+       |SELECT h.hits, n.possible, h.hits * 1000000 // n.possible
+       |         AS recall_ppm
+       |FROM h CROSS JOIN n""".stripMargin
+
   /** q_sq8_error — SCALAR 8-bit quantization (the SQ8 index format:
     * per-DIMENSION min/max from the corpus, each component mapped to a
     * 0..255 code) + reconstruction-error accounting. The memory story

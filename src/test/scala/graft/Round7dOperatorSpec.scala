@@ -159,6 +159,44 @@ class Round7dOperatorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_pq_recall == JVM ADC + exact-L2 twin (the zero is TRUE)") {
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .collect().map { r =>
+        r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)
+          .map(f => math.round(f.toDouble * 1000)).toSeq
+      }.toSeq.sortBy(_._1)
+    val byId = vecs.toMap
+    // exact-L2 truth top-3 per query
+    val truth = vecs.filter(_._1 < 50).map { case (qid, qv) =>
+      val order = vecs.filter(_._1 != qid).map { case (nid, nv) =>
+        (nid, qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (nid, d2) => (d2, nid) }.take(3).map(_._1)
+      qid -> order.toSet
+    }.toMap
+    val possible = truth.values.map(_.size).sum.toLong
+    // the operator's ADC picks
+    val picks = Similarity.qIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hits = picks.count { case (q, n) =>
+      truth.get(q).exists(_.contains(n))
+    }.toLong
+    val got = Similarity.qPqRecall(spark, dir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((hits, possible, hits * 1000000L / possible)))
+  }
+
+  test("q_band_recall == JVM recall/precision over the two pair lists") {
+    val exact = pairList.toSet
+    val band = Dedup.qMinhashLsh(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (exact intersect band).size.toLong
+    val got = Dedup.qBandRecall(spark, dir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((exact.size.toLong, band.size.toLong, hits)))
+    if (exact.nonEmpty)
+      assert(got.getLong(3) == hits * 1000000L / exact.size)
+  }
+
   test("q_kmeans_shift == JVM assignment + floor-mean shift") {
     val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .collect().map { r =>
