@@ -2822,6 +2822,63 @@ object MetricsEtl {
       dayofmonth(last_day(ts)).cast("long").as("days_in_month"))
   }
 
+  /** q_burstiness — per-series FANO FACTOR (variance/mean of
+    * per-minute arrival counts): the burst-vs-steady classifier behind
+    * alert tuning and scrape-capacity planning — a Poisson-ish steady
+    * series sits near 1, batch-flushed or thundering-herd series far
+    * above. ENGINE-EXACT: minute-bucket counts are integers, the
+    * variance numerator uses the same Σ(x−m)² identity about the
+    * truncated integer mean as q_dim_variance (int64-safe — no n·Σx²
+    * product), and the Fano ratio emits as one exact truncating ×100
+    * integer. Minutes observed = the series' own [first, last] minute
+    * span (empty minutes count as zero arrivals — they carry the
+    * signal). One (series, minute) aggregation, then a |series|-bounded
+    * fold; series needing ≥2 observed minutes.
+    */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy("name", "user_id", "minute").agg(count(lit(1)).as("c"))
+    val st = perMin.groupBy("name", "user_id")
+      .agg(min("minute").as("mn"), max("minute").as("mx"),
+        count(lit(1)).as("active_minutes"),
+        sum("c").as("n_events"), sum(col("c") * col("c")).as("s2"))
+      .withColumn("minutes", col("mx") - col("mn") + 1L)
+      .filter(col("minutes") >= 2L)
+    // moments over ALL minutes in the span: empty minutes are zeros, so
+    // Σx = n_events and Σx² = s2 unchanged; mean m = truncated n/minutes
+    st.withColumn("m", expr("n_events div minutes"))
+      .withColumn("var_sum", col("s2") - lit(2L) * col("m") * col("n_events")
+        + col("minutes") * col("m") * col("m"))
+      .select(col("name"), col("user_id"), col("minutes"),
+        col("active_minutes"), col("n_events"),
+        expr("(var_sum * 100) div greatest(n_events, 1)").as("fano_x100"))
+  }
+
+  val burstinessSql: String =
+    """WITH pm AS (
+      |  SELECT event_type AS name, user_id,
+      |         epoch_us(ts) // 60000000 AS minute, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT name, user_id, MIN(minute) AS mn, MAX(minute) AS mx,
+      |         COUNT(*) AS active_minutes,
+      |         CAST(SUM(c) AS BIGINT) AS n_events,
+      |         CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM pm GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT *, mx - mn + 1 AS minutes FROM st WHERE mx - mn + 1 >= 2),
+      |mo AS (
+      |  SELECT *, n_events // minutes AS m FROM sp),
+      |v AS (
+      |  SELECT name, user_id, minutes, active_minutes, n_events,
+      |         s2 - 2 * m * n_events + minutes * m * m AS var_sum
+      |  FROM mo)
+      |SELECT name, user_id, minutes, active_minutes, n_events,
+      |       (var_sum * 100) // greatest(n_events, 1) AS fano_x100
+      |FROM v""".stripMargin
+
   /** q_gorilla_bits — TSDB COMPRESSION-COST estimate per series
     * (Gorilla / Prometheus-TSDB chunk planning): how many bits/sample
     * would the standard time-series codec spend on this series? The

@@ -197,6 +197,33 @@ class Round7dOperatorSpec extends SparkSpec {
       assert(got.getLong(3) == hits * 1000000L / exact.size)
   }
 
+  test("q_burstiness == JVM Fano twin") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(e => (e._1, e._2)).flatMap {
+      case ((name, u), rs) =>
+        val mins = rs.map(_._3 / 60000000L)
+        val span = mins.max - mins.min + 1
+        if (span < 2) None
+        else {
+          val byMin = mins.groupBy(identity).view.mapValues(_.size.toLong)
+          val n = rs.length.toLong
+          val s2 = byMin.values.map(c => c * c).sum
+          val m = n / span
+          val varSum = s2 - 2 * m * n + span * m * m
+          Some((name, u) -> ((span, byMin.size.toLong, n,
+            varSum * 100 / math.max(n, 1L))))
+        }
+    }.toMap
+    val got = MetricsEtl.qBurstiness(spark, dir).collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("q_kmeans_shift == JVM assignment + floor-mean shift") {
     val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .collect().map { r =>
