@@ -39,6 +39,13 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getAs[String]("ff") == "5")
       assert(r.getAs[String]("ca") == "['a','b']")
 
+      // the vec_sum AGGREGATE resolves through the same extensions path
+      s2.range(3).selectExpr("array(id, id * 2) AS v")
+        .createOrReplaceTempView("ext_vs_in")
+      val vs = s2.sql("SELECT vec_sum(v) AS s FROM ext_vs_in")
+        .head().getAs[scala.collection.Seq[Long]]("s").toSeq
+      assert(vs == Seq(0L + 1L + 2L, 0L + 2L + 4L))
+
       // multi-arg city_hash64 through SQL == the expression API (avoid
       // -0.0 here: SQL constant folding normalizes the sign bit away)
       val multi = s2.sql(
