@@ -1,0 +1,161 @@
+package graft.index
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** What an index directory claims to be — persisted as a 1-row parquet
+  * and validated on every serve/ensure. `nVectors` ties the index to a
+  * corpus SNAPSHOT: a changed corpus invalidates the artifacts. */
+case class IndexMeta(formatVersion: Int, corpusDir: String,
+    nVectors: Long, dim: Int, ivfK: Int, pqM: Int, pqK: Int)
+
+/** BUILD/SERVE split for the ANN family (VERDICT_r07 item 2): a
+  * production index is built ONCE per corpus snapshot and SERVED by
+  * every query after it — the reference's own write-once/read-many
+  * idempotency story (SURVEY §1 R5/R9) applied to vectors. Before
+  * this, every Similarity query rebuilt centroids/assignments/codebooks
+  * per session (materialize-once made that per-session-cheap, but a
+  * restarted service paid the n·K assignment argmax again).
+  *
+  * Artifacts under one index root, all plain parquet (readable by any
+  * engine, splittable, column-pruned on serve):
+  *   - `centroids/`    (cell, qc, nc)            — K rows, the coarse book
+  *   - `assignments/`  (vec_id, cell, q, nrm, ccos) — one row per vector,
+  *     the posting-list side; carries the quantized vector so in-cell
+  *     exact search needs NO join back to the corpus
+  *   - `codebook/`     (m, k, centroid)          — M·K rows, the PQ book
+  *   - `codes/`        (vec_id, cell, code)      — one row per vector,
+  *     the ~9-byte/vector ADC scan side
+  *   - `meta/`         ([[IndexMeta]])           — 1 row, the validity claim
+  *
+  * SINK ([[write]]): one assignment pass + one encode pass, each a
+  * single corpus scan, written with the corpus partitioning (no
+  * repartition — at 100 TB the index write is bound by the same scan
+  * that any one consumer query already pays). SOURCE ([[annSearch]] /
+  * [[adcSearch]]): plans read the parquet artifacts directly — the
+  * served IVF search contains NO broadcast-nested-loop argmax and the
+  * served ADC scan no encode, which is the whole point (spec'd by plan
+  * shape in `IndexServeSpec`). [[ensure]] is the deployment contract:
+  * serve a VALID existing index untouched, rebuild a missing/stale one,
+  * and refuse to clobber an index written by a NEWER format.
+  */
+object AnnIndex {
+
+  /** Bump when the artifact layout changes. An index claiming a newer
+    * version than this build understands is never overwritten. */
+  val FormatVersion = 1
+
+  private def p(root: String, part: String) = s"$root/$part"
+
+  /** Build every artifact from the corpus at `corpusDir` into `root`
+    * (overwrite). Two corpus scans total: the assignment argmax pass
+    * and the PQ encode pass (codes then join the written assignment's
+    * cell — a read of the narrow artifact, not a third corpus scan). */
+  def write(spark: SparkSession, corpusDir: String, root: String): IndexMeta = {
+    import spark.implicits._
+    val (ivfK, pqM, pqK, d, n) = Similarity.indexGeometry(spark, corpusDir)
+    Similarity.ivfCentroidsPlan(spark, corpusDir)
+      .write.mode("overwrite").parquet(p(root, "centroids"))
+    Similarity.ivfAssignedPlan(spark, corpusDir)
+      .write.mode("overwrite").parquet(p(root, "assignments"))
+    Similarity.pqCodebookFrame(spark, corpusDir)
+      .write.mode("overwrite").parquet(p(root, "codebook"))
+    val cells = spark.read.parquet(p(root, "assignments"))
+      .select(col("vec_id"), col("cell"))
+    Similarity.qPqCode(spark, corpusDir).select(col("vec_id"), col("code"))
+      .join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("code"))
+      .write.mode("overwrite").parquet(p(root, "codes"))
+    val meta = IndexMeta(FormatVersion, corpusDir, n, d, ivfK, pqM, pqK)
+    Seq(meta).toDS().toDF().coalesce(1)
+      .write.mode("overwrite").parquet(p(root, "meta"))
+    meta
+  }
+
+  /** Read the validity claim; None if absent/unreadable. */
+  def readMeta(spark: SparkSession, root: String): Option[IndexMeta] =
+    try {
+      import spark.implicits._
+      spark.read.parquet(p(root, "meta")).as[IndexMeta].collect().headOption
+    } catch { case _: Exception => None }
+
+  private def served(spark: SparkSession, root: String, part: String): DataFrame = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"AnnIndex: no readable index meta at $root — build with write() or ensure()"))
+    require(meta.formatVersion == FormatVersion,
+      s"AnnIndex: $root is format v${meta.formatVersion}, this build serves v$FormatVersion")
+    spark.read.parquet(p(root, part))
+  }
+
+  /** The served posting-list frame (vec_id, cell, q, nrm, ccos). */
+  def assignments(spark: SparkSession, root: String): DataFrame =
+    served(spark, root, "assignments")
+
+  /** The served coarse centroids (cell, qc, nc). */
+  def centroids(spark: SparkSession, root: String): DataFrame =
+    served(spark, root, "centroids")
+
+  /** SERVED IVF search: the in-cell exact top-3 over the parquet
+    * posting lists — value-identical to `q_ann_ivf` built in-session
+    * (same hot-cell cap, same tie order), with the n·K assignment
+    * argmax amortized into the one-time build. */
+  def annSearch(spark: SparkSession, root: String): DataFrame =
+    Similarity.ivfSearch(spark, assignments(spark, root))
+
+  /** SERVED ADC search: LUTs from the persisted codebook (M·K rows —
+    * a bounded index-metadata read) against the persisted packed
+    * codes; value-identical to `q_ivf_pq`. Queries' LUT entries are
+    * computed fresh from the query vectors, as a real serving path
+    * does. */
+  def adcSearch(spark: SparkSession, corpusDir: String, root: String): DataFrame = {
+    val rows = served(spark, root, "codebook")
+      .select(col("m"), col("k"), col("centroid")).collect()
+    val meta = readMeta(spark, root).get
+    val book = Array.tabulate(meta.pqM, meta.pqK) { (m, k) =>
+      rows.find(r => r.getInt(0) == m && r.getInt(1) == k)
+        .getOrElse(throw new IllegalStateException(
+          s"AnnIndex: codebook at $root is missing entry ($m,$k)"))
+        .getAs[scala.collection.Seq[Long]](2).toArray
+    }
+    val codes = served(spark, root, "codes").select(col("vec_id"), col("code"))
+    Similarity.adcTopK(codes, Similarity.pqLuts(spark, corpusDir, book))
+  }
+
+  /** Default per-corpus index location (scratch space — a deployment
+    * points `root` at its lake instead). */
+  def defaultRoot(corpusDir: String): String =
+    sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_ann_index/" +
+      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private val ensuring = new ConcurrentHashMap[String, AnyRef]()
+
+  /** The deployment contract: return a root holding a VALID index for
+    * `corpusDir`, building only when the existing one is missing or
+    * stale (version/corpus/row-count mismatch). An index claiming a
+    * NEWER format than this build is a hard error, never clobbered.
+    * Serialized per root within the JVM; cross-process races resolve
+    * to the same content (the build is deterministic), matching the
+    * reference's idempotent-reload story. */
+  def ensure(spark: SparkSession, corpusDir: String,
+      root0: String = null): String = {
+    val root = Option(root0).getOrElse(defaultRoot(corpusDir))
+    val lock = ensuring.computeIfAbsent(root, _ => new AnyRef)
+    lock.synchronized {
+      readMeta(spark, root) match {
+        case Some(m) if m.formatVersion > FormatVersion =>
+          throw new IllegalStateException(
+            s"AnnIndex: $root is format v${m.formatVersion} (newer than " +
+              s"v$FormatVersion) — refusing to overwrite")
+        case Some(m) if m.formatVersion == FormatVersion &&
+            m.corpusDir == corpusDir &&
+            m.nVectors == Similarity.indexGeometry(spark, corpusDir)._5 =>
+          () // valid — serve as-is
+        case _ => write(spark, corpusDir, root)
+      }
+    }
+    root
+  }
+}

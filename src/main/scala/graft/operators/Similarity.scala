@@ -412,8 +412,27 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("q"), col("nrm"), col("ccos"))
   }
 
-  /** Hot-cell cap + in-cell exact top-3 over an assignment frame. */
-  private def ivfSearch(spark: SparkSession, assignedRaw: DataFrame): DataFrame = {
+  /** The coarse-centroid frame (cell, qc, nc) exactly as the assignment
+    * pass sees it — the first index artifact [[graft.index.AnnIndex]]
+    * persists (build/serve split, VERDICT_r07 item 2). */
+  private[graft] def ivfCentroidsPlan(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir).filter(col("vec_id") < ivfK(spark, dir))
+      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
+
+  /** Index-build accessors for [[graft.index.AnnIndex]]: the shared
+    * quantized corpus frame and the index geometry (K, M, PQ-K, dim,
+    * corpus size) the meta artifact records. */
+  private[graft] def quantizedFrame(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+  private[graft] def indexGeometry(spark: SparkSession, dir: String)
+      : (Int, Int, Int, Int, Long) =
+    (ivfK(spark, dir), PqM, PqK, dim(spark, dir), vecCount(spark, dir))
+
+  /** Hot-cell cap + in-cell exact top-3 over an assignment frame — the
+    * SERVE half of the IVF index: [[qAnnIvf]] runs it over the
+    * in-session assignment, [[graft.index.AnnIndex.annSearch]] over the
+    * parquet-served one (identical results, spec'd in IndexServeSpec). */
+  private[graft] def ivfSearch(spark: SparkSession, assignedRaw: DataFrame): DataFrame = {
     val assigned = assignedRaw
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
       .filter(col("csz") <= maxBucket).drop("csz")
@@ -468,6 +487,23 @@ object Similarity {
     * runs before trusting q_ann_ivf's latency. Same assignment pass as
     * the index itself, then one tiny groupBy on the cell id.
     */
+  /** q_ann_served — the IVF search SERVED from the persisted index
+    * ([[graft.index.AnnIndex]], VERDICT_r07 item 2): `ensure` builds
+    * the parquet artifacts once per corpus snapshot (validating an
+    * existing index by version/corpus/row count), then the search plan
+    * reads the posting-list parquet directly — no n·K assignment
+    * argmax, no broadcast-nested-loop, just scan → cap → cell join.
+    * Result contract: value-identical to [[qAnnIvf]] (same cap, same
+    * tie order, same rounded cosine), so the oracle IS q_ann_ivf's —
+    * which is exactly what makes the build/serve split safe to deploy.
+    */
+  def qAnnServed(spark: SparkSession, dir: String): DataFrame =
+    graft.index.AnnIndex.annSearch(spark,
+      graft.index.AnnIndex.ensure(spark, dir))
+
+  /** The serve contract: identical rows to q_ann_ivf. */
+  val annServedSql: String = annIvfSql
+
   def qIvfCells(spark: SparkSession, dir: String): DataFrame =
     // rides the SHARED materialized assignment (uncapped by design —
     // the balance diagnostic must see the hot cell it exists to catch)
@@ -1145,29 +1181,76 @@ object Similarity {
     * size; the codebook is O(M·K·d) literals in the plan.
     */
   def qPqCode(spark: SparkSession, dir: String): DataFrame = {
-    val d = dim(spark, dir)
-    val sub = d / PqM
-    val cents = pqCentroids(sub)
-    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
+    val sub = dim(spark, dir) / PqM
+    val withDs = pqSubspaceDs(
+      quantized(spark, dir).select(col("vec_id"), col("q")),
+      pqCentroids(sub), sub)
+    val qerr = (0 until PqM).map(m => array_min(col(s"ds$m"))).reduce(_ + _)
+    withDs.select(col("vec_id"), pqPackedCode.as("code"),
+      qerr.cast("long").as("qerr"))
+  }
+
+  /** Per-subspace squared-distance arrays (vec_id, ds0..ds{M−1}) over a
+    * (vec_id, q) frame for a given codebook — the shared PQ kernel:
+    * the in-session encoder ([[qPqCode]], [[qIvfPq]]) and the SERVED
+    * LUT builder ([[graft.index.AnnIndex]], which feeds a codebook read
+    * back from parquet) both compose it. */
+  private[graft] def pqSubspaceDs(base: DataFrame,
+      cents: Array[Array[Array[Long]]], sub: Int): DataFrame = {
     val s1 = base.select(col("vec_id") +: (0 until PqM).map(m =>
       slice(col("q"), m * sub + 1, sub).as(s"q$m")): _*)
-    val s2 = s1.select(col("vec_id") +: (0 until PqM).flatMap(m => Seq(
-      col(s"q$m"), vecDot(col(s"q$m"), col(s"q$m")).as(s"n$m"))): _*)
-    val s3 = s2.select(col("vec_id") +: (0 until PqM).map { m =>
+    s1.select(col("vec_id") +: (0 until PqM).map { m =>
       array((0 until PqK).map { k =>
         val c = cents(m)(k)
         val cNorm = c.map(x => x * x).sum
-        col(s"n$m") - lit(2L) * vecDot(col(s"q$m"), typedLit(c.toSeq)) +
-          lit(cNorm)
+        vecDot(col(s"q$m"), col(s"q$m")) -
+          lit(2L) * vecDot(col(s"q$m"), typedLit(c.toSeq)) + lit(cNorm)
       }: _*).as(s"ds$m")
     }: _*)
-    val codes = (0 until PqM).map(m =>
-      (array_position(col(s"ds$m"), array_min(col(s"ds$m"))) - 1L) *
-        lit(math.pow(PqK, m).toLong))
-    val qerr = (0 until PqM).map(m => array_min(col(s"ds$m"))).reduce(_ + _)
-    s3.select(col("vec_id"),
-      codes.reduce(_ + _).cast("long").as("code"),
-      qerr.cast("long").as("qerr"))
+  }
+
+  /** Packed M-digit base-K code over a ds frame (first-minimum ties). */
+  private def pqPackedCode: Column = (0 until PqM).map(m =>
+    (array_position(col(s"ds$m"), array_min(col(s"ds$m"))) - 1L) *
+      lit(math.pow(PqK, m).toLong)).reduce(_ + _).cast("long")
+
+  /** The PQ codebook as a FRAME (m, k, centroid) — the persistable
+    * index artifact; M·K rows. */
+  private[graft] def pqCodebookFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = dim(spark, dir) / PqM
+    val cents = pqCentroids(sub)
+    (for (m <- 0 until PqM; k <- 0 until PqK)
+      yield (m, k, cents(m)(k).toSeq)).toDF("m", "k", "centroid")
+  }
+
+  /** ADC-query LUT frame (query_id, lut0..lut{M−1}) for the constant
+    * query set, against an arbitrary codebook. */
+  private[graft] def pqLuts(spark: SparkSession, dir: String,
+      cents: Array[Array[Array[Long]]]): DataFrame = {
+    val sub = dim(spark, dir) / PqM
+    pqSubspaceDs(quantized(spark, dir).filter(col("vec_id") < PqNQ)
+      .select(col("vec_id"), col("q")), cents, sub)
+      .select(col("vec_id").as("query_id") +:
+        (0 until PqM).map(m => col(s"ds$m").as(s"lut$m")): _*)
+  }
+
+  /** ADC top-3 scan: codes (vec_id, code) against broadcast LUTs —
+    * the serve half of IVF-PQ (a candidate costs M table lookups). */
+  private[graft] def adcTopK(codes: DataFrame, luts: DataFrame): DataFrame = {
+    val adc = (0 until PqM).map(m =>
+      element_at(col(s"lut$m"),
+        (expr(s"code div ${math.pow(PqK, m).toLong} % $PqK") + 1L)
+          .cast("int"))).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc.cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("rn"))
   }
 
   /** Shared oracle CTE chain ending in `dd` = (vec_id, ds0..ds{M−1})
@@ -1238,40 +1321,12 @@ object Similarity {
     * ranking is bit-stable across engines.
     */
   def qIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val d = dim(spark, dir)
-    val sub = d / PqM
+    val sub = dim(spark, dir) / PqM
     val cents = pqCentroids(sub)
-    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
-    val s1 = base.select(col("vec_id") +: (0 until PqM).map(m =>
-      slice(col("q"), m * sub + 1, sub).as(s"q$m")): _*)
-    val withDs = s1.select(col("vec_id") +: (0 until PqM).map { m =>
-      array((0 until PqK).map { k =>
-        val c = cents(m)(k)
-        val cNorm = c.map(x => x * x).sum
-        vecDot(col(s"q$m"), col(s"q$m")) -
-          lit(2L) * vecDot(col(s"q$m"), typedLit(c.toSeq)) + lit(cNorm)
-      }: _*).as(s"ds$m")
-    }: _*)
-    val codes = withDs.select(col("vec_id"),
-      (0 until PqM).map(m =>
-        (array_position(col(s"ds$m"), array_min(col(s"ds$m"))) - 1L) *
-          lit(math.pow(PqK, m).toLong)).reduce(_ + _).cast("long").as("code"))
-    val luts = withDs.filter(col("vec_id") < PqNQ)
-      .select(col("vec_id").as("query_id") +:
-        (0 until PqM).map(m => col(s"ds$m").as(s"lut$m")): _*)
-    val adc = (0 until PqM).map(m =>
-      element_at(col(s"lut$m"),
-        (expr(s"code div ${math.pow(PqK, m).toLong} % $PqK") + 1L)
-          .cast("int"))).reduce(_ + _)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    codes.crossJoin(broadcast(luts))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adc.cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc"), col("rn"))
+    val withDs = pqSubspaceDs(
+      quantized(spark, dir).select(col("vec_id"), col("q")), cents, sub)
+    val codes = withDs.select(col("vec_id"), pqPackedCode.as("code"))
+    adcTopK(codes, pqLuts(spark, dir, cents))
   }
 
   val ivfPqSql: String = {
@@ -1642,7 +1697,11 @@ object Similarity {
     per.crossJoin(broadcast(tot))
       .select(col("d").cast("long").as("d"), col("n"),
         col("m").as("mean_milli"), col("var_sum"),
-        expr("var_sum * 1000000 div tot_var").as("share_ppm"))
+        // greatest(...,1): an all-constant corpus has tot_var = 0 —
+        // Spark would yield NULL but the DuckDB oracle errors on // 0;
+        // every per-dim var_sum is 0 too, so the shares come out 0
+        // identically in both engines (ADVICE_r07)
+        expr("var_sum * 1000000 div greatest(tot_var, 1L)").as("share_ppm"))
   }
 
   val dimVarianceSql: String =
@@ -1659,7 +1718,7 @@ object Similarity {
        |      FROM mm),
        |t AS (SELECT CAST(SUM(var_sum) AS BIGINT) AS tot_var FROM v)
        |SELECT CAST(d AS BIGINT) AS d, n, mean_milli, var_sum,
-       |       var_sum * 1000000 // tot_var AS share_ppm
+       |       var_sum * 1000000 // GREATEST(tot_var, 1) AS share_ppm
        |FROM v CROSS JOIN t""".stripMargin
 
   /** Matryoshka truncation tiers for [[qMrlRecall]] — plan-time
