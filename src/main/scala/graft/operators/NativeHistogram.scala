@@ -1,0 +1,338 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prometheus NATIVE (sparse exponential-bucket) histograms — the
+  * PromQL 3.x direction the classic `le`-bucket family
+  * (q_histogram_quantile/_avg/_stddev/_fraction) predates. Model,
+  * re-expressed from the PUBLIC design (Prometheus sparse
+  * high-resolution histograms / OpenTelemetry exponential histograms;
+  * same math as prometheus/prometheus model/histogram + promql
+  * quantile code):
+  *
+  *   - at schema s, positive bucket i covers (base^(i−1), base^i] with
+  *     base = 2^(2^−s) — so index(v) = ⌈2^s · log₂ v⌉
+  *   - negative observations mirror into negative buckets with the
+  *     same index math over |v|; v = 0 lands in the ZERO bucket
+  *     (zero-threshold 0 here: values are exact integer cents)
+  *   - a series carries (count, sum, zero_count, buckets as SPANS of
+  *     contiguous indexes) — the layout [[qNativeStats]] reports on
+  *
+  * ENGINE-EXACT throughout, in the engine's libm-free style: cents are
+  * integers, so ⌈log₂ v⌉ is integer BIT LENGTH (`conv`/`bin` string
+  * length — the q_colloc_pmi device, no floating log), schema −1 is
+  * ⌈idx₀/2⌉ by integer halving, schema +1 is bit_length(v²−1) (v²
+  * exact in int64), and bucket BOUNDS are powers of two carried as
+  * HALFCENT integers (`1 << idx` — never `pow(2.0, i)`, which Java
+  * only guarantees to 1 ulp). Only the final quantile/fraction
+  * interpolation touches doubles, with identical operands and
+  * association in both engines (the q_rate argument), and the
+  * straddling-bucket fraction is a SINGLE double term so no
+  * order-dependent double summation exists anywhere.
+  *
+  * Scale shape: everything is one events scan into a per-(series,
+  * window, index) count frame — sparse native histograms are TINY
+  * relative to samples (that is their point), so every post-bucket
+  * frame is bounded by series × windows × ~64 indexes. The schema-0
+  * bucket frame is materialized once and shared by the
+  * quantile/stats/fraction consumers (shared-frame rule).
+  *
+  * Conformance: the index math and the quantile/fraction interpolation
+  * are golden-vectored against an independent Python transcription in
+  * `tools/promql_ref.py` (families in PromqlConformanceSpec), like the
+  * classic-histogram and rate families.
+  */
+object NativeHistogram {
+
+  /** 1h evaluation windows, like the other over-time families. */
+  private val WindowSec = 3600L
+
+  /** (name, user_id, w_start, sgn, pos) — one row per sample, with the
+    * sign split and |cents| ready for index math. */
+  private def samples(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / WindowSec) * WindowSec)
+        .as("w_start"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        signum(col("cents")).cast("long").as("sgn"),
+        abs(col("cents")).as("pos"))
+
+  private val samplesSql: String =
+    s"""sm AS (SELECT event_type AS name, user_id,
+       |        CAST(floor(epoch_us(ts)/1000000/$WindowSec)*$WindowSec AS BIGINT) AS w_start,
+       |        CAST(sign(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sgn,
+       |        abs(CAST(round(value*100) AS BIGINT)) AS pos
+       |       FROM events)""".stripMargin
+
+  /** ⌈log₂ pos⌉ as integer bit length (schema 0); 0 for pos ≤ 1. */
+  private def idx0Col = when(col("pos") <= 1L, 0L)
+    .otherwise(length(expr("conv(pos - 1, 10, 2)")).cast("long"))
+
+  /** The SHARED schema-0 bucket-count frame (name, user_id, w_start,
+    * sgn, bucket_idx, cnt) — three consumers (quantile / stats /
+    * fraction), materialized once per (session, dir). */
+  private def buckets0(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "nh:buckets0")(buckets0Plan(spark, dir))
+
+  private[graft] def buckets0Plan(spark: SparkSession, dir: String): DataFrame =
+    samples(spark, dir)
+      .withColumn("bucket_idx",
+        when(col("sgn") === 0L, 0L).otherwise(idx0Col))
+      .groupBy("name", "user_id", "w_start", "sgn", "bucket_idx")
+      .agg(count(lit(1)).as("cnt"))
+
+  private val buckets0Sql: String =
+    s"""$samplesSql,
+       |bk AS (SELECT name, user_id, w_start, sgn,
+       |        CAST(CASE WHEN sgn = 0 OR pos <= 1 THEN 0
+       |                  ELSE length(bin(pos - 1)) END AS BIGINT) AS bucket_idx,
+       |        CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM sm GROUP BY name, user_id, w_start, sgn, bucket_idx)""".stripMargin
+
+  /** q_native_hist — the sparse-bucket BUILD at three schemas
+    * (−1, 0, +1): per (series, 1h window, schema, sign), the populated
+    * bucket indexes and their counts — the ingest transform a native-
+    * histogram TSDB runs per scrape. Index math per the object doc:
+    * schema 0 = bit_length(|cents|−1), schema +1 = bit_length(cents²−1)
+    * (base √2 — twice the resolution), schema −1 = ⌈idx₀/2⌉ (base 4).
+    * All pure integers; the output is series × windows × schemas ×
+    * populated-index bounded — sparse by construction. */
+  def qNativeHist(spark: SparkSession, dir: String): DataFrame = {
+    val i = samples(spark, dir)
+      .withColumn("idx0", idx0Col)
+      .withColumn("idx1", when(col("pos") <= 1L, 0L)
+        .otherwise(length(expr("conv(pos * pos - 1, 10, 2)")).cast("long")))
+      .withColumn("idxm1", expr("(idx0 + 1) div 2"))
+    i.select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+        explode(array(
+          struct(lit(-1L).as("bucket_schema"),
+            when(col("sgn") === 0L, 0L).otherwise(col("idxm1")).as("bucket_idx")),
+          struct(lit(0L).as("bucket_schema"),
+            when(col("sgn") === 0L, 0L).otherwise(col("idx0")).as("bucket_idx")),
+          struct(lit(1L).as("bucket_schema"),
+            when(col("sgn") === 0L, 0L).otherwise(col("idx1")).as("bucket_idx"))))
+          .as("sb"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        col("sb.bucket_schema").as("bucket_schema"), col("sgn"),
+        col("sb.bucket_idx").as("bucket_idx"))
+      .groupBy("name", "user_id", "w_start", "bucket_schema", "sgn",
+        "bucket_idx")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val nativeHistSql: String =
+    s"""WITH $samplesSql,
+       |i AS (SELECT *,
+       |        CASE WHEN pos <= 1 THEN 0 ELSE length(bin(pos - 1)) END AS idx0,
+       |        CASE WHEN pos <= 1 THEN 0
+       |             ELSE length(bin(pos * pos - 1)) END AS idx1
+       |      FROM sm),
+       |u AS (
+       |  SELECT name, user_id, w_start, sgn, CAST(-1 AS BIGINT) AS bucket_schema,
+       |         CAST(CASE WHEN sgn = 0 THEN 0 ELSE (idx0 + 1) // 2 END AS BIGINT) AS bucket_idx
+       |  FROM i
+       |  UNION ALL
+       |  SELECT name, user_id, w_start, sgn, CAST(0 AS BIGINT),
+       |         CAST(CASE WHEN sgn = 0 THEN 0 ELSE idx0 END AS BIGINT)
+       |  FROM i
+       |  UNION ALL
+       |  SELECT name, user_id, w_start, sgn, CAST(1 AS BIGINT),
+       |         CAST(CASE WHEN sgn = 0 THEN 0 ELSE idx1 END AS BIGINT)
+       |  FROM i)
+       |SELECT name, user_id, w_start, bucket_schema, sgn, bucket_idx,
+       |       CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM u
+       |GROUP BY name, user_id, w_start, bucket_schema, sgn, bucket_idx""".stripMargin
+
+  /** q_native_quantile — `histogram_quantile(φ, native)` for
+    * φ ∈ {0.5, 0.9}, transcribed from the public algorithm: order
+    * buckets by VALUE (negative indexes descending → zero bucket →
+    * positive ascending; ord = sgn·(idx+1) realizes exactly that),
+    * find the bucket where the cumulative count crosses rank = φ·n,
+    * and interpolate LINEARLY within its bounds (the zero bucket
+    * returns 0; a negative bucket mirrors). Bounds live as halfcent
+    * integers (1 << idx, 1 << (idx+1)); rank and the one interpolation
+    * division are the only doubles, operand-identical across engines.
+    */
+  def qNativeQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val grp = Seq("name", "user_id", "w_start")
+    val bk = buckets0(spark, dir)
+      .withColumn("ord", col("sgn") * (col("bucket_idx") + 1L))
+      .withColumn("tot",
+        sum("cnt").over(Window.partitionBy(grp.map(col): _*)))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy(grp.map(col): _*)
+        .orderBy("ord").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val phis = spark.range(1).select(
+      explode(typedLit(Seq(50L, 90L))).as("phi_x100"))
+    val ranked = bk.crossJoin(broadcast(phis))
+      .withColumn("rk",
+        (col("tot") * col("phi_x100")).cast("double") / 100.0)
+      .filter(col("cum") >= col("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy((grp :+ "phi_x100").map(col): _*).orderBy("ord")))
+      .filter(col("rn") === 1)
+    ranked.select(col("name"), col("user_id"), col("w_start"),
+      col("phi_x100"),
+      round(
+        when(col("sgn") === 0L, lit(0.0)).otherwise(
+          when(col("sgn") === 1L,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx AS INT))"))
+            .otherwise(-expr(
+              "shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx + 1 AS INT))"))
+            .cast("double")
+            + (expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx + 1 AS INT))")
+              - expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx AS INT))"))
+              .cast("double")
+              * ((col("rk") - (col("cum") - col("cnt")).cast("double"))
+                / col("cnt").cast("double"))) / 200.0, 6).as("q_value"))
+  }
+
+  val nativeQuantileSql: String =
+    s"""WITH $buckets0Sql,
+       |o AS (SELECT *, sgn * (bucket_idx + 1) AS ord,
+       |        CAST(SUM(cnt) OVER (PARTITION BY name, user_id, w_start) AS BIGINT) AS tot,
+       |        CAST(SUM(cnt) OVER (PARTITION BY name, user_id, w_start
+       |          ORDER BY sgn * (bucket_idx + 1)
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM bk),
+       |ph AS (SELECT unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT)]) AS phi_x100),
+       |r AS (SELECT o.*, ph.phi_x100,
+       |        CAST(o.tot * ph.phi_x100 AS DOUBLE) / 100.0 AS rk
+       |      FROM o CROSS JOIN ph),
+       |sel AS (SELECT *, row_number() OVER (PARTITION BY name, user_id,
+       |          w_start, phi_x100 ORDER BY ord) AS rn
+       |        FROM r WHERE cum >= rk)
+       |SELECT name, user_id, w_start, phi_x100,
+       |       round(CASE WHEN sgn = 0 THEN 0.0 ELSE
+       |         (CAST(CASE WHEN sgn = 1 THEN 1::BIGINT << CAST(bucket_idx AS INT)
+       |               ELSE -(1::BIGINT << CAST(bucket_idx + 1 AS INT)) END AS DOUBLE)
+       |          + CAST((1::BIGINT << CAST(bucket_idx + 1 AS INT))
+       |                 - (1::BIGINT << CAST(bucket_idx AS INT)) AS DOUBLE)
+       |            * ((rk - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)))
+       |         END / 200.0, 6) AS q_value
+       |FROM sel WHERE rn = 1""".stripMargin
+
+  /** q_native_stats — the native-histogram SERIES LAYOUT per (series,
+    * window): observation count, exact sum (×100 cents), zero and
+    * negative tallies, and — the native-specific part — the
+    * positive-bucket index layout the wire format's SPAN encoding
+    * depends on: populated-bucket count, index min/max, and the number
+    * of contiguous index RUNS (each run = one span record). A gappy
+    * layout (many spans) is what makes a native histogram expensive to
+    * encode — this is the operator an ingest pipeline watches. Span
+    * counting is the idx − row_number() run-grouping identity on the
+    * shared bucket frame; series-windows with no positive buckets
+    * report 0 buckets/spans and −1 index bounds. */
+  def qNativeStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"),
+      (floor(unix_micros(col("ts")) / 1000000L / WindowSec) * WindowSec)
+        .as("w_start"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "user_id", "w_start")
+      .agg(count(lit(1)).as("h_count"), sum("cents").as("h_sum_x100"),
+        sum(when(col("cents") === 0L, 1L).otherwise(0L)).as("zero_count"),
+        sum(when(col("cents") < 0L, 1L).otherwise(0L)).as("neg_count"))
+    val posIdx = buckets0(spark, dir).filter(col("sgn") === 1L)
+      .select(col("name"), col("user_id"), col("w_start"), col("bucket_idx"))
+    val runW = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("bucket_idx")
+    val spans = posIdx
+      .withColumn("run", col("bucket_idx") - row_number().over(runW))
+      .groupBy("name", "user_id", "w_start")
+      .agg(count(lit(1)).as("n_buckets"),
+        min("bucket_idx").as("idx_min"), max("bucket_idx").as("idx_max"),
+        countDistinct("run").as("n_spans"))
+    base.join(spans, Seq("name", "user_id", "w_start"), "left")
+      .select(col("name"), col("user_id"), col("w_start"), col("h_count"),
+        col("h_sum_x100"), col("zero_count"), col("neg_count"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        coalesce(col("idx_min"), lit(-1L)).as("idx_min"),
+        coalesce(col("idx_max"), lit(-1L)).as("idx_max"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  val nativeStatsSql: String =
+    s"""WITH $buckets0Sql,
+       |base AS (SELECT name, user_id, w_start,
+       |          CAST(COUNT(*) AS BIGINT) AS h_count,
+       |          CAST(SUM(CASE WHEN sgn >= 0 THEN pos ELSE -pos END) AS BIGINT) AS h_sum_x100,
+       |          CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+       |          CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_count
+       |         FROM sm GROUP BY name, user_id, w_start),
+       |pi AS (SELECT name, user_id, w_start, bucket_idx,
+       |         bucket_idx - row_number() OVER (PARTITION BY name, user_id,
+       |           w_start ORDER BY bucket_idx) AS run
+       |       FROM bk WHERE sgn = 1),
+       |sp AS (SELECT name, user_id, w_start,
+       |         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |         CAST(MIN(bucket_idx) AS BIGINT) AS idx_min,
+       |         CAST(MAX(bucket_idx) AS BIGINT) AS idx_max,
+       |         CAST(COUNT(DISTINCT run) AS BIGINT) AS n_spans
+       |       FROM pi GROUP BY name, user_id, w_start)
+       |SELECT b.name, b.user_id, b.w_start, b.h_count, b.h_sum_x100,
+       |       b.zero_count, b.neg_count,
+       |       COALESCE(sp.n_buckets, 0) AS n_buckets,
+       |       COALESCE(sp.idx_min, -1) AS idx_min,
+       |       COALESCE(sp.idx_max, -1) AS idx_max,
+       |       COALESCE(sp.n_spans, 0) AS n_spans
+       |FROM base b LEFT JOIN sp
+       |  ON b.name = sp.name AND b.user_id = sp.user_id
+       |  AND b.w_start = sp.w_start""".stripMargin
+
+  /** q_native_fraction — `histogram_fraction(-Inf, x, native)`: the
+    * estimated fraction of observations ≤ x, for x ∈ {5.00, 50.00}
+    * (500/5000 cents — plan-time constants). Negative and zero buckets
+    * contribute fully (x > 0); a positive bucket contributes fully
+    * below x, nothing above, and the ONE straddling bucket
+    * interpolates linearly — kept as a single double term added to an
+    * exact integer sum, so no order-dependent double accumulation
+    * exists. */
+  def qNativeFraction(spark: SparkSession, dir: String): DataFrame = {
+    val grp = Seq("name", "user_id", "w_start")
+    val bounds = spark.range(1).select(
+      explode(typedLit(Seq(500L, 5000L))).as("bound_x100"))
+    val lower = expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx AS INT))")
+    val upper = expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx + 1 AS INT))")
+    val boundHc = col("bound_x100") * 2L
+    val full = col("sgn") < 1L || (upper <= boundHc)
+    val straddle = col("sgn") === 1L && (lower < boundHc) && (upper > boundHc)
+    buckets0(spark, dir).crossJoin(broadcast(bounds))
+      .groupBy((grp :+ "bound_x100").map(col): _*)
+      .agg(sum("cnt").as("tot"),
+        sum(when(full, col("cnt")).otherwise(0L)).as("full_cnt"),
+        sum(when(straddle,
+          col("cnt").cast("double")
+            * (boundHc - lower).cast("double")
+            / (upper - lower).cast("double")).otherwise(lit(0.0)))
+          .as("partial"))
+      .select(col("name"), col("user_id"), col("w_start"), col("bound_x100"),
+        round((col("full_cnt").cast("double") + col("partial"))
+          / col("tot").cast("double"), 6).as("frac_le"))
+  }
+
+  val nativeFractionSql: String =
+    s"""WITH $buckets0Sql,
+       |bd AS (SELECT unnest([CAST(500 AS BIGINT), CAST(5000 AS BIGINT)]) AS bound_x100),
+       |j AS (SELECT bk.*, bd.bound_x100,
+       |        1::BIGINT << CAST(bucket_idx AS INT) AS lo_hc,
+       |        1::BIGINT << CAST(bucket_idx + 1 AS INT) AS up_hc,
+       |        bd.bound_x100 * 2 AS bound_hc
+       |      FROM bk CROSS JOIN bd)
+       |SELECT name, user_id, w_start, bound_x100,
+       |       round((CAST(SUM(CASE WHEN sgn < 1 OR up_hc <= bound_hc
+       |                            THEN cnt ELSE 0 END) AS DOUBLE)
+       |              + SUM(CASE WHEN sgn = 1 AND lo_hc < bound_hc
+       |                          AND up_hc > bound_hc
+       |                         THEN CAST(cnt AS DOUBLE)
+       |                              * CAST(bound_hc - lo_hc AS DOUBLE)
+       |                              / CAST(up_hc - lo_hc AS DOUBLE)
+       |                         ELSE 0.0 END))
+       |             / CAST(SUM(cnt) AS DOUBLE), 6) AS frac_le
+       |FROM j GROUP BY name, user_id, w_start, bound_x100""".stripMargin
+}

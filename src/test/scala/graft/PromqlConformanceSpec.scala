@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** PromQL golden-vector conformance (VERDICT_r04 item 7).
   *
   * The oracle gate proves Spark↔DuckDB agreement; this suite proves
-  * PROMETHEUS agreement: 142 edge-case fixtures (22 families) whose expected outputs
+  * PROMETHEUS agreement: 151 edge-case fixtures (23 families) whose expected outputs
   * come from `tools/promql_ref.py` — an independent Python transcription
   * of Prometheus's PUBLIC algorithms (promql/functions.go
   * extrapolatedRate with the counter-reset / zero-cap /
@@ -576,5 +576,69 @@ class PromqlConformanceSpec extends SparkSpec {
         s"$name: ${got.get(name)} != $want")
     }
     assert(got.size == cases.size)
+  }
+
+  // ---- native-histogram family (VERDICT_r07 item 4): sparse
+  // exponential buckets, transcribed independently in promql_ref.py
+  // (nh_index / nh_quantile / nh_fraction) ----
+
+  private def nhCaseRows(c: Row): Seq[(String, Double, Double)] = {
+    val name = c.getAs[String]("name")
+    c.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("samples")
+      .map(s => (name, s(0), s(1))).toSeq
+  }
+
+  test("native histogram: bucket indexes at schemas -1/0/+1 (9 shapes)") {
+    val cases = fixtures("native_histogram")
+    val dir = eventsDir(cases.flatMap(nhCaseRows))
+    val got = operators.NativeHistogram.qNativeHist(spark, dir).collect()
+      .groupBy(_.getAs[String]("name"))
+      .map { case (n, rs) => n -> rs.map(r =>
+        (r.getAs[Long]("bucket_schema"), r.getAs[Long]("sgn"),
+          r.getAs[Long]("bucket_idx"), r.getAs[Long]("cnt"))).toSet
+      }
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+        "expected_buckets").map(b => (b(0), b(1), b(2), b(3))).toSet
+      assert(got.get(name).contains(want),
+        s"$name: ${got.get(name)} != $want")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("native histogram: quantile value-order crossing + linear interpolation") {
+    val cases = fixtures("native_histogram")
+    val dir = eventsDir(cases.flatMap(nhCaseRows))
+    val got = operators.NativeHistogram.qNativeQuantile(spark, dir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("phi_x100")) ->
+        r.getAs[Double]("q_value")).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      for ((phi, field) <- Seq(50L -> "expected_q50", 90L -> "expected_q90")) {
+        val want = c.getAs[Double](field)
+        val g = got((name, phi))
+        assert(math.abs(g - want) < 1.01e-6,
+          s"$name phi=$phi: $g != prometheus-model $want")
+      }
+    }
+  }
+
+  test("native histogram: fraction full/straddling-bucket rule at both bounds") {
+    val cases = fixtures("native_histogram")
+    val dir = eventsDir(cases.flatMap(nhCaseRows))
+    val got = operators.NativeHistogram.qNativeFraction(spark, dir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("bound_x100")) ->
+        r.getAs[Double]("frac_le")).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      for ((b, field) <- Seq(500L -> "expected_frac_500",
+          5000L -> "expected_frac_5000")) {
+        val want = c.getAs[Double](field)
+        val g = got((name, b))
+        assert(math.abs(g - want) < 1.01e-6,
+          s"$name bound=$b: $g != prometheus-model $want")
+      }
+    }
   }
 }

@@ -756,6 +756,108 @@ def round_cases():
     return C
 
 
+def nh_index(pos, schema):
+    """Sparse exponential (native) histogram bucket index for |cents|
+    = pos >= 0 at schema s: ceil(2^s * log2(pos)), pure integers via
+    bit_length (bucket i covers (base^(i-1), base^i], base = 2^(2^-s)).
+    Independent twin of NativeHistogram's conv/bin bit-length device."""
+    if pos <= 1:
+        i0 = 0
+    else:
+        i0 = (pos - 1).bit_length()
+    if schema == 0:
+        return i0
+    if schema == 1:
+        return 0 if pos <= 1 else (pos * pos - 1).bit_length()
+    if schema == -1:
+        return (i0 + 1) // 2
+    raise ValueError(schema)
+
+
+def nh_buckets(cents, schema):
+    """{(sgn, idx): count} over signed integer cents."""
+    c = {}
+    for v in cents:
+        sgn = (v > 0) - (v < 0)
+        idx = 0 if sgn == 0 else nh_index(abs(v), schema)
+        c[(sgn, idx)] = c.get((sgn, idx), 0) + 1
+    return c
+
+
+def nh_quantile(phi_x100, cents):
+    """histogram_quantile over schema-0 native buckets: value-ordered
+    cumulative crossing (ord = sgn*(idx+1)), LINEAR interpolation within
+    halfcent bounds (1<<idx, 1<<(idx+1)); zero bucket -> 0; negative
+    buckets mirror. Returns value units (halfcents / 200)."""
+    b = nh_buckets(cents, 0)
+    items = sorted(b.items(), key=lambda kv: kv[0][0] * (kv[0][1] + 1))
+    rank = (len(cents) * phi_x100) / 100.0
+    cum = 0
+    for (sgn, idx), cnt in items:
+        prev = cum
+        cum += cnt
+        if cum >= rank:
+            if sgn == 0:
+                return 0.0
+            lo, up = 1 << idx, 1 << (idx + 1)
+            frac = (rank - prev) / cnt
+            return ((lo if sgn == 1 else -up) + (up - lo) * frac) / 200.0
+    raise AssertionError("rank beyond total")
+
+
+def nh_fraction(bound_cents, cents):
+    """histogram_fraction(-Inf, bound): negatives/zero count fully, a
+    positive bucket fully below the bound, the single straddler
+    interpolates linearly in halfcents."""
+    bh = bound_cents * 2
+    full, partial = 0, 0.0
+    for (sgn, idx), cnt in nh_buckets(cents, 0).items():
+        lo, up = 1 << idx, 1 << (idx + 1)
+        if sgn < 1 or up <= bh:
+            full += cnt
+        elif lo < bh < up:
+            partial += cnt * (bh - lo) / (up - lo)
+    return (full + partial) / len(cents)
+
+
+def native_histogram_cases():
+    """Edge cases for the native-histogram family: values exactly ON
+    power-of-two bucket uppers (2^k is the LAST value of bucket k), the
+    idx-0 bucket (0.5, 1], zeros (zero bucket), negatives (mirrored
+    buckets), rank landing exactly on a cumulative boundary, a single
+    observation, and a 6-decade spread."""
+    shapes = {
+        "nh_pow2_uppers": [1, 2, 4, 8, 16],
+        "nh_idx0": [1, 1, 1],
+        "nh_zeros_mixed": [0, 0, 3, 12, 700],
+        "nh_negatives": [-8, -3, 0, 5, 900],
+        "nh_rank_boundary": [1, 1, 2, 2, 300, 300, 300, 300],
+        "nh_single": [737],
+        "nh_spread": [1, 9, 83, 640, 5000, 48000, 390000, 1000000],
+        "nh_all_zero": [0, 0, 0],
+        "nh_all_negative": [-1, -4, -900],
+    }
+    W = 1704067200  # divisible by 3600
+    C = []
+    for name, cents in shapes.items():
+        samples = [[float(W + 30 + 60 * i), c / 100.0]
+                   for i, c in enumerate(cents)]
+        buckets = []
+        for schema in (-1, 0, 1):
+            for (sgn, idx), cnt in sorted(nh_buckets(cents, schema).items()):
+                buckets.append([schema, sgn, idx, cnt])
+        C.append({
+            "name": name,
+            "samples": samples,
+            "expected_buckets": buckets,
+            "expected_q50": nh_quantile(50, cents),
+            "expected_q90": nh_quantile(90, cents),
+            "expected_frac_500": nh_fraction(500, cents),
+            "expected_frac_5000": nh_fraction(5000, cents),
+        })
+    return C
+
+
 if __name__ == "__main__":
     fixtures = {
         "rate": rate_cases(),
@@ -780,6 +882,7 @@ if __name__ == "__main__":
         "over_time": over_time_cases(),
         "ts_of": ts_of_cases(),
         "round": round_cases(),
+        "native_histogram": native_histogram_cases(),
     }
     n = sum(len(v) for v in fixtures.values())
     out = os.path.join(os.path.dirname(__file__), "..",
