@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.sources.PrometheusJson
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming ingestion pipeline (BASELINE north star: stream
   * Prometheus metrics → transform → ClickHouse-shaped sink).
@@ -18,6 +19,103 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * identical input files through either path give identical rows.
   */
 object MetricsStream {
+
+  /** One buffered sample for the streaming rate() state. `ts` carries
+    * the event-time watermark through to the fMGWS input (dropping it
+    * in a projection would drop the watermark itself — EventTimeTimeout
+    * then fails analysis). */
+  case class RatePoint(name: String, series: String, wStart: Long,
+      tsUs: Long, eventId: Long, cents: Long, ts: java.sql.Timestamp)
+
+  /** Keyed state for one (series, window): the buffered samples. State
+    * is bounded by samples-per-window — scrape cadence, never the
+    * corpus (the q_quantile_over_time argument). */
+  case class RateBuf(pts: Seq[(Long, Long, Long)])
+
+  /** One emitted streaming rate row — the q_rate schema. */
+  case class RateRow(name: String, series: String, w_start: Long,
+      rate: Double)
+
+  /** STREAMING PromQL `rate()` (VERDICT_r07 item 7) — the analytics
+    * counterpart of the ingest-side streaming ops: per (name, series,
+    * aligned window), the reset-corrected increase over the observed
+    * span, VALUE-IDENTICAL to the batch `q_rate` operator on the same
+    * samples (same integer-cents deltas, same (ts, event_id) ordering,
+    * same division association, same HALF_UP rounding — parity spec'd
+    * in `StreamRateSpec` across micro-batch splits).
+    *
+    * Why keyed state and not a windowed agg: rate() needs ORDERED
+    * deltas, which no commutative aggregate computes — so each
+    * (series, window) group BUFFERS its samples in fMGWS state and
+    * emits exactly once, when the event-time watermark passes the
+    * window end (EventTimeTimeout). Out-of-order arrival within the
+    * watermark is therefore handled exactly (the buffer is sorted at
+    * emission, not on arrival); samples later than the watermark are
+    * dropped by the engine, the same contract as every windowed
+    * operator here. State per group is one (µs, id, cents) triple per
+    * sample in ONE window — scrape-cadence bounded — and is removed at
+    * emission, so total state is O(open windows), not stream length.
+    *
+    * Input frame: (name, series, ts TIMESTAMP, event_id, value).
+    */
+  def streamingRate(samples: DataFrame, windowSec: Long = 300L,
+      delay: String = "10 minutes"): Dataset[RateRow] = {
+    import samples.sparkSession.implicits._
+    val pts = samples.select(col("name"), col("series").cast("string"),
+        (floor(unix_micros(col("ts")) / 1000000L / windowSec) * windowSec)
+          .as("wStart"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("event_id").cast("long").as("eventId"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .withWatermark("ts", delay)
+      .as[RatePoint]
+    pts.groupByKey(p => (p.name, p.series, p.wStart))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, String, Long), rows: Iterator[RatePoint],
+         state: GroupState[RateBuf]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.map(_.pts).getOrElse(Seq.empty)
+            state.remove()
+            rateOf(key, buf).iterator
+          } else {
+            val merged = state.getOption.map(_.pts).getOrElse(Seq.empty) ++
+              rows.map(p => (p.tsUs, p.eventId, p.cents))
+            state.update(RateBuf(merged))
+            // fire when the watermark passes the window end; a timeout
+            // timestamp must sit strictly beyond the current watermark
+            state.setTimeoutTimestamp(math.max((key._3 + windowSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The q_rate kernel on one buffered window, JVM-exact to the batch
+    * operator: sort by (µs, event_id), reset-corrected integer deltas,
+    * `inc/100.0/(tLast−tFirst)` with the identical association, HALF_UP
+    * 6-decimal rounding (what Spark's `round` does). ≥2 samples and a
+    * positive span required, like the batch HAVING. */
+  private def rateOf(key: (String, String, Long),
+      pts: Seq[(Long, Long, Long)]): Seq[RateRow] = {
+    val s = pts.sortBy(p => (p._1, p._2))
+    if (s.size < 2) return Seq.empty
+    val tFirst = s.head._1 / 1e6
+    val tLast = s.last._1 / 1e6
+    if (!(tLast > tFirst)) return Seq.empty
+    var inc = 0L
+    var i = 1
+    while (i < s.size) {
+      val d = s(i)._3 - s(i - 1)._3
+      inc += (if (d < 0) s(i)._3 else d)
+      i += 1
+    }
+    val rate = inc.toDouble / 100.0 / (tLast - tFirst)
+    Seq(RateRow(key._1, key._2, key._3,
+      BigDecimal(rate).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+  }
 
   /** Streaming source: one JSON response document per line, dropped as
     * text files into `path`. `maxFilesPerTrigger` bounds each

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.MetricsEtl
+import graft.streaming.MetricsStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming PromQL rate() parity (VERDICT_r07 item 7): the
+  * watermark-closed fMGWS rate must emit VALUE-IDENTICAL rows to the
+  * batch `q_rate` operator on the same samples, no matter how the
+  * stream is split into micro-batches — including windows whose
+  * samples span a micro-batch boundary (the time-tercile split below
+  * guarantees some do). A far-future mover advances the watermark past
+  * every real window so all of them close; its own single-sample
+  * window emits nothing in either engine (rate needs ≥2 samples).
+  * The real fixture is sparse (few windows hold ≥2 samples), so a
+  * dense synthetic counter WITH RESETS pins the delta/reset kernel and
+  * the fixture pins the end-to-end path.
+  */
+class StreamRateSpec extends SparkSpec {
+
+  /** Stream `dir`'s events through streamingRate in 3 strictly-ordered
+    * time-tercile micro-batches + a watermark mover; return the emitted
+    * row set. */
+  private def streamRate(dir: String, sinkName: String): Set[(String, String, Long, Double)] = {
+    import spark.implicits._
+    val samples = Tables.events(spark, dir).select(
+      col("event_type").as("name"),
+      col("user_id").cast("string").as("series"),
+      col("ts"), col("event_id"), col("value"))
+    val maxUs = samples.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val terc = samples.withColumn("b", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    val inDir = tmpDir(s"${sinkName}_in")
+    def writeChunk(b: Int): Unit =
+      terc.filter(col("b") === b).drop("b")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    writeChunk(1)
+    val stream = spark.readStream.schema(samples.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = MetricsStream.streamingRate(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir(s"${sinkName}_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      writeChunk(2); q.processAllAvailable()
+      writeChunk(3); q.processAllAvailable()
+      Seq(("__mover", "0", maxUs + 86400L * 1000000L, -1L, 1.0))
+        .toDF("name", "series", "ts_us", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("name", "series", "ts", "event_id", "value")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(sinkName).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+        r.getAs[Long]("w_start"), r.getAs[Double]("rate")))
+    assert(rows.length == rows.toSet.size, "duplicate emission for some window")
+    rows.toSet
+  }
+
+  private def batchRate(dir: String): Set[(String, String, Long, Double)] =
+    MetricsEtl.qRate(spark, dir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id").toString,
+        r.getAs[Long]("w_start"), r.getAs[Double]("rate"))).toSet
+
+  test("streamed rate() == q_rate on the real fixture across micro-batches") {
+    val sf = "/root/testdata/sf0.01"
+    val batch = batchRate(sf)
+    assert(batch.nonEmpty, "fixture must yield at least one rate window")
+    assert(streamRate(sf, "stream_rate_fixture") == batch)
+  }
+
+  test("streamed rate() == q_rate on a dense counter with resets (windows span batches)") {
+    import spark.implicits._
+    // 3 series × 6 aligned 5m windows, a sample every 20 s, value
+    // pattern (i*13 mod 211)/2 → frequent counter RESETS inside and at
+    // window edges — the delta/reset kernel has real work in every
+    // window, unlike the sparse fixture
+    val t0 = 1704067200L
+    val dir = tmpDir("stream_rate_dense")
+    val rows = for {
+      (name, user) <- Seq(("req", 1L), ("req", 2L), ("err", 1L))
+      i <- 0 until 90
+    } yield (name.hashCode.toLong * 1000 + user * 90 + i, name, user,
+      (t0 + 20L * i) * 1000000L, (i * 13 % 211) / 2.0, "{}")
+    rows.toDF("event_id", "event_type", "user_id", "ts_us", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = batchRate(dir)
+    assert(batch.size == 18, s"3 series x 6 windows expected: ${batch.size}")
+    val streamed = streamRate(dir, "stream_rate_dense_out")
+    assert(streamed == batch,
+      s"streamed\\batch: ${(streamed -- batch).take(3)}; " +
+        s"batch\\streamed: ${(batch -- streamed).take(3)}")
+  }
+}
