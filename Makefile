@@ -19,7 +19,7 @@ else
 endif
 export
 
-.PHONY: all bench clean compile docker docker-build docker-run help package run test verify
+.PHONY: all bench clean compile docker docker-build docker-run help it-clickhouse package run test verify
 
 help: ## Show this help message
 	@echo "Available commands:"
@@ -75,3 +75,10 @@ docker-run: ## Run one ETL iteration in the container
 
 docker: docker-build docker-run ## Build and run Docker container
 	@echo "Docker container built and running!"
+
+CLICKHOUSE_URL ?= http://localhost:8123
+
+it-clickhouse: ## Live-ClickHouse integration test (starts compose'd server, runs the gated spec)
+	@echo "Running live ClickHouse integration against $(CLICKHOUSE_URL)..."
+	docker compose up -d clickhouse
+	CLICKHOUSE_URL=$(CLICKHOUSE_URL) sbt -batch "testOnly graft.LiveClickHouseSpec"

@@ -115,7 +115,12 @@ final class ClickHouseHttpClient(
     * HTTP shape for non-INSERT queries. Non-2xx → exception with the
     * response preview, same contract as [[insertFromFile]].
     */
-  def execute(statement: String): Unit = {
+  def execute(statement: String): Unit = { query(statement); () }
+
+  /** Like [[execute]] but RETURNS the response body — the readback half
+    * a SELECT needs (the gated live-integration test's FINAL parity
+    * check drives this; `execute` discards bodies by design). */
+  def query(statement: String): String = {
     val reqB = HttpRequest.newBuilder(URI.create(config.url))
       .timeout(Duration.ofSeconds(config.sendReceiveTimeoutSeconds.toLong))
       .POST(HttpRequest.BodyPublishers.ofString(statement,
@@ -131,7 +136,19 @@ final class ClickHouseHttpClient(
       throw new ClickHouseHttpException(status, response.body().take(1000),
         s"ClickHouse DDL returned HTTP $status")
     }
+    response.body()
   }
+
+  /** Liveness probe against ClickHouse's /ping endpoint — false on any
+    * connection/HTTP failure, never throws (gates the live spec). */
+  def ping(): Boolean =
+    try {
+      val req = HttpRequest.newBuilder(
+          URI.create(config.url.stripSuffix("/") + "/ping"))
+        .timeout(Duration.ofSeconds(config.connectTimeoutSeconds.toLong))
+        .GET().build()
+      client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode == 200
+    } catch { case _: Exception => false }
 
   /** Bootstrap the deployment's tables: the reference README's exact
     * schemas (ReplacingMergeTree, daily partitioning, MATERIALIZED
