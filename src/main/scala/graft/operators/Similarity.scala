@@ -1812,4 +1812,104 @@ object Similarity {
        |CROSS JOIN poss
        |GROUP BY p.prefix_dim""".stripMargin
   }
+
+  /** Exact integer RRF weights: 238266 = 61·62·63 (pairwise coprime →
+    * their lcm), so 238266/(60+rn) is an EXACT integer for every rank
+    * the two top-3 lists can emit — fused scores compare as integers,
+    * never as float sums of 1/(60+r). */
+  private val RrfLcm = 238266L
+
+  /** q_rank_fusion — reciprocal-rank fusion (Cormack et al.'s RRF, the
+    * standard hybrid-retrieval combiner) of the two independent ANN
+    * candidate lists: sign-LSH (data-blind hyperplanes) and IVF
+    * (data-adaptive cells). score(q,n) = Σ_lists 1/(60+rank),
+    * integer-scaled by [[RrfLcm]]; top-3 fused per query with
+    * (score, neighbor) tie order. The production rationale: the two
+    * index families fail DIFFERENTLY (a pair split by hyperplanes can
+    * share an IVF cell and vice versa), so the fusion recovers recall
+    * neither list has alone — `n_lists` shows which fused rows came
+    * from both. Rides the two MATERIALIZED result frames (no index
+    * recompute); everything after is |results|-bounded: one union, one
+    * 8-byte-key groupBy, one per-query top-3 window.
+    */
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    def scored(df: DataFrame) = df.select(col("vec_id"), col("neighbor_id"),
+      expr(s"$RrfLcm div (60 + rn)").as("s"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("rrf_x").desc, col("neighbor_id"))
+    scored(qAnnLsh(spark, dir)).union(scored(qAnnIvf(spark, dir)))
+      .groupBy("vec_id", "neighbor_id")
+      .agg(sum("s").as("rrf_x"), count(lit(1)).as("n_lists"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rrf_x"),
+        col("n_lists"), col("rn"))
+  }
+
+  val rankFusionSql: String =
+    s"""WITH lsh AS (SELECT vec_id, neighbor_id, rn FROM ($annLshSql)),
+       |ivf AS (SELECT vec_id, neighbor_id, rn FROM ($annIvfSql)),
+       |u AS (SELECT vec_id, neighbor_id, $RrfLcm // (60 + rn) AS s FROM lsh
+       |      UNION ALL
+       |      SELECT vec_id, neighbor_id, $RrfLcm // (60 + rn) AS s FROM ivf),
+       |g AS (SELECT vec_id, neighbor_id, CAST(SUM(s) AS BIGINT) AS rrf_x,
+       |             CAST(COUNT(*) AS BIGINT) AS n_lists
+       |      FROM u GROUP BY vec_id, neighbor_id)
+       |SELECT vec_id, neighbor_id, rrf_x, n_lists,
+       |       row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY rrf_x DESC, neighbor_id) AS rn
+       |FROM g QUALIFY rn <= 3""".stripMargin
+
+  /** q_hard_negatives — contrastive-training hard-negative mining: for
+    * each query vector, the top-3 highest-cosine neighbors with a
+    * DIFFERENT class label — the negatives that sit closest to the
+    * decision boundary, which is what contrastive losses (InfoNCE,
+    * triplet) want in the batch. Same K·n broadcast shape as the
+    * brute-force baseline (|Q| constant, corpus streams past once);
+    * labels ride the same single scan as the vectors — no corpus-side
+    * join anywhere. Exact integer dots; rounded cosine.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.fanOut(Tables.embeddings(spark, dir)).select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("nrm", vecDot(col("q"), col("q")))
+    val a = base.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id"), col("label").as("query_label"),
+        col("q").as("qa"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neg_label"), col("q").as("qb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(a).crossJoin(b)
+      .filter(col("query_label") =!= col("neg_label"))
+      .withColumn("cos",
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("query_label"), col("neighbor_id"),
+        col("neg_label"), round(col("cos"), 6).as("cosine"), col("rn"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH ql AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        list_transform(embedding,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |qnl AS (SELECT vec_id, label, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+       |        FROM ql),
+       |p AS (SELECT a.vec_id AS vec_id, a.label AS query_label,
+       |       b.vec_id AS neighbor_id, b.label AS neg_label,
+       |       CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |         i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |         / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+       |      FROM qnl a, qnl b
+       |      WHERE a.vec_id < $QuerySetSize AND a.label <> b.label)
+       |SELECT vec_id, query_label, neighbor_id, neg_label,
+       |       round(cos, 6) AS cosine,
+       |       row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY cos DESC, neighbor_id) AS rn
+       |FROM p QUALIFY rn <= 3""".stripMargin
 }

@@ -1652,4 +1652,86 @@ object TextAnalysis {
        |FROM t JOIN p ON t.doc_id < p.prefix_docs
        |GROUP BY 1""".stripMargin
   }
+
+  /** q_tokenizer_fertility — subword FERTILITY per language (pieces per
+    * whitespace word), the standard multilingual-tokenizer budget
+    * metric: a language with fertility 2× pays 2× the context window
+    * for the same text, which skews any token-budgeted data mix. The
+    * piece model is the fixed-width 4-chars-per-piece bound
+    * (⌈len/4⌉ = (len+3) div 4 — the byte-fallback worst case a trained
+    * BPE must beat; swap in the learned vocab via bpeEncode for the
+    * trained number). One corpus scan, per-row HOF arithmetic, |langs|
+    * rows out; exact integers with truncating ppm division.
+    */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(words).cast("long").as("n_words"),
+        expr("aggregate(transform(split(text, ' '), " +
+          "w -> (length(w) + 3) div 4), 0L, (a, x) -> a + x)").as("n_pieces"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("words"), sum("n_pieces").as("pieces"))
+      .select(col("lang"), col("n_docs"), col("words"), col("pieces"),
+        expr("pieces * 1000000 div words").as("fertility_ppm"))
+
+  val tokenizerFertilitySql: String =
+    s"""WITH f AS (SELECT lang,
+       |        CAST(len($wordsSql) AS BIGINT) AS n_words,
+       |        CAST(list_sum(list_transform($wordsSql,
+       |          w -> (length(w) + 3) // 4)) AS BIGINT) AS n_pieces
+       |       FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS words,
+       |       CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+       |       CAST(SUM(n_pieces) AS BIGINT) * 1000000
+       |         // CAST(SUM(n_words) AS BIGINT) AS fertility_ppm
+       |FROM f GROUP BY lang""".stripMargin
+
+  /** Coverage checkpoints — plan-time constants (vocab sizes a
+    * tokenizer build would consider). */
+  private val CoverageKs = Seq(100L, 1000L)
+
+  /** q_vocab_coverage — top-K VOCABULARY COVERAGE: the share of all
+    * token occurrences covered by the K most frequent types, for
+    * K ∈ {100, 1000} — the table a vocab-size decision reads (the
+    * complement of coverage is the OOV/byte-fallback rate a size-K
+    * vocabulary pays). Rides the shared corpus tf frame (third
+    * consumer); the global rank window runs on the VOCAB-sized frame
+    * (Zipf: ≪ corpus), the K-grid doubles that bounded frame, and one
+    * aggregation yields |K| rows. Ranking ties break on the token
+    * hash, mirrored in the oracle.
+    */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = unigramTf(spark, dir)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("lm_th"))))
+    val ks = spark.range(1).select(
+      explode(typedLit(CoverageKs)).as("k"))
+    ranked.crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(sum(when(col("r") <= col("k"), col("tf")).otherwise(0L))
+          .as("covered"),
+        sum("tf").as("total"),
+        count(lit(1)).as("n_types"))
+      .select(col("k"), col("covered"), col("total"), col("n_types"),
+        expr("covered * 1000000 div total").as("cov_ppm"))
+  }
+
+  lazy val vocabCoverageSql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    s"""WITH t AS (
+       |  SELECT $th AS th, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT unnest($wordsSql) AS token FROM documents)
+       |  GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, th) AS r FROM t),
+       |kk AS (SELECT unnest([CAST(100 AS BIGINT), CAST(1000 AS BIGINT)]) AS k)
+       |SELECT k,
+       |       CAST(SUM(CASE WHEN r.r <= kk.k THEN tf ELSE 0 END) AS BIGINT) AS covered,
+       |       CAST(SUM(tf) AS BIGINT) AS total,
+       |       CAST(COUNT(*) AS BIGINT) AS n_types,
+       |       CAST(SUM(CASE WHEN r.r <= kk.k THEN tf ELSE 0 END) AS BIGINT)
+       |         * 1000000 // CAST(SUM(tf) AS BIGINT) AS cov_ppm
+       |FROM r CROSS JOIN kk GROUP BY k""".stripMargin
+  }
 }
