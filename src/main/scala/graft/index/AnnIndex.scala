@@ -124,6 +124,66 @@ object AnnIndex {
     Similarity.adcTopK(codes, Similarity.pqLuts(spark, corpusDir, book))
   }
 
+  /** INCREMENTAL index update — the production shape for a growing
+    * corpus: assign a batch of NEW vectors against the FROZEN coarse
+    * centroids (the IVF contract: the book only changes on a full
+    * re-train, which [[write]] is), append their posting-list rows and
+    * packed codes, and bump the meta row-count so [[ensure]] keeps
+    * validating against the corpus snapshot. Cost is one pass over the
+    * BATCH (|batch|·K argmax + |batch| encodes), never the corpus —
+    * vs [[write]]'s full-corpus rebuild. Cell populations drift as the
+    * corpus grows away from the frozen book; `q_kmeans_shift` /
+    * `q_cell_purity` are the re-train triggers an operator watches.
+    *
+    * `newVectors`: (vec_id, embedding) with ids DISJOINT from the
+    * indexed ones (enforced — duplicate ids would double posting-list
+    * entries and break the serve == rebuild contract).
+    */
+  def append(spark: SparkSession, corpusDir: String, root: String,
+      newVectors: DataFrame): IndexMeta = {
+    import spark.implicits._
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"AnnIndex: cannot append to $root — no readable index meta"))
+    require(meta.formatVersion == FormatVersion,
+      s"AnnIndex: $root is format v${meta.formatVersion}")
+    val cents = centroids(spark, root)
+    val q = newVectors.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("nrm", graft.functions.LongVectorDot.vecDot(col("q"), col("q")))
+    val dup = q.select(col("vec_id"))
+      .join(assignments(spark, root).select(col("vec_id")), "vec_id").count()
+    require(dup == 0, s"AnnIndex: $dup of the new vec_ids are already indexed")
+    // frozen-book assignment: same argmax/tiebreak as the full build
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.LongVectorDot.vecDot(col("q"), col("qc"))
+        .cast("double") / sqrt((col("nrm") * col("nc")).cast("double")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"), col("q"), col("nrm"), col("ccos"))
+    assigned.write.mode("append").parquet(p(root, "assignments"))
+    // encode the batch against the persisted codebook (ADC parity with
+    // the build path: same first-minimum tie rule)
+    val rows = served(spark, root, "codebook")
+      .select(col("m"), col("k"), col("centroid")).collect()
+    val book = Array.tabulate(meta.pqM, meta.pqK) { (m, k) =>
+      rows.find(r => r.getInt(0) == m && r.getInt(1) == k).get
+        .getAs[scala.collection.Seq[Long]](2).toArray
+    }
+    Similarity.pqEncode(q.select(col("vec_id"), col("q")), book,
+        meta.dim / meta.pqM)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("code"))
+      .write.mode("append").parquet(p(root, "codes"))
+    val newMeta = meta.copy(nVectors = meta.nVectors +
+      newVectors.count())
+    Seq(newMeta).toDS().toDF().coalesce(1)
+      .write.mode("overwrite").parquet(p(root, "meta"))
+    newMeta
+  }
+
   /** Default per-corpus index location (scratch space — a deployment
     * points `root` at its lake instead). */
   def defaultRoot(corpusDir: String): String =

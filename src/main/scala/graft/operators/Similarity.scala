@@ -1214,6 +1214,14 @@ object Similarity {
     (array_position(col(s"ds$m"), array_min(col(s"ds$m"))) - 1L) *
       lit(math.pow(PqK, m).toLong)).reduce(_ + _).cast("long")
 
+  /** Packed codes (vec_id, code) for a (vec_id, q) frame against an
+    * arbitrary codebook — the encode half, shared by the in-session
+    * queries and [[graft.index.AnnIndex.append]]'s incremental batch
+    * encode (same first-minimum tie rule everywhere). */
+  private[graft] def pqEncode(base: DataFrame,
+      cents: Array[Array[Array[Long]]], sub: Int): DataFrame =
+    pqSubspaceDs(base, cents, sub).select(col("vec_id"), pqPackedCode.as("code"))
+
   /** The PQ codebook as a FRAME (m, k, centroid) — the persistable
     * index artifact; M·K rows. */
   private[graft] def pqCodebookFrame(spark: SparkSession, dir: String): DataFrame = {

@@ -2,6 +2,7 @@ package graft
 
 import graft.index.{AnnIndex, IndexMeta}
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 
 /** The ANN build/serve split (VERDICT_r07 item 2): served results must
   * equal built-in-session results, the serve PLAN must not recompute
@@ -73,6 +74,37 @@ class IndexServeSpec extends SparkSpec {
       AnnIndex.annSearch(spark, tmpDir("ann_index_absent")).collect()
     }
     assert(e2.getMessage.contains("no readable index meta"))
+  }
+
+  test("append: frozen-book incremental update == one-shot full build") {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+    // sub-corpus: first 400 vectors (superset of the K=16 seed
+    // centroids, so the frozen book equals the full build's book)
+    val subDir = tmpDir("ann_sub_corpus")
+    all.filter(col("vec_id") < 400)
+      .write.parquet(s"$subDir/embeddings.parquet")
+    val incRoot = tmpDir("ann_index_inc")
+    AnnIndex.write(spark, subDir, incRoot)
+    val metaBefore = AnnIndex.readMeta(spark, incRoot).get
+    assert(metaBefore.nVectors == 400)
+    val newMeta = AnnIndex.append(spark, subDir, incRoot,
+      all.filter(col("vec_id") >= 400).select("vec_id", "embedding"))
+    assert(newMeta.nVectors == all.count())
+    val fullRoot = tmpDir("ann_index_full")
+    AnnIndex.write(spark, sf, fullRoot)
+    assert(rowSet(AnnIndex.annSearch(spark, incRoot)) ==
+      rowSet(AnnIndex.annSearch(spark, fullRoot)),
+      "incrementally-appended posting lists must serve the same results")
+    assert(rowSet(AnnIndex.adcSearch(spark, sf, incRoot)) ==
+      rowSet(AnnIndex.adcSearch(spark, sf, fullRoot)),
+      "appended codes must ADC-serve identically")
+    // duplicate ids are rejected, not silently double-indexed
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, subDir, incRoot,
+        all.filter(col("vec_id") === 10).select("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("already indexed"))
   }
 
   test("q_ann_served (the registered query) matches q_ann_ivf end-to-end") {
