@@ -88,7 +88,16 @@ object PlanDump {
       "q_source_overlap" -> "source overlap: materialized pair frame, 8-byte-id source joins, |sources|^2 tail",
       "q_filter_sweep" -> "threshold sweep: corpus collapses to the word-length histogram, broadcast non-equi threshold join",
       "q_hapax_share" -> "hapax share: shared materialized token/tf frames, 8-byte-hash join, per-doc fold",
-      "q_kmeans_shift" -> "Lloyd shift: K-d-bounded centroid-vs-seed join off the shared assignment")
+      "q_kmeans_shift" -> "Lloyd shift: K-d-bounded centroid-vs-seed join off the shared assignment",
+      "q_native_hist" -> "native-histogram build: one events scan, in-row bit-length index math, map-side bucket counts",
+      "q_native_quantile" -> "native quantile: shared bucket frame, per-group cumulative window, 2-row phi broadcast",
+      "q_native_stats" -> "native layout: one base aggregate + span runs over the shared bucket frame, left join on the bounded frames",
+      "q_native_fraction" -> "native fraction: shared bucket frame, 2-row bound broadcast, single straddler term in one aggregate",
+      "q_ann_served" -> "served IVF: parquet posting-list scan, hot-cell cap, cell-equality join — NO assignment argmax",
+      "q_rank_fusion" -> "RRF: union of the two materialized result lists, 8-byte-key groupBy, per-query top-3 window — zero corpus scans",
+      "q_hard_negatives" -> "hard negatives: labels ride the vector scan, constant query broadcast, K*n pair loop",
+      "q_tokenizer_fertility" -> "fertility: scan + per-row HOF arithmetic + |langs| aggregate, no window, no join",
+      "q_vocab_coverage" -> "coverage: vocab-sized tf frame, global rank window on the bounded frame, 2-row K broadcast")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

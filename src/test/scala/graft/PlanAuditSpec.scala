@@ -627,4 +627,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"estimator must be one corpus pass: $scans scans")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q_native_hist: one events scan, map-side partial aggregation (r8)") {
+    val plan = executed(operators.NativeHistogram.qNativeHist(spark, dir))
+    assert(finalScans(plan) == 1, "bucket build must be one corpus pass")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "bucket counts must combine map-side")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "no join anywhere in the bucket build")
+  }
+
+  test("q_native_quantile/fraction ride the materialized bucket frame (r8)") {
+    operators.NativeHistogram.qNativeQuantile(spark, dir).collect()
+    for (df <- Seq(operators.NativeHistogram.qNativeQuantile(spark, dir),
+        operators.NativeHistogram.qNativeFraction(spark, dir))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+        s"consumer must read the shared bucket frame:\n${plan.take(800)}")
+    }
+  }
+
+  test("q_rank_fusion: fuses the materialized result frames — no index recompute (r8)") {
+    Similarity.qAnnLsh(spark, dir).collect()
+    Similarity.qAnnIvf(spark, dir).collect()
+    val plan = executed(Similarity.qRankFusion(spark, dir))
+    val fin = plan.split("== Initial Plan ==")(0)
+    assert(finalScans(plan) == 0,
+      "fusion must read the two materialized lists, not re-derive them")
+    assert(!fin.contains("BroadcastNestedLoop"),
+      "no assignment argmax in the fusion plan")
+  }
+
+  test("q_hard_negatives: query side broadcast, single corpus scan (r8)") {
+    val plan = executed(Similarity.qHardNegatives(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "constant query set must broadcast against the streaming corpus")
+    assert(finalScans(plan) <= 2, "labels must ride the vector scan")
+  }
+
+  test("q_vocab_coverage: rank window on the vocab frame, K-grid broadcast (r8)") {
+    TextAnalysis.qVocabCoverage(spark, dir).collect()
+    val plan = executed(TextAnalysis.qVocabCoverage(spark, dir))
+    assert(finalScans(plan) == 0,
+      "coverage must ride the materialized tf frame, not re-explode the corpus")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "the 2-row K grid must broadcast")
+  }
+
+  test("q_tokenizer_fertility: pure per-row arithmetic — one scan, no window, no join (r8)") {
+    val plan = executed(TextAnalysis.qTokenizerFertility(spark, dir))
+    assert(finalScans(plan) == 1)
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "fertility is scan + aggregate only")
+  }
 }
