@@ -73,6 +73,60 @@ object StreamBench {
     (total, unique)
   }
 
+  /** State-size SWEEP for the near-dup path (VERDICT_r07 item 3): the
+    * r7 state-store verdict ("map beats RocksDB") rested on ONE point
+    * (200k entries / 8 batches); this measures both providers across
+    * growing bucket-state sizes so the crossover — if any — is a
+    * recorded number, not an extrapolation. Fixture scaling is by
+    * replica suffix (replicas share no shingles, so state grows
+    * linearly and pair OUTPUT stays corpus-shaped). One JSON line:
+    * docs/s per (entries, provider). Run via
+    * `SPARK_GRAFT_STREAM_SWEEP=rep1,rep2,...` (replica counts).
+    */
+  private def stateSweep(spark: SparkSession, reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, pmod,
+      sequence}
+    def freshDir(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"stream_sweep_$tag").toString
+    val providers = Seq(
+      "map" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cells = for (rep <- reps) yield {
+      val docsSrc = Tables.documents(spark, "/root/testdata/sf0.1")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(rep - 1))).as("rep"))
+        .select((col("doc_id") * rep + col("rep")).as("doc_id"),
+          expr("array_join(transform(split(text, ' ')," +
+            " w -> concat(w, '_', rep)), ' ')").as("text"))
+      val docsDir = freshDir(s"in_$rep")
+      (0 until 8).foreach { m =>
+        docsSrc.filter(pmod(col("doc_id"), lit(8)) === m)
+          .coalesce(1).write.mode("append").parquet(docsDir)
+      }
+      val n = docsSrc.count()
+      val rates = providers.map { case (pname, pclass) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+        val stream = spark.readStream.schema(docsSrc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(docsDir)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.DedupStream.candidatePairs(stream)
+          .writeStream
+          .option("checkpointLocation", freshDir(s"ckpt_${rep}_$pname"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.streaming.CandidatePair],
+             _: Long) => batch.count(); () }
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        pname -> math.round(n / sec)
+      }
+      // state entries = one (doc, band) row per indexed doc, 4 bands
+      s""""${4 * n}":{${rates.map { case (p, r) => s""""$p":$r""" }.mkString(",")}}"""
+    }
+    println(s"""{"metric":"neardup_state_sweep","unit":"docs/s","by_entries":{${cells.mkString(",")}}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val nSeries = args.headOption.map(_.toInt).getOrElse(500)
     val pointsPerDoc = args.lift(1).map(_.toInt).getOrElse(120)
@@ -88,6 +142,14 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    sys.env.get("SPARK_GRAFT_STREAM_SWEEP") match {
+      case Some(list) =>
+        stateSweep(spark,
+          list.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        spark.stop(); return
+      case None =>
+    }
 
     val base = java.nio.file.Files.createTempDirectory("stream_bench").toString
     val inDir = s"$base/responses"

@@ -208,6 +208,55 @@ object Dedup {
     s"""WITH $ngramPairsCtes
        |SELECT doc_a, doc_b, inter_count, union_count, jaccard FROM pairs""".stripMargin
 
+  /** q_pair_join_cost — the PRE-FLIGHT cost estimator for the exact
+    * n-gram Jaccard join: from one shingle pass + a vocab-sized
+    * aggregate, the EXACT row count the inverted-index self-join would
+    * emit (`join_rows` = Σ_sh C(df,2) over the post-stop-cap shingles),
+    * plus the saturation diagnostics that predict it. This is the
+    * guard the r8 sf10 probe showed a pipeline must run BEFORE the
+    * exact join: the probe fixture's 31-word vocabulary saturates the
+    * 3-gram space (29,791 possible shingles), so at 500k docs / ~25M
+    * shingle rows the mean document frequency is ~840 and the exact
+    * join's input is Σ C(df,2) ≈ 10¹⁰ rows (~70 GB of shuffle — it
+    * killed the disk before the Jaccard filter could discard the
+    * garbage pairs). The estimator reports that number for the cost
+    * of ONE corpus pass; `distinct_ppm` (distinct/total shingle ratio)
+    * is the saturation signal — near 10⁶ means shingles are
+    * near-unique (healthy: a real vocabulary's 3-gram space is ~10¹⁵),
+    * small means the space has saturated and exact Jaccard carries no
+    * signal — route to the MinHash/LSH family (measured 0.2 s at the
+    * same sf10 where the exact join died). All exact integers; the
+    * per-shingle C(df,2) term is capped by the same stop-shingle bound
+    * as the join itself, so it cannot overflow (df ≤ maxShingleDf).
+    */
+  def qPairJoinCost(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(sum("df").as("n_shingle_rows"),
+        count(lit(1)).as("n_distinct_shingles"),
+        sum(when(col("df") > maxShingleDf, 1L).otherwise(0L))
+          .as("n_stop_shingles"),
+        sum(when(col("df") <= maxShingleDf,
+          expr("df * (df - 1) div 2")).otherwise(0L)).as("join_rows"))
+      .select(col("n_shingle_rows"), col("n_distinct_shingles"),
+        col("n_stop_shingles"), col("join_rows"),
+        expr("n_distinct_shingles * 1000000 div n_shingle_rows")
+          .as("distinct_ppm"))
+
+  val pairJoinCostSql: String =
+    s"""WITH $shingledSql,
+       |df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+       |SELECT CAST(SUM(df) AS BIGINT) AS n_shingle_rows,
+       |       CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles,
+       |       CAST(SUM(CASE WHEN df > $maxShingleDf THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_stop_shingles,
+       |       CAST(SUM(CASE WHEN df <= $maxShingleDf
+       |                     THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
+       |         AS join_rows,
+       |       CAST(COUNT(*) AS BIGINT) * 1000000 // CAST(SUM(df) AS BIGINT)
+       |         AS distinct_ppm
+       |FROM df""".stripMargin
+
   /** q_dedup_clusters — connected components over the near-dup pair
     * graph: each document gets the MINIMUM doc_id reachable through
     * near-dup edges as its cluster id, plus the cluster size — the
