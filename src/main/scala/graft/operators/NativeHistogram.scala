@@ -285,6 +285,73 @@ object NativeHistogram {
        |  ON b.name = sp.name AND b.user_id = sp.user_id
        |  AND b.w_start = sp.w_start""".stripMargin
 
+  /** q_native_delta — sparse HISTOGRAM SUBTRACTION between adjacent
+    * windows: per series, for every consecutive 1h-window pair, the
+    * bucket-wise count change (next − prev) over the schema-0 sparse
+    * buckets, with a bucket ABSENT on one side counting 0 — the
+    * primitive `rate(native_histogram[..])` is built from (a native
+    * histogram is subtracted bucket-wise; buckets appear and disappear
+    * between scrapes, which is exactly what the sparse representation
+    * must handle and dense `le`-arrays never face). Shifted-key
+    * equality self-join on the SHARED bucket frame (the
+    * q_offset_compare idiom: next.w_start = prev.w_start + 3600), full
+    * outer so one-sided buckets surface, zero-delta rows dropped
+    * (sparse in, sparse out). Both sides read the one materialized
+    * frame; everything is |buckets|-bounded.
+    */
+  def qNativeDelta(spark: SparkSession, dir: String): DataFrame = {
+    val bk = buckets0(spark, dir)
+    val prev = bk.select(col("name"), col("user_id"),
+      (col("w_start") + WindowSec).as("w_start"), col("sgn"),
+      col("bucket_idx"), col("cnt").as("prev_cnt"))
+    val next = bk.select(col("name"), col("user_id"), col("w_start"),
+      col("sgn"), col("bucket_idx"), col("cnt").as("next_cnt"))
+    next.join(prev,
+        Seq("name", "user_id", "w_start", "sgn", "bucket_idx"), "full_outer")
+      // keep only window pairs where BOTH windows exist for the series
+      // (a missing adjacent window is a scrape gap, not an all-zero
+      // histogram — subtracting against it would fabricate deltas)
+      .join(next.select(col("name"), col("user_id"),
+          col("w_start")).distinct(),
+        Seq("name", "user_id", "w_start"), "left_semi")
+      .join(prev.select(col("name"), col("user_id"),
+          col("w_start")).distinct(),
+        Seq("name", "user_id", "w_start"), "left_semi")
+      .select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+        col("bucket_idx"),
+        (coalesce(col("next_cnt"), lit(0L)) -
+          coalesce(col("prev_cnt"), lit(0L))).as("delta_cnt"))
+      .filter(col("delta_cnt") =!= 0L)
+  }
+
+  val nativeDeltaSql: String =
+    s"""WITH $buckets0Sql,
+       |pv AS (SELECT name, user_id, w_start + $WindowSec AS w_start, sgn,
+       |              bucket_idx, cnt AS prev_cnt
+       |       FROM bk),
+       |nx AS (SELECT name, user_id, w_start, sgn, bucket_idx,
+       |              cnt AS next_cnt
+       |       FROM bk),
+       |j AS (SELECT COALESCE(nx.name, pv.name) AS name,
+       |             COALESCE(nx.user_id, pv.user_id) AS user_id,
+       |             COALESCE(nx.w_start, pv.w_start) AS w_start,
+       |             COALESCE(nx.sgn, pv.sgn) AS sgn,
+       |             COALESCE(nx.bucket_idx, pv.bucket_idx) AS bucket_idx,
+       |             COALESCE(nx.next_cnt, 0) - COALESCE(pv.prev_cnt, 0)
+       |               AS delta_cnt
+       |      FROM nx FULL OUTER JOIN pv
+       |        ON nx.name = pv.name AND nx.user_id = pv.user_id
+       |        AND nx.w_start = pv.w_start AND nx.sgn = pv.sgn
+       |        AND nx.bucket_idx = pv.bucket_idx)
+       |SELECT j.name, j.user_id, j.w_start, j.sgn, j.bucket_idx,
+       |       CAST(j.delta_cnt AS BIGINT) AS delta_cnt
+       |FROM j
+       |WHERE j.delta_cnt <> 0
+       |  AND EXISTS (SELECT 1 FROM nx WHERE nx.name = j.name
+       |              AND nx.user_id = j.user_id AND nx.w_start = j.w_start)
+       |  AND EXISTS (SELECT 1 FROM pv WHERE pv.name = j.name
+       |              AND pv.user_id = j.user_id AND pv.w_start = j.w_start)""".stripMargin
+
   /** q_native_fraction — `histogram_fraction(-Inf, x, native)`: the
     * estimated fraction of observations ≤ x, for x ∈ {5.00, 50.00}
     * (500/5000 cents — plan-time constants). Negative and zero buckets

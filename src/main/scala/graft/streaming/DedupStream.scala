@@ -65,12 +65,15 @@ case class CandidatePair(docA: Long, docB: Long, bandId: Long)
   * State-rewrite cost (ADVICE_r07): fMGWS rewrites the full
   * `Seq[Long]` bucket state on every touch — O(|bucket|) serialization
   * per micro-batch that touches it, which degrades exactly on hot
-  * buckets. Measured fine at the benchmarked scale (2.5k docs/s,
-  * default map store ≤ 200k entries beats RocksDB), and the admission
-  * cap bounds the worst rewrite at `cap` longs; if production state
-  * far outgrows per-batch churn, switch hot buckets to an
-  * append-friendly layout (e.g. per-member keys under
-  * `transformWithState`'s list state) before reaching for RocksDB.
+  * buckets. Measured fine at the benchmarked scale — the r8 state-size
+  * sweep (`SPARK_GRAFT_STREAM_SWEEP`, SURVEY §6b) puts map and RocksDB
+  * within ±7% of each other from 200k through 1.6M entries (2.4-4.8k
+  * docs/s, throughput rising with state as fixed cost amortizes) — and
+  * the admission cap bounds the worst rewrite at `cap` longs; if
+  * production state far outgrows the heap (where RocksDB's off-heap
+  * state and incremental snapshots start to matter), switch hot
+  * buckets to an append-friendly layout (e.g. per-member keys under
+  * `transformWithState`'s list state) first.
   */
 object DedupStream {
 

@@ -70,6 +70,30 @@ class Round8OperatorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_native_delta == JVM sparse-subtraction twin (one-sided buckets, gap windows)") {
+    val buckets = eventCents.groupBy { case (name, user, tsUs, cents) =>
+      val sgn = java.lang.Long.signum(cents).toLong
+      (name, user, tsUs / 1000000L / 3600L * 3600L, sgn,
+        if (sgn == 0) 0L else idx0(math.abs(cents)))
+    }.map { case (k, v) => k -> v.size.toLong }
+    val windows = buckets.keys.map(k => ((k._1, k._2), k._3)).toSeq
+      .groupBy(_._1).map { case (s, ws) => s -> ws.map(_._2).toSet }
+    val expected = (for {
+      ((name, user, w, sgn, idx), _) <-
+        buckets.map(identity) ++ buckets.map { case (k, c) =>
+          ((k._1, k._2, k._3 + 3600L, k._4, k._5), c) } // next-window keys
+      if windows((name, user)).contains(w) &&
+        windows((name, user)).contains(w - 3600L)
+      nextC = buckets.getOrElse((name, user, w, sgn, idx), 0L)
+      prevC = buckets.getOrElse((name, user, w - 3600L, sgn, idx), 0L)
+      if nextC - prevC != 0
+    } yield (name, user, w, sgn, idx, nextC - prevC)).toSet
+    val got = operators.NativeHistogram.qNativeDelta(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
   test("q_rank_fusion == JVM RRF twin over the two ANN lists") {
     def list(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
       df.select("vec_id", "neighbor_id", "rn").collect()
