@@ -813,9 +813,105 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  /** Estimated-Jaccard thresholds for [[qJaccardCurve]], in matching
-    * signature components out of 16 (8/16 ≈ J=0.5, 12/16 ≈ 0.75, 16/16
-    * = 1.0) — plan-time constants, like every bounded set here. */
+  /** q_dedup_clusters_lsh — the SCALE-PATH clusters twin (r8, born
+    * from the sf10 probe): connected components over the MINHASH-LSH
+    * candidate pairs instead of the exact-Jaccard pair list. The exact
+    * path's join input is Σ C(df,2) — 11.4B rows at the sf10 probe's
+    * saturated shingle space (it died on disk); the banded path's input
+    * is bounded by band-bucket membership (hot-bucket capped) and
+    * served in 0.2 s at the same scale. Recall is the banding curve's
+    * (q_band_recall measures it); at fixture SFs the planted near-dups
+    * collide in ≥1 band so the cluster sets match the exact path's.
+    * Same fixpoint, same output shape as q_dedup_clusters — only the
+    * pair source differs, which is the point: a pipeline swaps the
+    * edge feed, not the clustering.
+    */
+  def qDedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "lsh_clusters") {
+      connectedComponents(bandPairs(spark, dir).select("doc_a", "doc_b"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("label")))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+    }
+
+  lazy val dedupClustersLshSql: String =
+    s"""WITH RECURSIVE lp AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |edges AS (SELECT doc_a, doc_b FROM lp
+       |          UNION SELECT doc_b, doc_a FROM lp),
+       |walk AS (
+       |  SELECT doc_a AS node, doc_b AS reach FROM edges
+       |  UNION
+       |  SELECT w.node, e.doc_b FROM walk w JOIN edges e ON w.reach = e.doc_a),
+       |cl AS (SELECT node, least(node, MIN(reach)) AS cluster_id
+       |       FROM walk GROUP BY node)
+       |SELECT node AS doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cl""".stripMargin
+
+  /** q_lsh_verify — the CANDIDATE-THEN-VERIFY pipeline (the production
+    * exact-dedup shape the sf10 saturation finding mandates): LSH band
+    * candidates first, then EXACT shingle intersection / Jaccard /
+    * both-direction containment computed ONLY for candidates. The
+    * verify join's input is |candidates|·shingles-per-doc — bounded by
+    * the banding, never by Σ C(df,2) — so the exact numbers survive
+    * the corpus scale that kills the all-pairs inverted-index join.
+    * Containment (|∩|/|A|, |∩|/|B|) is the asymmetric signal Jaccard
+    * misses (a short doc quoted inside a long one); `is_dup` applies
+    * the same J≥0.2 rule as the exact path, so on under-saturation
+    * corpora the verified-dup pair set ⊆ q_dedup_ngram's, with
+    * equality whenever banding recall is 1 (the planted fixture).
+    */
+  def qLshVerify(spark: SparkSession, dir: String): DataFrame = {
+    val sh = dropStopShingles(shingled(spark, dir))
+    val a = sh.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_bb"), col("sh").as("shb"))
+    val sizes = sh.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+      .distinct()
+    bandPairs(spark, dir).select("doc_a", "doc_b")
+      .join(a, "doc_a")
+      .join(b, col("doc_b") === col("doc_bb") && col("sh") === col("shb"),
+        "left_outer")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(col("shb")).as("inter_count"), max(col("na")).as("na0"))
+      .join(sizes, "doc_b")
+      .withColumn("na", col("na0").cast("long"))
+      .withColumn("nb", col("nb").cast("long"))
+      .withColumn("union_count", col("na") + col("nb") - col("inter_count"))
+      .withColumn("jaccard",
+        round(col("inter_count").cast("double") / col("union_count"), 4))
+      .select(col("doc_a"), col("doc_b"), col("inter_count"), col("na"),
+        col("nb"), col("union_count"), col("jaccard"),
+        expr("inter_count * 1000000 div na").as("cont_a_ppm"),
+        expr("inter_count * 1000000 div nb").as("cont_b_ppm"),
+        (col("jaccard") >= 0.2).cast("long").as("is_dup"))
+  }
+
+  lazy val lshVerifySql: String =
+    s"""WITH $shingledSql,
+       |$dropStopShinglesSql,
+       |cand AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |ja AS (SELECT c.doc_a, c.doc_b, f.n AS na, f.sh
+       |       FROM cand c JOIN shf f ON f.doc_id = c.doc_a),
+       |j2 AS (SELECT ja.doc_a, ja.doc_b, ja.na, fb.sh AS shb
+       |       FROM ja LEFT JOIN shf fb
+       |         ON fb.doc_id = ja.doc_b AND fb.sh = ja.sh),
+       |per AS (SELECT doc_a, doc_b,
+       |          CAST(COUNT(shb) AS BIGINT) AS inter_count,
+       |          CAST(MAX(na) AS BIGINT) AS na
+       |        FROM j2 GROUP BY doc_a, doc_b),
+       |sz AS (SELECT DISTINCT doc_id AS doc_b, CAST(n AS BIGINT) AS nb
+       |       FROM shf)
+       |SELECT p.doc_a, p.doc_b, p.inter_count, p.na, s.nb,
+       |       p.na + s.nb - p.inter_count AS union_count,
+       |       round(CAST(p.inter_count AS DOUBLE)
+       |             / (p.na + s.nb - p.inter_count), 4) AS jaccard,
+       |       p.inter_count * 1000000 // p.na AS cont_a_ppm,
+       |       p.inter_count * 1000000 // s.nb AS cont_b_ppm,
+       |       CAST(CASE WHEN round(CAST(p.inter_count AS DOUBLE)
+       |             / (p.na + s.nb - p.inter_count), 4) >= 0.2
+       |            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM per p JOIN sz s ON s.doc_b = p.doc_b""".stripMargin
   private val curveThresholds = Seq(8, 12, 16)
 
   /** q_jaccard_curve — the band-threshold TUNING TABLE: how many
