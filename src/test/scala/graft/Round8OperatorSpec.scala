@@ -140,6 +140,93 @@ class Round8OperatorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_pair_join_cost == JVM shingle-frequency twin") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = scala.collection.mutable.Map[Long, Long]()
+    var totalRows = 0L
+    docs.foreach { case (_, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length >= 3) {
+        val shs = (0 until ws.length - 2)
+          .map(i => hash60Jvm(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")).distinct
+        totalRows += shs.size
+        shs.foreach(h => df(h) = df.getOrElse(h, 0L) + 1L)
+      }
+    }
+    val joinRows = df.values.filter(_ <= 1000).map(d => d * (d - 1) / 2).sum
+    val stop = df.values.count(_ > 1000).toLong
+    val expected = (totalRows, df.size.toLong, stop, joinRows,
+      df.size.toLong * 1000000L / totalRows)
+    val r = operators.Dedup.qPairJoinCost(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == expected)
+  }
+
+  /** JVM band-candidate pairs via the spec-proven DedupStream kernel
+    * (same constants/formulas as the batch banding). */
+  private def jvmBandPairs: Set[(Long, Long)] = {
+    val byBucket = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().flatMap(r =>
+        graft.streaming.DedupStream.bandHashesJvm(r.getLong(0), r.getString(1)))
+      .groupBy(t => (t._2, t._3))
+    byBucket.values.flatMap { members =>
+      val ids = members.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    }.toSet
+  }
+
+  test("q_dedup_clusters_lsh == JVM union-find over JVM band pairs") {
+    val pairs = jvmBandPairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2))
+    val byCluster = nodes.groupBy(find)
+    val expected = byCluster.flatMap { case (label, members) =>
+      members.map(m => (m, label, members.size.toLong)) }.toSet
+    val got = operators.Dedup.qDedupClustersLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q_lsh_verify == JVM exact intersection/containment twin on JVM candidates") {
+    val shingles = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        r.getLong(0) -> (0 until math.max(0, ws.length - 2))
+          .map(i => hash60Jvm(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")).toSet
+      }.toMap
+    // stop-shingle drop (df > 1000): a no-op at this SF, mirrored anyway
+    val df = shingles.values.flatten.groupBy(identity)
+      .map { case (h, v) => h -> v.size }
+    val keep = (h: Long) => df(h) <= 1000
+    val expected = jvmBandPairs.map { case (a, b) =>
+      val sa = shingles(a).filter(keep)
+      val sb = shingles(b).filter(keep)
+      val na = shingles(a).size.toLong
+      val nb = shingles(b).size.toLong
+      val inter = sa.count(sb.contains).toLong
+      val union = na + nb - inter
+      val j = BigDecimal(inter.toDouble / union)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, inter, na, nb, union, j, inter * 1000000L / na,
+        inter * 1000000L / nb, if (j >= 0.2) 1L else 0L)
+    }
+    val got = operators.Dedup.qLshVerify(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getLong(7), r.getLong(8),
+        r.getLong(9))).toSet
+    assert(got == expected)
+  }
+
   test("q_tokenizer_fertility == JVM piece-count twin") {
     val docs = Tables.documents(spark, dir).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
