@@ -53,7 +53,14 @@ object AnnIndex {
   /** Build every artifact from the corpus at `corpusDir` into `root`
     * (overwrite). Two corpus scans total: the assignment argmax pass
     * and the PQ encode pass (codes then join the written assignment's
-    * cell — a read of the narrow artifact, not a third corpus scan). */
+    * cell — a read of the narrow artifact, not a third corpus scan).
+    *
+    * Centroid seeding follows the engine's documented deterministic
+    * rule — the K smallest vec_ids — which presumes DENSE-FROM-0 ids
+    * (true of every fixture and of any corpus that assigns ids with
+    * row_number/zipWithIndex). A corpus whose id space starts above K
+    * would seed no centroids; re-id such a corpus before building (or
+    * k-means the seeds via q_kmeans_step, the production path). */
   def write(spark: SparkSession, corpusDir: String, root: String): IndexMeta = {
     import spark.implicits._
     val (ivfK, pqM, pqK, d, n) = Similarity.indexGeometry(spark, corpusDir)
@@ -122,6 +129,59 @@ object AnnIndex {
     }
     val codes = served(spark, root, "codes").select(col("vec_id"), col("code"))
     Similarity.adcTopK(codes, Similarity.pqLuts(spark, corpusDir, book))
+  }
+
+  /** The QUERY-SERVING API — what a retrieval service actually calls
+    * (the `annSearch` diagnostic searches every indexed vector's own
+    * cell; a service answers EXTERNAL queries): route each query
+    * vector to its `nprobe` nearest coarse centroids (a |Q|·K
+    * broadcast argmax over the tiny served centroid frame), then exact
+    * cosine top-`k` over ONLY the probed cells' posting lists. Cost
+    * per query ≈ nprobe·(n/K) candidates instead of n — the IVF
+    * contract — and the posting-list side carries its quantized
+    * vectors, so serving never touches the corpus table. `nprobe` is
+    * the recall dial (`q_ivf_probe_curve` measures it; at nprobe = K
+    * this degrades to exact brute force over the indexed set, which is
+    * what the spec exploits as ground truth). Ties break on
+    * (cosine desc, vec_id) like every ANN operator here.
+    *
+    * `queries`: (query_id, embedding) — quantized with the same
+    * round(×1000) rule as the index build.
+    */
+  def query(spark: SparkSession, root: String, queries: DataFrame,
+      nprobe: Int = 1, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("query_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("nrm", graft.functions.LongVectorDot.vecDot(col("q"), col("q")))
+    val cents = centroids(spark, root)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        graft.functions.LongVectorDot.vecDot(col("q"), col("qc")).cast("double")
+          / sqrt((col("nrm") * col("nc")).cast("double")))
+      .withColumn("crn", row_number().over(probeW))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("cell"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val posting = assignments(spark, root).select(
+      col("cell"), col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(posting, "cell")
+      .withColumn("cos",
+        graft.functions.LongVectorDot.vecDot(col("qq"), col("qb")).cast("double")
+          / sqrt((col("qn") * col("nb")).cast("double")))
+      // a query may probe two cells that share a vector only if cells
+      // were duplicated — they are disjoint by construction, so no
+      // dedup is needed before ranking
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
   }
 
   /** INCREMENTAL index update — the production shape for a growing

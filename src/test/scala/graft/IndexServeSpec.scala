@@ -107,6 +107,58 @@ class IndexServeSpec extends SparkSpec {
     assert(e.getMessage.contains("already indexed"))
   }
 
+  test("query(): external queries, nprobe=K == exact brute force, recall monotone in nprobe") {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+    // held-out split: index vec_id < 450 (dense-from-0 ids feed the
+    // documented smallest-id centroid seeding), query with the 50
+    // held-out vectors — external queries, the shape a retrieval
+    // service actually serves
+    val corpusDir = tmpDir("ann_query_corpus")
+    all.filter(col("vec_id") < 450).write.parquet(s"$corpusDir/embeddings.parquet")
+    val root = tmpDir("ann_query_index")
+    AnnIndex.write(spark, corpusDir, root)
+    val queries = all.filter(col("vec_id") >= 450)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    // JVM exact brute force over the indexed set (K=16 cells at this SF)
+    def vecs(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.round(x.toDouble * 1000)).toArray
+      (r.getLong(0), q, q.map(x => x * x).sum)
+    }
+    val corpus = vecs(all.filter(col("vec_id") < 450))
+    val brute = vecs(all.filter(col("vec_id") >= 450)
+      .select(col("vec_id"), col("embedding")))
+      .flatMap { case (qid, qa, na) =>
+        corpus.map { case (n, qb, nb) =>
+          (qid, n, qa.indices.map(i => qa(i) * qb(i)).sum.toDouble
+            / math.sqrt((na * nb).toDouble))
+        }.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex.map {
+          case ((q, n, c), i) => (q, n,
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, i + 1L)
+        }
+      }.toSet
+
+    val fullProbe = AnnIndex.query(spark, root, queries, nprobe = 16)
+      .select("query_id", "neighbor_id", "cosine", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3).toLong)).toSet
+    assert(fullProbe == brute, "nprobe = K must equal exact brute force")
+
+    def recall(np: Int): Double = {
+      val got = AnnIndex.query(spark, root, queries, np)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(p => brute.exists(b => (b._1, b._2) == p)).toDouble / brute.size
+    }
+    val (r1, r2, r4) = (recall(1), recall(2), recall(4))
+    assert(r1 <= r2 + 1e-9 && r2 <= r4 + 1e-9,
+      s"recall must be monotone in nprobe: $r1 / $r2 / $r4")
+    assert(r4 > 0.3, s"probing 4 of 16 cells should recover real recall: $r4")
+  }
+
   test("q_ann_served (the registered query) matches q_ann_ivf end-to-end") {
     assert(rowSet(Similarity.qAnnServed(spark, sf)) ==
       rowSet(Similarity.qAnnIvf(spark, sf)))
