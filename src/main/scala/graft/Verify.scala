@@ -19,9 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // same steady-state protocol as Bench: periodically release the
+    // materialize-once frames so a 200+-query dump doesn't accumulate
+    // checkpoint blocks in one JVM (frames rebuild on next demand;
+    // correctness is unaffected — each query's rows are written before
+    // any release that could touch its inputs)
+    val releaseEvery =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_RELEASE_EVERY", "64").toInt
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+      .zipWithIndex
+      .foreach { case ((name, fn), i) =>
+      if (releaseEvery > 0 && i > 0 && i % releaseEvery == 0)
+        graft.operators.MaterializeOnce.releaseSession(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
