@@ -73,6 +73,65 @@ class StreamRateSpec extends SparkSpec {
     assert(streamRate(sf, "stream_rate_fixture") == batch)
   }
 
+  test("rate state survives a checkpoint RESTART (separate queries, shared checkpoint)") {
+    import spark.implicits._
+    // same dense fixture shape as below, but delivered across TWO
+    // SEPARATE StreamingQuery lifetimes sharing one checkpoint: the
+    // buffered per-window state must be restored by the second query,
+    // or windows spanning the restart emit wrong rates
+    val t0 = 1704067200L
+    val dir = tmpDir("stream_rate_restart")
+    val rows = for {
+      (name, user) <- Seq(("req", 1L), ("err", 2L)); i <- 0 until 60
+    } yield (user * 1000 + i, name, user, (t0 + 20L * i) * 1000000L,
+      (i * 7 % 101) / 2.0, "{}")
+    rows.toDF("event_id", "event_type", "user_id", "ts_us", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val samples = Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id").cast("string").as("series"),
+      col("ts"), col("event_id"), col("value"))
+    val inDir = tmpDir("stream_rate_restart_in")
+    val ckpt = tmpDir("stream_rate_restart_ckpt")
+    val outDir = tmpDir("stream_rate_restart_out")
+    def runOnce(): Unit = {
+      val q = MetricsStream.streamingRate(
+          spark.readStream.schema(samples.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[MetricsStream.RateRow], _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+        }.start()
+      q.awaitTermination()
+    }
+    // first half of every window arrives before the restart
+    val half = samples.withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy("ts", "event_id")))
+    half.filter(col("b") === 1).drop("b").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    half.filter(col("b") === 2).drop("b").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    Seq(("__mover", "0", (t0 + 200000L) * 1000000L, -1L, 1.0))
+      .toDF("name", "series", "ts_us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("name", "series", "ts", "event_id", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+        r.getAs[Long]("w_start"), r.getAs[Double]("rate"))).toSet
+    val batch = batchRate(dir)
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"restart broke parity: missing ${(batch -- streamed).take(3)}, " +
+        s"extra ${(streamed -- batch).take(3)}")
+  }
+
   test("streamed rate() == q_rate on a dense counter with resets (windows span batches)") {
     import spark.implicits._
     // 3 series × 6 aligned 5m windows, a sample every 20 s, value
