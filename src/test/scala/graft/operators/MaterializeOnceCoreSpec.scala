@@ -62,21 +62,33 @@ class MaterializeOnceCoreSpec extends SparkSpec {
     MaterializeOnce.invalidate()
   }
 
+  /** The checkpointed RDD ids behind a materialized frame. Assertions
+    * track THESE specific ids, never getPersistentRDDs.size deltas:
+    * the ContextCleaner asynchronously reaps other suites' dropped
+    * checkpoint RDDs, so global counts shift under a full test run
+    * (cost one full-suite flake to learn). */
+  private def rddIds(df: DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+  private def persisted(ids: Seq[Int]): Boolean =
+    ids.forall(spark.sparkContext.getPersistentRDDs.contains)
+
   test("release frees the checkpointed blocks and forces a rebuild (VERDICT_r07 item 1)") {
     MaterializeOnce.invalidate()
     val builds = new AtomicInteger(0)
     def build() = MaterializeOnce(spark, "/rel", "frame") {
       builds.incrementAndGet(); tiny(5)
     }
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val a = build()
     assert(a.count() == 5)
-    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore + 1,
-      "localCheckpoint must register exactly one persistent RDD")
+    val ids = rddIds(a)
+    assert(ids.nonEmpty && persisted(ids),
+      "localCheckpoint must register the frame's persistent RDD")
     assert(build() eq a, "pre-release demand hits the cache")
     assert(MaterializeOnce.release(spark, "/rel", "frame"),
       "a completed frame must be releasable")
-    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+    assert(!persisted(ids),
       "release must unpersist the checkpointed RDD's blocks")
     assert(!MaterializeOnce.release(spark, "/rel", "frame"),
       "double release is a no-op")
@@ -88,11 +100,13 @@ class MaterializeOnceCoreSpec extends SparkSpec {
 
   test("releaseSession releases every completed frame and reports the count") {
     MaterializeOnce.invalidate()
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
-    (0 until 6).foreach(i => MaterializeOnce(spark, "/rs", s"t$i")(tiny(i + 1)))
-    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore + 6)
+    val frames = (0 until 6).map(i =>
+      MaterializeOnce(spark, "/rs", s"t$i")(tiny(i + 1)))
+    val ids = frames.flatMap(rddIds)
+    assert(ids.size == 6 && persisted(ids))
     assert(MaterializeOnce.releaseSession(spark) == 6)
-    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+    assert(ids.forall(id =>
+        !spark.sparkContext.getPersistentRDDs.contains(id)),
       "all six frames' blocks must be gone")
     assert(MaterializeOnce.releaseSession(spark) == 0)
     // the cache still works after a sweep — the bench interleaves these
