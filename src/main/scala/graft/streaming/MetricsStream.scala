@@ -59,7 +59,61 @@ object MetricsStream {
     * Input frame: (name, series, ts TIMESTAMP, event_id, value).
     */
   def streamingRate(samples: DataFrame, windowSec: Long = 300L,
-      delay: String = "10 minutes"): Dataset[RateRow] = {
+      delay: String = "10 minutes"): Dataset[RateRow] =
+    streamingWindowed(samples, windowSec, delay)(rateOf)
+
+  /** Streaming PromQL `delta()` (gauge last − first per 1h window),
+    * value-identical to batch `q_delta`: same ts ordering (unique
+    * within a series — the batch operator's documented precondition),
+    * exact integer cents, HALF_UP 2-decimal rounding. The emitted
+    * `rate` field carries the delta (the generic windowed-value slot). */
+  def streamingDelta(samples: DataFrame, windowSec: Long = 3600L,
+      delay: String = "10 minutes"): Dataset[RateRow] =
+    streamingWindowed(samples, windowSec, delay) { (key, pts) =>
+      val s = pts.sortBy(p => (p._1, p._2))
+      if (s.size < 2) Seq.empty
+      else Seq(RateRow(key._1, key._2, key._3,
+        BigDecimal((s.last._3 - s.head._3).toDouble / 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+
+  /** Streaming PromQL `irate()` (instantaneous rate from the last two
+    * samples per 5m window, counter-reset rule), value-identical to
+    * batch `q_irate` — same (ts, event_id) order, reset branch,
+    * division association, HALF_UP 6-decimal rounding. */
+  def streamingIrate(samples: DataFrame, windowSec: Long = 300L,
+      delay: String = "10 minutes"): Dataset[RateRow] =
+    streamingWindowed(samples, windowSec, delay) { (key, pts) =>
+      val s = pts.sortBy(p => (p._1, p._2))
+      if (s.size < 2) Seq.empty
+      else {
+        val last = s.last
+        val prev = s(s.size - 2)
+        val lastT = last._1 / 1e6
+        val prevT = prev._1 / 1e6
+        if (!(lastT > prevT)) Seq.empty
+        else {
+          val corrected =
+            if (last._3 < prev._3) last._3 else last._3 - prev._3
+          Seq(RateRow(key._1, key._2, key._3,
+            BigDecimal(corrected.toDouble / 100.0 / (lastT - prevT))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    }
+
+  /** The shared buffer-sort-emit plumbing behind the streaming PromQL
+    * window functions: per (name, series, aligned window) group, buffer
+    * samples in fMGWS state, emit `kernel`'s rows exactly once when the
+    * event-time watermark passes the window end, remove state. Any
+    * window function whose value depends only on the window's OWN
+    * samples plugs in here (rate/delta/irate/quantile_over_time...);
+    * `increase()` does NOT — its deltas cross window boundaries, so it
+    * needs per-SERIES carry state (documented gap, SURVEY §6c). */
+  private def streamingWindowed(samples: DataFrame, windowSec: Long,
+      delay: String)(
+      kernel: ((String, String, Long), Seq[(Long, Long, Long)]) => Seq[RateRow])
+      : Dataset[RateRow] = {
     import samples.sparkSession.implicits._
     val pts = samples.select(col("name"), col("series").cast("string"),
         (floor(unix_micros(col("ts")) / 1000000L / windowSec) * windowSec)
@@ -78,7 +132,7 @@ object MetricsStream {
           if (state.hasTimedOut) {
             val buf = state.getOption.map(_.pts).getOrElse(Seq.empty)
             state.remove()
-            rateOf(key, buf).iterator
+            kernel(key, buf).iterator
           } else {
             val merged = state.getOption.map(_.pts).getOrElse(Seq.empty) ++
               rows.map(p => (p.tsUs, p.eventId, p.cents))

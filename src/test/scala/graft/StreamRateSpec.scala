@@ -155,4 +155,48 @@ class StreamRateSpec extends SparkSpec {
       s"streamed\\batch: ${(streamed -- batch).take(3)}; " +
         s"batch\\streamed: ${(batch -- streamed).take(3)}")
   }
+
+  test("streamed delta() == q_delta and irate() == q_irate on the real fixture") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val samples = Tables.events(spark, sf).select(
+      col("event_type").as("name"),
+      col("user_id").cast("string").as("series"),
+      col("ts"), col("event_id"), col("value"))
+    val maxUs = samples.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    def runKernel(tag: String,
+        mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[MetricsStream.RateRow])
+        : Set[(String, String, Long, Double)] = {
+      val inDir = tmpDir(s"${tag}_in")
+      samples.coalesce(1).write.mode("append").parquet(inDir)
+      val q = mk(spark.readStream.schema(samples.schema).parquet(inDir))
+        .writeStream.format("memory").queryName(tag).outputMode("append")
+        .option("checkpointLocation", tmpDir(s"${tag}_ckpt")).start()
+      try {
+        q.processAllAvailable()
+        Seq(("__mover", "0", maxUs + 86400L * 1000000L, -1L, 1.0))
+          .toDF("name", "series", "ts_us", "event_id", "value")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .select("name", "series", "ts", "event_id", "value")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(tag).collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+          r.getAs[Long]("w_start"), r.getAs[Double]("rate"))).toSet
+    }
+    def batchOf(df: org.apache.spark.sql.DataFrame, valueCol: String) =
+      df.collect().map(r => (r.getAs[String]("name"),
+        r.getAs[Long]("user_id").toString, r.getAs[Long]("w_start"),
+        r.getAs[Double](valueCol))).toSet
+    val deltaBatch = batchOf(MetricsEtl.qDelta(spark, sf), "delta")
+    assert(deltaBatch.nonEmpty)
+    assert(runKernel("stream_delta_out",
+      MetricsStream.streamingDelta(_)) == deltaBatch)
+    val irateBatch = batchOf(MetricsEtl.qIrate(spark, sf), "irate")
+    assert(irateBatch.nonEmpty)
+    assert(runKernel("stream_irate_out",
+      MetricsStream.streamingIrate(_)) == irateBatch)
+  }
 }
