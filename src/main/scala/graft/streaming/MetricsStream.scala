@@ -102,6 +102,90 @@ object MetricsStream {
       }
     }
 
+  /** Per-SERIES state for the streaming increase(): the last sample of
+    * the closed prefix (the cross-window CARRY) plus the buffered
+    * samples of all still-open windows. */
+  case class IncState(carry: Option[(Long, Long, Long)],
+      open: Seq[(Long, Long, Long)])
+
+  /** One sample keyed by SERIES (no window — increase() state spans
+    * windows); `ts` carries the watermark like [[RatePoint]]. */
+  case class IncPoint(name: String, series: String, tsUs: Long,
+      eventId: Long, cents: Long, ts: java.sql.Timestamp)
+
+  /** Streaming PromQL `increase()` — the one window function the
+    * buffer-per-window kernel CANNOT express: batch q_increase lags
+    * over the WHOLE series and assigns each reset-corrected delta to
+    * the window of its LATER sample, so the first delta of every
+    * window reaches back to the previous window's last sample. The
+    * state is therefore per SERIES: buffered samples of all open
+    * windows plus the last sample of the closed prefix (the carry).
+    * When the watermark passes a window's end, that window's samples
+    * are sorted, prepended with the carry, reset-corrected deltas
+    * summed (exact integer cents), the row emitted, and the window's
+    * last sample becomes the new carry — including across EMPTY
+    * windows (a gap's bridging delta lands in the later window, like
+    * batch). State is bounded by the watermark horizon's worth of
+    * samples + one carry triple per series; parity with q_increase is
+    * spec'd across micro-batch splits and window-spanning restarts.
+    */
+  def streamingIncrease(samples: DataFrame, windowSec: Long = 3600L,
+      delay: String = "10 minutes"): Dataset[RateRow] = {
+    import samples.sparkSession.implicits._
+    val pts = samples.select(col("name"), col("series").cast("string"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("event_id").cast("long").as("eventId"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .withWatermark("ts", delay)
+      .as[IncPoint]
+    def wStartOf(tsUs: Long): Long = tsUs / 1000000L / windowSec * windowSec
+    pts.groupByKey(p => (p.name, p.series))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, String), rows: Iterator[IncPoint],
+         state: GroupState[IncState]) =>
+          val st = state.getOption.getOrElse(IncState(None, Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // close every open window whose end the watermark passed,
+            // in time order, threading the carry through each
+            val byWindow = st.open.groupBy(p => wStartOf(p._1))
+            val (closable, stillOpen) = byWindow.partition {
+              case (w, _) => (w + windowSec) * 1000L <= wm
+            }
+            var carry = st.carry
+            val out = closable.toSeq.sortBy(_._1).flatMap { case (w, ps) =>
+              val sorted = ps.sortBy(p => (p._1, p._2))
+              val chain = carry.toSeq ++ sorted
+              carry = Some(sorted.last)
+              val inc = chain.sliding(2).collect { case Seq(a, b) =>
+                val d = b._3 - a._3
+                if (d < 0) b._3 else d
+              }.sum
+              if (chain.size < 2) Seq.empty
+              else Seq(RateRow(key._1, key._2, w,
+                BigDecimal(inc.toDouble / 100.0)
+                  .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            }
+            val rest = stillOpen.values.flatten.toSeq
+            state.update(IncState(carry, rest))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                (wStartOf(rest.map(_._1).min) + windowSec) * 1000L, wm + 1L))
+            out.iterator
+          } else {
+            val merged = st.open ++
+              rows.map(p => (p.tsUs, p.eventId, p.cents))
+            state.update(IncState(st.carry, merged))
+            if (merged.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                (wStartOf(merged.map(_._1).min) + windowSec) * 1000L, wm + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** The shared buffer-sort-emit plumbing behind the streaming PromQL
     * window functions: per (name, series, aligned window) group, buffer
     * samples in fMGWS state, emit `kernel`'s rows exactly once when the

@@ -156,6 +156,62 @@ class StreamRateSpec extends SparkSpec {
         s"batch\\streamed: ${(batch -- streamed).take(3)}")
   }
 
+  test("streamed increase() == q_increase (cross-window carry, resets at window edges)") {
+    import spark.implicits._
+    // 2 series × ~4.4 aligned 1h windows, a sample every 150 s with
+    // frequent resets — every window's first delta reaches back to the
+    // PREVIOUS window's last sample (the carry the per-series state
+    // exists for), and the stream delivers three time chunks so open
+    // windows span micro-batches
+    val t0 = 1704067200L
+    val dir = tmpDir("stream_inc_dense")
+    val rows = for {
+      (name, user) <- Seq(("req", 1L), ("err", 2L)); i <- 0 until 107
+    } yield (user * 1000 + i, name, user, (t0 + 150L * i) * 1000000L,
+      (i * 17 % 241) / 2.0, "{}")
+    rows.toDF("event_id", "event_type", "user_id", "ts_us", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val samples = Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id").cast("string").as("series"),
+      col("ts"), col("event_id"), col("value"))
+    val maxUs = samples.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val terc = samples.withColumn("b", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    val inDir = tmpDir("stream_inc_in")
+    def writeChunk(b: Int): Unit =
+      terc.filter(col("b") === b).drop("b").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    writeChunk(1)
+    val q = MetricsStream.streamingIncrease(
+        spark.readStream.schema(samples.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir))
+      .writeStream.format("memory").queryName("stream_inc_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("stream_inc_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      writeChunk(2); q.processAllAvailable()
+      writeChunk(3); q.processAllAvailable()
+      Seq(("__mover", "0", maxUs + 86400L * 1000000L, -1L, 1.0))
+        .toDF("name", "series", "ts_us", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("name", "series", "ts", "event_id", "value")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_inc_out").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+        r.getAs[Long]("w_start"), r.getAs[Double]("rate"))).toSet
+    val batch = MetricsEtl.qIncrease(spark, dir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("user_id").toString,
+        r.getAs[Long]("w_start"), r.getAs[Double]("increase"))).toSet
+    assert(batch.size >= 8, s"multi-window fixture expected: ${batch.size}")
+    assert(streamed == batch,
+      s"streamed\\batch: ${(streamed -- batch).take(3)}; " +
+        s"batch\\streamed: ${(batch -- streamed).take(3)}")
+  }
+
   test("streamed delta() == q_delta and irate() == q_irate on the real fixture") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
