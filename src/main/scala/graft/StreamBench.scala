@@ -188,7 +188,22 @@ object StreamBench {
       ("window", df => MetricsStream.windowedAgg(
         PrometheusJson.metricRows(df)), "count"),
       ("session", df => MetricsStream.sessionAgg(
-        PrometheusJson.metricRows(df)), "count"))
+        PrometheusJson.metricRows(df)), "count"),
+      // the streaming-analytics path (r8): PromQL rate() over the
+      // parsed stream — fMGWS buffer state per (series, window),
+      // emission on watermark close; series key = the label signature,
+      // event_id 0 (the fixture has no same-µs samples per series, so
+      // the tiebreak never fires)
+      ("rate", df => {
+        import org.apache.spark.sql.functions.{array_join, col, concat_ws,
+          lit, timestamp_micros}
+        val m = PrometheusJson.metricRows(df)
+        MetricsStream.streamingRate(m.select(col("name"),
+          concat_ws("", array_join(col("label_keys"), ","),
+            array_join(col("label_values"), ",")).as("series"),
+          timestamp_micros(col("ts_us")).as("ts"),
+          lit(0L).as("event_id"), col("value"))).toDF()
+      }, "count"))
 
     // warmup: compile the parse + render codegen once, off the clock
     PrometheusJson.tsvLines(PrometheusJson.metricRows(
