@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
 
 /** What an index directory claims to be — persisted as a 1-row parquet
   * and validated on every serve/ensure. `nVectors` ties the index to a
-  * corpus SNAPSHOT: a changed corpus invalidates the artifacts. */
+  * corpus SNAPSHOT's size; `corpusFp` (format v2) ties it to the
+  * snapshot's CONTENT — a corpus regenerated in place with the same row
+  * count (exactly what fixture re-generation does) no longer silently
+  * serves a stale index. */
 case class IndexMeta(formatVersion: Int, corpusDir: String,
-    nVectors: Long, dim: Int, ivfK: Int, pqM: Int, pqK: Int)
+    nVectors: Long, dim: Int, ivfK: Int, pqM: Int, pqK: Int,
+    corpusFp: Long)
 
 /** BUILD/SERVE split for the ANN family (VERDICT_r07 item 2): a
   * production index is built ONCE per corpus snapshot and SERVED by
@@ -34,40 +38,142 @@ case class IndexMeta(formatVersion: Int, corpusDir: String,
   * SINK ([[write]]): one assignment pass + one encode pass, each a
   * single corpus scan, written with the corpus partitioning (no
   * repartition — at 100 TB the index write is bound by the same scan
-  * that any one consumer query already pays). SOURCE ([[annSearch]] /
-  * [[adcSearch]]): plans read the parquet artifacts directly — the
-  * served IVF search contains NO broadcast-nested-loop argmax and the
-  * served ADC scan no encode, which is the whole point (spec'd by plan
-  * shape in `IndexServeSpec`). [[ensure]] is the deployment contract:
-  * serve a VALID existing index untouched, rebuild a missing/stale one,
-  * and refuse to clobber an index written by a NEWER format.
+  * that any one consumer query already pays). The coarse book comes in
+  * two grades: the NAIVE deterministic seed (the K smallest vec_ids —
+  * oracle-identical to the in-session q_ann_ivf family, but only
+  * meaningful on a dense-from-0 id space, which [[write]] now REFUSES
+  * to violate rather than silently writing an empty index), and the
+  * TRAINED book ([[trainBook]]/[[writeTrained]], VERDICT_r08 item 1):
+  * Lloyd's k-means seeded from HASH-ORDERED ids — no assumption about
+  * the id space at all — iterated to the `q_kmeans_shift` stop
+  * criterion. SOURCE ([[annSearch]] / [[adcSearch]]): plans read the
+  * parquet artifacts directly — the served IVF search contains NO
+  * broadcast-nested-loop argmax and the served ADC scan no encode,
+  * which is the whole point (spec'd by plan shape in `IndexServeSpec`).
+  * [[ensure]] is the deployment contract: serve a VALID existing index
+  * untouched, rebuild a missing/stale one, and refuse to clobber an
+  * index written by a NEWER format.
   */
 object AnnIndex {
 
   /** Bump when the artifact layout changes. An index claiming a newer
-    * version than this build understands is never overwritten. */
-  val FormatVersion = 1
+    * version than this build understands is never overwritten.
+    * v2: meta gained `corpusFp` (content fingerprint — a v1 index
+    * fails the meta read and rebuilds cleanly). */
+  val FormatVersion = 2
 
   private def p(root: String, part: String) = s"$root/$part"
+
+  /** Lloyd's k-means over the quantized corpus, returning the trained
+    * coarse book (cell, qc, nc) — the production-grade alternative to
+    * the naive smallest-id seed (VERDICT_r08 item 1):
+    *
+    *   - SEED: the K corpus vectors with the smallest xxhash64(vec_id)
+    *     (ties on vec_id) — deterministic and free of ANY id-space
+    *     assumption (the naive rule's dense-from-0 trap: a corpus whose
+    *     ids start above K seeded NOTHING).
+    *   - ITERATE: assignment is the same broadcast-K cosine argmax as
+    *     every consumer ([[Similarity.assignedToBook]] — one corpus
+    *     scan, no corpus shuffle); the refine step is the native
+    *     `vec_sum` aggregate (K·d partial buffers cross the exchange,
+    *     never n·d exploded rows — the q_kmeans_step shape), with the
+    *     K·d result collected to the driver (the book IS
+    *     driver/broadcast-sized by construction). Empty cells keep
+    *     their previous centroid.
+    *   - STOP: total squared centroid shift == 0 (the q_kmeans_shift
+    *     criterion) or `maxIters` — integer centroids make exact
+    *     convergence reachable, and the cap bounds the corpus-scan
+    *     count either way.
+    *
+    * Cost: ≤ maxIters corpus scans. At 100 TB one trains on a SAMPLE
+    * first and runs a final full assignment — which is exactly what
+    * passing the trained book to [[write]] does (write re-assigns the
+    * full corpus once against the frozen book). */
+  def trainBook(spark: SparkSession, corpusDir: String,
+      maxIters: Int = 8): DataFrame = {
+    val (k, _, _, _, n) = Similarity.indexGeometry(spark, corpusDir)
+    require(n >= k,
+      s"AnnIndex: cannot train a $k-cell book over a $n-vector corpus")
+    val v = Similarity.quantizedFrame(spark, corpusDir)
+    var book: Array[Array[Long]] = v
+      .select(col("vec_id"), col("q"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("q")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toArray)
+    var iter = 0
+    var shift = Long.MaxValue
+    while (iter < maxIters && shift > 0L) {
+      val stepped = Similarity
+        .assignedToBook(spark, corpusDir, bookFrame(spark, book))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.LongVectorSum.vecSum(col("q")).as("qsum"))
+        .collect()
+      val next = book.clone()
+      stepped.foreach { r =>
+        val cell = r.getLong(0).toInt
+        val cnt = r.getLong(1)
+        next(cell) = r.getAs[scala.collection.Seq[Long]](2)
+          .map(s => Math.floorDiv(s, cnt)).toArray
+      }
+      shift = book.indices.iterator.map { c =>
+        val (a, b) = (book(c), next(c))
+        a.indices.iterator.map { i => val d = a(i) - b(i); d * d }.sum
+      }.sum
+      book = next
+      iter += 1
+    }
+    bookFrame(spark, book)
+  }
+
+  /** (cell, qc, nc) frame from a driver-side book. `nc` floors at 1 so
+    * a degenerate all-zero mean centroid cannot divide-by-zero the
+    * cosine (it then simply never wins an argmax). */
+  private def bookFrame(spark: SparkSession,
+      book: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    book.toSeq.zipWithIndex.map { case (qc, cell) =>
+      (cell.toLong, qc.toSeq, math.max(1L, qc.map(x => x * x).sum))
+    }.toDF("cell", "qc", "nc")
+  }
 
   /** Build every artifact from the corpus at `corpusDir` into `root`
     * (overwrite). Two corpus scans total: the assignment argmax pass
     * and the PQ encode pass (codes then join the written assignment's
     * cell — a read of the narrow artifact, not a third corpus scan).
     *
-    * Centroid seeding follows the engine's documented deterministic
-    * rule — the K smallest vec_ids — which presumes DENSE-FROM-0 ids
-    * (true of every fixture and of any corpus that assigns ids with
-    * row_number/zipWithIndex). A corpus whose id space starts above K
-    * would seed no centroids; re-id such a corpus before building (or
-    * k-means the seeds via q_kmeans_step, the production path). */
-  def write(spark: SparkSession, corpusDir: String, root: String): IndexMeta = {
+    * `book = None` uses the NAIVE deterministic seed — the K smallest
+    * vec_ids, oracle-identical to the in-session q_ann_ivf family —
+    * and REFUSES (never a silently empty index) a corpus whose id
+    * space cannot provide all K seeds; such corpora build through
+    * [[writeTrained]]. `book = Some(frame)` persists the given
+    * (cell, qc, nc) book and assigns the corpus against the PERSISTED
+    * copy (read back from parquet), so the artifacts are self-
+    * consistent by construction. */
+  def write(spark: SparkSession, corpusDir: String, root: String,
+      book: Option[DataFrame] = None): IndexMeta = {
     import spark.implicits._
     val (ivfK, pqM, pqK, d, n) = Similarity.indexGeometry(spark, corpusDir)
-    Similarity.ivfCentroidsPlan(spark, corpusDir)
-      .write.mode("overwrite").parquet(p(root, "centroids"))
-    Similarity.ivfAssignedPlan(spark, corpusDir)
-      .write.mode("overwrite").parquet(p(root, "assignments"))
+    val fp = Similarity.corpusFingerprint(spark, corpusDir)
+    book match {
+      case None =>
+        val seeded = Similarity.ivfCentroidsPlan(spark, corpusDir).count()
+        require(seeded == ivfK,
+          s"AnnIndex: naive centroid seeding (vec_id < $ivfK) found only " +
+            s"$seeded of $ivfK seeds — the corpus id space is not " +
+            "dense-from-0; build with writeTrained() (hash-seeded " +
+            "k-means book, no id assumption)")
+        Similarity.ivfCentroidsPlan(spark, corpusDir)
+          .write.mode("overwrite").parquet(p(root, "centroids"))
+        Similarity.ivfAssignedPlan(spark, corpusDir)
+          .write.mode("overwrite").parquet(p(root, "assignments"))
+      case Some(b) =>
+        b.select(col("cell"), col("qc"), col("nc"))
+          .write.mode("overwrite").parquet(p(root, "centroids"))
+        Similarity.assignedToBook(spark, corpusDir,
+            spark.read.parquet(p(root, "centroids")))
+          .write.mode("overwrite").parquet(p(root, "assignments"))
+    }
     Similarity.pqCodebookFrame(spark, corpusDir)
       .write.mode("overwrite").parquet(p(root, "codebook"))
     val cells = spark.read.parquet(p(root, "assignments"))
@@ -76,11 +182,20 @@ object AnnIndex {
       .join(cells, "vec_id")
       .select(col("vec_id"), col("cell"), col("code"))
       .write.mode("overwrite").parquet(p(root, "codes"))
-    val meta = IndexMeta(FormatVersion, corpusDir, n, d, ivfK, pqM, pqK)
+    val meta = IndexMeta(FormatVersion, corpusDir, n, d, ivfK, pqM, pqK, fp)
     Seq(meta).toDS().toDF().coalesce(1)
       .write.mode("overwrite").parquet(p(root, "meta"))
     meta
   }
+
+  /** [[write]] with a freshly [[trainBook]]-trained coarse book — the
+    * path for ANY corpus (no id-space assumption) and the
+    * better-balanced book for every corpus (measured in
+    * IndexServeSpec: trained vs naive cell balance). */
+  def writeTrained(spark: SparkSession, corpusDir: String, root: String,
+      maxIters: Int = 8): IndexMeta =
+    write(spark, corpusDir, root,
+      Some(trainBook(spark, corpusDir, maxIters)))
 
   /** Read the validity claim; None if absent/unreadable. */
   def readMeta(spark: SparkSession, root: String): Option[IndexMeta] =
@@ -118,17 +233,26 @@ object AnnIndex {
     * computed fresh from the query vectors, as a real serving path
     * does. */
   def adcSearch(spark: SparkSession, corpusDir: String, root: String): DataFrame = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"AnnIndex: no readable index meta at $root"))
+    val book = readCodebook(spark, root, meta)
+    val codes = served(spark, root, "codes").select(col("vec_id"), col("code"))
+    Similarity.adcTopK(codes, Similarity.pqLuts(spark, corpusDir, book))
+  }
+
+  /** The persisted PQ codebook as a driver array (M·K rows — bounded
+    * index metadata), with the same missing-entry diagnostic on every
+    * read path. */
+  private def readCodebook(spark: SparkSession, root: String,
+      meta: IndexMeta): Array[Array[Array[Long]]] = {
     val rows = served(spark, root, "codebook")
       .select(col("m"), col("k"), col("centroid")).collect()
-    val meta = readMeta(spark, root).get
-    val book = Array.tabulate(meta.pqM, meta.pqK) { (m, k) =>
+    Array.tabulate(meta.pqM, meta.pqK) { (m, k) =>
       rows.find(r => r.getInt(0) == m && r.getInt(1) == k)
         .getOrElse(throw new IllegalStateException(
           s"AnnIndex: codebook at $root is missing entry ($m,$k)"))
         .getAs[scala.collection.Seq[Long]](2).toArray
     }
-    val codes = served(spark, root, "codes").select(col("vec_id"), col("code"))
-    Similarity.adcTopK(codes, Similarity.pqLuts(spark, corpusDir, book))
   }
 
   /** The QUERY-SERVING API — what a retrieval service actually calls
@@ -196,9 +320,17 @@ object AnnIndex {
     * `q_cell_purity` are the re-train triggers an operator watches.
     *
     * `newVectors`: (vec_id, embedding) with ids DISJOINT from the
-    * indexed ones (enforced — duplicate ids would double posting-list
-    * entries and break the serve == rebuild contract).
-    */
+    * indexed ones AND unique within the batch (both enforced — a
+    * duplicate id either way would double posting-list entries and
+    * break the spec'd append == full-rebuild contract). The quantized
+    * batch is cached for the duration (it is read by the dup checks,
+    * the assignment, and the encode — one materialization, not three
+    * scans), and `meta` is written LAST, only after the appended
+    * artifact row counts verify — a crash mid-append leaves the old
+    * meta in place, so the partial append reads as stale (row-count
+    * mismatch) instead of silently serving extra posting rows.
+    * `corpusFp` is preserved: it fingerprints the BUILT corpus
+    * snapshot; appended batches live ahead of it by design. */
   def append(spark: SparkSession, corpusDir: String, root: String,
       newVectors: DataFrame): IndexMeta = {
     import spark.implicits._
@@ -211,37 +343,47 @@ object AnnIndex {
       transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long")).as("q"))
       .withColumn("nrm", graft.functions.LongVectorDot.vecDot(col("q"), col("q")))
-    val dup = q.select(col("vec_id"))
-      .join(assignments(spark, root).select(col("vec_id")), "vec_id").count()
-    require(dup == 0, s"AnnIndex: $dup of the new vec_ids are already indexed")
-    // frozen-book assignment: same argmax/tiebreak as the full build
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cell"))
-    val assigned = q.crossJoin(broadcast(cents))
-      .withColumn("ccos", graft.functions.LongVectorDot.vecDot(col("q"), col("qc"))
-        .cast("double") / sqrt((col("nrm") * col("nc")).cast("double")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"), col("q"), col("nrm"), col("ccos"))
-    assigned.write.mode("append").parquet(p(root, "assignments"))
-    // encode the batch against the persisted codebook (ADC parity with
-    // the build path: same first-minimum tie rule)
-    val rows = served(spark, root, "codebook")
-      .select(col("m"), col("k"), col("centroid")).collect()
-    val book = Array.tabulate(meta.pqM, meta.pqK) { (m, k) =>
-      rows.find(r => r.getInt(0) == m && r.getInt(1) == k).get
-        .getAs[scala.collection.Seq[Long]](2).toArray
-    }
-    Similarity.pqEncode(q.select(col("vec_id"), col("q")), book,
-        meta.dim / meta.pqM)
-      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
-      .select(col("vec_id"), col("cell"), col("code"))
-      .write.mode("append").parquet(p(root, "codes"))
-    val newMeta = meta.copy(nVectors = meta.nVectors +
-      newVectors.count())
-    Seq(newMeta).toDS().toDF().coalesce(1)
-      .write.mode("overwrite").parquet(p(root, "meta"))
-    newMeta
+      .cache()
+    try {
+      val batchN = q.count()
+      val distinctN = q.select(col("vec_id")).distinct().count()
+      require(distinctN == batchN,
+        s"AnnIndex: the new batch repeats ${batchN - distinctN} vec_id(s) " +
+          "within itself — an intra-batch duplicate would double-write " +
+          "posting and code rows")
+      val dup = q.select(col("vec_id"))
+        .join(assignments(spark, root).select(col("vec_id")), "vec_id").count()
+      require(dup == 0, s"AnnIndex: $dup of the new vec_ids are already indexed")
+      // frozen-book assignment: same argmax/tiebreak as the full build
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cell"))
+      val assigned = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", graft.functions.LongVectorDot.vecDot(col("q"), col("qc"))
+          .cast("double") / sqrt((col("nrm") * col("nc")).cast("double")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cell"), col("q"), col("nrm"), col("ccos"))
+      assigned.write.mode("append").parquet(p(root, "assignments"))
+      // encode the batch against the persisted codebook (ADC parity with
+      // the build path: same first-minimum tie rule)
+      val book = readCodebook(spark, root, meta)
+      Similarity.pqEncode(q.select(col("vec_id"), col("q")), book,
+          meta.dim / meta.pqM)
+        .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+        .select(col("vec_id"), col("cell"), col("code"))
+        .write.mode("append").parquet(p(root, "codes"))
+      // meta is the COMMIT record: verify the appended artifacts first
+      val nAsg = spark.read.parquet(p(root, "assignments")).count()
+      val nCodes = spark.read.parquet(p(root, "codes")).count()
+      require(nAsg == meta.nVectors + batchN && nCodes == meta.nVectors + batchN,
+        s"AnnIndex: post-append artifact counts ($nAsg assignments, " +
+          s"$nCodes codes) do not match ${meta.nVectors} + $batchN — " +
+          "refusing to commit meta over a torn append")
+      val newMeta = meta.copy(nVectors = meta.nVectors + batchN)
+      Seq(newMeta).toDS().toDF().coalesce(1)
+        .write.mode("overwrite").parquet(p(root, "meta"))
+      newMeta
+    } finally q.unpersist()
   }
 
   /** Default per-corpus index location (scratch space — a deployment
@@ -254,11 +396,14 @@ object AnnIndex {
 
   /** The deployment contract: return a root holding a VALID index for
     * `corpusDir`, building only when the existing one is missing or
-    * stale (version/corpus/row-count mismatch). An index claiming a
-    * NEWER format than this build is a hard error, never clobbered.
-    * Serialized per root within the JVM; cross-process races resolve
-    * to the same content (the build is deterministic), matching the
-    * reference's idempotent-reload story. */
+    * stale (version/corpus/row-count/content-fingerprint mismatch). An
+    * index claiming a NEWER format than this build is a hard error,
+    * never clobbered. Serialized per root within the JVM; cross-process
+    * races resolve to the same content (the build is deterministic),
+    * matching the reference's idempotent-reload story. Uses the NAIVE
+    * book (the grade whose results are oracle-identical to q_ann_ivf);
+    * a corpus the naive seed cannot cover propagates [[write]]'s
+    * refusal — deploy such corpora through [[writeTrained]]. */
   def ensure(spark: SparkSession, corpusDir: String,
       root0: String = null): String = {
     val root = Option(root0).getOrElse(defaultRoot(corpusDir))
@@ -271,7 +416,8 @@ object AnnIndex {
               s"v$FormatVersion) — refusing to overwrite")
         case Some(m) if m.formatVersion == FormatVersion &&
             m.corpusDir == corpusDir &&
-            m.nVectors == Similarity.indexGeometry(spark, corpusDir)._5 =>
+            m.nVectors == Similarity.indexGeometry(spark, corpusDir)._5 &&
+            m.corpusFp == Similarity.corpusFingerprint(spark, corpusDir) =>
           () // valid — serve as-is
         case _ => write(spark, corpusDir, root)
       }

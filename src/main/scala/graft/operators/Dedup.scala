@@ -240,7 +240,10 @@ object Dedup {
           expr("df * (df - 1) div 2")).otherwise(0L)).as("join_rows"))
       .select(col("n_shingle_rows"), col("n_distinct_shingles"),
         col("n_stop_shingles"), col("join_rows"),
-        expr("n_distinct_shingles * 1000000 div n_shingle_rows")
+        // greatest(coalesce(.,0),1): on an empty/degenerate corpus
+        // Spark's div yields NULL while DuckDB's // raises — the
+        // q_dim_variance guard (ADVICE_r07) applied to this family too
+        expr("n_distinct_shingles * 1000000 div greatest(coalesce(n_shingle_rows, 0), 1)")
           .as("distinct_ppm"))
 
   val pairJoinCostSql: String =
@@ -253,7 +256,8 @@ object Dedup {
        |       CAST(SUM(CASE WHEN df <= $maxShingleDf
        |                     THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
        |         AS join_rows,
-       |       CAST(COUNT(*) AS BIGINT) * 1000000 // CAST(SUM(df) AS BIGINT)
+       |       CAST(COUNT(*) AS BIGINT) * 1000000
+       |         // GREATEST(COALESCE(CAST(SUM(df) AS BIGINT), 0), 1)
        |         AS distinct_ppm
        |FROM df""".stripMargin
 

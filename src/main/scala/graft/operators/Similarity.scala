@@ -60,6 +60,14 @@ object Similarity {
   /** Test hook: drop all materialized frames (forces recomputation). */
   private[graft] def invalidateMaterialized(): Unit = MaterializeOnce.invalidate()
 
+  /** Test hook: drop the memoized data-constant probes (dim, count,
+    * fingerprint) — models a FRESH session over a corpus directory that
+    * was regenerated in place (specs only; a real deployment's new
+    * session starts with these empty). */
+  private[graft] def invalidateProbes(): Unit = {
+    dimCache.clear(); countCache.clear(); fpCache.clear()
+  }
+
   /** Quantized embeddings with integer squared-norm — one narrow row
     * per corpus vector, materialized once per (session, dir). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
@@ -398,10 +406,17 @@ object Similarity {
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
     materializeOnce(spark, dir, "ivf_assigned")(ivfAssignedPlan(spark, dir))
 
-  private[graft] def ivfAssignedPlan(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssignedPlan(spark: SparkSession, dir: String): DataFrame =
+    assignedToBook(spark, dir, ivfCentroidsPlan(spark, dir))
+
+  /** The assignment argmax against an ARBITRARY coarse book (cell, qc,
+    * nc) — the [[ivfAssignedPlan]] body generalized so
+    * [[graft.index.AnnIndex]] can assign against a k-means-TRAINED book
+    * (or one read back from parquet) with the exact same tiebreak
+    * (ccos desc, cell asc) as the in-session naive-seed path. */
+  private[graft] def assignedToBook(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
     val v = quantized(spark, dir)
-    val cents = v.filter(col("vec_id") < ivfK(spark, dir))
-      .select(col("vec_id").as("cell"), col("q").as("qc"), col("nrm").as("nc"))
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cell"))
     v.crossJoin(broadcast(cents))
@@ -411,6 +426,21 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"), col("q"), col("nrm"), col("ccos"))
   }
+
+  /** Cheap corpus CONTENT fingerprint (ADVICE_r08): bit-xor of
+    * xxhash64(vec_id, q) over the shared quantized frame — order-free,
+    * so it is stable under any partitioning, and it changes when any
+    * vector's id or content changes (the in-place-regenerated-corpus
+    * case row-count validation cannot see). Memoized per (session, dir)
+    * like [[dim]]; the first call rides the already-materialized
+    * quantized frame, so no extra corpus scan is paid at serve time. */
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private[graft] def corpusFingerprint(spark: SparkSession, dir: String): Long =
+    fpCache.computeIfAbsent((spark, dir), _ =>
+      quantized(spark, dir)
+        .select(coalesce(expr("bit_xor(xxhash64(vec_id, q))"), lit(0L)).as("fp"))
+        .head().getLong(0)).longValue()
 
   /** The coarse-centroid frame (cell, qc, nc) exactly as the assignment
     * pass sees it — the first index artifact [[graft.index.AnnIndex]]

@@ -192,8 +192,9 @@ object MetricsStream {
     * event-time watermark passes the window end, remove state. Any
     * window function whose value depends only on the window's OWN
     * samples plugs in here (rate/delta/irate/quantile_over_time...);
-    * `increase()` does NOT — its deltas cross window boundaries, so it
-    * needs per-SERIES carry state (documented gap, SURVEY §6c). */
+    * `increase()` does NOT — its deltas cross window boundaries, so
+    * [[streamingIncrease]] above runs its own per-SERIES carry-state
+    * kernel instead of this one. */
   private def streamingWindowed(samples: DataFrame, windowSec: Long,
       delay: String)(
       kernel: ((String, String, Long), Seq[(Long, Long, Long)]) => Seq[RateRow])
