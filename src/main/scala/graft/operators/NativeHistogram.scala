@@ -27,10 +27,20 @@ import org.apache.spark.sql.functions._
   * ⌈idx₀/2⌉ by integer halving, schema +1 is bit_length(v²−1) (v²
   * exact in int64), and bucket BOUNDS are powers of two carried as
   * HALFCENT integers (`1 << idx` — never `pow(2.0, i)`, which Java
-  * only guarantees to 1 ulp). Only the final quantile/fraction
-  * interpolation touches doubles, with identical operands and
-  * association in both engines (the q_rate argument), and the
-  * straddling-bucket fraction is a SINGLE double term so no
+  * only guarantees to 1 ulp). The WIDE schemas (+2..+8, where v^(2^s)
+  * leaves int64) stay exact through the sub-octave BOUNDARY TABLE
+  * device ([[qNativeWide]]): ⌈2^s·log₂ v⌉ = e·2^s + (position of the
+  * octave-normalized mantissa among the 2^s exact integer boundaries
+  * ⌊2^(j/2^s)·2^40⌋, computed once at plan time with BigInt
+  * verification) — an integer comparison against a floored irrational
+  * bound is EXACT for every v < 2^41, so no precision caveat exists.
+  * Only the final quantile/fraction interpolation touches doubles,
+  * with identical operands and association in both engines (the
+  * q_rate argument): since Prometheus 3.0 (PR #14677) that
+  * interpolation is EXPONENTIAL within a native bucket — lo·2^frac —
+  * which this engine implements (the fixtures' independent Python
+  * twin computes the same rule with bignum index math), and the
+  * straddling-bucket term is a SINGLE double term so no
   * order-dependent double summation exists anywhere.
   *
   * Scale shape: everything is one events scan into a per-(series,
@@ -149,15 +159,246 @@ object NativeHistogram {
        |FROM u
        |GROUP BY name, user_id, w_start, bucket_schema, sgn, bucket_idx""".stripMargin
 
+  // ---- WIDE schemas −4..8 (VERDICT_r08 item 2) ----------------------
+
+  /** The schemas [[qNativeWide]] builds, complementing [[qNativeHist]]'s
+    * −1/0/+1: together they span the full Prometheus scrape-config
+    * range −4..8 (−3 is ⌈idx₀/8⌉ by the same rule as −2/−4; +3..+7
+    * follow the same boundary-table device as +2/+4/+8 — the five
+    * chosen schemas exercise every code path). */
+  private[graft] val WideSchemas = Seq(-4, -2, 2, 4, 8)
+
+  /** Fixed-point scale of the octave-normalized mantissa: f = v/2^e ∈
+    * [1,2) is carried as f·2^40 — EXACT (a pure left shift) for every
+    * v < 2^41, i.e. cents up to ~10¹⁰ value units. */
+  private val MantissaBits = 40
+  private val MantissaOne = 1L << MantissaBits
+
+  /** The exact sub-octave boundary table for schema s > 0:
+    * B_{s,j} = ⌊2^(j/2^s) · 2^40⌋ for j = 1..2^s−1, computed once at
+    * plan time from a double estimate FIXED UP with BigInt powers
+    * (B^(2^s) ≤ 2^(40·2^s + j) < (B+1)^(2^s)) — so the table is exact
+    * by construction, not 1-ulp-trusted. Correctness of the lookup:
+    * the smallest j with v ≤ 2^e·2^(j/2^s) compares the integer f·2^40
+    * against the irrational boundary, and an integer is ≤ an
+    * irrational iff it is ≤ its floor — the floored table loses
+    * nothing. */
+  private val wideBoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+  private[graft] def wideBounds(s: Int): Seq[Long] =
+    wideBoundsCache.computeIfAbsent(s, _ => {
+      require(s > 0 && s <= 8)
+      val twoS = 1 << s
+      (1 until twoS).map { j =>
+        val target = BigInt(2).pow(MantissaBits * twoS + j)
+        var b = BigInt(math.pow(2.0, MantissaBits + j.toDouble / twoS).toLong)
+        while (b.pow(twoS) > target) b -= 1
+        while ((b + 1).pow(twoS) <= target) b += 1
+        b.toLong
+      }
+    })
+
+  /** ⌈2^s·log₂ pos⌉ as a SQL expression over columns `pos`, `e`
+    * (bit_length(pos)−1) and `fs` (the 2^40-scaled mantissa) — shared
+    * by the Spark and DuckDB sides via [[wideIdxExpr]], which differ
+    * only in the engine's array-filter spelling. s ≤ 0 divides the
+    * schema-0 index (⌈⌈x⌉/n⌉ = ⌈x/n⌉ for integer n); s > 0 counts the
+    * exact boundaries strictly below fs, with the power-of-two case
+    * (fs = 2^40 exactly) landing on the octave start. */
+  private def wideIdxExpr(s: Int, spark: Boolean): String =
+    if (s <= 0) {
+      val d = 1 << (-s)
+      val bl = if (spark) "length(conv(pos - 1, 10, 2))"
+               else "length(bin(pos - 1))"
+      val dv = if (spark) "div" else "//"
+      s"(CASE WHEN pos <= 1 THEN 0 ELSE ($bl + ${d - 1}) $dv $d END)"
+    } else {
+      val bs = wideBounds(s).mkString(", ")
+      val cnt =
+        if (spark) s"size(filter(array($bs), b -> b < fs))"
+        else s"len(list_filter([$bs], b -> b < fs))"
+      s"(e * ${1 << s} + CASE WHEN fs = $MantissaOne THEN 0 ELSE 1 + $cnt END)"
+    }
+
+  /** q_native_wide — the sparse-bucket build at the WIDE schemas
+    * {−4, −2, +2, +4, +8}, closing the gap to the Prometheus
+    * scrape-config default range −4..8 that [[qNativeHist]]'s
+    * −1/0/+1 left open: at schema s, bucket i covers
+    * (2^((i−1)/2^s), 2^(i/2^s)] — base 2^(1/256) at s = 8, i.e. 256
+    * buckets per octave — and v^(2^s) is far beyond int64, so the
+    * index math runs on the exact boundary-table device (object doc):
+    * one octave split (bit length + shift, both engines) and one
+    * ≤ 255-entry integer array filter per row per schema. Same output
+    * shape as q_native_hist; sparse by construction. */
+  def qNativeWide(spark: SparkSession, dir: String): DataFrame = {
+    val base = samples(spark, dir)
+      .withColumn("e",
+        (length(expr("conv(pos, 10, 2)")) - 1).cast("long"))
+      .withColumn("fs", expr(
+        s"CASE WHEN e <= $MantissaBits THEN shiftleft(pos, CAST($MantissaBits - e AS INT)) " +
+          s"ELSE shiftright(pos, CAST(e - $MantissaBits AS INT)) END"))
+    base.select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+        explode(array(WideSchemas.map { s =>
+          struct(lit(s.toLong).as("bucket_schema"),
+            when(col("sgn") === 0L, 0L)
+              .otherwise(expr(wideIdxExpr(s, spark = true)).cast("long"))
+              .as("bucket_idx"))
+        }: _*)).as("sb"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        col("sb.bucket_schema").as("bucket_schema"), col("sgn"),
+        col("sb.bucket_idx").as("bucket_idx"))
+      .groupBy("name", "user_id", "w_start", "bucket_schema", "sgn",
+        "bucket_idx")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val nativeWideSql: String = {
+    val selects = WideSchemas.map { s =>
+      s"""  SELECT name, user_id, w_start, sgn,
+         |         CAST($s AS BIGINT) AS bucket_schema,
+         |         CAST(CASE WHEN sgn = 0 THEN 0
+         |              ELSE ${wideIdxExpr(s, spark = false)} END AS BIGINT) AS bucket_idx
+         |  FROM wf""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $samplesSql,
+       |wb AS (SELECT *, CAST(length(bin(pos)) - 1 AS BIGINT) AS e FROM sm),
+       |wf AS (SELECT *, CASE WHEN e <= $MantissaBits
+       |         THEN pos << CAST($MantissaBits - e AS INT)
+       |         ELSE pos >> CAST(e - $MantissaBits AS INT) END AS fs
+       |       FROM wb),
+       |u AS (
+       |$selects)
+       |SELECT name, user_id, w_start, bucket_schema, sgn, bucket_idx,
+       |       CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM u
+       |GROUP BY name, user_id, w_start, bucket_schema, sgn, bucket_idx""".stripMargin
+  }
+
+  // ---- NHCB: custom-bucket (migration) histograms (VERDICT_r08 item 2) ----
+
+  /** The custom bucket UPPER bounds (cents) of the NHCB layout — the
+    * classic-histogram migration shape Prometheus carries in the
+    * native wire format as "schema −53": explicit ascending bounds,
+    * bucket 0 = (−∞, b₀], bucket i = (b_{i−1}, b_i], one overflow
+    * bucket above the last bound. Chosen to split the fixture value
+    * distribution (~5/20/80/200 units); a deployment supplies its own. */
+  private[graft] val CustomBounds = Seq(500L, 2000L, 8000L, 20000L)
+
+  /** q_native_custom — the NHCB bucket BUILD per (series, 1h window):
+    * populated custom-bucket indexes, each bucket's upper bound (−1 =
+    * the +∞ overflow bucket) and count. Index = #bounds strictly below
+    * the SIGNED cents (pure integer array filter — one per row, bounds
+    * are a plan-time constant list), so negative observations land in
+    * bucket 0 exactly as a migrated classic histogram would put them.
+    * Sparse output: only populated buckets emit. */
+  def qNativeCustom(spark: SparkSession, dir: String): DataFrame = {
+    val bs = CustomBounds.mkString(", ")
+    samples(spark, dir)
+      .withColumn("cents", col("sgn") * col("pos"))
+      .withColumn("bucket_idx",
+        expr(s"size(filter(array($bs), b -> b < cents))").cast("long"))
+      .withColumn("le_cents",
+        when(col("bucket_idx") < CustomBounds.size,
+          expr(s"element_at(array($bs), CAST(bucket_idx + 1 AS INT))"))
+          .otherwise(lit(-1L)))
+      .groupBy("name", "user_id", "w_start", "bucket_idx", "le_cents")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val nativeCustomSql: String = {
+    val bs = CustomBounds.mkString(", ")
+    s"""WITH $samplesSql,
+       |cb AS (SELECT name, user_id, w_start,
+       |        CAST(len(list_filter([$bs], b -> b < sgn * pos)) AS BIGINT)
+       |          AS bucket_idx
+       |       FROM sm)
+       |SELECT name, user_id, w_start, bucket_idx,
+       |       CAST(CASE WHEN bucket_idx < ${CustomBounds.size}
+       |            THEN ([$bs])[CAST(bucket_idx + 1 AS INT)]
+       |            ELSE -1 END AS BIGINT) AS le_cents,
+       |       CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM cb GROUP BY name, user_id, w_start, bucket_idx""".stripMargin
+  }
+
+  /** q_native_custom_q — `histogram_quantile(φ, nhcb)` for
+    * φ ∈ {0.5, 0.9}: NHCB quantiles interpolate LINEARLY like the
+    * classic histograms they migrate (the v3 exponential rule applies
+    * only to exponential-bucket layouts — custom bounds carry no
+    * base), with the classic conventions: the lowest bucket
+    * interpolates from lower bound 0, and a rank landing in the +∞
+    * overflow bucket returns the highest finite bound. Cumulative
+    * crossing over the ≤ |bounds|+1 per-window bucket rows — the
+    * [[qNativeQuantile]] shape on the custom layout. */
+  def qNativeCustomQ(spark: SparkSession, dir: String): DataFrame = {
+    val grp = Seq("name", "user_id", "w_start")
+    val bk = qNativeCustom(spark, dir)
+      .withColumn("tot",
+        sum("cnt").over(Window.partitionBy(grp.map(col): _*)))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy(grp.map(col): _*)
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val phis = spark.range(1).select(
+      explode(typedLit(Seq(50L, 90L))).as("phi_x100"))
+    val lastFinite = CustomBounds.last
+    val boundsArr = CustomBounds.mkString(", ")
+    bk.crossJoin(broadcast(phis))
+      .withColumn("rk",
+        (col("tot") * col("phi_x100")).cast("double") / 100.0)
+      .filter(col("cum") >= col("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy((grp :+ "phi_x100").map(col): _*)
+          .orderBy("bucket_idx")))
+      .filter(col("rn") === 1)
+      .withColumn("lo", when(col("bucket_idx") === 0L, 0L)
+        .otherwise(expr(s"element_at(array($boundsArr), CAST(bucket_idx AS INT))")))
+      .select(col("name"), col("user_id"), col("w_start"), col("phi_x100"),
+        round(
+          when(col("le_cents") === -1L, lit(lastFinite.toDouble))
+            .otherwise(col("lo").cast("double")
+              + (col("le_cents") - col("lo")).cast("double")
+                * ((col("rk") - (col("cum") - col("cnt")).cast("double"))
+                  / col("cnt").cast("double"))) / 100.0, 6).as("q_value"))
+  }
+
+  val nativeCustomQSql: String = {
+    val boundsArr = CustomBounds.mkString(", ")
+    s"""WITH nc AS (SELECT * FROM ($nativeCustomSql)),
+       |o AS (SELECT *,
+       |        CAST(SUM(cnt) OVER (PARTITION BY name, user_id, w_start) AS BIGINT) AS tot,
+       |        CAST(SUM(cnt) OVER (PARTITION BY name, user_id, w_start
+       |          ORDER BY bucket_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM nc),
+       |ph AS (SELECT unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT)]) AS phi_x100),
+       |r AS (SELECT o.*, ph.phi_x100,
+       |        CAST(o.tot * ph.phi_x100 AS DOUBLE) / 100.0 AS rk
+       |      FROM o CROSS JOIN ph),
+       |sel AS (SELECT *, row_number() OVER (PARTITION BY name, user_id,
+       |          w_start, phi_x100 ORDER BY bucket_idx) AS rn
+       |        FROM r WHERE cum >= rk),
+       |lo AS (SELECT *, CASE WHEN bucket_idx = 0 THEN 0
+       |         ELSE ([$boundsArr])[CAST(bucket_idx AS INT)] END AS lo
+       |       FROM sel WHERE rn = 1)
+       |SELECT name, user_id, w_start, phi_x100,
+       |       round(CASE WHEN le_cents = -1 THEN CAST(${CustomBounds.last} AS DOUBLE)
+       |             ELSE CAST(lo AS DOUBLE)
+       |                  + CAST(le_cents - lo AS DOUBLE)
+       |                    * ((rk - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+       |             END / 100.0, 6) AS q_value
+       |FROM lo""".stripMargin
+  }
+
   /** q_native_quantile — `histogram_quantile(φ, native)` for
     * φ ∈ {0.5, 0.9}, transcribed from the public algorithm: order
     * buckets by VALUE (negative indexes descending → zero bucket →
     * positive ascending; ord = sgn·(idx+1) realizes exactly that),
     * find the bucket where the cumulative count crosses rank = φ·n,
-    * and interpolate LINEARLY within its bounds (the zero bucket
-    * returns 0; a negative bucket mirrors). Bounds live as halfcent
-    * integers (1 << idx, 1 << (idx+1)); rank and the one interpolation
-    * division are the only doubles, operand-identical across engines.
+    * and interpolate EXPONENTIALLY within its bounds — the Prometheus
+    * 3.0 rule (PR #14677) for exponential-bucket layouts: a positive
+    * bucket yields lo·2^frac, a negative one mirrors as −up·2^(−frac)
+    * (continuous at both ends since up = 2·lo), the zero bucket
+    * returns 0. Bounds live as halfcent integers (1 << idx,
+    * 1 << (idx+1)); rank, frac and the one 2^frac term are the only
+    * doubles, operand-identical across engines.
     */
   def qNativeQuantile(spark: SparkSession, dir: String): DataFrame = {
     val grp = Seq("name", "user_id", "w_start")
@@ -176,20 +417,19 @@ object NativeHistogram {
       .withColumn("rn", row_number().over(
         Window.partitionBy((grp :+ "phi_x100").map(col): _*).orderBy("ord")))
       .filter(col("rn") === 1)
+    val frac = (col("rk") - (col("cum") - col("cnt")).cast("double")) /
+      col("cnt").cast("double")
     ranked.select(col("name"), col("user_id"), col("w_start"),
       col("phi_x100"),
       round(
         when(col("sgn") === 0L, lit(0.0)).otherwise(
           when(col("sgn") === 1L,
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx AS INT))"))
-            .otherwise(-expr(
-              "shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx + 1 AS INT))"))
-            .cast("double")
-            + (expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx + 1 AS INT))")
-              - expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx AS INT))"))
-              .cast("double")
-              * ((col("rk") - (col("cum") - col("cnt")).cast("double"))
-                / col("cnt").cast("double"))) / 200.0, 6).as("q_value"))
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx AS INT))")
+              .cast("double") * pow(lit(2.0), frac))
+            .otherwise(
+              -expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_idx + 1 AS INT))")
+                .cast("double") * pow(lit(2.0), -frac)))
+          / 200.0, 6).as("q_value"))
   }
 
   val nativeQuantileSql: String =
@@ -208,12 +448,13 @@ object NativeHistogram {
        |          w_start, phi_x100 ORDER BY ord) AS rn
        |        FROM r WHERE cum >= rk)
        |SELECT name, user_id, w_start, phi_x100,
-       |       round(CASE WHEN sgn = 0 THEN 0.0 ELSE
-       |         (CAST(CASE WHEN sgn = 1 THEN 1::BIGINT << CAST(bucket_idx AS INT)
-       |               ELSE -(1::BIGINT << CAST(bucket_idx + 1 AS INT)) END AS DOUBLE)
-       |          + CAST((1::BIGINT << CAST(bucket_idx + 1 AS INT))
-       |                 - (1::BIGINT << CAST(bucket_idx AS INT)) AS DOUBLE)
-       |            * ((rk - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)))
+       |       round(CASE WHEN sgn = 0 THEN 0.0
+       |         WHEN sgn = 1 THEN
+       |           CAST(1::BIGINT << CAST(bucket_idx AS INT) AS DOUBLE)
+       |             * pow(2.0, ((rk - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)))
+       |         ELSE
+       |           -CAST(1::BIGINT << CAST(bucket_idx + 1 AS INT) AS DOUBLE)
+       |             * pow(2.0, -((rk - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)))
        |         END / 200.0, 6) AS q_value
        |FROM sel WHERE rn = 1""".stripMargin
 
@@ -357,9 +598,11 @@ object NativeHistogram {
     * (500/5000 cents — plan-time constants). Negative and zero buckets
     * contribute fully (x > 0); a positive bucket contributes fully
     * below x, nothing above, and the ONE straddling bucket
-    * interpolates linearly — kept as a single double term added to an
-    * exact integer sum, so no order-dependent double accumulation
-    * exists. */
+    * interpolates EXPONENTIALLY — the Prometheus 3.0 rule (PR #14677):
+    * its contribution is cnt·log₂(x/lo) (the log-space position of x
+    * in a bucket whose log-width is exactly 1) — kept as a single
+    * double term added to an exact integer sum, so no order-dependent
+    * double accumulation exists. */
   def qNativeFraction(spark: SparkSession, dir: String): DataFrame = {
     val grp = Seq("name", "user_id", "w_start")
     val bounds = spark.range(1).select(
@@ -375,8 +618,8 @@ object NativeHistogram {
         sum(when(full, col("cnt")).otherwise(0L)).as("full_cnt"),
         sum(when(straddle,
           col("cnt").cast("double")
-            * (boundHc - lower).cast("double")
-            / (upper - lower).cast("double")).otherwise(lit(0.0)))
+            * log2(boundHc.cast("double") / lower.cast("double")))
+          .otherwise(lit(0.0)))
           .as("partial"))
       .select(col("name"), col("user_id"), col("w_start"), col("bound_x100"),
         round((col("full_cnt").cast("double") + col("partial"))
@@ -397,8 +640,8 @@ object NativeHistogram {
        |              + SUM(CASE WHEN sgn = 1 AND lo_hc < bound_hc
        |                          AND up_hc > bound_hc
        |                         THEN CAST(cnt AS DOUBLE)
-       |                              * CAST(bound_hc - lo_hc AS DOUBLE)
-       |                              / CAST(up_hc - lo_hc AS DOUBLE)
+       |                              * log2(CAST(bound_hc AS DOUBLE)
+       |                                     / CAST(lo_hc AS DOUBLE))
        |                         ELSE 0.0 END))
        |             / CAST(SUM(cnt) AS DOUBLE), 6) AS frac_le
        |FROM j GROUP BY name, user_id, w_start, bound_x100""".stripMargin

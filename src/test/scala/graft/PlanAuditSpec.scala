@@ -647,6 +647,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_native_wide: one events scan, no join — the boundary tables are " +
+      "plan-time literals (r9)") {
+    val plan = executed(operators.NativeHistogram.qNativeWide(spark, dir))
+    assert(finalScans(plan) == 1, "wide bucket build must be one corpus pass")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      "boundary lookups must be in-row array filters, never a join")
+  }
+
+  test("q_native_custom: one events scan, constant-list bucket lookup (r9)") {
+    val plan = executed(operators.NativeHistogram.qNativeCustom(spark, dir))
+    assert(finalScans(plan) == 1, "NHCB build must be one corpus pass")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "custom-bound lookup must be an in-row array filter")
+  }
+
   test("q_rank_fusion: fuses the materialized result frames — no index recompute (r8)") {
     Similarity.qAnnLsh(spark, dir).collect()
     Similarity.qAnnIvf(spark, dir).collect()

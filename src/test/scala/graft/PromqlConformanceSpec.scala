@@ -607,10 +607,73 @@ class PromqlConformanceSpec extends SparkSpec {
     assert(got.size == cases.size)
   }
 
-  test("native histogram: quantile value-order crossing + linear interpolation") {
+  test("native histogram: quantile value-order crossing + v3 exponential interpolation") {
     val cases = fixtures("native_histogram")
     val dir = eventsDir(cases.flatMap(nhCaseRows))
     val got = operators.NativeHistogram.qNativeQuantile(spark, dir).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("phi_x100")) ->
+        r.getAs[Double]("q_value")).toMap
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      for ((phi, field) <- Seq(50L -> "expected_q50", 90L -> "expected_q90")) {
+        val want = c.getAs[Double](field)
+        val g = got((name, phi))
+        assert(math.abs(g - want) < 1.01e-6,
+          s"$name phi=$phi: $g != prometheus-model $want")
+      }
+    }
+  }
+
+  test("native histogram WIDE schemas -4/-2/+2/+4/+8: boundary-table " +
+      "index math == exact bignum ceil(2^s*log2 v) (6 shapes, r9)") {
+    val cases = fixtures("nh_wide")
+    val dir = eventsDir(cases.flatMap(nhCaseRows))
+    val got = operators.NativeHistogram.qNativeWide(spark, dir).collect()
+      .groupBy(_.getAs[String]("name"))
+      .map { case (n, rs) => n -> rs.map(r =>
+        (r.getAs[Long]("bucket_schema"), r.getAs[Long]("sgn"),
+          r.getAs[Long]("bucket_idx"), r.getAs[Long]("cnt"))).toSet
+      }
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+        "expected_buckets").map(b => (b(0), b(1), b(2), b(3))).toSet
+      assert(got.get(name).contains(want),
+        s"$name: ${got.get(name)} != $want")
+    }
+    assert(got.size == cases.size)
+  }
+
+  test("NHCB custom-bucket layout: bound-exclusive indexing incl. " +
+      "negatives, overflow and on-bound values (6 shapes, r9)") {
+    val cases = fixtures("nhcb")
+    // the operator's bounds constant and the fixtures' must be the
+    // same list, or the comparison proves nothing
+    cases.foreach { c =>
+      assert(c.getAs[scala.collection.Seq[Long]]("bounds").toSeq ==
+        operators.NativeHistogram.CustomBounds)
+    }
+    val dir = eventsDir(cases.flatMap(nhCaseRows))
+    val got = operators.NativeHistogram.qNativeCustom(spark, dir).collect()
+      .groupBy(_.getAs[String]("name"))
+      .map { case (n, rs) => n -> rs.map(r =>
+        (r.getAs[Long]("bucket_idx"), r.getAs[Long]("le_cents"),
+          r.getAs[Long]("cnt"))).toSet
+      }
+    cases.foreach { c =>
+      val name = c.getAs[String]("name")
+      val want = c.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+        "expected_buckets").map(b => (b(0), b(1), b(2))).toSet
+      assert(got.get(name).contains(want),
+        s"$name: ${got.get(name)} != $want")
+    }
+  }
+
+  test("NHCB quantile: classic linear bucketQuantile over the custom " +
+      "layout (lowest-from-0 and overflow-returns-last-bound rules, r9)") {
+    val cases = fixtures("nhcb")
+    val dir = eventsDir(cases.flatMap(nhCaseRows))
+    val got = operators.NativeHistogram.qNativeCustomQ(spark, dir).collect()
       .map(r => (r.getAs[String]("name"), r.getAs[Long]("phi_x100")) ->
         r.getAs[Double]("q_value")).toMap
     cases.foreach { c =>

@@ -758,19 +758,21 @@ def round_cases():
 
 def nh_index(pos, schema):
     """Sparse exponential (native) histogram bucket index for |cents|
-    = pos >= 0 at schema s: ceil(2^s * log2(pos)), pure integers via
-    bit_length (bucket i covers (base^(i-1), base^i], base = 2^(2^-s)).
-    Independent twin of NativeHistogram's conv/bin bit-length device."""
+    = pos >= 0 at ANY schema -4..8: ceil(2^s * log2(pos)), EXACT via
+    Python bignums — for s > 0, ceil(2^s*log2 v) = bit_length of
+    v^(2^s) - 1 (the 256-bit-exponent power the Scala side cannot form
+    in int64, which is exactly why its boundary-table device needs an
+    independent exact twin); for s <= 0, ceil(ceil(log2 v)/2^-s) by the
+    nested-ceiling identity. Independent twin of NativeHistogram's
+    conv/bin bit-length + boundary-table devices."""
     if pos <= 1:
-        i0 = 0
-    else:
+        return 0
+    if schema <= 0:
         i0 = (pos - 1).bit_length()
-    if schema == 0:
-        return i0
-    if schema == 1:
-        return 0 if pos <= 1 else (pos * pos - 1).bit_length()
-    if schema == -1:
-        return (i0 + 1) // 2
+        d = 1 << (-schema)
+        return (i0 + d - 1) // d
+    if schema <= 8:
+        return (pos ** (1 << schema) - 1).bit_length()
     raise ValueError(schema)
 
 
@@ -786,9 +788,10 @@ def nh_buckets(cents, schema):
 
 def nh_quantile(phi_x100, cents):
     """histogram_quantile over schema-0 native buckets: value-ordered
-    cumulative crossing (ord = sgn*(idx+1)), LINEAR interpolation within
-    halfcent bounds (1<<idx, 1<<(idx+1)); zero bucket -> 0; negative
-    buckets mirror. Returns value units (halfcents / 200)."""
+    cumulative crossing (ord = sgn*(idx+1)), EXPONENTIAL interpolation
+    within halfcent bounds (1<<idx, 1<<(idx+1)) per Prometheus 3.0
+    (PR #14677): positive lo*2^frac, negative -up*2^(-frac); zero
+    bucket -> 0. Returns value units (halfcents / 200)."""
     b = nh_buckets(cents, 0)
     items = sorted(b.items(), key=lambda kv: kv[0][0] * (kv[0][1] + 1))
     rank = (len(cents) * phi_x100) / 100.0
@@ -801,14 +804,19 @@ def nh_quantile(phi_x100, cents):
                 return 0.0
             lo, up = 1 << idx, 1 << (idx + 1)
             frac = (rank - prev) / cnt
-            return ((lo if sgn == 1 else -up) + (up - lo) * frac) / 200.0
+            if sgn == 1:
+                return lo * 2.0 ** frac / 200.0
+            return -up * 2.0 ** (-frac) / 200.0
     raise AssertionError("rank beyond total")
 
 
 def nh_fraction(bound_cents, cents):
     """histogram_fraction(-Inf, bound): negatives/zero count fully, a
     positive bucket fully below the bound, the single straddler
-    interpolates linearly in halfcents."""
+    interpolates EXPONENTIALLY (Prometheus 3.0 PR #14677): its
+    contribution is cnt*log2(bound/lo) -- the log-space position in a
+    bucket of log-width exactly 1."""
+    import math
     bh = bound_cents * 2
     full, partial = 0, 0.0
     for (sgn, idx), cnt in nh_buckets(cents, 0).items():
@@ -816,8 +824,41 @@ def nh_fraction(bound_cents, cents):
         if sgn < 1 or up <= bh:
             full += cnt
         elif lo < bh < up:
-            partial += cnt * (bh - lo) / (up - lo)
+            partial += cnt * math.log2(bh / lo)
     return (full + partial) / len(cents)
+
+
+def nhcb_buckets(cents, bounds):
+    """NHCB (custom-bucket native histogram, 'schema -53') layout:
+    bucket index = #bounds strictly below the SIGNED cents value
+    (bucket 0 = (-inf, b0], bucket i = (b_{i-1}, b_i], overflow above
+    the last bound). Returns {idx: count}."""
+    c = {}
+    for v in cents:
+        idx = sum(1 for b in bounds if b < v)
+        c[idx] = c.get(idx, 0) + 1
+    return c
+
+
+def nhcb_quantile(phi_x100, cents, bounds):
+    """histogram_quantile over an NHCB layout: classic LINEAR
+    bucketQuantile (custom bounds carry no exponential base) with the
+    classic conventions -- lowest bucket interpolates from 0, a rank in
+    the overflow bucket returns the highest finite bound. Returns value
+    units (cents / 100)."""
+    b = nhcb_buckets(cents, bounds)
+    rank = (len(cents) * phi_x100) / 100.0
+    cum = 0
+    for idx in sorted(b):
+        prev = cum
+        cum += b[idx]
+        if cum >= rank:
+            if idx >= len(bounds):
+                return bounds[-1] / 100.0
+            lo = 0 if idx == 0 else bounds[idx - 1]
+            hi = bounds[idx]
+            return (lo + (hi - lo) * (rank - prev) / b[idx]) / 100.0
+    raise AssertionError("rank beyond total")
 
 
 def native_histogram_cases():
@@ -858,8 +899,78 @@ def native_histogram_cases():
     return C
 
 
+def nh_wide_cases():
+    """Wide-schema index fixtures (schemas -4/-2/+2/+4/+8 -- the span
+    the Scala boundary-table device serves): adversarial positions --
+    exact powers of two (octave starts, where ceil is exact and the
+    sub-index must be 0), their +/-1 neighbors (the tightest mantissa
+    boundaries), primes, a dense 1..32 run (every sub-octave path), a
+    6-decade spread, and negatives/zeros (mirror + zero bucket).
+    Expected indexes from EXACT bignum math (v^(2^s) materialized --
+    the computation the engine's int64 device must reproduce)."""
+    shapes = {
+        "nhw_pow2": [1, 2, 4, 8, 1024, 65536],
+        "nhw_pow2_pm1": [3, 5, 7, 9, 1023, 1025, 65535, 65537],
+        "nhw_primes": [2, 3, 7, 31, 127, 8191],
+        "nhw_dense": list(range(1, 33)),
+        "nhw_spread": [1, 9, 83, 640, 5000, 48000, 390000, 1000000],
+        "nhw_negatives": [-3, -1024, -48000, 0, 17],
+    }
+    schemas = [-4, -2, 2, 4, 8]
+    W2 = 1704067200
+    C = []
+    for name, cents in shapes.items():
+        samples = [[float(W2 + 30 + 60 * i), c / 100.0]
+                   for i, c in enumerate(cents)]
+        buckets = []
+        for schema in schemas:
+            for (sgn, idx), cnt in sorted(nh_buckets(cents, schema).items()):
+                buckets.append([schema, sgn, idx, cnt])
+        C.append({"name": name, "samples": samples,
+                  "expected_buckets": buckets})
+    return C
+
+
+NHCB_BOUNDS = [500, 2000, 8000, 20000]  # == NativeHistogram.CustomBounds
+
+
+def nhcb_cases():
+    """Custom-bucket (NHCB) fixtures: values exactly ON bounds (a bound
+    is the LAST value of its bucket), all-below-first, all-overflow,
+    negatives (bucket 0), a single observation, and a spread; expected
+    layout + classic linear quantiles at phi 50/90."""
+    shapes = {
+        "nhcb_on_bounds": [500, 500, 2000, 8000, 20000],
+        "nhcb_low": [1, 2, 499],
+        "nhcb_overflow": [20001, 50000, 100000],
+        "nhcb_mixed": [-100, 0, 700, 2500, 9000, 21000],
+        "nhcb_single": [737],
+        "nhcb_spread": [100, 600, 2100, 8100, 20100, 300, 700],
+    }
+    W2 = 1704067200
+    C = []
+    for name, cents in shapes.items():
+        samples = [[float(W2 + 30 + 60 * i), c / 100.0]
+                   for i, c in enumerate(cents)]
+        buckets = [[idx,
+                    NHCB_BOUNDS[idx] if idx < len(NHCB_BOUNDS) else -1,
+                    cnt]
+                   for idx, cnt in sorted(
+                       nhcb_buckets(cents, NHCB_BOUNDS).items())]
+        C.append({
+            "name": name, "samples": samples,
+            "bounds": NHCB_BOUNDS,
+            "expected_buckets": buckets,
+            "expected_q50": nhcb_quantile(50, cents, NHCB_BOUNDS),
+            "expected_q90": nhcb_quantile(90, cents, NHCB_BOUNDS),
+        })
+    return C
+
+
 if __name__ == "__main__":
     fixtures = {
+        "nh_wide": nh_wide_cases(),
+        "nhcb": nhcb_cases(),
         "rate": rate_cases(),
         "increase": increase_cases(),
         "histogram_quantile": hq_cases(),
