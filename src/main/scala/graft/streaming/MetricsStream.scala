@@ -102,6 +102,124 @@ object MetricsStream {
       }
     }
 
+  /** One buffered sample for the streaming recording rule — the
+    * series id rides IN the buffer (the key is (name, window): the
+    * aggregation is across series). */
+  case class SumPoint(name: String, series: String, wStart: Long,
+      tsUs: Long, eventId: Long, cents: Long, ts: java.sql.Timestamp)
+
+  /** Keyed state for one (name, window) of the recording rule: every
+    * series' buffered samples. Bounded by series-per-name × samples-
+    * per-window — the same cardinality the batch q_sum_rate shuffles
+    * for that window. */
+  case class SumBuf(pts: Seq[(String, Long, Long, Long)])
+
+  /** One emitted recording-rule row — the q_sum_rate schema. */
+  case class SumRateRow(name: String, w_start: Long, n_series: Long,
+      rate_x1e6: Long)
+
+  /** STREAMING RECORDING RULE (VERDICT_r08 item 5) —
+    * `sum by (name) (rate(m[5m]))` as ONE stateful operator,
+    * VALUE-IDENTICAL to the batch `q_sum_rate` on the same samples:
+    * per (name, aligned 5m window), every series' window-local
+    * reset-corrected integer-cents increase is computed by the exact
+    * batch kernel (sort by (µs, event_id), lag deltas, reset branch)
+    * and summed across series, with `n_series` counting the series
+    * that contributed ≥ 1 delta and the ×10⁶ fixed-point division
+    * matching the batch `div` truncation.
+    *
+    * Why one operator and not streamingRate → groupBy: chaining a
+    * second stateful aggregation after fMGWS re-opens the
+    * multiple-stateful-operators minefield; keying the SAME
+    * buffer-sort-emit kernel by (name, window) and carrying the series
+    * id in the buffer gives the composed semantics with one state
+    * store, one watermark, and exactly-once emission per (name,
+    * window) — the derived-metrics write a recording rule needs
+    * (compose with [[sumRateToClickHouse]] for the reference's
+    * north-star derived-metrics sink). */
+  def streamingSumRate(samples: DataFrame, windowSec: Long = 300L,
+      delay: String = "10 minutes"): Dataset[SumRateRow] = {
+    import samples.sparkSession.implicits._
+    val pts = samples.select(col("name"), col("series").cast("string"),
+        (floor(unix_micros(col("ts")) / 1000000L / windowSec) * windowSec)
+          .as("wStart"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("event_id").cast("long").as("eventId"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .withWatermark("ts", delay)
+      .as[SumPoint]
+    pts.groupByKey(p => (p.name, p.wStart))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long), rows: Iterator[SumPoint],
+         state: GroupState[SumBuf]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.map(_.pts).getOrElse(Seq.empty)
+            state.remove()
+            val incs = buf.groupBy(_._1).valuesIterator.flatMap { ps =>
+              val s = ps.sortBy(p => (p._2, p._3))
+              if (s.size < 2) None
+              else Some(s.sliding(2).collect { case Seq(a, b) =>
+                val d = b._4 - a._4
+                if (d < 0) b._4 else d
+              }.sum)
+            }.toSeq
+            if (incs.isEmpty) Iterator.empty
+            else {
+              val tot = incs.sum
+              val scaled =
+                if (tot >= 0) tot * 1000000L / (windowSec * 100L)
+                else -((-tot) * 1000000L / (windowSec * 100L))
+              Iterator.single(SumRateRow(key._1, key._2,
+                incs.size.toLong, scaled))
+            }
+          } else {
+            val merged = state.getOption.map(_.pts).getOrElse(Seq.empty) ++
+              rows.map(p => (p.series, p.tsUs, p.eventId, p.cents))
+            state.update(SumBuf(merged))
+            state.setTimeoutTimestamp(math.max((key._2 + windowSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The recording rule's SINK: [[streamingSumRate]] rows POSTed into a
+    * ClickHouse derived-metrics table per micro-batch, FORMAT
+    * TabSeparated with the data in the request body — the reference's
+    * insert idiom applied to DERIVED rows, closing the north-star
+    * sentence (ingest raw, record `sum by (name) (rate(...))`).
+    * The table is created if absent (ReplacingMergeTree keyed by
+    * (name, w_start) — a replayed micro-batch re-POSTs identical rows
+    * and the engine collapses them: the same idempotency story as the
+    * raw sink). Emitted rows are window-aggregates, driver-small by
+    * construction. */
+  def sumRateToClickHouse(rule: Dataset[SumRateRow], checkpointDir: String,
+      ch: graft.sinks.ClickHouseHttpClient,
+      table: String = "default.graft_sum_rate"): StreamingQuery = {
+    graft.sinks.ClickHouseHttpClient.validateTableName(table, "recording_table")
+    ch.execute(
+      s"""CREATE TABLE IF NOT EXISTS $table
+         |(name String, w_start Int64, n_series Int64, rate_x1e6 Int64)
+         |ENGINE = ReplacingMergeTree ORDER BY (name, w_start)""".stripMargin)
+    rule.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[SumRateRow], _: Long) =>
+        val rows = batch.collect() // window-aggregate rows: driver-small
+        if (rows.nonEmpty) {
+          val body = rows.map(r =>
+            s"${r.name}\t${r.w_start}\t${r.n_series}\t${r.rate_x1e6}")
+            .mkString("\n")
+          ch.execute(s"INSERT INTO $table FORMAT TabSeparated\n$body")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Per-SERIES state for the streaming increase(): the last sample of
     * the closed prefix (the cross-window CARRY) plus the buffered
     * samples of all still-open windows. */
@@ -128,9 +246,21 @@ object MetricsStream {
     * batch). State is bounded by the watermark horizon's worth of
     * samples + one carry triple per series; parity with q_increase is
     * spec'd across micro-batch splits and window-spanning restarts.
+    *
+    * IDLE EXPIRY (ADVICE_r08): once a series' windows have all closed,
+    * only the carry triple remains — kept alive for the bridging delta
+    * of the NEXT window, but scheduled to expire
+    * `idleExpireWindows`·window past the watermark. Without this, one
+    * carry per (name, series) EVER SEEN accumulates forever —
+    * unbounded under label churn (pod-name series) on a long-running
+    * stream. A series resuming after a gap beyond the horizon behaves
+    * like a NEW series (its first window's increase counts only its
+    * own deltas, no bridge) — the documented, spec'd divergence from
+    * batch, which bridges arbitrary gaps because it sees all history.
     */
   def streamingIncrease(samples: DataFrame, windowSec: Long = 3600L,
-      delay: String = "10 minutes"): Dataset[RateRow] = {
+      delay: String = "10 minutes",
+      idleExpireWindows: Int = 24): Dataset[RateRow] = {
     import samples.sparkSession.implicits._
     val pts = samples.select(col("name"), col("series").cast("string"),
         unix_micros(col("ts")).as("tsUs"),
@@ -169,10 +299,21 @@ object MetricsStream {
                   .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
             }
             val rest = stillOpen.values.flatten.toSeq
-            state.update(IncState(carry, rest))
-            if (rest.nonEmpty)
+            if (rest.nonEmpty) {
+              state.update(IncState(carry, rest))
               state.setTimeoutTimestamp(math.max(
                 (wStartOf(rest.map(_._1).min) + windowSec) * 1000L, wm + 1L))
+            } else if (closable.nonEmpty) {
+              // only the carry remains: keep it for the next window's
+              // bridging delta, but schedule the idle expiry
+              state.update(IncState(carry, Seq.empty))
+              state.setTimeoutTimestamp(
+                wm + idleExpireWindows.toLong * windowSec * 1000L)
+            } else {
+              // the idle expiry itself fired (nothing was closable):
+              // drop the carry — the series restarts fresh on return
+              state.remove()
+            }
             out.iterator
           } else {
             val merged = st.open ++

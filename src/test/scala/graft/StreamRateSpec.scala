@@ -212,6 +212,156 @@ class StreamRateSpec extends SparkSpec {
         s"batch\\streamed: ${(batch -- streamed).take(3)}")
   }
 
+  test("streamed recording rule sum by(name)(rate()) == q_sum_rate " +
+      "across micro-batches, POSTed to the ClickHouse sink (r9)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val samples = Tables.events(spark, sf).select(
+      col("event_type").as("name"),
+      col("user_id").cast("string").as("series"),
+      col("ts"), col("event_id"), col("value"))
+    val maxUs = samples.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val terc = samples.withColumn("b", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    val inDir = tmpDir("stream_sumrate_in")
+    def writeChunk(b: Int): Unit =
+      terc.filter(col("b") === b).drop("b").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    writeChunk(1)
+    val q = MetricsStream.streamingSumRate(
+        spark.readStream.schema(samples.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir))
+      .writeStream.format("memory").queryName("stream_sumrate_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("stream_sumrate_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      writeChunk(2); q.processAllAvailable()
+      writeChunk(3); q.processAllAvailable()
+      Seq(("__mover", "0", maxUs + 86400L * 1000000L, -1L, 1.0))
+        .toDF("name", "series", "ts_us", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("name", "series", "ts", "event_id", "value")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_sumrate_out").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("w_start"),
+        r.getAs[Long]("n_series"), r.getAs[Long]("rate_x1e6"))).toSet
+    val batch = MetricsEtl.qSumRate(spark, sf).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("w_start"),
+        r.getAs[Long]("n_series"), r.getAs[Long]("rate_x1e6"))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed\\batch: ${(streamed -- batch).take(3)}; " +
+        s"batch\\streamed: ${(batch -- streamed).take(3)}")
+
+    // the SINK half: replay the same rule into the recording-table
+    // writer against a stub ClickHouse — the derived rows must arrive
+    // as one CREATE TABLE plus TabSeparated INSERT bodies that parse
+    // back to exactly the batch rows
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val ch = new graft.sinks.ClickHouseHttpClient(
+        graft.config.ClickHouseSettings(
+          s"http://127.0.0.1:${server.getAddress.getPort}"),
+        new graft.logging.StructuredLogger("test", "CRITICAL",
+          new java.io.PrintStream(new java.io.ByteArrayOutputStream()),
+          new java.io.PrintStream(new java.io.ByteArrayOutputStream())))
+      val sq = MetricsStream.sumRateToClickHouse(
+        MetricsStream.streamingSumRate(
+          spark.readStream.schema(samples.schema).parquet(inDir)),
+        tmpDir("stream_sumrate_ch_ckpt"), ch)
+      sq.awaitTermination()
+      val all = bodies.toArray(Array.empty[String])
+      assert(all.exists(_.contains("CREATE TABLE IF NOT EXISTS")),
+        "sink must bootstrap the recording table")
+      val posted = all.filter(_.startsWith("INSERT INTO"))
+        .flatMap(_.split("\n").drop(1))
+        .map { line =>
+          val f = line.split("\t")
+          (f(0), f(1).toLong, f(2).toLong, f(3).toLong)
+        }.toSet
+      assert(posted == batch,
+        s"posted rows must be exactly the batch rows: " +
+          s"missing ${(batch -- posted).take(3)}, extra ${(posted -- batch).take(3)}")
+    } finally server.stop(0)
+  }
+
+  test("increase() idle expiry drops the carry after the horizon — a " +
+      "resumed series starts fresh; within the horizon it bridges (r9)") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    val dir = tmpDir("stream_inc_expiry")
+    // window A (3 samples, inc 2.00), 5h silence, window B (3 samples,
+    // in-window inc 5.00; the A.last->B.first bridge adds 7.00)
+    val rows = Seq(
+      (1L, "req", 1L, t0 + 0L, 1.0), (2L, "req", 1L, t0 + 600L, 2.0),
+      (3L, "req", 1L, t0 + 1200L, 3.0),
+      (4L, "req", 1L, t0 + 21600L, 10.0), (5L, "req", 1L, t0 + 22200L, 12.0),
+      (6L, "req", 1L, t0 + 22800L, 15.0))
+    rows.map { case (id, n, u, t, v) => (id, n, u, t * 1000000L, v, "{}") }
+      .toDF("event_id", "event_type", "user_id", "ts_us", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val samples = Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id").cast("string").as("series"),
+      col("ts"), col("event_id"), col("value"))
+
+    def run(tag: String, idleWindows: Int): Set[(Long, Double)] = {
+      val inDir = tmpDir(s"${tag}_in")
+      def mover(n: Int, tSec: Long): Unit =
+        Seq((s"__m$n", "0", tSec * 1000000L, -100L - n, 1.0))
+          .toDF("name", "series", "ts_us", "event_id", "value")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .select("name", "series", "ts", "event_id", "value")
+          .coalesce(1).write.mode("append").parquet(inDir)
+      samples.filter(col("event_id") <= 3).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val q = MetricsStream.streamingIncrease(
+          spark.readStream.schema(samples.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir),
+          idleExpireWindows = idleWindows)
+        .writeStream.format("memory").queryName(tag).outputMode("append")
+        .option("checkpointLocation", tmpDir(s"${tag}_ckpt")).start()
+      try {
+        q.processAllAvailable()
+        // wm -> t0+7200: closes window A, schedules the idle expiry
+        mover(1, t0 + 7800L); q.processAllAvailable()
+        // wm -> t0+18000: past A's expiry (t0+7200 + 1*3600) when
+        // idleWindows = 1 — the carry drops; far below it at 100
+        mover(2, t0 + 18600L); q.processAllAvailable()
+        samples.filter(col("event_id") > 3).coalesce(1)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        mover(3, t0 + 72000L); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(tag).collect()
+        .filter(_.getAs[String]("name") == "req")
+        .map(r => (r.getAs[Long]("w_start"), r.getAs[Double]("rate"))).toSet
+    }
+
+    val batch = MetricsEtl.qIncrease(spark, dir).collect()
+      .filter(_.getAs[String]("name") == "req")
+      .map(r => (r.getAs[Long]("w_start"), r.getAs[Double]("increase"))).toSet
+    assert(batch == Set((t0, 2.00), (t0 + 21600L, 12.00)),
+      s"batch bridges the gap: $batch")
+    // within the horizon: carry survives, streamed == batch (bridged)
+    assert(run("stream_inc_keep", 100) == batch)
+    // beyond the horizon: the expiry dropped the carry — window B
+    // counts only its own deltas, the designed divergence
+    assert(run("stream_inc_drop", 1) ==
+      Set((t0, 2.00), (t0 + 21600L, 5.00)))
+  }
+
   test("streamed delta() == q_delta and irate() == q_irate on the real fixture") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
