@@ -51,8 +51,11 @@ object Multimodal {
     * vectorized decoder — the Spark-side contract of an Arrow/pandas-UDF
     * style decode without the Python runtime.
     *
-    * REAL decode for the two header-parseable formats ([[MediaDecode]]):
-    * a structurally valid BMP yields its true (width, height, channels)
+    * REAL decode for the four header-parseable formats ([[MediaDecode]]):
+    * a structurally valid PNG (signature + IHDR + CRC) or JPEG (marker
+    * walk to SOF) yields its true (width, height, channels) — the
+    * formats a real image corpus actually carries (r9); a valid BMP
+    * yields its true (width, height, channels)
     * and media_type "image/bmp"; a valid RIFF/WAVE yields
     * (frames-per-channel, sample_rate, channels) as "audio/wav" —
     * width = temporal extent, height = rate, the documented mapping
@@ -67,17 +70,27 @@ object Multimodal {
     blobs.mapPartitions { it =>
       // per-partition init would go here (codec handles, model weights)
       it.map { b =>
-        MediaDecode.decodeBmp(b.content) match {
+        // real header decodes first (r9 adds JPEG/PNG — the formats a
+        // real image corpus actually carries), deterministic fake last
+        MediaDecode.decodePng(b.content) match {
           case Some((w, h, c)) =>
-            MediaMeta(b.doc_id, "image/bmp", b.content.length, w, h, c)
-          case None => MediaDecode.decodeWav(b.content) match {
-            case Some(wav) =>
-              MediaMeta(b.doc_id, "audio/wav", b.content.length,
-                math.min(wav.frames, Int.MaxValue.toLong).toInt,
-                wav.sampleRate, wav.channels)
-            case None =>
-              val (w, h, c) = fakeDecode(b.content)
-              MediaMeta(b.doc_id, b.media_type, b.content.length, w, h, c)
+            MediaMeta(b.doc_id, "image/png", b.content.length, w, h, c)
+          case None => MediaDecode.decodeJpeg(b.content) match {
+            case Some((w, h, c)) =>
+              MediaMeta(b.doc_id, "image/jpeg", b.content.length, w, h, c)
+            case None => MediaDecode.decodeBmp(b.content) match {
+              case Some((w, h, c)) =>
+                MediaMeta(b.doc_id, "image/bmp", b.content.length, w, h, c)
+              case None => MediaDecode.decodeWav(b.content) match {
+                case Some(wav) =>
+                  MediaMeta(b.doc_id, "audio/wav", b.content.length,
+                    math.min(wav.frames, Int.MaxValue.toLong).toInt,
+                    wav.sampleRate, wav.channels)
+                case None =>
+                  val (w, h, c) = fakeDecode(b.content)
+                  MediaMeta(b.doc_id, b.media_type, b.content.length, w, h, c)
+              }
+            }
           }
         }
       }

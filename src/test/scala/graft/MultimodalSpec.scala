@@ -82,6 +82,49 @@ class MultimodalSpec extends SparkSpec {
       s"chunk walk must skip unknown chunks: $meta")
   }
 
+  test("real PNG bytes decode to true dims through the stub — and the " +
+      "fixture is a REAL PNG per the JDK's independent decoder (r9)") {
+    val png = MediaDecode.encodePng(41, 17,
+      (x, y) => ((x % 256).toByte, (y % 256).toByte, 7.toByte))
+    // golden check: javax.imageio is an INDEPENDENT full PNG decoder —
+    // if it reads the fixture, the fixture is a real corpus-grade PNG,
+    // not a bytes-shaped approximation
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == 41 && img.getHeight == 17,
+      "encodePng must produce a PNG the JDK decodes")
+    assert(MediaDecode.decodePng(png).contains((41, 17, 3)))
+    val m = Multimodal.decodeStub(Seq(MediaBlob(3L, "image", png)).toDS()).head()
+    assert(m.media_type == "image/png")
+    assert((m.width, m.height, m.channels) == ((41, 17, 3)))
+    // strictness: one flipped IHDR byte fails the CRC -> reject
+    val corrupt = png.clone()
+    corrupt(17) = (corrupt(17) ^ 0x01).toByte
+    assert(MediaDecode.decodePng(corrupt).isEmpty,
+      "a CRC-broken IHDR must not half-parse")
+    assert(MediaDecode.decodePng(
+      ("\u0089PNG\r\n\u001a\n" + "z" * 60).getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("JPEG SOF marker walk decodes dims/channels; truncated and " +
+      "SOF-less streams reject (r9)") {
+    val j = MediaDecode.encodeJpegHeader(640, 480, 3)
+    assert(MediaDecode.decodeJpeg(j).contains((640, 480, 3)))
+    assert(MediaDecode.decodeJpeg(MediaDecode.encodeJpegHeader(1, 65535, 1))
+      .contains((1, 65535, 1)))
+    assert(MediaDecode.decodeJpeg(MediaDecode.encodeJpegHeader(8000, 13, 4))
+      .contains((8000, 13, 4)))
+    val m = Multimodal.decodeStub(Seq(MediaBlob(4L, "image", j)).toDS()).head()
+    assert(m.media_type == "image/jpeg")
+    assert((m.width, m.height, m.channels) == ((640, 480, 3)))
+    // a truncated segment chain rejects rather than half-parses
+    assert(MediaDecode.decodeJpeg(j.dropRight(6)).isEmpty)
+    // SOI alone, and text that merely starts with FFD8
+    assert(MediaDecode.decodeJpeg(Array(0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(MediaDecode.decodeJpeg(
+      ("\u00ff\u00d8junkjunkjunk").getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("strict parsers reject text starting with the magic bytes") {
     val bmTrap = ("BM" + "x" * 100).getBytes("UTF-8")
     assert(MediaDecode.decodeBmp(bmTrap).isEmpty)
