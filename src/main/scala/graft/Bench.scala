@@ -84,9 +84,33 @@ object Bench {
 
     // optional args = query names, for targeted re-measurement; the
     // driver passes none and gets the full set
-    val selected =
+    val selected0 =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // PRE-FLIGHT (VERDICT_r08 item 4): if the suite includes any
+    // exact-join-family query, consult the saturation estimator ONCE
+    // (one shingle pass) and ROUTE the family to the LSH path when the
+    // space has saturated — recorded as `routed`, never as error rows.
+    // At healthy SFs the decision is "exact" and nothing changes;
+    // SPARK_GRAFT_BENCH_MAX_JOIN_ROWS overrides the budget (0 forces
+    // the route, for harness tests).
+    val exactFamily = selected0.keySet.intersect(
+      graft.operators.Dedup.ExactJoinFamily)
+    val routed: Set[String] =
+      if (exactFamily.isEmpty) Set.empty
+      else {
+        val budget = sys.env.get("SPARK_GRAFT_BENCH_MAX_JOIN_ROWS")
+          .map(_.toLong)
+          .getOrElse(graft.operators.Dedup.PreflightMaxJoinRows)
+        val pf = graft.operators.Dedup.preflight(spark, sfDir, budget)
+        System.err.println(s"[bench] preflight: join_rows=${pf.joinRows} " +
+          s"distinct_ppm=${pf.distinctPpm} budget=$budget " +
+          s"route_to_lsh=${pf.routeToLsh}")
+        if (pf.routeToLsh) exactFamily else Set.empty
+      }
+    val routedJson = routed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val selected = selected0.view.filterKeys(!routed.contains(_)).toMap
     // Steady-state protocol (VERDICT_r07 item 1): periodically RELEASE
     // the materialize-once frames so a 200+-query run measures per-query
     // cost, not accumulated checkpoint-block heap pressure (r7's closing
@@ -118,7 +142,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"routed_to_lsh":$routedJson,"sf":"$sfDir"}""")
 
     // Complete artifact: per-query warmup + all measured timings + min +
     // max/min spread, immune to the driver's stdout tail-truncation.
@@ -130,7 +154,7 @@ object Bench {
       s""""$name":{"warmup":$warmup,"runs":[${times.mkString(",")}],"min":$min,"spread":$spread}"""
     }.mkString("{", ",", "}")
     writeArtifact(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"warmup_discarded":true,"release_every":$releaseEvery,"errors":${errors.mkString("[", ",", "]")},"queries":$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"warmup_discarded":true,"release_every":$releaseEvery,"errors":${errors.mkString("[", ",", "]")},"routed_to_lsh":$routedJson,"queries":$detail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

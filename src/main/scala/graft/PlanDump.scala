@@ -97,7 +97,12 @@ object PlanDump {
       "q_rank_fusion" -> "RRF: union of the two materialized result lists, 8-byte-key groupBy, per-query top-3 window — zero corpus scans",
       "q_hard_negatives" -> "hard negatives: labels ride the vector scan, constant query broadcast, K*n pair loop",
       "q_tokenizer_fertility" -> "fertility: scan + per-row HOF arithmetic + |langs| aggregate, no window, no join",
-      "q_vocab_coverage" -> "coverage: vocab-sized tf frame, global rank window on the bounded frame, 2-row K broadcast")
+      "q_vocab_coverage" -> "coverage: vocab-sized tf frame, global rank window on the bounded frame, 2-row K broadcast",
+      "q_native_wide" -> "wide schemas: one events scan, in-row boundary-table array filters (plan-time literals), map-side bucket counts — no join (r9)",
+      "q_native_custom" -> "NHCB build: one events scan, constant-bound-list bucket lookup in-row, map-side counts (r9)",
+      "q_edit_verify" -> "edit verify: banded candidate pairs joined to texts — candidate-bounded, never an all-pairs document join (r9)",
+      "q_contam_embed" -> "embedding decontamination: constant benchmark broadcast, native vec_dot argmax, one corpus scan (r9)",
+      "q_mix_temperature" -> "temperature mixing: |sources|-bounded aggregate + one tiny unpartitioned window over ~20 rows (r9)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

@@ -246,6 +246,59 @@ object Dedup {
         expr("n_distinct_shingles * 1000000 div greatest(coalesce(n_shingle_rows, 0), 1)")
           .as("distinct_ppm"))
 
+  /** The queries whose plans consume the exact inverted-index
+    * self-join — directly (q_dedup_ngram, q_band_recall,
+    * q_split_leakage, q_source_overlap, q_minhash_est_err), through
+    * the shared `clusters` frame (q_dedup_clusters,
+    * q_cluster_canonical, q_cluster_size_hist, q_dup_rate_by_source,
+    * q_pipeline_funnel), or through their own positional variant of
+    * the same join (q_dup_span). This is the set a pre-flight-aware
+    * harness ROUTES to the LSH family when [[preflight]] says the
+    * shingle space has saturated (VERDICT_r08 item 4: the sf10 probe's
+    * Σ C(df,2) = 11.4B-row join input died on disk; these are exactly
+    * the plans that would have paid it). */
+  val ExactJoinFamily: Set[String] = Set(
+    "q_dedup_ngram", "q_dedup_clusters", "q_cluster_canonical",
+    "q_cluster_size_hist", "q_band_recall", "q_split_leakage",
+    "q_source_overlap", "q_dup_rate_by_source", "q_dup_span",
+    "q_minhash_est_err", "q_pipeline_funnel")
+
+  /** Default exact-join input budget for [[preflight]]: Σ C(df,2)
+    * above this routes to LSH. 2×10⁸ candidate rows ≈ a few GB of
+    * shuffle — generous headroom for a healthy corpus slice (sf0.1
+    * measures ~10⁵), 50× below the 1.14×10¹⁰ the sf10 saturation
+    * produced. */
+  val PreflightMaxJoinRows: Long = 200000000L
+
+  /** One pre-flight verdict: the exact numbers (from one shingle
+    * pass) plus the routing rule applied to them. */
+  case class PreflightDecision(joinRows: Long, distinctPpm: Long,
+      maxJoinRows: Long) {
+    /** True ⇒ run the LSH candidate-then-verify family instead of any
+      * [[ExactJoinFamily]] plan. */
+    def routeToLsh: Boolean = joinRows > maxJoinRows
+  }
+
+  private val preflightCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long)]()
+
+  /** The PRE-FLIGHT a pipeline or harness runs BEFORE any exact-join
+    * plan (VERDICT_r08 item 4): one [[qPairJoinCost]] evaluation
+    * (a single shingle pass — 4.5 s at sf10, where the join it guards
+    * took the disk down), memoized per (session, dir), folded into a
+    * [[PreflightDecision]]. [[graft.operators.DocPipeline.run]] and
+    * `graft.Bench` both consult it; `maxJoinRows` is injectable so a
+    * spec can force the route on a small fixture. */
+  def preflight(spark: SparkSession, dir: String,
+      maxJoinRows: Long = PreflightMaxJoinRows): PreflightDecision = {
+    val (jr, ppm) = preflightCache.computeIfAbsent((spark, dir), _ => {
+      val r = qPairJoinCost(spark, dir)
+        .select(col("join_rows"), col("distinct_ppm")).head()
+      (r.getLong(0), r.getLong(1))
+    })
+    PreflightDecision(jr, ppm, maxJoinRows)
+  }
+
   val pairJoinCostSql: String =
     s"""WITH $shingledSql,
        |df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh)
@@ -916,6 +969,51 @@ object Dedup {
        |             / (p.na + s.nb - p.inter_count), 4) >= 0.2
        |            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM per p JOIN sz s ON s.doc_b = p.doc_b""".stripMargin
+
+  /** q_edit_verify — EDIT-DISTANCE verification of the LSH candidate
+    * pairs (r9): exact Levenshtein distance, length-normalized ratio
+    * (ppm of the longer side) and an ≤ 20% dup verdict, computed ONLY
+    * for banded candidates — the character-level complement of
+    * [[qLshVerify]]'s shingle-set numbers (edit distance sees
+    * REORDERED or locally-edited text where set intersection goes
+    * blind, and vice versa; production near-dup review wants both).
+    * Scale shape: |candidates| · O(len_a·len_b) — candidates are
+    * band-bucket-bounded and the fixture docs are ≤ 600 chars, so per
+    * pair the DP is bounded; the quadratic-in-corpus all-pairs shape
+    * never appears (the pre-flight law). Both engines run the classic
+    * Wagner–Fischer `levenshtein`, an exact integer. */
+  def qEditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    bandPairs(spark, dir).select("doc_a", "doc_b")
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        length(col("text_a")).cast("long").as("len_a"),
+        length(col("text_b")).cast("long").as("len_b"))
+      .withColumn("edit_ppm", expr(
+        "edit_dist * 1000000 div greatest(greatest(len_a, len_b), 1)"))
+      .withColumn("is_dup_edit", (col("edit_ppm") <= 200000L).cast("long"))
+  }
+
+  lazy val editVerifySql: String =
+    s"""WITH cand AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |j AS (SELECT c.doc_a, c.doc_b,
+       |        CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       |        CAST(length(da.text) AS BIGINT) AS len_a,
+       |        CAST(length(db.text) AS BIGINT) AS len_b
+       |      FROM cand c
+       |      JOIN documents da ON da.doc_id = c.doc_a
+       |      JOIN documents db ON db.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, edit_dist, len_a, len_b,
+       |       edit_dist * 1000000 // GREATEST(GREATEST(len_a, len_b), 1)
+       |         AS edit_ppm,
+       |       CAST(CASE WHEN edit_dist * 1000000
+       |              // GREATEST(GREATEST(len_a, len_b), 1) <= 200000
+       |            THEN 1 ELSE 0 END AS BIGINT) AS is_dup_edit
+       |FROM j""".stripMargin
+
   private val curveThresholds = Seq(8, 12, 16)
 
   /** q_jaccard_curve — the band-threshold TUNING TABLE: how many

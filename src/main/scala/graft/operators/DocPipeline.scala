@@ -46,23 +46,34 @@ object DocPipeline {
       nNearDupDropped: Long,
       nWritten: Long,
       nRedacted: Long,
-      nShards: Int)
+      nShards: Int,
+      nearDupRoute: String = "exact")
 
-  /** doc_ids that LOSE near-dedup: in some n-gram near-dup cluster but
-    * not its minimum-id representative. */
-  private def nearDupLosers(spark: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(spark, dir)
-      .filter(col("doc_id") =!= col("cluster_id"))
+  /** doc_ids that LOSE near-dedup: in some near-dup cluster but not
+    * its minimum-id representative. The cluster source is the
+    * PRE-FLIGHT's choice (VERDICT_r08 item 4): the exact n-gram
+    * Jaccard clusters on a healthy shingle space, the LSH banded
+    * clusters when `Dedup.preflight` says the space has saturated
+    * (where the exact join's Σ C(df,2) input is quadratic death — the
+    * sf10 measurement). Same fixpoint, same keep rule either way. */
+  private def nearDupLosers(spark: SparkSession, dir: String,
+      routeToLsh: Boolean): DataFrame = {
+    val cl = if (routeToLsh) Dedup.qDedupClustersLsh(spark, dir)
+             else Dedup.clusters(spark, dir)
+    cl.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
+  }
 
   def run(spark: SparkSession, dir: String, outDir: String,
-          shards: Int = 16, salt: String = "epoch0"): Summary = {
+          shards: Int = 16, salt: String = "epoch0",
+          maxJoinRows: Long = Dedup.PreflightMaxJoinRows): Summary = {
     val docs = Tables.documents(spark, dir)
     val verdicts = TextAnalysis.qFilter(spark, dir)
       .select("doc_id", "keep")
     val dsir = TextAnalysis.qDsir(spark, dir)
       .select(col("doc_id"), (col("importance") > 0).as("dsir_keep"))
-    val losers = nearDupLosers(spark, dir)
+    val pf = Dedup.preflight(spark, dir, maxJoinRows)
+    val losers = nearDupLosers(spark, dir, pf.routeToLsh)
 
     val kept = docs.join(verdicts, "doc_id")
       .filter(col("keep"))
@@ -96,6 +107,7 @@ object DocPipeline {
       nNearDupDropped = nKeepDsir - nWritten,
       nWritten = nWritten,
       nRedacted = written.filter(col("redacted")).count(),
-      nShards = shards)
+      nShards = shards,
+      nearDupRoute = if (pf.routeToLsh) "lsh" else "exact")
   }
 }

@@ -198,27 +198,47 @@ object NativeHistogram {
       }
     })
 
-  /** ⌈2^s·log₂ pos⌉ as a SQL expression over columns `pos`, `e`
-    * (bit_length(pos)−1) and `fs` (the 2^40-scaled mantissa) — shared
-    * by the Spark and DuckDB sides via [[wideIdxExpr]], which differ
-    * only in the engine's array-filter spelling. s ≤ 0 divides the
-    * schema-0 index (⌈⌈x⌉/n⌉ = ⌈x/n⌉ for integer n); s > 0 counts the
-    * exact boundaries strictly below fs, with the power-of-two case
-    * (fs = 2^40 exactly) landing on the octave start. */
-  private def wideIdxExpr(s: Int, spark: Boolean): String =
-    if (s <= 0) {
-      val d = 1 << (-s)
-      val bl = if (spark) "length(conv(pos - 1, 10, 2))"
-               else "length(bin(pos - 1))"
-      val dv = if (spark) "div" else "//"
-      s"(CASE WHEN pos <= 1 THEN 0 ELSE ($bl + ${d - 1}) $dv $d END)"
-    } else {
-      val bs = wideBounds(s).mkString(", ")
-      val cnt =
-        if (spark) s"size(filter(array($bs), b -> b < fs))"
-        else s"len(list_filter([$bs], b -> b < fs))"
-      s"(e * ${1 << s} + CASE WHEN fs = $MantissaOne THEN 0 ELSE 1 + $cnt END)"
-    }
+  /** #{j : B_j < fs} over the SORTED schema-8 boundary table as an
+    * UNROLLED BINARY SEARCH — 8 comparisons per row on the taken path
+    * (codegen-friendly CASE chain, lazily evaluated either way)
+    * instead of an interpreted 255-element array filter, which
+    * measured as the whole suite's most expensive projection. Pure
+    * literal/CASE text, identical in both dialects. */
+  private def lowerBoundExpr(bs: IndexedSeq[Long]): String = {
+    // leaves are branch-free comparison SUMS (16 tight int ops beat 16
+    // more branches, and keep the generated method JIT-sized)
+    def leaf(lo: Int, hi: Int): String =
+      (lo until hi).map(i => s"(CASE WHEN ${bs(i)} < fs THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    def cnt(lo: Int, hi: Int): String =
+      if (hi - lo <= 16) leaf(lo, hi)
+      else {
+        val mid = (lo + hi) / 2
+        s"(CASE WHEN ${bs(mid)} < fs THEN ${mid - lo + 1} + ${cnt(mid + 1, hi)}" +
+          s" ELSE ${cnt(lo, mid)} END)"
+      }
+    cnt(0, bs.size)
+  }
+
+  /** ⌈2⁸·log₂ pos⌉ over columns `pos`, `e` (bit_length(pos)−1) and
+    * `fs` (the 2^40-scaled mantissa): octave·256 + the binary-searched
+    * sub-octave position, with the power-of-two case (fs = 2^40
+    * exactly) landing on the octave start. Every OTHER schema derives
+    * from this single index by the nested-ceiling identity
+    * ⌈2^s·log₂ v⌉ = ⌈idx₈ / 2^(8−s)⌉ (exact for integer divisors), so
+    * the whole five-schema build pays ONE table lookup per row. */
+  private def idx8Expr: String =
+    s"(CASE WHEN pos <= 1 THEN 0 ELSE e * 256 + " +
+      s"(CASE WHEN fs = $MantissaOne THEN 0 ELSE 1 + " +
+      s"${lowerBoundExpr(wideBounds(8).toIndexedSeq)} END) END)"
+
+  /** bucket index at schema `s` from the `idx8` column (nested-ceiling
+    * division; operands nonnegative, so div and // agree). */
+  private def wideIdxFrom8(s: Int, spark: Boolean): String = {
+    val d = 1 << (8 - s)
+    val dv = if (spark) "div" else "//"
+    if (s == 8) "idx8" else s"((idx8 + ${d - 1}) $dv $d)"
+  }
 
   /** q_native_wide — the sparse-bucket build at the WIDE schemas
     * {−4, −2, +2, +4, +8}, closing the gap to the Prometheus
@@ -227,9 +247,12 @@ object NativeHistogram {
     * (2^((i−1)/2^s), 2^(i/2^s)] — base 2^(1/256) at s = 8, i.e. 256
     * buckets per octave — and v^(2^s) is far beyond int64, so the
     * index math runs on the exact boundary-table device (object doc):
-    * one octave split (bit length + shift, both engines) and one
-    * ≤ 255-entry integer array filter per row per schema. Same output
-    * shape as q_native_hist; sparse by construction. */
+    * one octave split (bit length + shift, both engines), ONE
+    * unrolled-binary-search table lookup per row (8 comparisons on the
+    * taken path — the interpreted 255-entry array filter this replaces
+    * was the suite's most expensive projection), and every other
+    * schema's index derived by nested-ceiling division from idx₈.
+    * Same output shape as q_native_hist; sparse by construction. */
   def qNativeWide(spark: SparkSession, dir: String): DataFrame = {
     val base = samples(spark, dir)
       .withColumn("e",
@@ -237,11 +260,12 @@ object NativeHistogram {
       .withColumn("fs", expr(
         s"CASE WHEN e <= $MantissaBits THEN shiftleft(pos, CAST($MantissaBits - e AS INT)) " +
           s"ELSE shiftright(pos, CAST(e - $MantissaBits AS INT)) END"))
+      .withColumn("idx8", expr(idx8Expr))
     base.select(col("name"), col("user_id"), col("w_start"), col("sgn"),
         explode(array(WideSchemas.map { s =>
           struct(lit(s.toLong).as("bucket_schema"),
             when(col("sgn") === 0L, 0L)
-              .otherwise(expr(wideIdxExpr(s, spark = true)).cast("long"))
+              .otherwise(expr(wideIdxFrom8(s, spark = true)).cast("long"))
               .as("bucket_idx"))
         }: _*)).as("sb"))
       .select(col("name"), col("user_id"), col("w_start"),
@@ -257,8 +281,8 @@ object NativeHistogram {
       s"""  SELECT name, user_id, w_start, sgn,
          |         CAST($s AS BIGINT) AS bucket_schema,
          |         CAST(CASE WHEN sgn = 0 THEN 0
-         |              ELSE ${wideIdxExpr(s, spark = false)} END AS BIGINT) AS bucket_idx
-         |  FROM wf""".stripMargin
+         |              ELSE ${wideIdxFrom8(s, spark = false)} END AS BIGINT) AS bucket_idx
+         |  FROM wi""".stripMargin
     }.mkString("\n  UNION ALL\n")
     s"""WITH $samplesSql,
        |wb AS (SELECT *, CAST(length(bin(pos)) - 1 AS BIGINT) AS e FROM sm),
@@ -266,6 +290,7 @@ object NativeHistogram {
        |         THEN pos << CAST($MantissaBits - e AS INT)
        |         ELSE pos >> CAST(e - $MantissaBits AS INT) END AS fs
        |       FROM wb),
+       |wi AS (SELECT *, $idx8Expr AS idx8 FROM wf),
        |u AS (
        |$selects)
        |SELECT name, user_id, w_start, bucket_schema, sgn, bucket_idx,
@@ -385,6 +410,117 @@ object NativeHistogram {
        |                    * ((rk - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
        |             END / 100.0, 6) AS q_value
        |FROM lo""".stripMargin
+  }
+
+  /** q_native_rate — `rate(native_histogram[1h])`'s SCALARS: per
+    * series and adjacent 1h-window pair, the per-second count and sum
+    * rates with the counter reset rule (a COUNT decrease means the
+    * histogram reset — both scalars restart from the next window's
+    * values, exactly Prometheus's histogram reset semantics where the
+    * whole histogram resets together). The bucket-wise half of
+    * histogram rate is [[qNativeDelta]]; this is the scalar half a
+    * recording rule actually stores. Shifted-key equality self-join on
+    * a per-window aggregate (series × windows rows — tiny), ×10⁶
+    * fixed-point integer division with the CASE-guarded negative
+    * branch (sum CAN be negative via negative observations). */
+  def qNativeRate(spark: SparkSession, dir: String): DataFrame = {
+    val perW = samples(spark, dir)
+      .groupBy("name", "user_id", "w_start")
+      .agg(count(lit(1)).as("h_count"),
+        sum(col("sgn") * col("pos")).as("h_sum_x100"))
+    val prev = perW.select(col("name"), col("user_id"),
+      (col("w_start") + WindowSec).as("w_start"),
+      col("h_count").as("prev_count"), col("h_sum_x100").as("prev_sum"))
+    perW.join(prev, Seq("name", "user_id", "w_start"))
+      .withColumn("reset", (col("h_count") < col("prev_count")).cast("long"))
+      .withColumn("dc", when(col("reset") === 1L, col("h_count"))
+        .otherwise(col("h_count") - col("prev_count")))
+      .withColumn("ds", when(col("reset") === 1L, col("h_sum_x100"))
+        .otherwise(col("h_sum_x100") - col("prev_sum")))
+      .select(col("name"), col("user_id"), col("w_start"), col("reset"),
+        expr(s"CASE WHEN dc >= 0 THEN dc * 1000000 div $WindowSec " +
+          s"ELSE -((-dc) * 1000000 div $WindowSec) END").as("count_rate_x1e6"),
+        expr(s"CASE WHEN ds >= 0 THEN ds * 1000000 div ${WindowSec * 100} " +
+          s"ELSE -((-ds) * 1000000 div ${WindowSec * 100}) END")
+          .as("sum_rate_x1e6"))
+  }
+
+  val nativeRateSql: String =
+    s"""WITH $samplesSql,
+       |pw AS (SELECT name, user_id, w_start,
+       |        CAST(COUNT(*) AS BIGINT) AS h_count,
+       |        CAST(SUM(sgn * pos) AS BIGINT) AS h_sum_x100
+       |       FROM sm GROUP BY name, user_id, w_start),
+       |pv AS (SELECT name, user_id, w_start + $WindowSec AS w_start,
+       |        h_count AS prev_count, h_sum_x100 AS prev_sum
+       |       FROM pw),
+       |j AS (SELECT pw.name, pw.user_id, pw.w_start,
+       |        CAST(CASE WHEN pw.h_count < pv.prev_count THEN 1 ELSE 0 END AS BIGINT) AS reset,
+       |        CASE WHEN pw.h_count < pv.prev_count THEN pw.h_count
+       |             ELSE pw.h_count - pv.prev_count END AS dc,
+       |        CASE WHEN pw.h_count < pv.prev_count THEN pw.h_sum_x100
+       |             ELSE pw.h_sum_x100 - pv.prev_sum END AS ds
+       |      FROM pw JOIN pv ON pw.name = pv.name
+       |        AND pw.user_id = pv.user_id AND pw.w_start = pv.w_start)
+       |SELECT name, user_id, w_start, reset,
+       |       CAST(CASE WHEN dc >= 0 THEN dc * 1000000 // $WindowSec
+       |            ELSE -((-dc) * 1000000 // $WindowSec) END AS BIGINT)
+       |         AS count_rate_x1e6,
+       |       CAST(CASE WHEN ds >= 0 THEN ds * 1000000 // ${WindowSec * 100}
+       |            ELSE -((-ds) * 1000000 // ${WindowSec * 100}) END AS BIGINT)
+       |         AS sum_rate_x1e6
+       |FROM j""".stripMargin
+
+  /** q_nhcb_migrate — the classic→NHCB MIGRATION transform itself:
+    * from the CUMULATIVE classic `le` series (what a classic histogram
+    * exposes at [[CustomBounds]] + +Inf — rebuilt here from raw
+    * samples, all bounds present per window like a real scrape), the
+    * incremental NHCB bucket counts by adjacent-bound decumulation
+    * (cum − lag(cum)). The output is the full dense layout (zero-count
+    * buckets included — the wire shape a migrated scrape carries,
+    * unlike [[qNativeCustom]]'s sparse build, which it must and does
+    * agree with on populated buckets — `Round9OperatorSpec` pins
+    * that). Window-function lag over a series × windows × |bounds|+1
+    * frame. */
+  def qNhcbMigrate(spark: SparkSession, dir: String): DataFrame = {
+    val bs = CustomBounds.mkString(", ")
+    val le = samples(spark, dir)
+      .withColumn("cents", col("sgn") * col("pos"))
+      .crossJoin(broadcast(spark.range(CustomBounds.size + 1)
+        .select(col("id").as("bucket_idx"))))
+      .withColumn("le_cents",
+        when(col("bucket_idx") < CustomBounds.size,
+          expr(s"element_at(array($bs), CAST(bucket_idx + 1 AS INT))"))
+          .otherwise(lit(-1L)))
+      .groupBy("name", "user_id", "w_start", "bucket_idx", "le_cents")
+      .agg(sum(when(col("le_cents") === -1L ||
+        col("cents") <= col("le_cents"), 1L).otherwise(0L)).as("cum"))
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("bucket_idx")
+    le.withColumn("cnt",
+        col("cum") - coalesce(lag("cum", 1).over(w), lit(0L)))
+      .select(col("name"), col("user_id"), col("w_start"),
+        col("bucket_idx"), col("le_cents"), col("cum"), col("cnt"))
+  }
+
+  val nhcbMigrateSql: String = {
+    val bs = CustomBounds.mkString(", ")
+    s"""WITH $samplesSql,
+       |bx AS (SELECT unnest(generate_series(0, ${CustomBounds.size})) AS bucket_idx),
+       |le AS (SELECT sm.name, sm.user_id, sm.w_start, bx.bucket_idx,
+       |        CAST(CASE WHEN bx.bucket_idx < ${CustomBounds.size}
+       |             THEN ([$bs])[CAST(bx.bucket_idx + 1 AS INT)]
+       |             ELSE -1 END AS BIGINT) AS le_cents,
+       |        CAST(SUM(CASE WHEN bx.bucket_idx = ${CustomBounds.size}
+       |                  OR sm.sgn * sm.pos <= ([$bs])[CAST(bx.bucket_idx + 1 AS INT)]
+       |                 THEN 1 ELSE 0 END) AS BIGINT) AS cum
+       |       FROM sm CROSS JOIN bx
+       |       GROUP BY sm.name, sm.user_id, sm.w_start, bx.bucket_idx)
+       |SELECT name, user_id, w_start, CAST(bucket_idx AS BIGINT) AS bucket_idx,
+       |       le_cents, cum,
+       |       CAST(cum - COALESCE(lag(cum) OVER (PARTITION BY name, user_id,
+       |         w_start ORDER BY bucket_idx), 0) AS BIGINT) AS cnt
+       |FROM le""".stripMargin
   }
 
   /** q_native_quantile — `histogram_quantile(φ, native)` for

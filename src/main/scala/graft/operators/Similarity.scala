@@ -108,6 +108,51 @@ object Similarity {
     * and O(n²/10) pairs — a scale-killer at 100×.) */
   private val QuerySetSize = 50
 
+  /** q_contam_embed — EMBEDDING-SPACE decontamination (r9): for every
+    * corpus vector, the nearest vector of the BENCHMARK set (the
+    * [[QuerySetSize]]-bounded held-out slice, vec_id < 50 — a
+    * plan-time constant set, never a corpus fraction) and a ≥ 0.95
+    * cosine contamination verdict — the semantic complement of the
+    * n-gram q_bench_leakage: paraphrased benchmark rows share no
+    * 13-grams but sit next to the benchmark in embedding space.
+    * Broadcast-K argmax over one corpus scan (the IVF assignment
+    * shape); verdict compares the 6-decimal-rounded cosine so both
+    * engines threshold the identical double. */
+  def qContamEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val bench = v.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("bench_id"), col("q").as("qb"),
+        col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("bench_id"))
+    v.filter(col("vec_id") >= QuerySetSize)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos",
+        cosine(dot(col("q"), col("qb")), col("nrm"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("bench_cosine", round(col("cos"), 6))
+      .select(col("vec_id"), col("bench_id"), col("bench_cosine"),
+        (col("bench_cosine") >= 0.95).cast("long").as("is_contam"))
+  }
+
+  val contamEmbedSql: String =
+    s"""WITH $quantizedSql,
+       |bench AS (SELECT vec_id AS bench_id, q AS qb, nrm AS nb FROM qn
+       |          WHERE vec_id < $QuerySetSize),
+       |p AS (SELECT qn.vec_id, bench.bench_id,
+       |        CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |          i -> qn.q[i] * bench.qb[i])) AS DOUBLE)
+       |          / sqrt(CAST(qn.nrm * bench.nb AS DOUBLE)) AS cos
+       |      FROM qn, bench WHERE qn.vec_id >= $QuerySetSize),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, bench_id) AS rn
+       |      FROM p)
+       |SELECT vec_id, bench_id, round(cos, 6) AS bench_cosine,
+       |       CAST(CASE WHEN round(cos, 6) >= 0.95 THEN 1 ELSE 0 END
+       |         AS BIGINT) AS is_contam
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** q_embed_cosine_topk — brute-force cosine top-5 for a deterministic
     * FIXED-SIZE query set (vec_id < [[QuerySetSize]]) against the full
     * corpus. This is the CORRECTNESS baseline: |Q| is a plan-time

@@ -678,6 +678,51 @@ object TextAnalysis {
        |         AS repeat_x1000
        |FROM t""".stripMargin
 
+  /** q_mix_temperature — TEMPERATURE-SCALED source sampling weights
+    * (r9): the standard multilingual/multi-source mixing family
+    * w_s ∝ n_s^α at α = 1 (proportional), α = ½ (the mT5/XLM-R
+    * temperature that up-samples small sources), and α = 0 (uniform) —
+    * the three points every data-mixing ablation reports. All exact
+    * integers: the α = ½ weight uses ⌊√n_tokens⌋, where both engines'
+    * `sqrt` of an int64 < 2⁵² is the same correctly-rounded double, so
+    * the floor is engine-identical; ppm shares divide by the window
+    * total over a |sources|-bounded frame (one scan, one tiny window).
+    */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("isqrt_tokens",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    g.withColumn("tot_tokens", sum("n_tokens").over(w))
+      .withColumn("tot_isqrt", sum("isqrt_tokens").over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("isqrt_tokens"),
+        expr("n_tokens * 1000000 div tot_tokens").as("w1_ppm"),
+        expr("isqrt_tokens * 1000000 div tot_isqrt").as("w_half_ppm"),
+        expr("CAST(1000000 AS BIGINT) div n_sources").as("w0_ppm"))
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH w AS (SELECT source, len(string_split(text, ' ')) AS n_toks
+       |           FROM documents),
+       |g AS (SELECT source, COUNT(*) AS n_docs,
+       |        CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |      FROM w GROUP BY 1),
+       |q AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+       |        AS isqrt_tokens FROM g)
+       |SELECT source, n_docs, n_tokens, isqrt_tokens,
+       |       n_tokens * 1000000 // CAST(SUM(n_tokens) OVER () AS BIGINT)
+       |         AS w1_ppm,
+       |       isqrt_tokens * 1000000
+       |         // CAST(SUM(isqrt_tokens) OVER () AS BIGINT) AS w_half_ppm,
+       |       1000000 // CAST(COUNT(*) OVER () AS BIGINT) AS w0_ppm
+       |FROM q""".stripMargin
+
   /** q_line_dedup — CCNet-style corpus-level passage REMOVAL (the
     * decision stage on top of [[qDedupPassage]]'s diagnostic): a chunk
     * survives iff it is corpus-unique OR this doc is its first (min

@@ -54,4 +54,31 @@ class DocPipelineSpec extends SparkSpec {
       again.exceptAll(written).count() == 0,
       "rerun must be bit-identical")
   }
+
+  test("pre-flight routes the near-dup stage to LSH at saturation " +
+      "(VERDICT_r08 item 4) — and the routed run matches on this fixture") {
+    // the healthy default: this corpus's join cost sits far under the
+    // budget, so the pipeline takes (and reports) the exact path
+    val outExact = tmpDir("docpipe_exact")
+    val sExact = DocPipeline.run(spark, dir, outExact, shards = 8)
+    assert(sExact.nearDupRoute == "exact")
+    val pf = Dedup.preflight(spark, dir)
+    assert(!pf.routeToLsh && pf.joinRows > 0,
+      s"fixture should be healthy: $pf")
+
+    // force saturation (budget 0 — every corpus routes): the pipeline
+    // must take the LSH cluster feed and say so
+    val outLsh = tmpDir("docpipe_lsh")
+    val sLsh = DocPipeline.run(spark, dir, outLsh, shards = 8,
+      maxJoinRows = 0L)
+    assert(sLsh.nearDupRoute == "lsh")
+    // on the planted fixture the banded clusters equal the exact ones
+    // (the q_dedup_clusters_lsh recall claim), so the routed run's
+    // output is bit-identical — the route changes the COST, not the
+    // answer, exactly what makes it safe to wire into a harness
+    val a = spark.read.parquet(outExact)
+    val b = spark.read.parquet(outLsh)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "routed run must match the exact run on the planted fixture")
+  }
 }

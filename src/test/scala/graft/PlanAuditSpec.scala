@@ -663,6 +663,25 @@ class PlanAuditSpec extends SparkSpec {
       "custom-bound lookup must be an in-row array filter")
   }
 
+  test("q_edit_verify: candidate-bounded — the plan joins the banded pair " +
+      "list to texts, never an all-pairs document join (r9)") {
+    val plan = executed(operators.Dedup.qEditVerify(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"edit verify must never go all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("q_contam_embed: benchmark side broadcast, native vec_dot in the " +
+      "argmax loop (r9)") {
+    val plan = executed(operators.Similarity.qContamEmbed(spark, dir))
+    assert(plan.contains("BroadcastNestedLoop") || plan.contains("Broadcast"),
+      s"the constant benchmark set must broadcast:\n${plan.take(800)}")
+    assert(plan.contains("vec_dot"),
+      "the cosine loop must use the native expression")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-corpus shuffle join belongs here")
+  }
+
   test("q_rank_fusion: fuses the materialized result frames — no index recompute (r8)") {
     Similarity.qAnnLsh(spark, dir).collect()
     Similarity.qAnnIvf(spark, dir).collect()
