@@ -432,7 +432,12 @@ object Similarity {
     * [[qIvfProbeCurve]].
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, ivfAssigned(spark, dir))
+    // the RESULT frame is materialized (r9): three consumers — this
+    // query, q_rank_fusion's IVF arm, q_knn_classify's candidate lists
+    // — each previously re-ran the in-cell search (14-19 s apiece at
+    // sf10); the frame is ≤3 rows per corpus vector
+    materializeOnce(spark, dir, "ann_ivf")(
+      ivfSearch(spark, ivfAssigned(spark, dir)))
 
   /** The full un-materialized plan (assignment inline) — what
     * [[graft.PlanDump]] and the plan audits make claims about. */
@@ -1090,26 +1095,17 @@ object Similarity {
     * (documented — multi-probe q_ann_lsh_bands is the recall dial).
     */
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
-    val d = dim(spark, dir)
-    val pw = planeWeights(d)
-    val planeDot = (p: Int) => dot(col("q"), typedLit(pw(p).toSeq))
-    val bucket = (0 until NPlanes)
-      .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val v = capBuckets(labeled(spark, dir).withColumn("bucket", bucket))
-    val a = v.select(col("vec_id"), col("label"), col("bucket"),
-      col("q").as("qa"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("neighbor_id"),
-      col("label").as("n_label"), col("bucket").as("bucket_b"),
-      col("q").as("qb"), col("nrm").as("nb"))
-    val wTop = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    val top3 = a.join(b, col("bucket") === col("bucket_b") &&
-        col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
-      .select("vec_id", "label", "n_label")
+    // candidates = q_ann_ivf's materialized top-3 lists (r9 rebase):
+    // the data-ADAPTED √n-celled structure. The previous fixed-plane
+    // sign-LSH bucket join measured 42.8 s isolated at sf10 (clustered
+    // corpora concentrate a constant bucket space — the r7 constant-K
+    // law); the IVF candidates ride a frame three queries share and a
+    // cell geometry that scales with the corpus.
+    val lbl = labeled(spark, dir).select(col("vec_id"), col("label"))
+    val top3 = qAnnIvf(spark, dir).select(col("vec_id"), col("neighbor_id"))
+      .join(lbl, "vec_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
     val wVote = Window.partitionBy("vec_id")
       .orderBy(col("votes").desc, col("n_label").asc)
     top3.groupBy("vec_id", "label", "n_label")
@@ -1120,37 +1116,21 @@ object Similarity {
         col("votes"), (col("n_label") =!= col("label")).as("mismatch"))
   }
 
-  val knnClassifySql: String = {
-    val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
-    s"""WITH $labeledSql,
-       |bp AS (SELECT vec_id, p,
-       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
-       |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
-       |       FROM lq, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
-       |bk AS (SELECT vec_id,
-       |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
-       |       FROM bp GROUP BY vec_id),
-       |vb0 AS (SELECT lq.vec_id, lq.label, lq.q, lq.nrm, bk.bucket
-       |       FROM lq JOIN bk ON lq.vec_id = bk.vec_id),
-       |vb AS (SELECT * FROM vb0
-       |       QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
-       |p2 AS (SELECT a.vec_id AS vec_id, a.label AS label,
-       |        b.label AS n_label, b.vec_id AS neighbor_id,
-       |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-       |          i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
-       |       FROM vb a JOIN vb b
-       |         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |t3 AS (SELECT vec_id, label, n_label FROM p2
-       |       QUALIFY row_number() OVER (PARTITION BY vec_id
-       |         ORDER BY cos DESC, neighbor_id) <= 3),
+  lazy val knnClassifySql: String =
+    s"""WITH ivf AS (SELECT vec_id, neighbor_id FROM ($annIvfSql)),
+       |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |        FROM embeddings),
+       |t3 AS (SELECT ivf.vec_id, la.label, lb.label AS n_label
+       |       FROM ivf
+       |       JOIN lbl la ON la.vec_id = ivf.vec_id
+       |       JOIN lbl lb ON lb.vec_id = ivf.neighbor_id),
        |v AS (SELECT vec_id, label, n_label, COUNT(*) AS votes
        |      FROM t3 GROUP BY 1, 2, 3)
-       |SELECT vec_id, label, n_label AS predicted, votes,
+       |SELECT vec_id, label, n_label AS predicted,
+       |       CAST(votes AS BIGINT) AS votes,
        |       n_label <> label AS mismatch
        |FROM v QUALIFY row_number() OVER (PARTITION BY vec_id
        |  ORDER BY votes DESC, n_label) = 1""".stripMargin
-  }
 
   /** q_label_centroid — within-class coherence screen (the other half
     * of label QA next to [[qKnnClassify]]): each class's centroid is

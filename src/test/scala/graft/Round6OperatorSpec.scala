@@ -35,13 +35,14 @@ class Round6OperatorSpec extends SparkSpec {
     }
   }
 
-  test("q_knn_classify is the majority vote over q_ann_lsh's neighbor lists") {
+  test("q_knn_classify is the majority vote over q_ann_ivf's neighbor lists") {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // q_ann_lsh emits exactly the 3 nearest within-bucket neighbors per
-    // vector (same planes, same cap, same tie-break) — the vote input
-    val neigh = Similarity.qAnnLsh(spark, dir)
+    // q_ann_ivf emits exactly the 3 nearest in-cell neighbors per
+    // vector (r9 rebase: the data-adapted √n-celled candidate
+    // structure replaced the fixed-plane LSH buckets) — the vote input
+    val neigh = Similarity.qAnnIvf(spark, dir)
       .select("vec_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
