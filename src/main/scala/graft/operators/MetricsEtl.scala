@@ -3212,4 +3212,301 @@ object MetricsEtl {
     s"""$instantVecCte
        |SELECT name, CAST(1 AS BIGINT) AS group_value, COUNT(*) AS n_series
        |FROM iv GROUP BY name""".stripMargin
+
+  /** q_downsample — the long-term-retention ROLLUP block (what Thanos
+    * compact / Mimir's downsampler write for >2w-old data, and what a
+    * Prometheus→ClickHouse ETL materializes so 100 TB of raw samples can
+    * age out): per series per aligned 5m window, the five aggregates
+    * every rollup consumer needs — count/sum/min/max plus FIRST and
+    * LAST sample values (rate() over rollups reads first/last; avg =
+    * sum/count). All exact integer cents. Scale shape: the
+    * first/last window and the groupBy share the same (series, window)
+    * partitioning, so Catalyst plans ONE exchange — a single shuffle of
+    * narrow rows per corpus pass, map-side-combinable in the agg; the
+    * window order (ts_us, event_id) is TOTAL (event_id unique), so
+    * first/last are deterministic in both engines.
+    */
+  def qDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id", "w_start")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      (floor(unix_micros(col("ts")) / 1000000L / 300L) * 300L).as("w_start"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("first_c", first("cents").over(w))
+      .withColumn("last_c", last("cents").over(w))
+      .groupBy("name", "user_id", "w_start")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"),
+        max("cents").as("max_cents"),
+        max("first_c").as("first_cents"),
+        max("last_c").as("last_cents"))
+  }
+
+  val downsampleSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id,
+      |         epoch_us(ts) AS ts_us,
+      |         CAST(floor(epoch_us(ts)/1000000/300)*300 AS BIGINT) AS w_start,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT *,
+      |         first_value(cents) OVER wd AS first_c,
+      |         last_value(cents) OVER wd AS last_c
+      |  FROM s
+      |  WINDOW wd AS (PARTITION BY name, user_id, w_start
+      |                ORDER BY ts_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING
+      |                         AND UNBOUNDED FOLLOWING))
+      |SELECT name, user_id, w_start, COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+      |       MAX(first_c) AS first_cents, MAX(last_c) AS last_cents
+      |FROM f GROUP BY name, user_id, w_start""".stripMargin
+
+  /** Pin timestamp for [[qAtModifier]] — 6h before [[EvalTsUs]], a
+    * plan-time constant like the eval timestamp itself. */
+  private val PinTsUs = EvalTsUs - 21600L * 1000000L
+
+  /** q_at_modifier — PromQL's `@` timestamp pinning: `m @ <t>` evaluates
+    * the selector at a FIXED timestamp regardless of the query's eval
+    * time (the device behind "compare now against exactly 6h ago"
+    * dashboards, sharper than `offset` because the pin survives range
+    * re-evaluation). Both arms are instant-vector evaluations (last
+    * sample within the 24h lookback, ties broken by event_id like
+    * [[instantVec]]) full-outer-joined on the series key: series born
+    * since the pin carry has_pin=0, series dead since carry has_now=0,
+    * drift is the exact cents delta. Scale: each arm's constant
+    * lookback filter pushes to the parquet scan and collapses to
+    * |series| rows before the join — the join is series-sized, never
+    * corpus-sized.
+    */
+  def qAtModifier(spark: SparkSession, dir: String): DataFrame = {
+    def arm(evalTs: Long, valName: String): DataFrame = {
+      val w = Window.partitionBy("name", "user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.eventsSlice(spark, dir, evalTs - 86400000000L, evalTs)
+        .select(col("event_type").as("name"), col("user_id"),
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("name"), col("user_id"), col("cents").as(valName))
+    }
+    arm(PinTsUs, "pin_c").join(arm(EvalTsUs, "now_c"),
+        Seq("name", "user_id"), "full_outer")
+      .select(col("name"), col("user_id"),
+        col("pin_c").isNotNull.cast("int").as("has_pin"),
+        col("now_c").isNotNull.cast("int").as("has_now"),
+        coalesce(col("pin_c"), lit(0L)).as("pin_cents"),
+        coalesce(col("now_c"), lit(0L)).as("now_cents"),
+        (coalesce(col("now_c"), lit(0L)) - coalesce(col("pin_c"), lit(0L)))
+          .as("drift_cents"))
+  }
+
+  val atModifierSql: String = {
+    def armCte(evalTs: Long): String =
+      s"""SELECT name, user_id, cents FROM (
+         |  SELECT event_type AS name, user_id, event_id,
+         |         CAST(round(value*100) AS BIGINT) AS cents,
+         |         row_number() OVER (PARTITION BY event_type, user_id
+         |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events
+         |  WHERE epoch_us(ts) > $evalTs - 86400000000
+         |    AND epoch_us(ts) <= $evalTs) WHERE rn = 1""".stripMargin
+    s"""WITH pin AS (${armCte(PinTsUs)}),
+       |now_ AS (${armCte(EvalTsUs)})
+       |SELECT coalesce(pin.name, now_.name) AS name,
+       |       coalesce(pin.user_id, now_.user_id) AS user_id,
+       |       CAST(pin.cents IS NOT NULL AS INT) AS has_pin,
+       |       CAST(now_.cents IS NOT NULL AS INT) AS has_now,
+       |       coalesce(pin.cents, 0) AS pin_cents,
+       |       coalesce(now_.cents, 0) AS now_cents,
+       |       coalesce(now_.cents, 0) - coalesce(pin.cents, 0) AS drift_cents
+       |FROM pin FULL OUTER JOIN now_
+       |  ON pin.name = now_.name AND pin.user_id = now_.user_id""".stripMargin
+  }
+
+  /** q_slo_burn — multiwindow error-budget BURN RATE (the SRE-workbook
+    * alerting shape that replaced threshold alerts): per user cohort,
+    * the error-event ratio over the trailing 1d and 3d windows ending at
+    * the eval timestamp, expressed as a burn multiple of a 99%-SLO
+    * budget (burn 1.0 = consuming exactly budget; the page rule demands
+    * BOTH windows hot so a short spike alone cannot page). ALL-INTEGER:
+    * ratios are truncating ppm, burn ×1000 = ppm div 10 (budget =
+    * 10⁴ ppm), guards keep degenerate cohorts engine-identical. Scale:
+    * one 3d-sliced scan (filter pushed to parquet) collapsing to
+    * |cohorts| rows via conditional aggregation — no second pass for
+    * the shorter window.
+    */
+  def qSloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val d1 = 86400000000L
+    Tables.eventsSlice(spark, dir, EvalTsUs - 3 * d1, EvalTsUs)
+      .select((col("user_id") % 4).as("cohort"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .groupBy("cohort")
+      .agg(
+        sum(when(col("ts_us") > EvalTsUs - d1, 1L).otherwise(0L)).as("n_1d"),
+        sum(when(col("ts_us") > EvalTsUs - d1 &&
+          col("event_type") === "error", 1L).otherwise(0L)).as("err_1d"),
+        count(lit(1)).as("n_3d"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("err_3d"))
+      .withColumn("burn_1d_x1000",
+        expr("(err_1d * 1000000 div greatest(n_1d, 1)) div 10"))
+      .withColumn("burn_3d_x1000",
+        expr("(err_3d * 1000000 div greatest(n_3d, 1)) div 10"))
+      .withColumn("page",
+        (col("burn_1d_x1000") >= 2000 && col("burn_3d_x1000") >= 1000)
+          .cast("int"))
+  }
+
+  val sloBurnSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id % 4 AS cohort, event_type, epoch_us(ts) AS ts_us
+       |  FROM events
+       |  WHERE epoch_us(ts) > $EvalTsUs - 3 * 86400000000
+       |    AND epoch_us(ts) <= $EvalTsUs),
+       |a AS (
+       |  SELECT cohort,
+       |    CAST(SUM(CASE WHEN ts_us > $EvalTsUs - 86400000000
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+       |    CAST(SUM(CASE WHEN ts_us > $EvalTsUs - 86400000000
+       |                   AND event_type = 'error'
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS err_1d,
+       |    COUNT(*) AS n_3d,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS err_3d
+       |  FROM s GROUP BY cohort)
+       |SELECT cohort, n_1d, err_1d, n_3d, err_3d,
+       |       (err_1d * 1000000 // greatest(n_1d, 1)) // 10
+       |         AS burn_1d_x1000,
+       |       (err_3d * 1000000 // greatest(n_3d, 1)) // 10
+       |         AS burn_3d_x1000,
+       |       CAST((err_1d * 1000000 // greatest(n_1d, 1)) // 10 >= 2000
+       |        AND (err_3d * 1000000 // greatest(n_3d, 1)) // 10 >= 1000
+       |            AS INT) AS page
+       |FROM a""".stripMargin
+
+  /** q_gap_fill — aligned-grid gap filling over a watch-listed series
+    * set (ClickHouse `WITH FILL` / TimescaleDB `time_bucket_gapfill`,
+    * and the resampling step before any classic time-series model):
+    * a 13-point 5m grid over the hour before [[EvalTsUs]], each point
+    * carrying (a) the staleness-aware forward fill — last sample within
+    * 10m, Prometheus's lookback rule — and (b) the linear interpolation
+    * between the surrounding samples. ONE window pass, no join: samples
+    * and grid points union into one frame per series and neighbors come
+    * from ignore-nulls last/first over the (ts, is_grid, event_id)
+    * total order (a sample AT a grid timestamp sorts before it, so the
+    * lookback is inclusive). Grid dims are CONSTANTS (a 5-name
+    * watch-list × a constant user-id cap × 13 steps — the
+    * q_absent_over_time rule: never grid over data-derived dims); the
+    * context slice pushes to
+    * the parquet scan. Interpolation is double math with identical
+    * operands and association both engines, rounded at 6 (the q_rate
+    * device); span ≥ 1 µs by the sort order, so no division guard is
+    * needed.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val step = 300L * 1000000L
+    val hour = 3600L * 1000000L
+    val gridStart = EvalTsUs - hour
+    val samples = Tables.eventsSlice(spark, dir, gridStart - hour,
+        EvalTsUs + hour)
+      .filter(col("event_type").isin("click", "purchase", "view",
+          "signup", "error") && col("user_id") < 100)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), lit(0).as("is_grid"),
+        col("event_id").as("ev"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val grid = samples.select("name", "user_id").distinct()
+      .select(col("name"), col("user_id"),
+        explode(sequence(lit(gridStart), lit(EvalTsUs), lit(step)))
+          .as("ts_us"),
+        lit(1).as("is_grid"), lit(0L).as("ev"),
+        lit(null).cast("long").as("cents"))
+    val ord = Window.partitionBy("name", "user_id")
+      .orderBy("ts_us", "is_grid", "ev")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = ord.rowsBetween(0, Window.unboundedFollowing)
+    samples.unionByName(grid)
+      .withColumn("prev_c", last("cents", ignoreNulls = true).over(wPrev))
+      .withColumn("prev_t", last(when(col("is_grid") === 0, col("ts_us")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("next_c", first("cents", ignoreNulls = true).over(wNext))
+      .withColumn("next_t", first(when(col("is_grid") === 0, col("ts_us")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .withColumn("filled",
+        (col("prev_t").isNotNull &&
+          col("ts_us") - col("prev_t") <= 600L * 1000000L).cast("int"))
+      .withColumn("ffill_cents",
+        when(col("filled") === 1, col("prev_c")).otherwise(lit(0L)))
+      .withColumn("has_interp",
+        (col("prev_t").isNotNull && col("next_t").isNotNull).cast("int"))
+      .withColumn("interp_val",
+        when(col("has_interp") === 1,
+          round(col("prev_c") + (col("next_c") - col("prev_c")) *
+            ((col("ts_us") - col("prev_t")).cast("double") /
+              (col("next_t") - col("prev_t"))), 6))
+          .otherwise(lit(0.0d)))
+      .select(expr("ts_us div 1000000").as("ts_s"), col("name"),
+        col("user_id"), col("filled"), col("ffill_cents"),
+        col("has_interp"), col("interp_val"))
+  }
+
+  val gapFillSql: String = {
+    val step = 300L * 1000000L
+    val hour = 3600L * 1000000L
+    val gridStart = EvalTsUs - hour
+    s"""WITH sm AS (
+       |  SELECT event_type AS name, user_id, epoch_us(ts) AS ts_us,
+       |         0 AS is_grid, event_id AS ev,
+       |         CAST(round(value*100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE epoch_us(ts) > ${gridStart - hour}
+       |    AND epoch_us(ts) <= ${EvalTsUs + hour}
+       |    AND event_type IN ('click', 'purchase', 'view', 'signup',
+       |                       'error')
+       |    AND user_id < 100),
+       |sr AS (SELECT DISTINCT name, user_id FROM sm),
+       |g AS (
+       |  SELECT sr.name, sr.user_id, gs.ts_us, 1 AS is_grid,
+       |         CAST(0 AS BIGINT) AS ev, CAST(NULL AS BIGINT) AS cents
+       |  FROM sr, (SELECT unnest(generate_series($gridStart, $EvalTsUs,
+       |                                          $step)) AS ts_us) gs),
+       |u AS (SELECT * FROM sm UNION ALL SELECT * FROM g),
+       |f AS (
+       |  SELECT *,
+       |    last_value(cents IGNORE NULLS) OVER wp AS prev_c,
+       |    last_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+       |      OVER wp AS prev_t,
+       |    first_value(cents IGNORE NULLS) OVER wn AS next_c,
+       |    first_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+       |      OVER wn AS next_t
+       |  FROM u
+       |  WINDOW wp AS (PARTITION BY name, user_id
+       |                ORDER BY ts_us, is_grid, ev
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wn AS (PARTITION BY name, user_id
+       |                ORDER BY ts_us, is_grid, ev
+       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT ts_us // 1000000 AS ts_s, name, user_id,
+       |       CAST(prev_t IS NOT NULL
+       |            AND ts_us - prev_t <= 600000000 AS INT) AS filled,
+       |       CASE WHEN prev_t IS NOT NULL AND ts_us - prev_t <= 600000000
+       |            THEN prev_c ELSE 0 END AS ffill_cents,
+       |       CAST(prev_t IS NOT NULL AND next_t IS NOT NULL AS INT)
+       |         AS has_interp,
+       |       CASE WHEN prev_t IS NOT NULL AND next_t IS NOT NULL
+       |            THEN round(prev_c + (next_c - prev_c) *
+       |                   (CAST(ts_us - prev_t AS DOUBLE)
+       |                      / (next_t - prev_t)), 6)
+       |            ELSE 0.0 END AS interp_val
+       |FROM f WHERE is_grid = 1""".stripMargin
+  }
 }

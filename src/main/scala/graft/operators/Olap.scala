@@ -1348,6 +1348,78 @@ object Olap {
       |            ELSE 0 END AS purchase_ppm
       |FROM agg WHERE n_view > 0""".stripMargin
 
+  /** q_seq_match — ClickHouse's `sequenceMatch('(?1).*(?2)')` /
+    * `sequenceCount('(?1)(?2)')` pair re-expressed (the behavioral
+    * pattern primitive next to [[qFunnel]]'s windowFunnel): per user,
+    * over the signup/purchase subsequence in (ts, event_id) total
+    * order — did a purchase ever follow a signup (match), how many
+    * DIRECT signup→purchase adjacencies (strict-count), and the
+    * minimum signup→purchase gap among matched purchases. One
+    * type-filtered scan (filter pushed to parquet), one user-keyed
+    * shuffle carrying both the lag and the running-last-signup
+    * windows, |users|-bounded output, exact µs integers; unmatched
+    * users carry gap 0 behind the flag.
+    */
+  def qSeqMatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("last_signup_ts",
+        last(when(col("event_type") === "signup", col("ts_us")),
+          ignoreNulls = true).over(wPrev))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("n_signup"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        sum(when(col("event_type") === "purchase" &&
+          col("prev_type") === "signup", 1L).otherwise(0L))
+          .as("n_adjacent"),
+        max(when(col("event_type") === "purchase" &&
+          col("last_signup_ts").isNotNull, 1).otherwise(0)).as("matched"),
+        min(when(col("event_type") === "purchase" &&
+          col("last_signup_ts").isNotNull,
+          col("ts_us") - col("last_signup_ts"))).as("min_gap"))
+      .select(col("user_id"), col("n_signup"), col("n_purchase"),
+        col("n_adjacent"), col("matched"),
+        coalesce(col("min_gap"), lit(0L)).as("min_gap_us"))
+  }
+
+  val qSeqMatchSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |         lag(event_type) OVER wo AS prev_type,
+      |         last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts)
+      |                    END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id
+      |                 ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS last_signup_ts
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase')
+      |  WINDOW wo AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT user_id,
+      |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_signup,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_purchase,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase'
+      |                      AND prev_type = 'signup'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_adjacent,
+      |       CAST(MAX(CASE WHEN event_type = 'purchase'
+      |                      AND last_signup_ts IS NOT NULL
+      |                     THEN 1 ELSE 0 END) AS INT) AS matched,
+      |       coalesce(MIN(CASE WHEN event_type = 'purchase'
+      |                          AND last_signup_ts IS NOT NULL
+      |                         THEN ts_us - last_signup_ts END), 0)
+      |         AS min_gap_us
+      |FROM s GROUP BY user_id""".stripMargin
+
   /** q_retention — cohort retention triangle: users grouped by FIRST
     * active week (cohort), counted again in each later week they
     * return — the chart behind every growth dashboard. Shape: per-user

@@ -1333,11 +1333,31 @@ object TextAnalysis {
     * comparison grid is a broadcast cross of two sub-corpus frames —
     * |sources|-bounded output at any corpus size.
     */
-  def qTokenDrift(spark: SparkSession, dir: String): DataFrame = {
-    val srcCnt = Tables.documents(spark, dir)
+  def qTokenDrift(spark: SparkSession, dir: String): DataFrame =
+    tokenDriftFrom(sourceTf(spark, dir))
+
+  /** The full un-materialized drift plan — what [[graft.PlanDump]] and
+    * the plan audits make claims about (the registered query reads the
+    * materialized [[sourceTf]] frame, an RDD scan). */
+  private[graft] def qTokenDriftPlan(spark: SparkSession, dir: String): DataFrame =
+    tokenDriftFrom(sourceTfPlan(spark, dir))
+
+  /** The per-(source, token-hash) count frame — ONE corpus shuffle,
+    * vocab×|sources|-bounded (Zipf ≪ corpus) — materialized once per
+    * (session, dir) and SHARED by the source-distribution QA family:
+    * [[qTokenDrift]] (TV distance), [[qSourceChi2]] (χ² divergence) and
+    * [[qDistinctNgrams]]'s unigram half (each previously would have
+    * re-exploded the corpus). */
+  private def sourceTf(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "text:source_tf")(sourceTfPlan(spark, dir))
+
+  private[graft] def sourceTfPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("source"), explode(words).as("token"))
       .select(col("source"), hash60(col("token")).as("th"))
       .groupBy("source", "th").agg(count(lit(1)).as("c_s"))
+
+  private def tokenDriftFrom(srcCnt: DataFrame): DataFrame = {
     val corpus = srcCnt.groupBy("th").agg(sum("c_s").as("c_c"))
     val srcTot = srcCnt.groupBy("source").agg(sum("c_s").as("tot_s"))
     val totC = corpus.agg(sum("c_c").as("tot_c"))
@@ -1374,6 +1394,221 @@ object TextAnalysis {
        |                    - c_c * 1000000 // tot_c)) AS BIGINT) // 2
        |         AS tv_x1e6
        |FROM g GROUP BY source""".stripMargin
+  }
+
+  /** Shared oracle CTE chain ending in `sc` — the DuckDB twin of
+    * [[sourceTfPlan]] (per-(source, token-hash) counts). Embeddable:
+    * no line begins with `||` (the stripMargin-twice rule). */
+  private lazy val sourceTfSqlCte: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    s"""t AS (
+       |  SELECT source, $th AS th
+       |  FROM (SELECT source, unnest($wordsSql) AS token FROM documents)),
+       |sc AS (SELECT source, th, COUNT(*) AS c_s FROM t GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** q_source_chi2 — χ² divergence of each source's unigram
+    * distribution from the corpus distribution: the drift TEST next to
+    * [[qTokenDrift]]'s drift DISTANCE (TV says how far; χ² weights each
+    * term by 1/expected, so it flags a rare token exploding in one
+    * source long before TV moves — the register-shift detector). KL is
+    * the textbook choice but needs libm log per term inside a
+    * hash-compared SUM; χ² is RATIONAL, so on the same ppm-quantized
+    * distributions token_drift already uses (`c·10⁶ div tot`) every
+    * term is an exact integer — Δppm² div max(ppm_c, 1), summed
+    * exactly, engine-identical (nonneg numerator: floor == trunc).
+    * Scale shape identical to token_drift: consumes the shared
+    * materialized [[sourceTf]] aggregate, everything downstream is
+    * vocab×|sources|-bounded with broadcast totals.
+    */
+  def qSourceChi2(spark: SparkSession, dir: String): DataFrame =
+    sourceChi2From(sourceTf(spark, dir))
+
+  private[graft] def qSourceChi2Plan(spark: SparkSession, dir: String): DataFrame =
+    sourceChi2From(sourceTfPlan(spark, dir))
+
+  private def sourceChi2From(srcCnt: DataFrame): DataFrame = {
+    val corpus = srcCnt.groupBy("th").agg(sum("c_s").as("c_c"))
+    val srcTot = srcCnt.groupBy("source").agg(sum("c_s").as("tot_s"))
+    val totC = corpus.agg(sum("c_c").as("tot_c"))
+    corpus.crossJoin(broadcast(srcTot)).crossJoin(broadcast(totC))
+      .join(srcCnt, Seq("source", "th"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+      .withColumn("ppm_s", expr("c_s * 1000000 div tot_s"))
+      .withColumn("ppm_c", expr("c_c * 1000000 div tot_c"))
+      .withColumn("term", expr(
+        "(ppm_s - ppm_c) * (ppm_s - ppm_c) div greatest(ppm_c, 1)"))
+      .groupBy("source")
+      .agg(max("tot_s").as("n_tokens"),
+        sum("term").as("chi2_ppm"),
+        max("term").as("max_term_ppm"))
+  }
+
+  lazy val sourceChi2Sql: String =
+    s"""WITH $sourceTfSqlCte,
+       |co AS (SELECT th, CAST(SUM(c_s) AS BIGINT) AS c_c FROM sc GROUP BY th),
+       |st AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS tot_s
+       |       FROM sc GROUP BY source),
+       |tc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS tot_c FROM co),
+       |g AS (
+       |  SELECT st.source, st.tot_s, co.c_c, tc.tot_c,
+       |         coalesce(sc.c_s, 0) AS c_s
+       |  FROM co CROSS JOIN st CROSS JOIN tc
+       |  LEFT JOIN sc ON sc.source = st.source AND sc.th = co.th),
+       |p AS (
+       |  SELECT source, tot_s,
+       |         (c_s * 1000000 // tot_s - c_c * 1000000 // tot_c)
+       |           * (c_s * 1000000 // tot_s - c_c * 1000000 // tot_c)
+       |           // greatest(c_c * 1000000 // tot_c, 1) AS term
+       |  FROM g)
+       |SELECT source, MAX(tot_s) AS n_tokens,
+       |       CAST(SUM(term) AS BIGINT) AS chi2_ppm,
+       |       CAST(MAX(term) AS BIGINT) AS max_term_ppm
+       |FROM p GROUP BY source""".stripMargin
+
+  /** q_distinct_ngrams — the distinct-n DIVERSITY table per source
+    * (the Li et al. "distinct-1/distinct-2" metric, the standard
+    * template-spam / mode-collapse detector for generated or scraped
+    * corpora): distinct and total unigram and bigram counts with exact
+    * truncating-ppm type/token ratios — a source whose distinct-2 ppm
+    * collapses is templated boilerplate even when its vocabulary looks
+    * healthy. Unigram half rides the shared materialized [[sourceTf]]
+    * aggregate (vocab×|sources| rows); the bigram half builds pairs
+    * IN-ROW (one `transform`, the q_bigram_lp device — text never fans
+    * out) and collapses to 8-byte (source, hash) counts in one
+    * map-side-combinable shuffle; output is |sources| rows.
+    */
+  def qDistinctNgrams(spark: SparkSession, dir: String): DataFrame =
+    distinctNgramsFrom(spark, dir, sourceTf(spark, dir))
+
+  private[graft] def qDistinctNgramsPlan(spark: SparkSession, dir: String): DataFrame =
+    distinctNgramsFrom(spark, dir, sourceTfPlan(spark, dir))
+
+  private def distinctNgramsFrom(spark: SparkSession, dir: String,
+      srcCnt: DataFrame): DataFrame = {
+    val uni = srcCnt.groupBy("source")
+      .agg(sum("c_s").as("n_unigrams"), count(lit(1)).as("d_unigrams"))
+    val bi = Tables.documents(spark, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w)-1)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+        .as("bigram"))
+      .select(col("source"), hash60(col("bigram")).as("bh"))
+      .groupBy("source", "bh").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("d_bigrams"))
+    uni.join(bi, Seq("source"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("d_bigrams", coalesce(col("d_bigrams"), lit(0L)))
+      .select(col("source"), col("n_unigrams"), col("d_unigrams"),
+        expr("d_unigrams * 1000000 div greatest(n_unigrams, 1)")
+          .as("distinct1_ppm"),
+        col("n_bigrams"), col("d_bigrams"),
+        expr("d_bigrams * 1000000 div greatest(n_bigrams, 1)")
+          .as("distinct2_ppm"))
+  }
+
+  lazy val distinctNgramsSql: String = {
+    val bh = graft.functions.Portable.hash60Sql("bigram")
+    s"""WITH $sourceTfSqlCte,
+       |uni AS (
+       |  SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_unigrams,
+       |         COUNT(*) AS d_unigrams
+       |  FROM sc GROUP BY source),
+       |b AS (
+       |  SELECT source, $bh AS bh
+       |  FROM (SELECT source,
+       |          unnest(list_transform(range(1, len(w)),
+       |            i -> w[i] || ' ' || w[i+1])) AS bigram
+       |        FROM (SELECT source, $wordsSql AS w FROM documents)
+       |        WHERE len(w) >= 2)),
+       |bc AS (SELECT source, bh, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |bi AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |         COUNT(*) AS d_bigrams
+       |  FROM bc GROUP BY source)
+       |SELECT uni.source, n_unigrams, d_unigrams,
+       |       d_unigrams * 1000000 // greatest(n_unigrams, 1)
+       |         AS distinct1_ppm,
+       |       coalesce(n_bigrams, 0) AS n_bigrams,
+       |       coalesce(d_bigrams, 0) AS d_bigrams,
+       |       coalesce(d_bigrams, 0) * 1000000
+       |         // greatest(coalesce(n_bigrams, 0), 1) AS distinct2_ppm
+       |FROM uni LEFT JOIN bi ON uni.source = bi.source""".stripMargin
+  }
+
+  /** Constant BM25 query terms — plan-time constants (their 8-byte
+    * hashes are JVM-computed literals in the plan, the
+    * [[graft.functions.Portable.hash60Jvm]] device). */
+  private val bm25Terms = Seq("data", "query", "stream")
+
+  /** q_bm25 — Okapi BM25 lexical scoring (k1=1.2, b=0.75) for a
+    * constant term set: the LEXICAL retrieval arm every hybrid-search
+    * pipeline pairs with the embedding arm (q_rank_fusion's other
+    * input in a production stack), and the hard-negative miner for
+    * sparse retrieval. Per matched (doc, term): the classic
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) weight with idf =
+    * ln((N−df+½)/(df+½)+1); each weight is quantized to a ×1000
+    * integer (the q_trig_funcs rule — double math with IDENTICAL
+    * operands and association both engines, the coarse grid absorbing
+    * libm ulp) and the per-doc score is the EXACT integer sum of the
+    * quantized weights — no float SUM ever hash-compared. Scale shape:
+    * rides the shared materialized token explode ([[docTokens]], 3rd
+    * consumer); the term filter is 3 plan-time literals, df and the
+    * corpus stats broadcast from 3-row/1-row frames; only matched docs
+    * reach the score join.
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val termHashes = bm25Terms.map(graft.functions.Portable.hash60Jvm)
+    val toks = docTokens(spark, dir)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val tf = toks.filter(col("th").isin(termHashes: _*))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "th")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("dl_norm",
+        col("dl").cast("double") * col("n_docs") / col("sum_dl"))
+      .withColumn("w_x1000",
+        round(col("idf") * ((col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl_norm"))))
+          * lit(1000)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("w_x1000").as("score_x1000"))
+  }
+
+  lazy val bm25Sql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    val hashes = bm25Terms.map(graft.functions.Portable.hash60Jvm)
+      .mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $th AS th
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+       |stx AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |        FROM dl),
+       |tf AS (SELECT doc_id, th, COUNT(*) AS tf FROM tk
+       |       WHERE th IN ($hashes) GROUP BY 1, 2),
+       |dfq AS (SELECT th, COUNT(*) AS df FROM tf GROUP BY th),
+       |w AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * ((tf * 2.2)
+       |         / (tf + 1.2 * (0.25 + 0.75
+       |              * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))
+       |      * 1000) AS BIGINT) AS w_x1000
+       |  FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id) CROSS JOIN stx)
+       |SELECT doc_id, COUNT(*) AS n_matched,
+       |       CAST(SUM(w_x1000) AS BIGINT) AS score_x1000
+       |FROM w GROUP BY doc_id""".stripMargin
   }
 
   /** Constant length thresholds for [[qFilterSweep]] — plan-time

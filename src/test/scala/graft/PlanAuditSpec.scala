@@ -539,7 +539,9 @@ class PlanAuditSpec extends SparkSpec {
     "Scan parquet".r.findAllIn(plan.split("== Initial Plan ==")(0)).size
 
   test("q_token_drift: corpus scanned once, per-source grid is broadcast") {
-    val df = TextAnalysis.qTokenDrift(spark, dir)
+    // audit the un-materialized plan — the registered query reads the
+    // shared materialize-once (source, th, c_s) frame (an RDD scan)
+    val df = TextAnalysis.qTokenDriftPlan(spark, dir)
     val plan = executed(df)
     val scans = finalScans(plan)
     assert(scans <= 2, s"documents must not re-scan per derived frame: $scans scans")
@@ -714,5 +716,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalScans(plan) == 1)
     assert(!plan.contains("Window") && !plan.contains("Join"),
       "fertility is scan + aggregate only")
+  }
+
+  test("q_downsample: window and rollup share one series exchange (r9)") {
+    val plan = executed(MetricsEtl.qDownsample(spark, dir))
+    assert(finalScans(plan) == 1, "one events scan")
+    val fin = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(fin).size
+    assert(exchanges <= 2,
+      s"first/last window and groupBy must share the (series, window) shuffle: $exchanges")
+    assert(!plan.contains("Join"), "the rollup is scan + window + aggregate")
+  }
+
+  test("q_gap_fill: context slice pushed to the scan, zero joins (r9)") {
+    val plan = executed(MetricsEtl.qGapFill(spark, dir))
+    assert("PushedFilters: \\[[^\\]]*ts".r.findFirstIn(plan).isDefined,
+      s"context-slice bounds must reach the parquet scan:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "neighbors come from the union+window device, not a join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_slo_burn: one 3d-sliced scan, conditional aggregation only (r9)") {
+    val plan = executed(MetricsEtl.qSloBurn(spark, dir))
+    assert(finalScans(plan) == 1, "both windows must ride one sliced scan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "burn is scan + one conditional aggregate")
+  }
+
+  test("q_seq_match: type filter pushed, lag and running-last share one user shuffle (r9)") {
+    val plan = executed(Olap.qSeqMatch(spark, dir))
+    assert(finalScans(plan) == 1)
+    assert(plan.contains("PushedFilters:") && plan.contains("event_type"),
+      "the signup/purchase filter must reach the scan")
+    val fin = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(fin).size
+    assert(exchanges <= 2,
+      s"both windows + the aggregate must share the user shuffle: $exchanges")
+  }
+
+  test("q_source_chi2: same scale shape as token_drift — one corpus pass, broadcasts (r9)") {
+    val plan = executed(TextAnalysis.qSourceChi2Plan(spark, dir))
+    val scans = finalScans(plan)
+    assert(scans <= 2, s"documents must not re-scan per derived frame: $scans")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") || scans == 1,
+      "the (source,token) aggregate must be computed once and reused")
+    assert(plan.contains("BroadcastExchange"), "totals must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_distinct_ngrams: two bounded aggregates, no cartesian (r9)") {
+    val plan = executed(TextAnalysis.qDistinctNgramsPlan(spark, dir))
+    assert(finalScans(plan) <= 2,
+      "unigram and bigram halves are one corpus pass each")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_bm25: plan-time term literals, df/stats broadcast (r9)") {
+    TextAnalysis.qBm25(spark, dir).collect()
+    val plan = executed(TextAnalysis.qBm25(spark, dir))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the 3-row df and 1-row stats frames must broadcast")
+    assert(!plan.contains("CartesianProduct"))
   }
 }
