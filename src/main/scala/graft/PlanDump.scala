@@ -102,7 +102,17 @@ object PlanDump {
       "q_native_custom" -> "NHCB build: one events scan, constant-bound-list bucket lookup in-row, map-side counts (r9)",
       "q_edit_verify" -> "edit verify: banded candidate pairs joined to texts — candidate-bounded, never an all-pairs document join (r9)",
       "q_contam_embed" -> "embedding decontamination: constant benchmark broadcast, native vec_dot argmax, one corpus scan (r9)",
-      "q_mix_temperature" -> "temperature mixing: |sources|-bounded aggregate + one tiny unpartitioned window over ~20 rows (r9)")
+      "q_mix_temperature" -> "temperature mixing: |sources|-bounded aggregate + one tiny unpartitioned window over ~20 rows (r9)",
+      "q_downsample" -> "retention rollup: first/last window and groupBy share ONE (series,window) exchange (r9)",
+      "q_at_modifier" -> "@ pinning: both lookback arms push to PushedFilters, |series|-sized full outer join (r9)",
+      "q_slo_burn" -> "burn rate: one 3d-sliced scan, conditional aggregation serves both windows — no second pass (r9)",
+      "q_gap_fill" -> "gap fill: constant grid union + one ignore-nulls window pass, no join (r9)",
+      "q_seq_match" -> "sequence match: one type-filtered scan, lag + running-last windows on one user shuffle (r9)",
+      "q_source_chi2" -> "chi-square drift: shared (source,th) aggregate, totals broadcast, |sources|-bounded tail (r9)",
+      "q_distinct_ngrams" -> "diversity: unigram half on the shared tf frame, in-row bigrams, map-side-combined counts (r9)",
+      "q_bm25" -> "BM25: shared token explode, plan-time hashed terms, 3-row df + 1-row stats broadcasts (r9)",
+      "q_power_iter" -> "power iteration: native vec_dot + vec_sum, ONE d-buffer merge exchange, explode above the agg (r9)",
+      "q_token_entropy" -> "token entropy: shared docTokens explode, (doc,type)-bounded 8-byte-hash shuffles (r9)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

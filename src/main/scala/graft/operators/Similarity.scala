@@ -1784,6 +1784,63 @@ object Similarity {
        |       var_sum * 1000000 // GREATEST(tot_var, 1) AS share_ppm
        |FROM v CROSS JOIN t""".stripMargin
 
+  /** q_power_iter — ONE power-iteration step toward the corpus's top
+    * principal direction: w = A·v₀ where A = Σᵢ qᵢqᵢᵀ, computed WITHOUT
+    * ever forming A as w = Σᵢ (qᵢ·v₀)·qᵢ — one corpus pass, exact
+    * integers end to end. This is the estimation step behind the
+    * "all-but-the-top" embedding post-process (Mu & Viswanath 2018:
+    * remove the top PC that [[qDimVariance]] shows hoarding variance)
+    * and the spectral sanity check an index build wants next to the
+    * per-dim variance table (a dominant Rayleigh quotient = anisotropy
+    * that hurts cosine retrieval).
+    *
+    * The start vector is GENERATED FROM THE INDEX in-row
+    * (v₀[j] = (j·37) mod 7 − 3, a deterministic mixed pattern with no
+    * dimension-count assumption and no broadcast) so both engines build
+    * the identical v₀ with zero data movement. Emitted per dimension:
+    * the unnormalized iterate component w (normalize off-engine — a
+    * norm needs sqrt, and the DIRECTION is what the post-process
+    * consumes), plus the Rayleigh-quotient numerator Σ(qᵢ·v₀)² and n
+    * riding every row (v₀ᵀv₀ is a plan-side constant the consumer
+    * already knows).
+    *
+    * Scale shape: the per-vector dot runs as the native codegen'd
+    * [[graft.functions.LongVectorDot]] loop, the d-vector sum as the
+    * native vec_sum aggregate — the ONLY exchange moves one d-long
+    * partial buffer per partition (the q_kmeans_step argument), and the
+    * output is d rows at any corpus size. Overflow headroom: |q·v₀| ≤
+    * 3000·d ≈ 2·10⁵ at d=64, so Σ dt·q stays < 10¹⁵ and Σ dt² < 10¹⁸
+    * even at 5M vectors — inside int64.
+    */
+  def qPowerIter(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .withColumn("v0",
+        expr("transform(q, (x, j) -> CAST((j * 37) % 7 - 3 AS BIGINT))"))
+      .withColumn("dt", dot(col("q"), col("v0")))
+      .agg(
+        graft.functions.LongVectorSum.vecSum(
+          expr("transform(q, x -> x * dt)")).as("wsum"),
+        sum(expr("dt * dt")).as("rq_num"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("n_vectors"), col("rq_num"),
+        posexplode(col("wsum")).as(Seq("pos", "w")))
+      .select((col("pos") + 1).cast("int").as("dim"), col("w"),
+        col("n_vectors"), col("rq_num"))
+
+  val powerIterSql: String =
+    s"""WITH $quantizedSql,
+       |d AS (SELECT vec_id, q,
+       |        CAST(list_sum(list_transform(generate_series(1, len(q)),
+       |          j -> q[j] * (((j - 1) * 37) % 7 - 3))) AS BIGINT) AS dt
+       |      FROM qn),
+       |e AS (SELECT unnest(generate_series(1, len(q))) AS dim, q, dt
+       |      FROM d)
+       |SELECT CAST(dim AS INT) AS dim,
+       |       CAST(SUM(q[dim] * dt) AS BIGINT) AS w,
+       |       COUNT(*) AS n_vectors,
+       |       CAST(SUM(dt * dt) AS BIGINT) AS rq_num
+       |FROM e GROUP BY dim""".stripMargin
+
   /** Matryoshka truncation tiers for [[qMrlRecall]] — plan-time
     * constants (the MRL contract: an index can serve the first 16 or 32
     * of 64 dims and keep most of the ranking). */

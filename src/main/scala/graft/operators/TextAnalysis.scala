@@ -1736,6 +1736,52 @@ object TextAnalysis {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** q_token_entropy — per-document TOKEN-DISTRIBUTION entropy, the
+    * repetitiveness signal orthogonal to [[qRepetition]]'s duplicate-
+    * line/ngram mass: a doc that cycles a tiny vocabulary (keyword
+    * stuffing, boilerplate templates, degenerate generations) scores
+    * near 0 even when no line repeats verbatim. H = log₂n − (1/n)Σc·log₂c
+    * over the doc's token counts c, re-expressed ENGINE-EXACT with the
+    * corpus's floor-log₂-as-bit-length rule (the q_unigram_lp /
+    * q_colloc_pmi device): ent_x100 = (n·⌊log₂n⌋ − Σc·⌊log₂c⌋)·100 div n
+    * — every operand a nonnegative int64 (c ≤ n ⇒ ⌊log₂c⌋ ≤ ⌊log₂n⌋, so
+    * the truncating division never sees a negative). n_types rides the
+    * same aggregate (the doc-level type-token ratio numerator).
+    *
+    * Scale shape: rides the shared materialized [[docTokens]] explode;
+    * the (doc, token-hash) count is map-side combinable down to the
+    * doc-type frame, and the second shuffle regroups that already-
+    * collapsed frame by doc — both exchanges carry 8-byte-hash narrow
+    * rows bounded by distinct (doc, type) pairs, never raw corpus
+    * tokens.
+    */
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    docTokens(spark, dir)
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("c * (length(conv(c, 10, 2)) - 1)")).as("sum_clog"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("""(n_tokens * (length(conv(n_tokens, 10, 2)) - 1)
+                 - sum_clog) * 100 div n_tokens""").as("ent_x100"))
+
+  val tokenEntropySql: String = {
+    val th = graft.functions.Portable.hash60Sql("token")
+    s"""WITH t AS (
+       |  SELECT doc_id, $th AS th
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS token FROM documents)),
+       |c AS (SELECT doc_id, th, COUNT(*) AS c FROM t GROUP BY doc_id, th),
+       |s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |             COUNT(*) AS n_types,
+       |             CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT)
+       |               AS sum_clog
+       |      FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_types,
+       |       (n_tokens * (length(bin(n_tokens)) - 1) - sum_clog) * 100
+       |         // n_tokens AS ent_x100
+       |FROM s""".stripMargin
+  }
+
   /** q_colloc_pmi — collocation extraction: the top-20 adjacent token
     * pairs by count, scored with an integer log2-PMI. The phrase-mining
     * pass behind tokenizer-vocab curation and boilerplate discovery

