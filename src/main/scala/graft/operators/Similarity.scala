@@ -2032,4 +2032,161 @@ object Similarity {
        |       row_number() OVER (PARTITION BY vec_id
        |         ORDER BY cos DESC, neighbor_id) AS rn
        |FROM p QUALIFY rn <= 3""".stripMargin
+
+  /** NDCG discount weights as PLAN-TIME integer constants:
+    * w(i) = round(10⁶ / log₂(i+1)) for ranks 1..5, computed ONCE on the
+    * JVM and interpolated as the SAME literals into both the Spark plan
+    * and the oracle SQL — the established device for libm-dependent
+    * constants (plane weights, trig tables): neither engine evaluates
+    * log₂ at query time, so there is no cross-libm ulp to diverge on. */
+  private val ndcgW: IndexedSeq[Long] =
+    (1 to 5).map(i => math.round(1e6 / (math.log(i + 1) / math.log(2))))
+  /** Ideal-DCG prefix sums: idcgPrefix(r) = Σ w(1..r) — the best
+    * achievable DCG when exactly r of the top-5 are relevant. */
+  private val ndcgIdcgPrefix: IndexedSeq[Long] = ndcgW.scanLeft(0L)(_ + _)
+
+  /** q_ndcg — retrieval-quality scorecard (NDCG@5 + MRR) for the
+    * brute-force neighbor lists, using the embedding LABEL as graded
+    * relevance (neighbor relevant ⇔ it shares the query's label): the
+    * eval harness every retrieval stack runs after an index or
+    * embedding change, next to [[qAnnRecall]]'s overlap-recall (recall
+    * says "did the ANN find the true neighbors"; NDCG says "are the
+    * true neighbors any good for the task the labels encode").
+    * Per query: n_rel, integer DCG = Σ rel·w(rank), ideal DCG from the
+    * prefix table, ndcg_ppm = DCG·10⁶ div max(IDCG,1) (0 when nothing
+    * relevant — guarded like q_dim_variance), and mrr_ppm = 10⁶ div
+    * first-relevant-rank (0 when none). All int64; the discount weights
+    * are plan-time constants (see [[ndcgW]]).
+    *
+    * Scale shape: rides the materialized |Q|·5-row [[qEmbedCosineTopk]]
+    * frame — the scorecard itself never rescans the corpus; the two
+    * label lookups broadcast the 250-row list against the narrow
+    * (vec_id, label) projection, so each is one column-pruned scan of
+    * the label column and the output is |Q| rows at any corpus size. */
+  def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = qEmbedCosineTopk(spark, dir)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val wCase = (1 to 5)
+      .map(i => s"WHEN rn = $i THEN ${ndcgW(i - 1)}L")
+      .mkString("CASE ", " ", " ELSE 0L END")
+    val idcgCase = (0 to 5)
+      .map(r => s"WHEN n_rel = $r THEN ${ndcgIdcgPrefix(r)}L")
+      .mkString("CASE ", " ", " ELSE 0L END")
+    broadcast(topk)
+      .join(labels.select(col("vec_id"), col("label").as("q_label")), "vec_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .withColumn("rel", (col("q_label") === col("n_label")).cast("long"))
+      .withColumn("w", expr(wCase))
+      .groupBy("vec_id")
+      .agg(sum("rel").as("n_rel"),
+        sum(expr("rel * w")).as("dcg"),
+        min(when(col("rel") === 1, col("rn"))).as("first_rel"))
+      .withColumn("idcg", expr(idcgCase))
+      .select(col("vec_id"), col("n_rel"), col("dcg"), col("idcg"),
+        expr("dcg * 1000000 div greatest(idcg, 1)").as("ndcg_ppm"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_ppm"))
+  }
+
+  val ndcgSql: String = {
+    val wCase = (1 to 5)
+      .map(i => s"WHEN rn = $i THEN ${ndcgW(i - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val idcgCase = (0 to 5)
+      .map(r => s"WHEN n_rel = $r THEN ${ndcgIdcgPrefix(r)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH topk AS (SELECT * FROM ($embedCosineTopkSql)),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |        FROM embeddings),
+       |r AS (SELECT t.vec_id, t.rn,
+       |        CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+       |      FROM topk t
+       |      JOIN lab ql ON t.vec_id = ql.vec_id
+       |      JOIN lab nl ON t.neighbor_id = nl.vec_id),
+       |p AS (SELECT vec_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+       |        CAST(SUM(rel * ($wCase)) AS BIGINT) AS dcg,
+       |        MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel
+       |      FROM r GROUP BY vec_id)
+       |SELECT vec_id, n_rel, dcg,
+       |       CAST($idcgCase AS BIGINT) AS idcg,
+       |       dcg * 1000000 // greatest(CAST($idcgCase AS BIGINT), 1)
+       |         AS ndcg_ppm,
+       |       CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_ppm
+       |FROM p""".stripMargin
+  }
+
+  /** The label set the filtered search admits — a plan-time CONSTANT
+    * predicate (an `In` filter, so it pushes to the parquet scan), the
+    * way a production filtered-vector-search restricts by tenant /
+    * language / freshness metadata. */
+  private val FilteredLabels: Seq[Int] = Seq(0, 2, 4, 6, 8)
+
+  /** q_ann_filtered — METADATA-FILTERED vector search: exact top-3
+    * cosine for the [[QuerySetSize]]-bounded query set over the corpus
+    * slice whose label passes a constant `IN` predicate — the
+    * "filtered ANN" serving shape (tenant/lang/date filters) every
+    * production vector store needs. This is the PRE-FILTER strategy:
+    * the label predicate is an `In` pushed INTO the parquet scan
+    * (plan-audited), so only passing rows are quantized and scored —
+    * versus post-filtering an unfiltered ANN list, which silently
+    * starves queries whose true neighbors fail the filter. The
+    * `in_unfiltered_top5` flag measures exactly that starvation: how
+    * many filtered-true results the post-filter route would have found
+    * (join against the materialized [[qEmbedCosineTopk]] list).
+    *
+    * Scale shape: broadcast-|Q| × filtered-corpus — one scan with the
+    * filter at the reader, K·n' pairs (n' = passing rows); the
+    * starvation join is |Q|·3 × |Q|·5 row frames, corpus-free. */
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val a = v.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id"), col("q").as("qa"), col("nrm").as("na"))
+    val b = Tables.fanOut(Tables.embeddings(spark, dir))
+      .filter(col("label").isin(FilteredLabels: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("qb"))
+      .withColumn("nb", vecDot(col("qb"), col("qb")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val filtered = broadcast(a).crossJoin(b)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val top5 = qEmbedCosineTopk(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("t5"))
+    filtered.join(top5, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"),
+        coalesce(col("t5"), lit(0L)).as("in_unfiltered_top5"))
+  }
+
+  val annFilteredSql: String = {
+    val labs = FilteredLabels.mkString(", ")
+    s"""WITH $quantizedSql,
+       |b AS (SELECT qn.vec_id AS neighbor_id, qn.q AS qb, qn.nrm AS nb
+       |      FROM qn JOIN embeddings e ON qn.vec_id = e.vec_id
+       |      WHERE e.label IN ($labs)),
+       |a AS (SELECT vec_id, q AS qa, nrm AS na FROM qn
+       |      WHERE vec_id < $QuerySetSize),
+       |p AS (SELECT a.vec_id, b.neighbor_id,
+       |        CAST(list_sum(list_transform(generate_series(1, len(a.qa)),
+       |          i -> a.qa[i] * b.qb[i])) AS DOUBLE)
+       |          / sqrt(CAST(a.na * b.nb AS DOUBLE)) AS cos
+       |      FROM a, b WHERE a.vec_id <> b.neighbor_id),
+       |r AS (SELECT vec_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM p),
+       |t5 AS (SELECT vec_id, neighbor_id FROM ($embedCosineTopkSql))
+       |SELECT r.vec_id, r.neighbor_id, round(r.cos, 6) AS cosine, r.rn,
+       |       CAST(CASE WHEN t5.vec_id IS NOT NULL THEN 1 ELSE 0 END
+       |         AS BIGINT) AS in_unfiltered_top5
+       |FROM r LEFT JOIN t5 ON r.vec_id = t5.vec_id
+       |                   AND r.neighbor_id = t5.neighbor_id
+       |WHERE r.rn <= 3""".stripMargin
+  }
 }

@@ -2060,4 +2060,69 @@ object TextAnalysis {
        |         * 1000000 // CAST(SUM(tf) AS BIGINT) AS cov_ppm
        |FROM r CROSS JOIN kk GROUP BY k""".stripMargin
   }
+
+  /** Count-Min sketch geometry: depth (independent hash rows) × width
+    * (buckets per row). CONSTANTS — the sketch is d·W counters no
+    * matter the corpus size; that boundedness is the whole point. Width
+    * 64 is deliberately small so the fixture vocabulary collides and
+    * the overcount column exercises the estimator's one-sided error. */
+  private val CmsDepth = 3
+  private val CmsWidth = 64
+
+  /** q_cms_topk — Count-Min-Sketch heavy hitters: estimate the top-10
+    * most frequent tokens from a d×W=3×64-counter sketch and report the
+    * estimate NEXT TO the exact count, so the one-sided overcount
+    * (est ≥ exact always; equality iff no bucket collision in some row)
+    * is measured, not assumed. Bucket j for token t is
+    * hash60(t ∥ "#j") mod W — the same plan-time-free in-row hashing as
+    * the LSH family, one row per (token, j).
+    *
+    * Scale shape: the sketch is a CONSTANT d·W-row frame (192 counters)
+    * built by one map-side-combinable aggregation over the vocab
+    * (Zipf-bounded) token-frequency frame; the estimate join keys the
+    * vocab against those 192 rows (broadcast), and the top-10 is a
+    * vocab-sized rank window (the q_vocab_coverage shape). On a stream,
+    * the same sketch is mergeable state — counter sums commute across
+    * micro-batches — which is why production heavy-hitter pipelines
+    * ship THIS shape and not the exact groupBy. */
+  def qCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(words).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact"))
+    val rows = vocab.select(col("token"), col("exact"),
+      posexplode(array((0 until CmsDepth).map(j =>
+        pmod(hash60(concat(col("token"), lit("#" + j))), lit(CmsWidth))): _*))
+        .as(Seq("j", "b")))
+    val sketch = rows.groupBy("j", "b").agg(sum("exact").as("bsum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est").desc, col("token"))
+    rows.join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("token")
+      .agg(min("bsum").as("est"), max("exact").as("exact"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("token"), col("rn"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
+  val cmsTopkSql: String = {
+    val bucket = (j: Int) =>
+      graft.functions.Portable.hash60Sql(s"token || '#$j'") + s" % $CmsWidth"
+    val arms = (0 until CmsDepth)
+      .map(j => s"SELECT token, exact, $j AS j, ${bucket(j)} AS b FROM v")
+      .mkString("\n       UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact
+       |  FROM (SELECT unnest($wordsSql) AS token FROM documents)
+       |  GROUP BY token),
+       |r AS ($arms),
+       |s AS (SELECT j, b, CAST(SUM(exact) AS BIGINT) AS bsum
+       |      FROM r GROUP BY j, b),
+       |e AS (SELECT token, MIN(bsum) AS est, MAX(exact) AS exact
+       |      FROM r JOIN s USING (j, b) GROUP BY token)
+       |SELECT token,
+       |       row_number() OVER (ORDER BY est DESC, token) AS rn,
+       |       est, exact, est - exact AS overcount
+       |FROM e QUALIFY rn <= 10""".stripMargin
+  }
 }

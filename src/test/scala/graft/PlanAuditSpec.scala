@@ -810,4 +810,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 2, s"(doc,th) count + doc regroup only: $n exchanges")
     assert(finalScans(plan) <= 1)
   }
+
+  test("q_ann_filtered: label In-predicate pushed to the parquet scan (r9)") {
+    val plan = executed(Similarity.qAnnFiltered(spark, dir))
+    // PRE-filter strategy: the constant label set reaches the reader as
+    // a pushed In filter — only passing rows are quantized and scored
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findFirstIn(plan).isDefined,
+      s"label In filter must reach the scan:\n${plan.take(2000)}")
+    // the query side broadcasts; the filtered corpus streams past it
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "|Q|-bounded query set must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_cms_topk: constant-size sketch broadcasts; vocab-sized rank window (r9)") {
+    val plan = executed(TextAnalysis.qCmsTopk(spark, dir))
+    // the d·W-counter sketch is the broadcast side of the estimate join
+    assert(plan.contains("BroadcastExchange"),
+      "the 192-row sketch must broadcast against the vocab")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
