@@ -34,6 +34,8 @@ case class IndexMeta(formatVersion: Int, corpusDir: String,
   *   - `codes/`        (vec_id, cell, code)      — one row per vector,
   *     the ~9-byte/vector ADC scan side
   *   - `meta/`         ([[IndexMeta]])           — 1 row, the validity claim
+  *   - `tombstones/`   (vec_id)                  — OPTIONAL dead-id set
+  *     ([[delete]]); serve paths anti-join it, [[vacuum]] reclaims it
   *
   * SINK ([[write]]): one assignment pass + one encode pass, each a
   * single corpus scan, written with the corpus partitioning (no
@@ -212,9 +214,33 @@ object AnnIndex {
     spark.read.parquet(p(root, part))
   }
 
-  /** The served posting-list frame (vec_id, cell, q, nrm, ccos). */
+  /** The tombstone set (vec_id rows), or None when no delete has ever
+    * run against this root — the artifact is OPTIONAL (a v2 index
+    * without it is simply fully live), so absence is not an error. */
+  private def tombstones(spark: SparkSession, root: String): Option[DataFrame] =
+    try {
+      val t = spark.read.parquet(p(root, "tombstones")).select(col("vec_id"))
+      Some(t)
+    } catch { case _: Exception => None }
+
+  /** Mask tombstoned ids out of a per-vector artifact frame. A
+    * LEFT ANTI against the (small) tombstone set — broadcast by Spark's
+    * own size estimate; the posting/code side streams. */
+  private def masked(spark: SparkSession, root: String,
+      frame: DataFrame): DataFrame =
+    tombstones(spark, root) match {
+      case Some(t) => frame.join(t, Seq("vec_id"), "left_anti")
+      case None => frame
+    }
+
+  /** The served posting-list frame (vec_id, cell, q, nrm, ccos) with
+    * tombstoned vectors masked out — every serve path (annSearch,
+    * query, adcSearch) sees only live vectors, so cell populations
+    * (and thus the hot-cell cap) match an index rebuilt without the
+    * deleted rows. Maintenance paths ([[append]]'s dup check, the
+    * [[vacuum]] rewrite) read RAW. */
   def assignments(spark: SparkSession, root: String): DataFrame =
-    served(spark, root, "assignments")
+    masked(spark, root, served(spark, root, "assignments"))
 
   /** The served coarse centroids (cell, qc, nc). */
   def centroids(spark: SparkSession, root: String): DataFrame =
@@ -236,7 +262,8 @@ object AnnIndex {
     val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
       s"AnnIndex: no readable index meta at $root"))
     val book = readCodebook(spark, root, meta)
-    val codes = served(spark, root, "codes").select(col("vec_id"), col("code"))
+    val codes = masked(spark, root,
+      served(spark, root, "codes")).select(col("vec_id"), col("code"))
     Similarity.adcTopK(codes, Similarity.pqLuts(spark, corpusDir, book))
   }
 
@@ -351,8 +378,12 @@ object AnnIndex {
         s"AnnIndex: the new batch repeats ${batchN - distinctN} vec_id(s) " +
           "within itself — an intra-batch duplicate would double-write " +
           "posting and code rows")
+      // dup check against the RAW rows: a tombstoned id still occupies
+      // its posting row, so re-appending it would double-write — it
+      // must be vacuumed before its id can return
       val dup = q.select(col("vec_id"))
-        .join(assignments(spark, root).select(col("vec_id")), "vec_id").count()
+        .join(spark.read.parquet(p(root, "assignments"))
+          .select(col("vec_id")), "vec_id").count()
       require(dup == 0, s"AnnIndex: $dup of the new vec_ids are already indexed")
       // frozen-book assignment: same argmax/tiebreak as the full build
       val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
@@ -384,6 +415,105 @@ object AnnIndex {
         .write.mode("overwrite").parquet(p(root, "meta"))
       newMeta
     } finally q.unpersist()
+  }
+
+  /** TOMBSTONE delete — the third leg of the index lifecycle
+    * (build / append / delete): mark vectors dead WITHOUT rewriting the
+    * per-vector artifacts. The tombstone set is a parquet list of
+    * vec_ids; every serve path anti-joins it (see [[assignments]]), so
+    * served results — including cell populations and the hot-cell
+    * cap — equal an index rebuilt without the deleted rows (spec'd in
+    * `IndexServeSpec`). Cost is O(|batch|): one membership check
+    * against the raw posting ids plus one small parquet append; the
+    * posting lists and codes are untouched until [[vacuum]] reclaims
+    * them. Idempotent: already-tombstoned ids are skipped, and the
+    * returned count is the number NEWLY deleted. Unknown ids are
+    * refused — a delete that silently no-ops is how a
+    * right-to-be-forgotten pipeline loses track of what it actually
+    * removed. Meta is NOT touched: `nVectors` stays the raw row count
+    * (what [[append]]'s torn-write verification counts); the live
+    * count is raw minus tombstones until vacuum folds it in. */
+  def delete(spark: SparkSession, root: String, vecIds: DataFrame): Long = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"AnnIndex: cannot delete from $root — no readable index meta"))
+    require(meta.formatVersion == FormatVersion,
+      s"AnnIndex: $root is format v${meta.formatVersion}")
+    val ids = vecIds.select(col("vec_id").cast("long")).distinct().cache()
+    try {
+      val n = ids.count()
+      val known = ids.join(spark.read.parquet(p(root, "assignments"))
+        .select(col("vec_id")), "vec_id").count()
+      require(known == n,
+        s"AnnIndex: ${n - known} of the ids to delete are not in the index " +
+          "— refusing a partial delete (the caller's bookkeeping would drift)")
+      val fresh = tombstones(spark, root) match {
+        case Some(t) => ids.join(t, Seq("vec_id"), "left_anti")
+        case None => ids
+      }
+      val freshN = fresh.count()
+      if (freshN > 0)
+        fresh.write.mode("append").parquet(p(root, "tombstones"))
+      freshN
+    } finally ids.unpersist()
+  }
+
+  /** Reclaim tombstoned rows: rewrite assignments and codes WITHOUT
+    * the dead vectors, fold the live count into meta, and drop the
+    * tombstone set. The rewrite goes through a sibling directory and a
+    * filesystem rename (parquet cannot overwrite a directory it is
+    * reading), and meta — the commit record, as in [[append]] — is
+    * written only after both renamed artifacts count out exactly; a
+    * crash mid-vacuum therefore leaves either the old layout (renames
+    * not yet done) or a row-count mismatch that [[ensure]] reads as
+    * stale and rebuilds. No-op (same meta back) when nothing is
+    * tombstoned. After vacuum, a previously deleted id may be
+    * re-[[append]]ed — its posting row is physically gone.
+    *
+    * Note the [[ensure]] interaction: vacuum shrinks `nVectors` below
+    * the ORIGINAL corpus row count, so ensure() against the unshrunk
+    * corpus dir will read the index as stale and rebuild it (and
+    * resurrect the deleted vectors). Delete/vacuum serve the corpus
+    * that is itself shrinking — run them when the corpus snapshot
+    * drops the same rows. */
+  def vacuum(spark: SparkSession, root: String): IndexMeta = {
+    import spark.implicits._
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"AnnIndex: cannot vacuum $root — no readable index meta"))
+    require(meta.formatVersion == FormatVersion,
+      s"AnnIndex: $root is format v${meta.formatVersion}")
+    val tomb = tombstones(spark, root)
+    if (tomb.isEmpty) return meta
+    val t = tomb.get.cache()
+    try {
+      val dead = t.count()
+      if (dead == 0) return meta
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(hconf)
+      def swap(part: String): Unit = {
+        val live = spark.read.parquet(p(root, part))
+          .join(t, Seq("vec_id"), "left_anti")
+        live.write.mode("overwrite").parquet(p(root, part + ".compact"))
+        val cur = new org.apache.hadoop.fs.Path(p(root, part))
+        val next = new org.apache.hadoop.fs.Path(p(root, part + ".compact"))
+        fs.delete(cur, true)
+        require(fs.rename(next, cur),
+          s"AnnIndex: vacuum rename failed for $part at $root")
+      }
+      swap("assignments")
+      swap("codes")
+      val nAsg = spark.read.parquet(p(root, "assignments")).count()
+      val nCodes = spark.read.parquet(p(root, "codes")).count()
+      val liveN = meta.nVectors - dead
+      require(nAsg == liveN && nCodes == liveN,
+        s"AnnIndex: post-vacuum counts ($nAsg assignments, $nCodes codes) " +
+          s"do not match ${meta.nVectors} − $dead — refusing to commit meta")
+      val newMeta = meta.copy(nVectors = liveN)
+      Seq(newMeta).toDS().toDF().coalesce(1)
+        .write.mode("overwrite").parquet(p(root, "meta"))
+      fs.delete(new org.apache.hadoop.fs.Path(p(root, "tombstones")), true)
+      newMeta
+    } finally t.unpersist()
   }
 
   /** Default per-corpus index location (scratch space — a deployment

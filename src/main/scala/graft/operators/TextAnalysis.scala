@@ -2066,8 +2066,16 @@ object TextAnalysis {
     * matter the corpus size; that boundedness is the whole point. Width
     * 64 is deliberately small so the fixture vocabulary collides and
     * the overcount column exercises the estimator's one-sided error. */
-  private val CmsDepth = 3
-  private val CmsWidth = 64
+  private[graft] val CmsDepth = 3
+  private[graft] val CmsWidth = 64
+
+  /** The d bucket columns for one token column — hash60(t ∥ "#j")
+    * mod W. SHARED by the batch sketch ([[qCmsTopk]]) and the
+    * streaming counters ([[graft.streaming.SketchStream]]), so the two
+    * bucket identically by construction. */
+  private[graft] def cmsBuckets(tok: Column): Seq[Column] =
+    (0 until CmsDepth).map(j =>
+      pmod(hash60(concat(tok, lit("#" + j))), lit(CmsWidth)))
 
   /** q_cms_topk — Count-Min-Sketch heavy hitters: estimate the top-10
     * most frequent tokens from a d×W=3×64-counter sketch and report the
@@ -2090,9 +2098,7 @@ object TextAnalysis {
       .select(explode(words).as("token"))
       .groupBy("token").agg(count(lit(1)).as("exact"))
     val rows = vocab.select(col("token"), col("exact"),
-      posexplode(array((0 until CmsDepth).map(j =>
-        pmod(hash60(concat(col("token"), lit("#" + j))), lit(CmsWidth))): _*))
-        .as(Seq("j", "b")))
+      posexplode(array(cmsBuckets(col("token")): _*)).as(Seq("j", "b")))
     val sketch = rows.groupBy("j", "b").agg(sum("exact").as("bsum"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("est").desc, col("token"))

@@ -286,4 +286,57 @@ class IndexServeSpec extends SparkSpec {
     assert(AnnIndex.assignments(spark, trainedRoot).count() ==
       AnnIndex.assignments(spark, naiveRoot).count())
   }
+
+  test("delete(): every serve path == an index rebuilt without the rows; " +
+      "vacuum compacts and meta commits last") {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+    val dead = Seq(100L, 200L, 300L)
+    // reference: an index built from a corpus that never had the rows
+    // (deleted ids sit above the K=16 naive seed and the PQ query set,
+    // so books and query LUTs are identical across the two corpora)
+    val keepDir = tmpDir("ann_del_corpus")
+    all.filter(!col("vec_id").isin(dead: _*))
+      .write.parquet(s"$keepDir/embeddings.parquet")
+    val refRoot = tmpDir("ann_del_ref")
+    AnnIndex.write(spark, keepDir, refRoot)
+    val root = tmpDir("ann_del_live")
+    AnnIndex.write(spark, sf, root)
+    // delete is counted, idempotent, and refuses unknown ids
+    assert(AnnIndex.delete(spark, root, dead.toDF("vec_id")) == 3L)
+    assert(AnnIndex.delete(spark, root, dead.toDF("vec_id")) == 0L,
+      "re-deleting the same ids must be a counted no-op")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.delete(spark, root, Seq(999999L).toDF("vec_id"))
+    }
+    assert(e.getMessage.contains("not in the index"))
+    // tombstone-masked serving == the rebuilt-without-them index, on
+    // every serve path (cell populations and hot-cell cap included)
+    assert(rowSet(AnnIndex.annSearch(spark, root)) ==
+      rowSet(AnnIndex.annSearch(spark, refRoot)))
+    assert(rowSet(AnnIndex.adcSearch(spark, sf, root)) ==
+      rowSet(AnnIndex.adcSearch(spark, keepDir, refRoot)))
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 450)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(rowSet(AnnIndex.query(spark, root, queries, nprobe = 2)) ==
+      rowSet(AnnIndex.query(spark, refRoot, queries, nprobe = 2)))
+    // vacuum physically reclaims: counts shrink, results hold, the
+    // tombstone set is gone, meta commits the live count
+    val before = AnnIndex.annSearch(spark, root).collect().map(_.toString).toSet
+    val meta = AnnIndex.vacuum(spark, root)
+    assert(meta.nVectors == all.count() - 3)
+    assert(spark.read.parquet(s"$root/assignments").count() == meta.nVectors)
+    assert(spark.read.parquet(s"$root/codes").count() == meta.nVectors)
+    assert(!new java.io.File(s"$root/tombstones").exists())
+    assert(rowSet(AnnIndex.annSearch(spark, root)) == before,
+      "vacuum must not change served results")
+    // a vacuumed id's row is physically gone — it may be re-appended
+    AnnIndex.append(spark, keepDir, root,
+      all.filter(col("vec_id") === 100L).select("vec_id", "embedding"))
+    assert(AnnIndex.readMeta(spark, root).get.nVectors == all.count() - 2)
+    // vacuum with nothing tombstoned is a no-op returning the same meta
+    assert(AnnIndex.vacuum(spark, root) ==
+      AnnIndex.readMeta(spark, root).get)
+  }
 }
