@@ -1085,7 +1085,17 @@ object Dedup {
     * is map-side combinable; 60× row expansion happens AFTER the
     * token-count aggregation so it scales with vocabulary, not corpus.
     */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(spark, dir)
+
+  /** The per-doc simhash+bands frame, materialized once per (session,
+    * dir) — shared by [[qSimhash]] and [[qSimhashPairs]] (the pairs
+    * query would otherwise recompute the 60×-vocabulary bit shuffle
+    * on both sides of its band join). One row per doc. */
+  private def simhashFrame(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "simhash")(simhashPlan(spark, dir))
+
+  private[graft] def simhashPlan(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
@@ -1124,6 +1134,70 @@ object Dedup {
        |       (simhash >> 30) & 32767 AS band2,
        |       (simhash >> 45) & 32767 AS band3
        |FROM sim""".stripMargin
+
+  /** q_simhash_pairs — SimHash near-dup detection END TO END (Manku,
+    * Jain & Sarma's web-dedup design): candidate pairs share at least
+    * one of the 4 15-bit bands (by the pigeonhole rule any pair within
+    * Hamming distance 3 of 60 bits shares a band — banding is
+    * RECALL-LOSSLESS at that radius, unlike MinHash banding), then each
+    * candidate is verified with the exact Hamming distance
+    * `bit_count(xor)` and flagged `is_dup` at radius ≤ 7. Completes the
+    * SimHash family the way q_lsh_verify completes MinHash: signature →
+    * bucket → candidates → exact verify, never all-pairs.
+    *
+    * Shape: the materialized [[simhashFrame]] explodes to 4 (band_id,
+    * band_val) rows per doc, hot buckets capped at 10 000 members (the
+    * bandPairsPlan guard — the only quadratic path), one equality
+    * self-join, then the verify is a per-row xor on signatures carried
+    * THROUGH the join (min() re-reads them past the pair groupBy —
+    * no re-join against the signature frame). Output ∝ candidates.
+    */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhashFrame(spark, dir)
+    val bands = sim
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_id", "band_val")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("band_id", "band_val")))
+      .filter(col("bsz") <= 10000).drop("bsz")
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        min(col("a.simhash")).as("sim_a"),
+        min(col("b.simhash")).as("sim_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("hamming"))
+      .withColumn("is_dup", (col("hamming") <= 7).cast("int"))
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH simq AS ($simhashSql),
+       |bands0 AS (
+       |  SELECT doc_id, simhash, band_id, band_val FROM (
+       |    SELECT doc_id, simhash,
+       |           unnest([0, 1, 2, 3]) AS band_id,
+       |           unnest([band0, band1, band2, band3]) AS band_val
+       |    FROM simq)),
+       |bands AS (SELECT * FROM bands0
+       |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val)
+       |            <= 10000),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         COUNT(*) AS n_shared_bands,
+       |         min(a.simhash) AS sim_a, min(b.simhash) AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared_bands,
+       |       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming,
+       |       CAST(bit_count(xor(sim_a, sim_b)) <= 7 AS INT) AS is_dup
+       |FROM cand""".stripMargin
 
   /** Winnowing window size: each sliding window of [[winnowW]] consecutive
     * 4-gram hashes contributes its MINIMUM as a fingerprint. Guarantees
@@ -1397,6 +1471,81 @@ object Dedup {
        |  JOIN sig sb ON p.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, exact_x10k, est_x10k,
        |       abs(est_x10k - exact_x10k) AS abs_err_x10k
+       |FROM est""".stripMargin
+  }
+
+  /** q_bbit_minhash — b-bit MinHash compression error (b=1): keep only
+    * the LOWEST BIT of each of the 16 signature components (16 bits per
+    * doc instead of 16×31-bit values — a ~31× signature-store shrink)
+    * and compare the debiased 1-bit estimate against both the full-
+    * signature estimate and the exact shingle Jaccard, per near-dup
+    * pair. For b=1 two independent minhashes agree on their low bit
+    * with probability J + (1−J)/2, so the unbiased estimate is
+    * 2·(agree/k) − 1, clipped at 0 (Li & König's b-bit minwise
+    * hashing); the diagnostic answers whether 1-bit signatures are
+    * accurate enough at the deployment's J threshold BEFORE shrinking
+    * the store. All-integer ×10⁴ scaling; clip via greatest(0, ·) so
+    * no negative ever meets a truncating division.
+    *
+    * Shape: identical to [[qMinhashEstErr]] — the thresholded pair
+    * list joins the materialized signature frame twice on the 8-byte
+    * id; the bit extraction is a per-row `% 2` on already-joined
+    * columns, nothing new shuffles.
+    */
+  def qBbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 10000).cast("long").as("exact_x10k"))
+    val sig = minhashSig(spark, dir)
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val fullM = (0 until 16).map(i =>
+      when(col(s"a_s$i") === col(s"b_s$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val bitM = (0 until 16).map(i =>
+      when(col(s"a_s$i") % 2 === col(s"b_s$i") % 2, 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigA, col("doc_a") === col("a_doc_id"))
+      .join(sigB, col("doc_b") === col("b_doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("exact_x10k"),
+        (fullM * 625L).as("est_full_x10k"),
+        bitM.as("bit_agree"),
+        greatest(lit(0L), (bitM * 2L - 16L) * 625L).as("est_bbit_x10k"))
+      .withColumn("err_full_x10k",
+        abs(col("est_full_x10k") - col("exact_x10k")))
+      .withColumn("err_bbit_x10k",
+        abs(col("est_bbit_x10k") - col("exact_x10k")))
+  }
+
+  val bbitMinhashSql: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"min((h30 * ${mhA(i)} + ${mhB(i)}) % $P) AS s$i")
+      .mkString(",\n|        ")
+    val fullSum = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bitSum = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i % 2 = sb.s$i % 2 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $ngramPairsCtes,
+       |hsh AS (SELECT doc_id, sh % 1073741824 AS h30 FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $sigExprs
+       |       FROM hsh GROUP BY doc_id),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(round(p.jaccard * 10000) AS BIGINT) AS exact_x10k,
+       |         CAST(($fullSum) * 625 AS BIGINT) AS est_full_x10k,
+       |         CAST($bitSum AS BIGINT) AS bit_agree
+       |  FROM pairs p
+       |  JOIN sig sa ON p.doc_a = sa.doc_id
+       |  JOIN sig sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, exact_x10k, est_full_x10k, bit_agree,
+       |       greatest(0, (bit_agree * 2 - 16) * 625) AS est_bbit_x10k,
+       |       abs(est_full_x10k - exact_x10k) AS err_full_x10k,
+       |       abs(greatest(0, (bit_agree * 2 - 16) * 625) - exact_x10k)
+       |         AS err_bbit_x10k
        |FROM est""".stripMargin
   }
 

@@ -3392,6 +3392,94 @@ object MetricsEtl {
        |            AS INT) AS page
        |FROM a""".stripMargin
 
+  /** q_alert_for — Prometheus ALERTING-RULE evaluation with a `for:`
+    * duration, the last missing piece of the rule-engine surface (the
+    * recording-rule side is q_sum_rate / streamingSumRate): the rule
+    * `m > 50 FOR 20m` evaluated at every 10m step over the full range,
+    * emitting the ALERTS-series view — one row per (series, eval step)
+    * where the condition holds, labeled `pending` until the condition
+    * has held for ≥ 2 CONSECUTIVE evaluations and `firing` after, plus
+    * `active_since_s` (Prometheus's `activeAt`: the first eval of the
+    * current uninterrupted true-run). A missed eval (staleness gap in
+    * the 30m lookback) RESETS the run, exactly like a real rule
+    * evaluator; inactive steps emit nothing, like the ALERTS metric.
+    *
+    * Shape: the q_range_eval constant-width explode (each sample → its
+    * 3 step-floored lookback members) gives the instant vector at every
+    * step as rn=1 of a (series, step)-partitioned order — no grid join,
+    * no per-step re-scan; the for-duration is then gaps-and-islands on
+    * the TRUE evals (island = step − row_number over the series — two
+    * window passes on one series-keyed shuffle). Work ∝ 3n rows end to
+    * end; nothing is corpus-bounded but the output, which is the alert
+    * stream itself.
+    */
+  def qAlertFor(spark: SparkSession, dir: String): DataFrame = {
+    val stepS = 600L
+    val lookSteps = 3 // 30m instant-vector lookback, step-floored
+    val forSteps = 2 // for: 20m at 10m resolution
+    val thCents = 5000L // rule: m > 50
+    val evals = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("sample_step", expr(s"ts_us div ${stepS * 1000000L}"))
+      .select(col("name"), col("user_id"), col("ts_us"), col("event_id"),
+        col("cents"),
+        explode(sequence(col("sample_step"),
+          col("sample_step") + (lookSteps - 1))).as("eval_step"))
+    val wLast = Window.partitionBy("name", "user_id", "eval_step")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val instant = evals
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("user_id"), col("eval_step"), col("cents"))
+    val wSeries = Window.partitionBy("name", "user_id").orderBy("eval_step")
+    val runs = instant.filter(col("cents") > thCents)
+      .withColumn("island", col("eval_step") - row_number().over(wSeries))
+    val wIsland =
+      Window.partitionBy("name", "user_id", "island").orderBy("eval_step")
+    val wIslandAll = Window.partitionBy("name", "user_id", "island")
+    runs
+      .withColumn("held", row_number().over(wIsland))
+      .withColumn("active_since_s",
+        min("eval_step").over(wIslandAll) * stepS)
+      .select(col("name"), col("user_id"),
+        (col("eval_step") * stepS).as("eval_ts_s"),
+        col("cents").as("value_cents"),
+        when(col("held") >= forSteps, lit("firing"))
+          .otherwise(lit("pending")).as("state"),
+        col("active_since_s"))
+  }
+
+  val alertForSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value*100) AS BIGINT) AS cents,
+      |         epoch_us(ts) // 600000000 AS sample_step
+      |  FROM events),
+      |e AS (
+      |  SELECT name, user_id, ts_us, event_id, cents,
+      |         unnest(generate_series(sample_step, sample_step + 2))
+      |           AS eval_step
+      |  FROM s),
+      |iv AS (
+      |  SELECT name, user_id, eval_step, cents FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY name, user_id, eval_step
+      |               ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+      |  WHERE rn = 1),
+      |tr AS (
+      |  SELECT *, eval_step - row_number() OVER (PARTITION BY name, user_id
+      |             ORDER BY eval_step) AS island
+      |  FROM iv WHERE cents > 5000)
+      |SELECT name, user_id, eval_step * 600 AS eval_ts_s,
+      |       cents AS value_cents,
+      |       CASE WHEN row_number() OVER (PARTITION BY name, user_id, island
+      |              ORDER BY eval_step) >= 2
+      |            THEN 'firing' ELSE 'pending' END AS state,
+      |       min(eval_step) OVER (PARTITION BY name, user_id, island) * 600
+      |         AS active_since_s
+      |FROM tr""".stripMargin
+
   /** q_gap_fill — aligned-grid gap filling over a watch-listed series
     * set (ClickHouse `WITH FILL` / TimescaleDB `time_bucket_gapfill`,
     * and the resampling step before any classic time-series model):

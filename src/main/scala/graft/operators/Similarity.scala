@@ -2189,4 +2189,140 @@ object Similarity {
        |                   AND r.neighbor_id = t5.neighbor_id
        |WHERE r.rn <= 3""".stripMargin
   }
+
+  /** q_mmr — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    * Goldstein), the diversity pass a retrieval stack runs between ANN
+    * and the consumer: from each query's top-5 candidate list, greedily
+    * pick 3 results maximizing λ·rel(d) − (1−λ)·max_{s∈picked}
+    * sim(d, s) with λ = 0.7 — the first pick is pure relevance, later
+    * picks trade relevance against redundancy with what's already
+    * picked (two near-identical top candidates never BOTH survive).
+    * ALL-INTEGER scoring: relevance and candidate-pair cosines are the
+    * round-6 values ×10⁶, the MMR objective is 7·rel − 3·max_sim in
+    * those units (λ exact as 7/10) — argmax compares int64s, never
+    * float sums, so the greedy trajectory is engine-exact. Ties break
+    * by neighbor_id.
+    *
+    * Scale shape: rides the MATERIALIZED |Q|·5 [[qEmbedCosineTopk]]
+    * frame; the candidate vectors come from ONE corpus scan filtered by
+    * a broadcast candidate-id list (≤ 5·|Q| ids), pairwise sims are
+    * |Q|·20 rows, and the K=3 greedy unrolls to three joins over those
+    * constant-size frames — corpus-free after the one filtered scan.
+    */
+  def qMmr(spark: SparkSession, dir: String): DataFrame = {
+    val cand = qEmbedCosineTopk(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cosine") * 1000000).cast("long").as("rel_x1m"),
+        col("rn"))
+    val ids = cand.select(col("neighbor_id").as("cid")).distinct()
+    val cv = quantized(spark, dir)
+      .join(broadcast(ids), col("vec_id") === col("cid"))
+      .select(col("cid"), col("q"), col("nrm"))
+    val cvA = cv.select(col("cid").as("a_id"), col("q").as("qa"),
+      col("nrm").as("na"))
+    val cvB = cv.select(col("cid").as("b_id"), col("q").as("qb"),
+      col("nrm").as("nb"))
+    val sims = cand.select(col("vec_id"), col("neighbor_id").as("a_id"))
+      .join(cand.select(col("vec_id").as("v2"), col("neighbor_id").as("b_id")),
+        col("vec_id") === col("v2") && col("a_id") =!= col("b_id"))
+      .join(broadcast(cvA), "a_id").join(broadcast(cvB), "b_id")
+      .select(col("vec_id"), col("a_id"), col("b_id"),
+        round(round(cosine(dot(col("qa"), col("qb")), col("na"), col("nb")),
+          6) * 1000000).cast("long").as("sim_x1m"))
+    val s1 = cand.filter(col("rn") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("s1_id"),
+        col("rel_x1m").as("s1_rel"))
+    // every rn>1 candidate with its similarity to the first pick
+    val r1 = cand.filter(col("rn") > 1).as("c")
+      .join(s1.as("f"), col("c.vec_id") === col("f.vec_id"))
+      .join(sims.as("s"),
+        col("s.vec_id") === col("c.vec_id") &&
+          col("s.a_id") === col("c.neighbor_id") &&
+          col("s.b_id") === col("f.s1_id"))
+      .select(col("c.vec_id").as("vec_id"), col("c.neighbor_id").as("neighbor_id"),
+        col("c.rel_x1m").as("rel_x1m"), col("s.sim_x1m").as("sim1"))
+    val w2 = Window.partitionBy("vec_id")
+      .orderBy(col("mmr").desc, col("neighbor_id"))
+    val sel2 = r1
+      .withColumn("mmr", col("rel_x1m") * 7 - col("sim1") * 3)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("rel_x1m"), col("mmr"))
+    val r2 = r1.as("r")
+      .join(sel2.select(col("vec_id").as("v3"), col("neighbor_id").as("s2_id")),
+        col("r.vec_id") === col("v3") && col("r.neighbor_id") =!= col("s2_id"))
+      .join(sims.as("t"),
+        col("t.vec_id") === col("r.vec_id") &&
+          col("t.a_id") === col("r.neighbor_id") &&
+          col("t.b_id") === col("s2_id"))
+      .select(col("r.vec_id").as("vec_id"), col("r.neighbor_id").as("neighbor_id"),
+        col("r.rel_x1m").as("rel_x1m"),
+        greatest(col("r.sim1"), col("t.sim_x1m")).as("simmax"))
+    val sel3 = r2
+      .withColumn("mmr", col("rel_x1m") * 7 - col("simmax") * 3)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("rel_x1m"), col("mmr"))
+    s1.select(col("vec_id"), lit(1).as("pick"), col("s1_id").as("neighbor_id"),
+        col("s1_rel").as("rel_x1m"), (col("s1_rel") * 7).as("mmr_x1m"))
+      .unionAll(sel2.select(col("vec_id"), lit(2).as("pick"),
+        col("neighbor_id"), col("rel_x1m"), col("mmr").as("mmr_x1m")))
+      .unionAll(sel3.select(col("vec_id"), lit(3).as("pick"),
+        col("neighbor_id"), col("rel_x1m"), col("mmr").as("mmr_x1m")))
+  }
+
+  val mmrSql: String =
+    s"""WITH $quantizedSql,
+       |cand AS (SELECT vec_id, neighbor_id,
+       |          CAST(round(cosine * 1000000) AS BIGINT) AS rel_x1m, rn
+       |         FROM ($embedCosineTopkSql)),
+       |sims AS (
+       |  SELECT c1.vec_id, c1.neighbor_id AS a_id, c2.neighbor_id AS b_id,
+       |         CAST(round(round(
+       |           CAST(list_sum(list_transform(generate_series(1, len(va.q)),
+       |             i -> va.q[i] * vb.q[i])) AS DOUBLE)
+       |             / sqrt(CAST(va.nrm * vb.nrm AS DOUBLE)), 6) * 1000000)
+       |           AS BIGINT) AS sim_x1m
+       |  FROM cand c1
+       |  JOIN cand c2 ON c1.vec_id = c2.vec_id
+       |              AND c1.neighbor_id <> c2.neighbor_id
+       |  JOIN qn va ON va.vec_id = c1.neighbor_id
+       |  JOIN qn vb ON vb.vec_id = c2.neighbor_id),
+       |f1 AS (SELECT vec_id, neighbor_id AS s1_id, rel_x1m AS s1_rel
+       |       FROM cand WHERE rn = 1),
+       |r1 AS (
+       |  SELECT c.vec_id, c.neighbor_id, c.rel_x1m, s.sim_x1m AS sim1
+       |  FROM cand c
+       |  JOIN f1 ON c.vec_id = f1.vec_id AND c.rn > 1
+       |  JOIN sims s ON s.vec_id = c.vec_id AND s.a_id = c.neighbor_id
+       |             AND s.b_id = f1.s1_id),
+       |sel2 AS (
+       |  SELECT vec_id, neighbor_id, rel_x1m, mmr FROM (
+       |    SELECT r1.*, rel_x1m * 7 - sim1 * 3 AS mmr,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY rel_x1m * 7 - sim1 * 3 DESC, neighbor_id) AS rk
+       |    FROM r1) WHERE rk = 1),
+       |r2 AS (
+       |  SELECT r1.vec_id, r1.neighbor_id, r1.rel_x1m,
+       |         greatest(r1.sim1, t.sim_x1m) AS simmax
+       |  FROM r1
+       |  JOIN sel2 ON r1.vec_id = sel2.vec_id
+       |           AND r1.neighbor_id <> sel2.neighbor_id
+       |  JOIN sims t ON t.vec_id = r1.vec_id AND t.a_id = r1.neighbor_id
+       |             AND t.b_id = sel2.neighbor_id),
+       |sel3 AS (
+       |  SELECT vec_id, neighbor_id, rel_x1m, mmr FROM (
+       |    SELECT r2.*, rel_x1m * 7 - simmax * 3 AS mmr,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY rel_x1m * 7 - simmax * 3 DESC, neighbor_id) AS rk
+       |    FROM r2) WHERE rk = 1)
+       |SELECT vec_id, 1 AS pick, s1_id AS neighbor_id, s1_rel AS rel_x1m,
+       |       s1_rel * 7 AS mmr_x1m
+       |FROM f1
+       |UNION ALL
+       |SELECT vec_id, 2 AS pick, neighbor_id, rel_x1m, mmr AS mmr_x1m
+       |FROM sel2
+       |UNION ALL
+       |SELECT vec_id, 3 AS pick, neighbor_id, rel_x1m, mmr AS mmr_x1m
+       |FROM sel3""".stripMargin
 }
