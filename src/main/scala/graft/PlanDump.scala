@@ -112,7 +112,13 @@ object PlanDump {
       "q_distinct_ngrams" -> "diversity: unigram half on the shared tf frame, in-row bigrams, map-side-combined counts (r9)",
       "q_bm25" -> "BM25: shared token explode, plan-time hashed terms, 3-row df + 1-row stats broadcasts (r9)",
       "q_power_iter" -> "power iteration: native vec_dot + vec_sum, ONE d-buffer merge exchange, explode above the agg (r9)",
-      "q_token_entropy" -> "token entropy: shared docTokens explode, (doc,type)-bounded 8-byte-hash shuffles (r9)")
+      "q_token_entropy" -> "token entropy: shared docTokens explode, (doc,type)-bounded 8-byte-hash shuffles (r9)",
+      "q_cms_topk" -> "CMS heavy hitters: 192-row sketch broadcast against the vocab, top-10 rank window (r9)",
+      "q_ndcg" -> "retrieval scorecard: materialized |Q|*5 list broadcast, two label-column joins, |Q| tail (r9)",
+      "q_ann_filtered" -> "filtered search: label In-predicate in PushedFilters, |Q| broadcast, K*n' loop (r9)",
+      "q_alert_for" -> "alert for-duration: ONE events scan, join-free explode + island windows (r9)",
+      "q_simhash_pairs" -> "simhash dedup: materialized signature frame, capped band self-join, in-row Hamming verify (r9)",
+      "q_mmr" -> "MMR re-rank: zero parquet scans — broadcast-filtered candidate vectors, constant-frame greedy joins (r9)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

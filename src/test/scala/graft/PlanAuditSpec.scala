@@ -831,4 +831,37 @@ class PlanAuditSpec extends SparkSpec {
       "the 192-row sketch must broadcast against the vocab")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q_alert_for: one events scan, join-free explode+windows (r9)") {
+    val plan = executed(MetricsEtl.qAlertFor(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"the rule evaluator reads events exactly once: ${finalScans(plan)}")
+    // the whole evaluation is explode + windows — no join of any kind
+    assert(!plan.contains("Join"), "alert evaluation must be join-free")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_simhash_pairs: rides the materialized simhash frame, no corpus rescan (r9)") {
+    Dedup.qSimhash(spark, dir) // build the shared frame
+    val plan = executed(Dedup.qSimhashPairs(spark, dir))
+    // both band-join sides read the materialized per-doc frame — the
+    // 60x bit shuffle never re-runs and documents is never re-scanned
+    assert(finalScans(plan) == 0,
+      s"pairs must not rescan documents: ${finalScans(plan)} parquet scans")
+    assert(!plan.contains("CartesianProduct"),
+      "band equality join only — never all-pairs")
+  }
+
+  test("q_mmr: corpus-free after one broadcast-filtered scan (r9)") {
+    Similarity.qEmbedCosineTopk(spark, dir) // build the shared top-5
+    val plan = executed(Similarity.qMmr(spark, dir))
+    // candidate vectors ride the materialized quantized frame filtered
+    // by a broadcast id list; the greedy unroll joins constant-size
+    // frames only
+    assert(finalScans(plan) == 0,
+      s"MMR must not rescan parquet: ${finalScans(plan)} scans")
+    assert(plan.contains("BroadcastExchange"),
+      "candidate-id list / candidate-vector frames must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
