@@ -108,6 +108,13 @@ object PlanDump {
       "q_slo_burn" -> "burn rate: one 3d-sliced scan, conditional aggregation serves both windows — no second pass (r9)",
       "q_gap_fill" -> "gap fill: constant grid union + one ignore-nulls window pass, no join (r9)",
       "q_seq_match" -> "sequence match: one type-filtered scan, lag + running-last windows on one user shuffle (r9)",
+      "q_anomaly_zscore" -> "rolling z-score: join-free, three rolling aggregates on ONE series exchange, all-integer flag (r9b)",
+      "q_seasonal_baseline" -> "seasonal baseline: plan-time scalar last-day, both sides as conditional sums on one groupBy (r9b)",
+      "q_topk_movers" -> "biggest movers: 48h slice in PushedFilters, conditional window sums, TakeOrdered top-5 (r9b)",
+      "q_wau_rolling" -> "rolling WAU: constant-width day explode over the deduped (user,day) frame — never a range self-join (r9b)",
+      "q_funnel_time" -> "time-to-convert: anchor windows share one user exchange, hour-bucket histogram tail (r9b)",
+      "q_boilerplate" -> "boilerplate profile: per-source chunk df, only 8-byte hashes shuffle, two bounded rollups (r9b)",
+      "q_gate_venn" -> "gate Venn: one qFilter scan, 16-row mask aggregate, 1-row total window (r9b)",
       "q_source_chi2" -> "chi-square drift: shared (source,th) aggregate, totals broadcast, |sources|-bounded tail (r9)",
       "q_distinct_ngrams" -> "diversity: unigram half on the shared tf frame, in-row bigrams, map-side-combined counts (r9)",
       "q_bm25" -> "BM25: shared token explode, plan-time hashed terms, 3-row df + 1-row stats broadcasts (r9)",

@@ -3597,4 +3597,175 @@ object MetricsEtl {
        |            ELSE 0.0 END AS interp_val
        |FROM f WHERE is_grid = 1""".stripMargin
   }
+
+  /** q_anomaly_zscore — rolling z-score anomaly detection per series
+    * (the simplest real alerting baseline after static thresholds: is
+    * this sample > 2σ from its own trailing window?). The window is the
+    * 6 PRECEDING samples (never the current one — an anomaly must not
+    * shift its own baseline), ordered (ts, event_id) on one series
+    * shuffle. The flag is an ALL-INTEGER inequality: with μ = s1/n and
+    * σ² = (n·s2 − s1²)/n², the test z² > 4 rewrites to
+    * (c·n − s1)² > 4·(n·s2 − s1²) — no division, no sqrt, no
+    * cross-engine float hazard; the emitted magnitude is the exact
+    * integer (c·n − s1)²·100 div (n·s2 − s1²) (z² ×100). Windows with
+    * fewer than 5 priors or zero variance never flag (a constant
+    * series' first deviation is a schema change, not a z-score — the
+    * σ=0 case has no finite z). Output is the anomaly stream itself —
+    * data-sized only in the rows it flags, like q_alert_for.
+    */
+  def qAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id")
+      .orderBy("ts_us", "event_id").rowsBetween(-6, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", coalesce(sum("cents").over(w), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("cents") * col("cents")).over(w),
+        lit(0L)))
+      .withColumn("num", (col("cents") * col("n") - col("s1"))
+        * (col("cents") * col("n") - col("s1")))
+      .withColumn("den", col("n") * col("s2") - col("s1") * col("s1"))
+      .filter(col("n") >= 5 && col("den") > 0 && col("num") > col("den") * 4)
+      .select(col("name"), col("user_id"), col("ts_us"), col("cents"),
+        expr("num * 100 div den").as("z2_x100"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name, user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT name, user_id, ts_us, cents,
+      |         COUNT(*) OVER w AS n,
+      |         CAST(coalesce(SUM(cents) OVER w, 0) AS BIGINT) AS s1,
+      |         CAST(coalesce(SUM(cents*cents) OVER w, 0) AS BIGINT) AS s2
+      |  FROM s
+      |  WINDOW w AS (PARTITION BY name, user_id ORDER BY ts_us, event_id
+      |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT *, (cents*n - s1)*(cents*n - s1) AS num,
+      |         n*s2 - s1*s1 AS den
+      |  FROM r)
+      |SELECT name, user_id, ts_us, cents, num * 100 // den AS z2_x100
+      |FROM z WHERE n >= 5 AND den > 0 AND num > den * 4""".stripMargin
+
+  /** q_seasonal_baseline — hour-of-day seasonal profile vs the most
+    * recent day (the "is today weird for this hour?" dashboard):
+    * baseline = per (metric, hour-of-day) mean over every day BEFORE
+    * the last, compared with the last day's same-hour mean. The last
+    * day is a scalar aggregate (one number crossing the plan, not a
+    * data-derived set), the two sides are conditional sums on ONE
+    * map-side-combinable groupBy over one scan, and the comparison is
+    * all-integer: means as cents·10⁶ div n, ratio as ppm with the
+    * established greatest(·,1) degenerate guard. Output is
+    * names × 24 — constant-bounded.
+    */
+  def qSeasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val lastDay = e.agg(max("day")).head().getLong(0)
+    e.groupBy("name", "hod")
+      .agg(
+        sum(when(col("day") < lastDay, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("day") < lastDay, col("cents")).otherwise(0L)).as("c_base"),
+        sum(when(col("day") === lastDay, 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("day") === lastDay, col("cents")).otherwise(0L)).as("c_last"))
+      .filter(col("n_base") > 0 && col("n_last") > 0)
+      .select(col("name"), col("hod"), col("n_base"), col("n_last"),
+        expr("c_base * 1000000 div n_base").as("base_avg_x1e6"),
+        expr("c_last * 1000000 div n_last").as("last_avg_x1e6"))
+      // ratio from the VALUE-bounded averages, not the count-bounded
+      // sums: c_last·n_base·10⁶ overflows int64 once both counts pass
+      // ~10⁶·10⁴ (a real month of data); avg_x1e6 ≤ 10¹⁰ regardless of
+      // corpus size, so avg·10⁶ never does
+      .withColumn("ratio_ppm",
+        expr("last_avg_x1e6 * 1000000 div greatest(base_avg_x1e6, 1)"))
+  }
+
+  val seasonalBaselineSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS name,
+      |         epoch_us(ts) // 86400000000 AS day,
+      |         (epoch_us(ts) // 3600000000) % 24 AS hod,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT max(day) AS last_day FROM s),
+      |g AS (
+      |  SELECT name, hod,
+      |         CAST(SUM(CASE WHEN day < (SELECT last_day FROM m)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |         CAST(SUM(CASE WHEN day < (SELECT last_day FROM m)
+      |                       THEN cents ELSE 0 END) AS BIGINT) AS c_base,
+      |         CAST(SUM(CASE WHEN day = (SELECT last_day FROM m)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+      |         CAST(SUM(CASE WHEN day = (SELECT last_day FROM m)
+      |                       THEN cents ELSE 0 END) AS BIGINT) AS c_last
+      |  FROM s GROUP BY 1, 2),
+      |a AS (
+      |  SELECT name, hod, n_base, n_last,
+      |         c_base * 1000000 // n_base AS base_avg_x1e6,
+      |         c_last * 1000000 // n_last AS last_avg_x1e6
+      |  FROM g WHERE n_base > 0 AND n_last > 0)
+      |SELECT name, hod, n_base, n_last, base_avg_x1e6, last_avg_x1e6,
+      |       last_avg_x1e6 * 1000000 // greatest(base_avg_x1e6, 1)
+      |         AS ratio_ppm
+      |FROM a""".stripMargin
+
+  /** q_topk_movers — the "biggest movers" triage panel: the 5 series
+    * whose 24h volume changed most (|Δ|) between the day before
+    * [[EvalTsUs]] and the day before that. Both windows come off ONE
+    * sliced scan (the 48h predicate pushes to parquet row groups via
+    * [[Tables.eventsSlice]]) as conditional sums on one series-keyed
+    * groupBy; the global top-5 is orderBy+limit — Spark's
+    * TakeOrderedAndProject, a per-partition bounded heap + driver
+    * merge of 5-row partials, never a global sort. Ties break
+    * (|Δ| desc, name, user_id) so the cut is deterministic. A series
+    * active in only one window shows 0 in the other — absence IS the
+    * move, so no join and no null handling.
+    */
+  def qTopkMovers(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400L * 1000000L
+    val cut = EvalTsUs - day
+    Tables.eventsSlice(spark, dir, EvalTsUs - 2 * day - 1, EvalTsUs - 1)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "user_id")
+      .agg(sum(when(col("ts_us") >= cut, col("cents")).otherwise(0L))
+          .as("curr_cents"),
+        sum(when(col("ts_us") < cut, col("cents")).otherwise(0L))
+          .as("prev_cents"))
+      .withColumn("delta_cents", col("curr_cents") - col("prev_cents"))
+      .orderBy(abs(col("delta_cents")).desc, col("name"), col("user_id"))
+      .limit(5)
+  }
+
+  val topkMoversSql: String = {
+    val day = 86400L * 1000000L
+    val cut = EvalTsUs - day
+    s"""WITH s AS (
+       |  SELECT event_type AS name, user_id, epoch_us(ts) AS ts_us,
+       |         CAST(round(value*100) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE epoch_us(ts) > ${EvalTsUs - 2 * day - 1}
+       |    AND epoch_us(ts) <= ${EvalTsUs - 1}),
+       |g AS (
+       |  SELECT name, user_id,
+       |         CAST(SUM(CASE WHEN ts_us >= $cut THEN cents ELSE 0 END)
+       |              AS BIGINT) AS curr_cents,
+       |         CAST(SUM(CASE WHEN ts_us < $cut THEN cents ELSE 0 END)
+       |              AS BIGINT) AS prev_cents
+       |  FROM s GROUP BY 1, 2)
+       |SELECT name, user_id, curr_cents, prev_cents,
+       |       curr_cents - prev_cents AS delta_cents
+       |FROM g
+       |ORDER BY abs(curr_cents - prev_cents) DESC, name, user_id
+       |LIMIT 5""".stripMargin
+  }
 }

@@ -1951,4 +1951,97 @@ object Olap {
       |     AND date_part('year', l_shipdate) = 1996
       |   GROUP BY l_partkey, l_suppkey
       |   HAVING CAST(round(SUM(l_quantity)) AS BIGINT) > 50)""".stripMargin
+
+  /** q_wau_rolling — rolling 7-day active users per day (the DAU/WAU/
+    * stickiness panel every product dashboard opens with). The 7-day
+    * window is NOT a range self-join: each (user, day) fact explodes to
+    * the 7 target days it contributes to (the q_range_eval
+    * constant-width device — work is exactly 7× the DAILY-distinct
+    * frame, which is already user×day bounded, never 7× the raw
+    * events), then one count-distinct per target day. DAU rides the
+    * same pre-deduplicated frame. Trailing days past the data's edge
+    * are clipped with a scalar max-day aggregate (one number, not a
+    * data-derived set); leading days keep their partial windows, like
+    * any real dashboard's first week. stickiness = DAU/WAU as ppm, the
+    * established integer form.
+    */
+  def qWauRolling(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val maxDay = userDays.agg(max("day")).head().getLong(0)
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("d"))
+      .filter(col("d") <= maxDay)
+      .groupBy("d").agg(countDistinct("user_id").as("wau"))
+    val dau = userDays.groupBy(col("day").as("d"))
+      .agg(countDistinct("user_id").as("dau"))
+    wau.join(dau, Seq("d"), "left")
+      .select((col("d") * 86400L).as("day_s"), col("wau"),
+        coalesce(col("dau"), lit(0L)).as("dau"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div wau"))
+  }
+
+  val wauRollingSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |w AS (
+      |  SELECT d, COUNT(DISTINCT user_id) AS wau FROM (
+      |    SELECT user_id, unnest(generate_series(day, day + 6)) AS d
+      |    FROM ud)
+      |  WHERE d <= (SELECT max(day) FROM ud)
+      |  GROUP BY d),
+      |a AS (SELECT day AS d, COUNT(DISTINCT user_id) AS dau
+      |      FROM ud GROUP BY 1)
+      |SELECT w.d * 86400 AS day_s, w.wau,
+      |       CAST(coalesce(a.dau, 0) AS BIGINT) AS dau,
+      |       coalesce(a.dau, 0) * 1000000 // w.wau AS stickiness_ppm
+      |FROM w LEFT JOIN a ON w.d = a.d""".stripMargin
+
+  /** q_funnel_time — TIME-TO-CONVERT on top of [[qFunnel]]'s stage
+    * counts: for each user who viewed and later purchased, the hours
+    * from FIRST view to the first purchase AFTER it, bucketed into a
+    * histogram (the "how long does conversion take" curve; the funnel
+    * counts say how many convert, this says how fast). The two anchors
+    * are conditional mins on ONE user-keyed aggregation — the purchase
+    * anchor needs the view time first, so it rides a second pass over
+    * the same user-keyed shuffle (two window functions, one exchange,
+    * like qFunnel's anchors). Output is a constant-bounded histogram
+    * (hour buckets of the data's span), all integer µs math.
+    */
+  def qFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .filter(col("event_type") === "purchase" &&
+        col("t_view").isNotNull && col("ts_us") > col("t_view"))
+      .groupBy("user_id")
+      .agg(min("t_view").as("t_view"), min("ts_us").as("t_purchase"))
+    e.select(expr("(t_purchase - t_view) div 3600000000").as("hours_bucket"))
+      .groupBy("hours_bucket")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val funnelTimeSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |           OVER (PARTITION BY user_id) AS t_view
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |c AS (
+      |  SELECT user_id, min(t_view) AS t_view, min(ts_us) AS t_purchase
+      |  FROM s
+      |  WHERE event_type = 'purchase' AND t_view IS NOT NULL
+      |    AND ts_us > t_view
+      |  GROUP BY 1)
+      |SELECT (t_purchase - t_view) // 3600000000 AS hours_bucket,
+      |       COUNT(*) AS n_users
+      |FROM c GROUP BY 1""".stripMargin
 }

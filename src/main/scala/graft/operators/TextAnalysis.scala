@@ -2131,4 +2131,109 @@ object TextAnalysis {
        |       est, exact, est - exact AS overcount
        |FROM e QUALIFY rn <= 10""".stripMargin
   }
+
+  /** q_boilerplate — per-SOURCE boilerplate profile (the CCNet/RefinedWeb
+    * header-footer signal, scoped to where boilerplate actually lives:
+    * a nav bar repeats within its site, not across the web): a chunk is
+    * boilerplate in a source when ≥ 2 DISTINCT docs of that source
+    * contain it. Distinct from [[qLineDedup]] (corpus-wide removal
+    * decision) — this is the per-source QA readout that says WHICH
+    * sources are template-heavy before any removal runs. Plan: the
+    * chunk frame with `source` carried (8-byte hashes + a dictionary-
+    * coded source — text never leaves the first projection), one
+    * (source, chunk_hash) distinct-doc count, a hash-keyed join back,
+    * then two bounded rollups. Everything that shuffles is hash-sized.
+    */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val k = chunkTokens
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words.as("ws"))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        (size(col("ws")) + (k - 1)).divide(k).cast("int") - 1)))
+      .select(col("doc_id"), col("source"),
+        hash60(array_join(slice(col("ws"),
+          col("chunk_id") * k + 1, lit(k)), " ")).as("chunk_hash"))
+    val df = chunks.groupBy("source", "chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs_chunk"))
+    chunks.join(df, Seq("source", "chunk_hash"))
+      .withColumn("boiler", (col("n_docs_chunk") >= 2).cast("long"))
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("boiler").as("n_boiler"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_boiler") > 0, 1L).otherwise(0L)).as("docs_affected"),
+        sum("n_chunks").as("chunks"),
+        sum("n_boiler").as("boiler_chunks"))
+      .withColumn("boiler_ppm",
+        expr("boiler_chunks * 1000000 div greatest(chunks, 1)"))
+  }
+
+  val boilerplateSql: String = {
+    val k = chunkTokens
+    val h = graft.functions.Portable.hash60Sql(
+      s"array_to_string(list_slice(ws, chunk_id * $k + 1, least(chunk_id * $k + $k, len(ws))), ' ')")
+    s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
+       |c0 AS (SELECT doc_id, source, ws,
+       |        unnest(generate_series(0,
+       |          CAST((len(ws) + ${k - 1}) // $k AS INT) - 1)) AS chunk_id
+       |       FROM w),
+       |ch AS (SELECT doc_id, source, $h AS chunk_hash FROM c0),
+       |df AS (SELECT source, chunk_hash,
+       |              COUNT(DISTINCT doc_id) AS n_docs_chunk
+       |       FROM ch GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT ch.source, ch.doc_id, COUNT(*) AS n_chunks,
+       |         CAST(SUM(CASE WHEN df.n_docs_chunk >= 2 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_boiler
+       |  FROM ch JOIN df ON ch.source = df.source
+       |                 AND ch.chunk_hash = df.chunk_hash
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS docs_affected,
+       |         CAST(SUM(n_chunks) AS BIGINT) AS chunks,
+       |         CAST(SUM(n_boiler) AS BIGINT) AS boiler_chunks
+       |  FROM pd GROUP BY 1)
+       |SELECT source, n_docs, docs_affected, chunks, boiler_chunks,
+       |       boiler_chunks * 1000000 // greatest(chunks, 1) AS boiler_ppm
+       |FROM g""".stripMargin
+  }
+
+  /** q_gate_venn — the filter-gate VENN report on top of [[qFilter]]:
+    * how many docs (and how much token mass) fail each COMBINATION of
+    * gates, as a 4-bit mask (lang·8 + len·4 + quality·2 + canonical·1;
+    * mask 15 = keep). The funnel (q_pipeline_funnel) prices gates in
+    * SEQUENCE and so hides overlap; the Venn says whether two gates
+    * are redundant (their masses co-fire) or independent — the
+    * standard question before re-ordering or dropping a gate. One
+    * pass over the qFilter frame, output ≤ 16 rows.
+    */
+  def qGateVenn(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    qFilter(spark, dir)
+      .select(col("n_words"),
+        (col("lang_ok").cast("long") * 8 + col("len_ok").cast("long") * 4
+          + col("quality_ok").cast("long") * 2
+          + col("canonical").cast("long")).as("gate_mask"))
+      .groupBy("gate_mask")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").cast("long").as("words"))
+      .withColumn("tot", sum("n_docs").over(w))
+      .withColumn("doc_share_ppm", expr("n_docs * 1000000 div tot"))
+      .drop("tot")
+  }
+
+  val gateVennSql: String =
+    s"""WITH f AS ($filterSql),
+       |g AS (
+       |  SELECT CAST(lang_ok AS BIGINT) * 8 + CAST(len_ok AS BIGINT) * 4
+       |           + CAST(quality_ok AS BIGINT) * 2
+       |           + CAST(canonical AS BIGINT) AS gate_mask,
+       |         n_words
+       |  FROM f)
+       |SELECT gate_mask, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS words,
+       |       COUNT(*) * 1000000
+       |         // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS doc_share_ppm
+       |FROM g GROUP BY 1""".stripMargin
 }

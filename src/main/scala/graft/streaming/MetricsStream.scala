@@ -133,6 +133,43 @@ object MetricsStream {
       }
     }
 
+  /** STREAMING SESSIONIZATION — the streaming twin of the batch
+    * `q_sessionize` operator (gap-based user sessions), on Spark's own
+    * `session_window` aggregation rather than hand-rolled state: the
+    * engine merges events into a session while each arrives within
+    * `gapSec` of the session's end, exactly the batch gaps-and-islands
+    * rule — including the boundary: the batch splits on
+    * `gap > 1800 s` (an exactly-1800 s gap still merges), and
+    * `session_window` merges TOUCHING intervals (`next ≤ last + gap` —
+    * pinned by the boundary case in `StreamSessionizeSpec`), so the
+    * same 1800 s gap gives the identical session partition (parity
+    * spec'd across micro-batch splits on the real fixture too).
+    * Emission is append-mode: a session row emits once, when
+    * the watermark passes the session's end + gap; state per user is
+    * the OPEN sessions only (merged aggregates, not buffered events —
+    * cheaper than the fMGWS kernels, which is why the built-in wins
+    * here: sessionize needs no ordered-delta math). The batch ordinal
+    * `session_id` is inherently cross-history (it numbers sessions
+    * from the beginning of time) so the streaming row carries the
+    * session's own (t_start, t_end) identity instead — the join key a
+    * downstream consumer actually wants.
+    *
+    * Input frame: (user_id, ts TIMESTAMP, value). */
+  def streamingSessionize(events: DataFrame, gapSec: Long = 1800L,
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("t_start"), max("ts_us").as("t_end"),
+        round(sum("cents").cast("double") / 100d, 2).as("session_value"))
+      .select(col("user_id"), col("t_start"), col("t_end"),
+        col("n_events"), col("session_value"))
+
   /** One buffered sample for the streaming recording rule — the
     * series id rides IN the buffer (the key is (name, window): the
     * aggregation is across series). */

@@ -864,4 +864,67 @@ class PlanAuditSpec extends SparkSpec {
       "candidate-id list / candidate-vector frames must broadcast")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q_anomaly_zscore: one events scan, all windows on one series exchange (r9b)") {
+    val plan = executed(MetricsEtl.qAnomalyZscore(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"anomaly detection reads events exactly once: ${finalScans(plan)}")
+    assert(!plan.contains("Join"), "rolling z-score must be join-free")
+    // count/s1/s2 over the same frame share ONE (name,user) exchange
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan.split("== Initial Plan ==")(0)).size
+    assert(exchanges == 1,
+      s"the three rolling aggregates must share one series shuffle: $exchanges")
+  }
+
+  test("q_topk_movers: 48h slice in PushedFilters, TakeOrdered top-5 (r9b)") {
+    val plan = executed(MetricsEtl.qTopkMovers(spark, dir))
+    assert(plan.contains("PushedFilters:") && plan.contains("ts"),
+      "the 48h slice must reach the parquet scan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-5 must be a bounded heap, not a global sort")
+    assert(!plan.contains("Join"),
+      "both windows come off one conditional aggregation — no join")
+  }
+
+  test("q_wau_rolling: constant-width explode, never a range self-join (r9b)") {
+    val plan = executed(Olap.qWauRolling(spark, dir))
+    // the 7-day window is Generate(sequence) over the deduped
+    // (user, day) frame — a range join would show a non-equi condition
+    assert(plan.contains("Generate explode"),
+      "the rolling window must be the constant-width explode")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "no range self-join shape")
+  }
+
+  test("q_funnel_time: anchors share one user exchange, histogram tail (r9b)") {
+    val plan = executed(Olap.qFunnelTime(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"funnel timing reads events once: ${finalScans(plan)}")
+    assert(!plan.contains("Join"), "anchor windows must not self-join")
+  }
+
+  test("q_boilerplate: only 8-byte hashes shuffle — text stays in the scan projection (r9b)") {
+    val plan = executed(TextAnalysis.qBoilerplate(spark, dir))
+    val shufflePart = plan.split("== Initial Plan ==")(0)
+      .linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!shufflePart.contains("text#"),
+      "document text must never cross an exchange")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_gate_venn: one documents scan, 16-row tail (r9b)") {
+    val plan = executed(TextAnalysis.qGateVenn(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"the Venn rides the one qFilter scan: ${finalScans(plan)}")
+  }
+
+  test("q_seasonal_baseline: both sides as conditional sums on one groupBy (r9b)") {
+    val plan = executed(MetricsEtl.qSeasonalBaseline(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"baseline + last-day come off one scan: ${finalScans(plan)}")
+    assert(!plan.contains("Join"),
+      "last-day is a plan-time scalar, not a joined frame")
+  }
 }
