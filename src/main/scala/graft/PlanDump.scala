@@ -115,6 +115,12 @@ object PlanDump {
       "q_funnel_time" -> "time-to-convert: anchor windows share one user exchange, hour-bucket histogram tail (r9b)",
       "q_boilerplate" -> "boilerplate profile: per-source chunk df, only 8-byte hashes shuffle, two bounded rollups (r9b)",
       "q_gate_venn" -> "gate Venn: one qFilter scan, 16-row mask aggregate, 1-row total window (r9b)",
+      "q_cohort_ltv" -> "cohort LTV: one orders scan, cohort quarter via window (no rejoin), span²-bounded cells (r9f)",
+      "q_basket_pairs" -> "basket pairs: (order,part) self-join with ReusedExchange, min-support before freq joins, TakeOrdered top-50 (r9f)",
+      "q_mattr" -> "MATTR: per-row slice/distinct HOF arithmetic, zero exchanges, pruned 3-column read (r9f)",
+      "q_bloom_contam" -> "Bloom pre-filter: m-bounded bit-set broadcast, probe joins never shuffle the corpus (r9f)",
+      "q_pack_sweep" -> "pack sweep: one chunk scan, shared shard window, ×3 constant explode, no per-bin grouping (r9f)",
+      "q_weighted_sample" -> "weighted sample: TopKPerKey bounded heap per source, zero sort nodes (r9f)",
       "q_source_chi2" -> "chi-square drift: shared (source,th) aggregate, totals broadcast, |sources|-bounded tail (r9)",
       "q_distinct_ngrams" -> "diversity: unigram half on the shared tf frame, in-row bigrams, map-side-combined counts (r9)",
       "q_bm25" -> "BM25: shared token explode, plan-time hashed terms, 3-row df + 1-row stats broadcasts (r9)",

@@ -1760,4 +1760,79 @@ object Dedup {
        |       CAST(SUM(CASE WHEN s5 THEN toks ELSE 0 END) AS BIGINT)
        |         AS tokens_out
        |FROM st""".stripMargin
+
+  /** q_bloom_contam — Bloom-filter decontamination pre-filter with its
+    * false-positive rate MEASURED against the exact gram join. At
+    * fixture scale [[qDecontaminate]]'s broadcast of the benchmark's
+    * distinct gram hashes is free; at 100 TB with a real eval registry
+    * (HELM + every vendor's held-out suites: billions of grams) the
+    * broadcast side itself becomes the bottleneck — the production
+    * shape is a CONSTANT-SIZE bit set (m bits regardless of gram
+    * count), probed per corpus gram, with the exact join run only for
+    * the bloom-candidate survivors (the q_lsh_verify candidate-then-
+    * verify economics applied to decontamination).
+    *
+    * k = 3 positions per gram over m = 2^18 bits, derived by
+    * re-hashing the ALREADY-portable 60-bit gram hash with three salt
+    * prefixes (`bf0:`..`bf2:`), so both engines compute bit-identical
+    * positions from md5 alone. A gram is a bloom HIT iff all 3 of its
+    * positions are set — expressed as explode(3 positions) →
+    * broadcast-join the bit set → count == 3 (no bitmap type needed in
+    * either engine; the bit set is a ≤m-row long column). Output: one
+    * row per bloom-candidate doc with its bloom-hit and exact gram
+    * counts — n_exact == 0 rows are the false-positive docs the
+    * m/k sizing trades for constant memory. No false negatives by
+    * construction (exact ⊆ bloom), so the pre-filter is sound.
+    */
+  def qBloomContam(spark: SparkSession, dir: String): DataFrame = {
+    val m = 262144L
+    def pos(k: Int): Column = pmod(
+      graft.functions.Portable.hash60(
+        concat(lit(s"bf$k:"), col("g").cast("string"))), lit(m))
+    val grams = fiveGrams(spark, dir)
+    val bench = grams.filter(col("doc_id") < benchDocs)
+      .select("g").distinct()
+    val bits = bench
+      .select(explode(array(pos(0), pos(1), pos(2))).as("p")).distinct()
+    val corpus = grams.filter(col("doc_id") >= benchDocs)
+      .select("doc_id", "g")
+    val hits = corpus
+      .select(col("doc_id"), col("g"),
+        explode(array(pos(0), pos(1), pos(2))).as("p"))
+      .join(broadcast(bits), "p")
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("nbits"))
+      .filter(col("nbits") === 3)
+    hits
+      .join(broadcast(bench.withColumn("ex", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bloom_grams"),
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact_grams"))
+      .withColumn("is_fp_doc", col("n_exact_grams") === 0)
+  }
+
+  val bloomContamSql: String = {
+    import graft.functions.Portable.hash60Sql
+    def pos(k: Int): String =
+      s"${hash60Sql(s"'bf$k:' || CAST(g AS VARCHAR)")} % 262144"
+    s"""WITH $fiveGramsSqlCtes,
+       |bench AS (SELECT DISTINCT g.g FROM g WHERE doc_id < $benchDocs),
+       |bits AS (SELECT DISTINCT p FROM (
+       |  SELECT ${pos(0)} AS p FROM bench
+       |  UNION ALL SELECT ${pos(1)} AS p FROM bench
+       |  UNION ALL SELECT ${pos(2)} AS p FROM bench)),
+       |corpus AS (SELECT doc_id, g.g FROM g WHERE doc_id >= $benchDocs),
+       |probe AS (SELECT doc_id, g,
+       |            unnest([${pos(0)}, ${pos(1)}, ${pos(2)}]) AS p
+       |          FROM corpus),
+       |hits AS (SELECT doc_id, g FROM probe JOIN bits USING (p)
+       |         GROUP BY doc_id, g HAVING COUNT(*) = 3)
+       |SELECT h.doc_id, COUNT(*) AS n_bloom_grams,
+       |       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_exact_grams,
+       |       CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) = 0 AS is_fp_doc
+       |FROM hits h LEFT JOIN bench b ON h.g = b.g
+       |GROUP BY 1""".stripMargin
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2044,4 +2044,251 @@ object Olap {
       |SELECT (t_purchase - t_view) // 3600000000 AS hours_bucket,
       |       COUNT(*) AS n_users
       |FROM c GROUP BY 1""".stripMargin
+
+  /** q_cohort_ltv — cohort LTV curves (the revenue twin of
+    * [[qRetention]]'s activity curves): customers cohorted by the
+    * QUARTER of their first order, revenue accumulated per quarter
+    * offset, lifetime value per member as the cumulative integer-cents
+    * sum over the cohort size.
+    *
+    * One orders scan, one customer-keyed exchange: the cohort quarter
+    * is a `min OVER (PARTITION BY custkey)` window on the scan (no
+    * aggregate-then-rejoin, which would scan orders twice — the
+    * q_small_qty_revenue rule), and everything downstream operates on
+    * the cohort×offset cell frame, bounded by the date span squared
+    * (~400 rows regardless of corpus size). The cohort size needs no
+    * second pass either: by definition of "first order", every member
+    * is active at offset 0, so size == n_active(offset = 0), lifted
+    * with a window max over the cell frame.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("c")
+    val byCohort = Window.partitionBy("cohort_q")
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+          .cast("long").as("q"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("cohort_q", min("q").over(byCust))
+      .groupBy(col("cohort_q"), (col("q") - col("cohort_q")).as("offset_q"))
+      .agg(sum("cents").as("rev_cents"),
+        countDistinct("c").as("n_active"))
+    cells
+      .withColumn("cum_rev_cents",
+        sum("rev_cents").over(byCohort.orderBy("offset_q")))
+      .withColumn("cohort_size",
+        max(when(col("offset_q") === 0, col("n_active"))).over(byCohort))
+      .withColumn("ltv_cents",
+        expr("cum_rev_cents div cohort_size"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS c,
+      |         year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS q,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (SELECT c, q, cents,
+      |             min(q) OVER (PARTITION BY c) AS cohort_q FROM o),
+      |cells AS (
+      |  SELECT CAST(cohort_q AS BIGINT) AS cohort_q,
+      |         CAST(q - cohort_q AS BIGINT) AS offset_q,
+      |         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+      |         COUNT(DISTINCT c) AS n_active
+      |  FROM b GROUP BY 1, 2),
+      |w AS (
+      |  SELECT cohort_q, offset_q, rev_cents, n_active,
+      |         CAST(SUM(rev_cents) OVER
+      |           (PARTITION BY cohort_q ORDER BY offset_q) AS BIGINT)
+      |           AS cum_rev_cents,
+      |         MAX(CASE WHEN offset_q = 0 THEN n_active END) OVER
+      |           (PARTITION BY cohort_q) AS cohort_size
+      |  FROM cells)
+      |SELECT cohort_q, offset_q, rev_cents, n_active, cum_rev_cents,
+      |       cohort_size, cum_rev_cents // cohort_size AS ltv_cents
+      |FROM w""".stripMargin
+
+  /** q_rfm — RFM (recency / frequency / monetary) customer
+    * segmentation, the classic CRM cut. Scores use FIXED business
+    * thresholds, not data-derived quantiles: quantile cutoffs would
+    * need a global sort per dimension and make every segment boundary
+    * a cross-engine tie hazard, while fixed thresholds are plan-time
+    * constants (and how real RFM deployments pin score meanings across
+    * refreshes). One orders scan → one custkey-keyed aggregation →
+    * CASE score arithmetic → a ≤125-row (5×5×5) segment rollup; the
+    * anchor date is a single scalar max over the pruned date column
+    * (the qWauRolling device). All money integer cents, all divisions
+    * nonnegative integer div.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is parquet TIMESTAMP without timezone: Spark reads it
+    // NTZ (LocalDateTime rows) — UNLESS Tables.events already disabled
+    // NTZ inference in this session, which flips subsequent reads to
+    // TimestampType (java.sql.Timestamp rows). Accept both; lit()
+    // round-trips either as the matching literal type, and under the
+    // pinned UTC zone the two encode the same wall-clock date.
+    val anchor: Column = Tables.orders(spark, dir)
+      .agg(max("o_orderdate")).head().get(0) match {
+        case t: java.sql.Timestamp => lit(t)
+        case d: java.time.LocalDateTime => lit(d)
+        case other => throw new IllegalStateException(
+          s"unexpected o_orderdate row type: ${other.getClass}")
+      }
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("mon_cents"))
+      .select(
+        datediff(anchor, col("last_order")).cast("long").as("rec_days"),
+        col("freq"), col("mon_cents"))
+    perCust
+      .withColumn("r_score", expr(
+        "CASE WHEN rec_days <= 90 THEN 5 WHEN rec_days <= 180 THEN 4 " +
+          "WHEN rec_days <= 365 THEN 3 WHEN rec_days <= 730 THEN 2 " +
+          "ELSE 1 END").cast("long"))
+      .withColumn("f_score", expr(
+        "CASE WHEN freq >= 16 THEN 5 WHEN freq >= 12 THEN 4 " +
+          "WHEN freq >= 8 THEN 3 WHEN freq >= 4 THEN 2 ELSE 1 END")
+        .cast("long"))
+      .withColumn("m_score", expr(
+        "CASE WHEN mon_cents >= 350000000 THEN 5 " +
+          "WHEN mon_cents >= 250000000 THEN 4 " +
+          "WHEN mon_cents >= 150000000 THEN 3 " +
+          "WHEN mon_cents >= 50000000 THEN 2 ELSE 1 END").cast("long"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("mon_cents").as("seg_cents"))
+      .withColumn("avg_cents", expr("seg_cents div n_customers"))
+  }
+
+  val qRfmSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', max(o_orderdate),
+      |           (SELECT max(o_orderdate) FROM orders)) AS rec_days,
+      |         count(*) AS freq,
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |           AS BIGINT) AS mon_cents
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(CASE WHEN rec_days <= 90 THEN 5
+      |              WHEN rec_days <= 180 THEN 4
+      |              WHEN rec_days <= 365 THEN 3
+      |              WHEN rec_days <= 730 THEN 2 ELSE 1 END AS BIGINT)
+      |           AS r_score,
+      |         CAST(CASE WHEN freq >= 16 THEN 5 WHEN freq >= 12 THEN 4
+      |              WHEN freq >= 8 THEN 3 WHEN freq >= 4 THEN 2
+      |              ELSE 1 END AS BIGINT) AS f_score,
+      |         CAST(CASE WHEN mon_cents >= 350000000 THEN 5
+      |              WHEN mon_cents >= 250000000 THEN 4
+      |              WHEN mon_cents >= 150000000 THEN 3
+      |              WHEN mon_cents >= 50000000 THEN 2 ELSE 1 END
+      |           AS BIGINT) AS m_score,
+      |         mon_cents
+      |  FROM pc)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+      |       CAST(SUM(mon_cents) AS BIGINT) AS seg_cents,
+      |       CAST(SUM(mon_cents) AS BIGINT) // COUNT(*) AS avg_cents
+      |FROM s GROUP BY 1, 2, 3""".stripMargin
+
+  /** q_order_gap — the inter-purchase-interval histogram (purchase
+    * cadence: the input to replenishment models and the denominator
+    * behind "customer is overdue" alerts). Per customer, the day gap
+    * between consecutive orders via one lag window — ordered by
+    * (o_orderdate, o_orderkey), a TOTAL order because o_orderkey is
+    * unique (the verify-skill window rule) — bucketed into weeks.
+    * One scan, one custkey exchange, output bounded by the date span
+    * in weeks (~350 rows at any corpus size).
+    */
+  def qOrderGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"),
+        expr("CAST(datediff(o_orderdate, prev_date) AS BIGINT) div 7")
+          .as("week_bucket"))
+      .groupBy("week_bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct("o_custkey").as("n_customers"))
+  }
+
+  val orderGapSql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |         lag(o_orderdate) OVER
+      |           (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate, o_orderkey) AS prev_date,
+      |         o_orderdate
+      |  FROM orders)
+      |SELECT CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) // 7
+      |         AS week_bucket,
+      |       COUNT(*) AS n_gaps,
+      |       COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM g WHERE prev_date IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
+  /** q_basket_pairs — market-basket co-occurrence with lift (the
+    * association-rule screen behind "frequently bought together"):
+    * top-50 part pairs appearing in the same order, scored by
+    * lift = P(p1,p2) / (P(p1)·P(p2)) over the order universe.
+    *
+    * Pair generation is a self-equi-join of the distinct (order, part)
+    * frame on the ORDER key — per-order fan-out is C(basket, 2), and
+    * basket size is a physical constant of the domain (≤13 in the
+    * fixture, tens in any real store), so pair volume is a
+    * constant × |lineitem|, never quadratic in the corpus; the two join
+    * inputs are the IDENTICAL subplan, so the shuffle is built once and
+    * reused (exchange reuse, plan-audited). The min-support filter
+    * (pair_cnt ≥ 2) cuts the long singleton tail BEFORE the frequency
+    * joins; part frequencies ride the same distinct frame. Lift as
+    * exact integer x1000: pair_cnt · N · 1000 div (c1·c2) — fits int64
+    * while pair_cnt·N·1000 < 2^63, i.e. for any non-degenerate basket
+    * distribution (pair_cnt ≪ N; a pair in EVERY one of 10^9 orders
+    * would need N² ≈ 10^18·1000 — at that degeneracy the pair list
+    * itself is the bug to fix first). Top-50 by (pair_cnt DESC, p1,
+    * p2) — a total order, so the LIMIT set is deterministic — via
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nOrders = Tables.orders(spark, dir).count()
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val freq = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+    pairs
+      .join(freq.select(col("pk").as("p1"), col("cnt").as("c1")), "p1")
+      .join(freq.select(col("pk").as("p2"), col("cnt").as("c2")), "p2")
+      .withColumn("lift_x1000",
+        expr(s"pair_cnt * ${nOrders}L * 1000 div (c1 * c2)"))
+      .select("p1", "p2", "pair_cnt", "c1", "c2", "lift_x1000")
+      .orderBy(col("pair_cnt").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  val basketPairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |freq AS (SELECT pk, COUNT(*) AS cnt FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS pair_cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p1, p2, pair_cnt, f1.cnt AS c1, f2.cnt AS c2,
+      |       pair_cnt * (SELECT COUNT(*) FROM orders) * 1000
+      |         // (f1.cnt * f2.cnt) AS lift_x1000
+      |FROM pairs
+      |JOIN freq f1 ON f1.pk = p1
+      |JOIN freq f2 ON f2.pk = p2
+      |ORDER BY pair_cnt DESC, p1, p2
+      |LIMIT 50""".stripMargin
 }

@@ -2236,4 +2236,147 @@ object TextAnalysis {
        |       COUNT(*) * 1000000
        |         // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS doc_share_ppm
        |FROM g GROUP BY 1""".stripMargin
+
+  /** q_mattr — MATTR (moving-average type-token ratio, Covington &
+    * McFall 2010), the LENGTH-INVARIANT lexical-diversity score: plain
+    * TTR (q_tokens' n_distinct/n_ws) decays mechanically with document
+    * length (Heaps' law — q_vocab_growth measures exactly that curve),
+    * so comparing a 50-word and a 5000-word doc by raw TTR ranks by
+    * length, not diversity. MATTR averages the TTR of fixed 20-token
+    * windows instead, making scores comparable across lengths — the
+    * form quality pipelines actually threshold on.
+    *
+    * All window math is PER-ROW array arithmetic on the one documents
+    * scan (slice/array_distinct over the split — the q_repetition HOF
+    * tier; total work is linear in corpus tokens, window count is
+    * tokens/20 per doc). Only FULL windows count (the trailing partial
+    * window would re-introduce the length bias being removed); docs
+    * under 20 tokens are excluded — they have no length-invariant
+    * diversity to measure. Integer ppm: sum(distinct) · 1e6 div
+    * (n_win · 20).
+    */
+  def qMattr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words.as("ws"))
+      .withColumn("n_win", expr("size(ws) div 20"))
+      .filter(col("n_win") >= 1)
+      .withColumn("sum_distinct", expr(
+        "aggregate(transform(sequence(0, CAST(n_win AS INT) - 1), " +
+          "i -> size(array_distinct(slice(ws, CAST(i*20+1 AS INT), 20)))), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("source"), col("n_win"),
+        expr("sum_distinct * 1000000 div (n_win * 20)").as("mattr_ppm"))
+
+  val mattrSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, source, len(ws) // 20 AS n_win,
+      |         list_sum(list_transform(
+      |           generate_series(0, len(ws) // 20 - 1),
+      |           i -> len(list_distinct(ws[i*20+1 : i*20+20]))))
+      |           AS sum_distinct
+      |  FROM w WHERE len(ws) // 20 >= 1)
+      |SELECT doc_id, source, CAST(n_win AS BIGINT) AS n_win,
+      |       CAST(sum_distinct AS BIGINT) * 1000000
+      |         // (CAST(n_win AS BIGINT) * 20) AS mattr_ppm
+      |FROM d""".stripMargin
+
+  /** q_pack_sweep — padding waste as a FUNCTION OF CONTEXT LENGTH
+    * (the "what context size should we train at" table): [[qPack]]'s
+    * offset-binning layout evaluated at 1k/4k/16k token contexts in
+    * ONE pass. The sweep needs no per-bin grouping at all: under
+    * offset binning the bins of a shard are dense 0..last, so
+    * bins(shard) = floor(last_start / ctx) + 1 — a MAX over the
+    * running-offset column — and waste = n_bins·ctx − Σtokens exactly
+    * (every token lands in some bin; only bin tails pad). One chunk
+    * scan, one shard window (shared shape with qPack), a ×3 constant
+    * explode, two bounded aggregations. The answer every team reads
+    * off this table: waste collapses as ctx grows only until docs
+    * stop straddling — then the long-doc tail dominates.
+    */
+  def qPackSweep(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    qChunks(spark, dir)
+      .withColumn("shard", pmod(col("doc_id"), lit(32)).cast("int"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("shard"), col("cum"), col("n_tokens"),
+        explode(array(lit(1024L), lit(4096L), lit(16384L))).as("ctx"))
+      .groupBy("ctx", "shard")
+      .agg((max(expr("(cum - n_tokens) div ctx")) + 1).as("bins"),
+        sum("n_tokens").as("toks"))
+      .groupBy("ctx")
+      .agg(sum("bins").as("n_bins"), sum("toks").as("total_tokens"))
+      .withColumn("waste_ppm",
+        expr("(n_bins * ctx - total_tokens) * 1000000 div (n_bins * ctx)"))
+  }
+
+  lazy val packSweepSql: String =
+    s"""WITH $chunkCtes,
+       |sh AS (SELECT *, CAST((doc_id % 32 + 32) % 32 AS INT) AS shard
+       |       FROM chunks),
+       |cm AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |        ORDER BY doc_id, chunk_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS BIGINT) AS cum
+       |      FROM sh),
+       |e AS (SELECT shard, cum, n_tokens,
+       |        unnest([CAST(1024 AS BIGINT), CAST(4096 AS BIGINT),
+       |                CAST(16384 AS BIGINT)]) AS ctx
+       |      FROM cm),
+       |pb AS (SELECT ctx, shard,
+       |         MAX((cum - n_tokens) // ctx) + 1 AS bins,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS toks
+       |       FROM e GROUP BY 1, 2)
+       |SELECT ctx, CAST(SUM(bins) AS BIGINT) AS n_bins,
+       |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       |       (CAST(SUM(bins) AS BIGINT) * ctx - CAST(SUM(toks) AS BIGINT))
+       |         * 1000000 // (CAST(SUM(bins) AS BIGINT) * ctx) AS waste_ppm
+       |FROM pb GROUP BY 1""".stripMargin
+
+  /** q_weighted_sample — deterministic WEIGHTED sampling (the
+    * length-debiased cousin of [[qSample]]'s per-source Bernoulli):
+    * each doc gets priority hash60("ws:"+doc_id) div max(n_chars, 1) —
+    * the integer analogue of exponential-clock sampling, where heavier
+    * (longer) docs draw systematically smaller priorities — and the 10
+    * lowest-priority docs per source win. Deterministic, seedless,
+    * reproducible across runs and engines (the property a training
+    * pipeline needs for auditability; rand()-based sampling is neither
+    * re-runnable nor oracle-checkable).
+    *
+    * The per-source top-10 runs on the native bounded-heap
+    * [[graft.plans.TopKPerKey]] operator: one hash exchange on source,
+    * NO sort node, map-side partial pruning — at 100 TB the heap keeps
+    * 10 rows per source per task instead of sorting the corpus. Order
+    * (pri, doc_id) is TOTAL (doc_id unique), so the hash-compared
+    * LIMIT set is deterministic (the TopKPerKey tie rule).
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.functions.Portable.hash60(
+            concat(lit("ws:"), col("doc_id").cast("string")))
+            .as("h"))
+        .withColumn("pri", expr("h div greatest(n_chars, 1L)"))
+        .drop("h"),
+      keyNames = Seq("source"),
+      orderSpec = Seq(("pri", true), ("doc_id", true)),
+      k = 10, rankName = "rk")
+
+  val weightedSampleSql: String = {
+    val h = graft.functions.Portable.hash60Sql("'ws:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH p AS (
+       |  SELECT doc_id, source, n_chars,
+       |         $h // greatest(n_chars, 1) AS pri
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars, pri,
+       |       row_number() OVER (PARTITION BY source
+       |         ORDER BY pri, doc_id) AS rk
+       |FROM p
+       |QUALIFY rk <= 10""".stripMargin
+  }
 }

@@ -62,6 +62,69 @@ object LakeSink {
     * files); sort keys must lead with `day` so each task writes into
     * few day directories (dynamic partition write stays append-cheap).
     */
+  /** One day partition's compaction outcome. `compacted = false` means
+    * the day was already at (or under) its target file count — the
+    * idempotence signal a scheduled compactor keys on. */
+  final case class CompactReport(day: String, filesBefore: Int,
+      filesAfter: Int, bytes: Long, compacted: Boolean)
+
+  /** Small-file compaction for a [[write]]/[[writeClustered]] lake —
+    * the third lake-maintenance tier after partitioning and
+    * clustering. Streaming ingest (MetricsStream's per-micro-batch
+    * dynamic overwrite) and frequent small replays accumulate files
+    * far below the parquet sweet spot; at 100 TB the cost is not disk
+    * but PLANNING and OPEN overhead — a 1000-executor scan of 10M
+    * 1 MB files spends longer listing and opening than reading.
+    *
+    * Per day directory: if the file count exceeds
+    * ceil(bytes / targetBytes), rewrite the day at that file count,
+    * re-applying the [[writeClustered]] sort (name, ts_us) so
+    * compaction PRESERVES the row-group locality tier (compacting with
+    * a plain coalesce would silently destroy the footer-stats pruning
+    * LakeLocalitySpec proves). Days already at target are left
+    * untouched — re-running the compactor is a no-op, and it never
+    * cascades (output of one run is under target by construction).
+    *
+    * The swap is move-old-aside / move-new-in / delete-old via
+    * filesystem renames — atomic on HDFS and POSIX; on object stores
+    * renames are copies, where the same report-driven loop runs
+    * against a manifest/table layer instead (the day-granular unit and
+    * the idempotence contract are the portable parts).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long): Seq[CompactReport] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new java.io.File(dir)
+    val days = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .sortBy(_.getName)
+    days.toSeq.map { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val bytes = files.map(_.length).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length <= want)
+        CompactReport(d.getName, files.length, files.length, bytes, false)
+      else {
+        val tmp = new java.io.File(root, s".compact-${d.getName}")
+        spark.read.parquet(d.getAbsolutePath)
+          .repartitionByRange(want, col("name"), col("ts_us"))
+          .sortWithinPartitions("name", "ts_us")
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val bak = new java.io.File(root, s".old-${d.getName}")
+        java.nio.file.Files.move(d.toPath, bak.toPath)
+        java.nio.file.Files.move(tmp.toPath, d.toPath)
+        deleteRecursively(bak)
+        val after = d.listFiles().count(_.getName.endsWith(".parquet"))
+        CompactReport(d.getName, files.length, after, bytes, true)
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   def writeClustered(metrics: DataFrame, dir: String, numFiles: Int): Unit =
     withDay(metrics)
       .repartitionByRange(numFiles, col("day"), col("name"), col("ts_us"))

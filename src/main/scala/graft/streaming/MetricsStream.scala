@@ -395,6 +395,140 @@ object MetricsStream {
       }
   }
 
+  /** Per-series state for the streaming alert evaluator: buffered
+    * samples inside the lookback horizon, the last eval step already
+    * judged, and the live breach-run counters. */
+  case class AlertState(buf: Seq[(Long, Long, Long)], lastEval: Long,
+      breachRun: Long, activeSince: Long)
+
+  /** One emitted alert evaluation — the q_alert_for schema. */
+  case class AlertRow(name: String, user_id: Long, eval_ts_s: Long,
+      value_cents: Long, state: String, active_since_s: Long)
+
+  /** STREAMING ALERTING — the live twin of the batch `q_alert_for`
+    * rule evaluator (`m > 50 for 20m` at 10m resolution), the
+    * reference domain's second north star after recording rules: a
+    * Prometheus→ClickHouse pipeline that can compute rate() and
+    * sum-by() live but still needs a nightly batch to know what is
+    * FIRING has not replaced the alerting path.
+    *
+    * Semantics are the batch operator's, re-expressed as ordered
+    * per-series evaluation: at each 10m eval step, the instant vector
+    * is the LAST sample within the 3-step lookback (sorted by
+    * (µs, event_id) — the batch row_number order); a breach
+    * (cents > threshold) extends the run iff the PREVIOUS step also
+    * breached (batch islands are consecutive-step runs over breaching
+    * evals — a non-breach step or an instant-less step breaks them);
+    * `pending` until the run holds `forSteps`, then `firing`;
+    * active_since is the run's first step. Rows emit for breaching
+    * steps only, exactly once, when the watermark passes the step's
+    * sample-collection end — and steps are judged strictly in order,
+    * never skipped, because run continuity is exactly what the
+    * operator exists to track (idle spans fast-forward in O(1): no
+    * samples in the horizon means run = 0 regardless of gap length).
+    *
+    * State per series is bounded: the lookback horizon's samples +
+    * three counters. A series idle past its horizon with no live run
+    * drops its state entirely (the label-churn rule from
+    * [[streamingIncrease]]'s idle expiry, applied at alert
+    * granularity); parity with q_alert_for is spec'd across
+    * micro-batch splits in `StreamAlertSpec`. */
+  def streamingAlertFor(samples: DataFrame, stepS: Long = 600L,
+      lookSteps: Int = 3, forSteps: Int = 2, thCents: Long = 5000L,
+      delay: String = "10 minutes"): Dataset[AlertRow] = {
+    import samples.sparkSession.implicits._
+    val pts = samples.select(col("name"), col("user_id").cast("string")
+          .as("series"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("event_id").cast("long").as("eventId"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .withWatermark("ts", delay)
+      .as[IncPoint]
+    val stepUs = stepS * 1000000L
+    pts.groupByKey(p => (p.name, p.series))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, String), rows: Iterator[IncPoint],
+         state: GroupState[AlertState]) =>
+          val st = state.getOption
+            .getOrElse(AlertState(Seq.empty, Long.MinValue, 0L, 0L))
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // last step whose sample-collection window fully closed
+            val maxClosable = wm / 1000L / stepS - 1
+            var (run, since) = (st.breachRun, st.activeSince)
+            val first =
+              if (st.lastEval == Long.MinValue) st.buf.map(_._1 / stepUs).min
+              else st.lastEval + 1
+            val out = scala.collection.mutable.ArrayBuffer.empty[AlertRow]
+            var e = first
+            var lastEval = st.lastEval
+            while (e <= maxClosable) {
+              val cands = st.buf.filter { p =>
+                val s = p._1 / stepUs; s >= e - (lookSteps - 1) && s <= e
+              }
+              if (cands.isEmpty) {
+                // instant-less step: the run breaks. All buffered
+                // samples sit at steps > e (older ones would be
+                // candidates), so every step up to the next buffered
+                // step is equally empty — fast-forward in O(1) instead
+                // of walking an unbounded idle span.
+                run = 0L
+                val next = st.buf.map(_._1 / stepUs).filter(_ > e)
+                  .reduceOption(_ min _)
+                  .getOrElse(maxClosable + 1)
+                lastEval = math.min(next, maxClosable + 1) - 1
+                e = next
+              } else {
+                val instant = cands.maxBy(p => (p._1, p._2))
+                if (instant._3 > thCents) {
+                  run += 1
+                  if (run == 1L) since = e
+                  out += AlertRow(key._1, key._2.toLong, e * stepS,
+                    instant._3,
+                    if (run >= forSteps) "firing" else "pending",
+                    since * stepS)
+                } else run = 0L
+                lastEval = e
+                e += 1
+              }
+            }
+            // prune: future steps only need samples ≥ lastEval+1-(look-1)
+            // (no step judged yet → keep everything; the MinValue
+            // sentinel must never enter the multiplication)
+            val buf =
+              if (lastEval == Long.MinValue) st.buf
+              else st.buf.filter(
+                _._1 >= (lastEval + 1 - (lookSteps - 1)) * stepUs)
+            if (buf.isEmpty && run == 0L) state.remove()
+            else {
+              state.update(AlertState(buf, lastEval, run, since))
+              val nextStep =
+                if (lastEval == Long.MinValue) buf.map(_._1 / stepUs).min
+                else lastEval + 1
+              state.setTimeoutTimestamp(
+                math.max((nextStep + 1) * stepS * 1000L, wm + 1L))
+            }
+            out.iterator
+          } else {
+            val merged = st.buf ++
+              rows.map(p => (p.tsUs, p.eventId, p.cents))
+            state.update(AlertState(merged, st.lastEval,
+              st.breachRun, st.activeSince))
+            if (merged.nonEmpty) {
+              val firstStep =
+                if (st.lastEval == Long.MinValue)
+                  merged.map(_._1 / stepUs).min
+                else st.lastEval + 1
+              state.setTimeoutTimestamp(
+                math.max((firstStep + 1) * stepS * 1000L, wm + 1L))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** The shared buffer-sort-emit plumbing behind the streaming PromQL
     * window functions: per (name, series, aligned window) group, buffer
     * samples in fMGWS state, emit `kernel`'s rows exactly once when the

@@ -927,4 +927,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       "last-day is a plan-time scalar, not a joined frame")
   }
+
+  test("q_cohort_ltv: cohort quarter is a window on ONE orders scan (r9f)") {
+    val plan = executed(Olap.qCohortLtv(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"no aggregate-then-rejoin — one scan, got ${finalScans(plan)}")
+    assert(!plan.contains("Join"),
+      "cohort size comes from the offset-0 cell, never a joined frame")
+  }
+
+  test("q_rfm: one orders scan in the segment plan (r9f)") {
+    // the max-date anchor is a separate scalar job; the segment plan
+    // itself must not re-scan
+    val plan = executed(Olap.qRfm(spark, dir))
+    assert(finalScans(plan) == 1, s"got ${finalScans(plan)} scans")
+    assert(!plan.contains("Join"))
+  }
+
+  test("q_basket_pairs: self-join reuses the items exchange, top-50 never global-sorts (r9f)") {
+    val plan = executed(Olap.qBasketPairs(spark, dir))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"identical (order, part) subplans must share one exchange:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be a heap, not a sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_mattr: all window math per-row — no exchange at all, pruned read (r9f)") {
+    val plan = executed(TextAnalysis.qMattr(spark, dir))
+    assert(!plan.split("== Initial Plan ==")(0).contains("Exchange"),
+      "MATTR is scan-local arithmetic; an exchange means a regression")
+    assert(!plan.contains("lang#"), "column pruning lost the lang column")
+  }
+
+  test("q_pack_sweep: one chunk scan feeds all three contexts (r9f)") {
+    val plan = executed(TextAnalysis.qPackSweep(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"the ×3 sweep must ride ONE scan: ${finalScans(plan)}")
+    assert(!plan.contains("Join"), "constants explode, they do not join")
+  }
+
+  test("q_weighted_sample: native bounded heap, no sort node (r9f)") {
+    val plan = executed(TextAnalysis.qWeightedSample(spark, dir))
+    assert(plan.contains("TopKPerKey"),
+      s"per-source top-10 must use the heap operator:\n${plan.take(1500)}")
+    assert(!plan.split("== Initial Plan ==")(0).contains("Sort "),
+      "no sort node — that is the operator's whole point")
+  }
+
+  test("q_bloom_contam: bit set and bench set broadcast, no cartesian (r9f)") {
+    val plan = executed(Dedup.qBloomContam(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      "the m-bounded bit set must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side must never shuffle for the probe joins")
+  }
 }
