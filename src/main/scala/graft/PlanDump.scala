@@ -131,7 +131,11 @@ object PlanDump {
       "q_ann_filtered" -> "filtered search: label In-predicate in PushedFilters, |Q| broadcast, K*n' loop (r9)",
       "q_alert_for" -> "alert for-duration: ONE events scan, join-free explode + island windows (r9)",
       "q_simhash_pairs" -> "simhash dedup: materialized signature frame, capped band self-join, in-row Hamming verify (r9)",
-      "q_mmr" -> "MMR re-rank: zero parquet scans — broadcast-filtered candidate vectors, constant-frame greedy joins (r9)")
+      "q_mmr" -> "MMR re-rank: zero parquet scans — broadcast-filtered candidate vectors, constant-frame greedy joins (r9)",
+      "q_kn_bigram" -> "Kneser-Ney LM: cbg materialized (5 lineage scans collapse — plan shows the RDD-backed LM side), 8-byte-hash LM joins, ONE doc-join parquet scan (r9g)",
+      "q_ks_drift" -> "KS drift: ONE documents aggregate feeds per-value/per-source/total frames, broadcast value-space grid, per-source ECDF windows (r9g)",
+      "q_kmv_union" -> "KMV sketches: ONE corpus pass into the TopKPerKey bottom-64 heap; union/pair stages run on the 320-row sketch frame (mergeable-sketch algebra) (r9g)",
+      "q_theil_sen" -> "Theil-Sen trend: minute-downsample windows then a KEYED (series,hour) pair self-join — never cartesian (r9g)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")
@@ -147,7 +151,9 @@ object PlanDump {
       "q_embed_cosine_topk" -> (graft.operators.Similarity.qEmbedCosineTopkPlan _),
       "q_ann_lsh" -> (graft.operators.Similarity.qAnnLshPlan _),
       "q_minhash_lsh" -> (graft.operators.Dedup.bandPairsPlan _),
-      "q_ann_ivf" -> (graft.operators.Similarity.qAnnIvfPlan _))
+      "q_ann_ivf" -> (graft.operators.Similarity.qAnnIvfPlan _),
+      "q_ks_drift" -> (graft.operators.TextAnalysis.ksDriftPlan _),
+      "q_kmv_union" -> (graft.operators.Dedup.kmvSketchPlan _))
     audited.foreach { case (name, why) =>
       val df = planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       sb.append(s"## $name — $why\n\n```\n")

@@ -1835,4 +1835,123 @@ object Dedup {
        |FROM hits h LEFT JOIN bench b ON h.g = b.g
        |GROUP BY 1""".stripMargin
   }
+
+  /** Constant KMV watch-list + pair set for [[qKmvUnion]]: a CONSTANT
+    * source set (the §6 bounded-set rule — never a corpus fraction), so
+    * the pair frame is 10 literal rows regardless of corpus size. */
+  private val kmvSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Distinct (source, 5-gram-hash) frame for the KMV sketches — the
+    * one corpus-sized stage; exposed for the plan audit (the registered
+    * query's sketch is a MaterializeOnce RDD scan). */
+  private[graft] def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .filter(col("source").isin(kmvSources: _*))
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 5)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w)-4), i -> concat_ws(' '," +
+          " element_at(w, i), element_at(w, i+1), element_at(w, i+2)," +
+          " element_at(w, i+3), element_at(w, i+4)))")).as("gram"))
+      .select(col("source"), hash60(col("gram")).as("h"))
+      .distinct()
+
+  /** Un-materialized sketch build (corpus distinct → bottom-64 heap)
+    * for plan audits and PLANS.md. */
+  private[graft] def kmvSketchPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      kmvDistinct(spark, dir), Seq("source"), Seq(("h", true)), 64)
+  private val kmvPairs: Seq[(String, String)] =
+    for { a <- kmvSources; b <- kmvSources if a < b } yield (a, b)
+
+  /** q_kmv_union — MERGEABLE set-cardinality sketches between sources:
+    * the K-Minimum-Values estimator (Bar-Yossef et al. 2002; the
+    * distinct-count sketch whose UNION is just "merge the two bottom-k
+    * sets and re-take bottom-k", which MinHash signatures cannot do
+    * without assuming equal set sizes). Per watched source the k=64
+    * smallest distinct 5-gram shingle hashes give
+    * est = (k−1)·2⁴⁰ / (h₍ₖ₎ >> 20) (the hash is 60-bit; both sides
+    * rescale to 2⁴⁰ so (k−1)·SPACE fits int64 exactly — 63·2⁶⁰
+    * overflows). Per source pair the union estimate re-runs the same
+    * formula on the merged distinct set, and the intersection is
+    * inclusion–exclusion clamped at 0. This is the pre-join "how much
+    * would cross-dedup between these crawls even find" triage at the
+    * price of ONE bottom-64 per source instead of any pairwise scan.
+    *
+    * Scale shape: one corpus pass → distinct (source, hash) (hash-keyed
+    * shuffle) → ONE bottom-64 per source on the native bounded-heap
+    * [[graft.plans.TopKPerKey]] operator (map-side partial pruning —
+    * each task keeps 64 candidates per key, NO per-source sort of the
+    * full shingle set). Everything after that runs on the materialized
+    * |watch|·64-row SKETCH frame: the union bottom-64 merges the two
+    * 64-row sketches (exactly equal to the full-set bottom-64 — the
+    * mergeable-sketch property), so pair count affects only
+    * constant-sized work and the corpus is never replicated.
+    */
+  def qKmvUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def kmvEst: Column =
+      expr("63L * 1099511627776L div greatest(h div 1048576, 1L)")
+    // THE sketch property: bottom-64(A ∪ B) ⊆ bottom-64(A) ∪ bottom-64(B)
+    // (any of the union's 64 smallest is among its own set's 64
+    // smallest), so the pair stage runs on the 64-row-per-source SKETCH
+    // frame — the corpus is touched exactly once, and the union
+    // estimate is EXACTLY the full-set bottom-64's (not an
+    // approximation of an approximation). Materialized: |watch|·64 rows
+    // feed both the per-source and the per-pair consumers.
+    val sketch = MaterializeOnce(spark, dir, "dedup:kmv_sketch")(
+      kmvSketchPlan(spark, dir))
+    val perSrc = sketch.filter(col("rk") === 64)
+      .select(col("source"), kmvEst.as("est"))
+    val pairs = broadcast(kmvPairs.toDF("pa", "pb"))
+    val merged = sketch.join(pairs,
+        col("source") === col("pa") || col("source") === col("pb"))
+      .select(col("pa"), col("pb"), col("h")).distinct()
+    val perPair = graft.plans.TopKPerKey.topK(
+        merged, Seq("pa", "pb"), Seq(("h", true)), 64)
+      .filter(col("rk") === 64)
+      .select(col("pa"), col("pb"), kmvEst.as("est_union"))
+    perPair
+      .join(perSrc.select(col("source").as("sa"), col("est").as("est_a")),
+        col("pa") === col("sa"))
+      .join(perSrc.select(col("source").as("sb"), col("est").as("est_b")),
+        col("pb") === col("sb"))
+      .select(col("pa"), col("pb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        expr("greatest(est_a + est_b - est_union, 0L)").as("est_inter"))
+  }
+
+  val kmvUnionSql: String = {
+    val h = graft.functions.Portable.hash60Sql("gram")
+    val srcList = kmvSources.map(s => s"'$s'").mkString(", ")
+    val pairVals = kmvPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |  WHERE source IN ($srcList) AND len(string_split(text, ' ')) >= 5),
+       |g AS (
+       |  SELECT DISTINCT source, $h AS h FROM (
+       |    SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+       |           w[i+3] || ' ' || w[i+4] AS gram
+       |    FROM (SELECT source, w, unnest(range(1, len(w) - 3)) AS i
+       |          FROM d))),
+       |rs AS (SELECT source, h, row_number() OVER (
+       |         PARTITION BY source ORDER BY h) AS rk FROM g),
+       |es AS (SELECT source,
+       |         CAST(63 AS BIGINT) * 1099511627776
+       |           // greatest(h // 1048576, 1) AS est
+       |       FROM rs WHERE rk = 64),
+       |p AS (SELECT * FROM (VALUES $pairVals) AS t(pa, pb)),
+       |m AS (SELECT DISTINCT p.pa, p.pb, g.h
+       |      FROM p JOIN g ON g.source = p.pa OR g.source = p.pb),
+       |ru AS (SELECT pa, pb, h, row_number() OVER (
+       |         PARTITION BY pa, pb ORDER BY h) AS rk FROM m),
+       |eu AS (SELECT pa, pb,
+       |         CAST(63 AS BIGINT) * 1099511627776
+       |           // greatest(h // 1048576, 1) AS est_union
+       |       FROM ru WHERE rk = 64)
+       |SELECT eu.pa, eu.pb, ea.est AS est_a, eb.est AS est_b, eu.est_union,
+       |       greatest(ea.est + eb.est - eu.est_union, 0) AS est_inter
+       |FROM eu JOIN es ea ON ea.source = eu.pa
+       |        JOIN es eb ON eb.source = eu.pb""".stripMargin
+  }
 }

@@ -3768,4 +3768,79 @@ object MetricsEtl {
        |ORDER BY abs(curr_cents - prev_cents) DESC, name, user_id
        |LIMIT 5""".stripMargin
   }
+
+  /** q_theil_sen — ROBUST per-series trend: the Theil–Sen estimator
+    * (median of pairwise slopes) over each (name, series, hour) window,
+    * the outlier-immune companion to [[qDeriv]]'s least-squares slope —
+    * one corrupted sample (a scrape glitch, a counter blip that
+    * survived reset handling) drags OLS arbitrarily but moves the
+    * pairwise-slope median by at most one rank. The pairwise stage is
+    * the textbook O(m²) — made scale-safe by the DOWNSAMPLE-FIRST
+    * device: samples collapse to the per-minute LAST value before
+    * pairing, so m ≤ 60 per (series, hour) BY CONSTRUCTION (a constant
+    * of the time grid, not of corpus size; ≤ 1 770 pairs per group no
+    * matter how hot the series). Slopes are exact integer ppm-per-
+    * minute with the CASE sign guard (truncation toward zero on both
+    * engines — Spark `div` truncates, DuckDB `//` floors, so the
+    * negative branch computes on magnitudes and negates). The median is
+    * the lower median by row_number — ties in slope value pick the same
+    * VALUE regardless of tie order, and only group keys + the value are
+    * emitted, so the output is deterministic.
+    */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .withColumn("w_start", expr("ts_us div 3600000000 * 3600"))
+      .withColumn("m", expr("ts_us div 60000000 % 60"))
+      .withColumn("y", round(col("value") * 100).cast("long"))
+    val wLast = Window.partitionBy("name", "user_id", "w_start", "m")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val pts = base.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("user_id"), col("w_start"), col("m"), col("y"))
+    val slopes = pts.join(
+        pts.select(col("name").as("n2"), col("user_id").as("u2"),
+          col("w_start").as("ws2"), col("m").as("m2"), col("y").as("y2")),
+        col("name") === col("n2") && col("user_id") === col("u2") &&
+          col("w_start") === col("ws2") && col("m") < col("m2"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        expr("CASE WHEN y2 >= y THEN (y2 - y) * 1000000 div (m2 - m)" +
+          " ELSE -((y - y2) * 1000000 div (m2 - m)) END").as("s_ppm"))
+    val wMed = Window.partitionBy("name", "user_id", "w_start").orderBy("s_ppm")
+    val wGrp = Window.partitionBy("name", "user_id", "w_start")
+    slopes
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("nc", count(lit(1)).over(wGrp))
+      .filter(col("rn") === expr("(nc + 1) div 2"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        col("nc").as("n_pairs"), col("s_ppm").as("ts_slope_ppm"))
+  }
+
+  val theilSenSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name, user_id, epoch_us(ts) AS ts_us, event_id,
+      |         epoch_us(ts) // 3600000000 * 3600 AS w_start,
+      |         (epoch_us(ts) // 60000000) % 60 AS m,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |pts AS (
+      |  SELECT name, user_id, w_start, m, y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY name, user_id, w_start, m
+      |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM b)
+      |  WHERE rn = 1),
+      |sl AS (
+      |  SELECT a.name, a.user_id, a.w_start,
+      |         CASE WHEN c.y >= a.y THEN (c.y - a.y) * 1000000 // (c.m - a.m)
+      |              ELSE -((a.y - c.y) * 1000000 // (c.m - a.m)) END AS s_ppm
+      |  FROM pts a JOIN pts c ON a.name = c.name AND a.user_id = c.user_id
+      |    AND a.w_start = c.w_start AND a.m < c.m),
+      |r AS (
+      |  SELECT name, user_id, w_start, s_ppm,
+      |         row_number() OVER (PARTITION BY name, user_id, w_start
+      |           ORDER BY s_ppm) AS rn,
+      |         COUNT(*) OVER (PARTITION BY name, user_id, w_start) AS nc
+      |  FROM sl)
+      |SELECT name, user_id, w_start, nc AS n_pairs, s_ppm AS ts_slope_ppm
+      |FROM r WHERE rn = (nc + 1) // 2""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Portable.hash60
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM-training-data pipeline
@@ -2379,4 +2380,177 @@ object TextAnalysis {
        |FROM p
        |QUALIFY rk <= 10""".stripMargin
   }
+
+  /** q_kn_bigram — interpolated Kneser-Ney bigram score, the SMOOTHED
+    * upgrade of [[qBigramLp]]: raw bigram tf gives every unseen-context
+    * doc the same floor and over-rewards template spam whose bigrams
+    * repeat verbatim. KN replaces tf with
+    * `max(c−D,0)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/|bigram types|` —
+    * the continuation-probability backoff that made KN the standard
+    * n-gram smoother (Chen & Goodman 1999; public formulation). All
+    * INTEGER: D = 0.75 carried as 75/100 fixed-point, every division a
+    * truncating `div` with nonnegative operands mirrored by DuckDB `//`,
+    * the doc score the established bit-length log2 of the per-bigram
+    * probability in ppm. Scale shape is [[qBigramLp]]'s: bigrams built
+    * IN-ROW (no positional self-join), the three LM frames (bigram
+    * counts, left-context totals, continuation counts) are sub-corpus
+    * Zipf vocabularies keyed on 8-byte word hashes, and the type total
+    * joins as a broadcast 1-row frame.
+    */
+  def qKnBigram(spark: SparkSession, dir: String): DataFrame =
+    knBigramFrom(spark, dir, materialize = true)
+
+  /** Un-materialized twin for plan audits (the registered query's cbg
+    * is a MaterializeOnce RDD scan, opaque to `.explain`). */
+  private[graft] def knBigramPlan(spark: SparkSession, dir: String): DataFrame =
+    knBigramFrom(spark, dir, materialize = false)
+
+  private def knBigramFrom(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1)," +
+          " i -> struct(element_at(w, i) AS a, element_at(w, i+1) AS b))"))
+        .as("p"))
+      .select(col("doc_id"),
+        hash60(col("p.a")).as("w1h"), hash60(col("p.b")).as("w2h"))
+    // the bigram-count frame feeds FOUR consumers (c1/cont/t/pm) — left
+    // as lineage each would re-explode the corpus; materialized it is a
+    // Zipf-sub-corpus vocabulary read 4× from memory (documents is
+    // scanned exactly twice: once building cbg, once for the doc join)
+    val cbgRaw = bg.groupBy("w1h", "w2h").agg(count(lit(1)).as("c"))
+    val cbg = if (materialize)
+      MaterializeOnce(spark, dir, "text:kn_cbg")(cbgRaw) else cbgRaw
+    val c1 = cbg.groupBy("w1h")
+      .agg(sum("c").as("c1"), count(lit(1)).as("n1"))
+      .withColumnRenamed("w1h", "l1")
+    val cont = cbg.groupBy("w2h").agg(count(lit(1)).as("ncont"))
+      .withColumnRenamed("w2h", "l2")
+    val tTypes = cbg.agg(count(lit(1)).as("t_types"))
+    val pm = cbg
+      .join(c1, col("w1h") === col("l1")).drop("l1")
+      .join(cont, col("w2h") === col("l2")).drop("l2")
+      .crossJoin(broadcast(tTypes))
+      .select(col("w1h"), col("w2h"),
+        (expr("greatest(c * 100 - 75, 0L) * 1000000 div (c1 * 100)") +
+          expr("(75 * n1 * (ncont * 1000000 div t_types)) div (c1 * 100)"))
+          .as("p_ppm"))
+    bg.join(pm, Seq("w1h", "w2h"))
+      .select(col("doc_id"),
+        (length(expr("conv(greatest(p_ppm, 1L), 10, 2)")) - 1)
+          .cast("long").as("log2_p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("log2_p").as("sum_log2"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_log2 * 100 div n_bigrams").as("kn_x100"))
+  }
+
+  val knBigramSql: String = {
+    val h1 = graft.functions.Portable.hash60Sql("a")
+    val h2 = graft.functions.Portable.hash60Sql("b")
+    s"""WITH bp AS (
+       |  SELECT doc_id, w[i] AS a, w[i+1] AS b
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |        FROM (SELECT doc_id, $wordsSql AS w FROM documents)
+       |        WHERE len(w) >= 2)),
+       |b AS (SELECT doc_id, $h1 AS w1h, $h2 AS w2h FROM bp),
+       |cbg AS (SELECT w1h, w2h, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |c1 AS (SELECT w1h AS l1, CAST(SUM(c) AS BIGINT) AS c1,
+       |              COUNT(*) AS n1 FROM cbg GROUP BY 1),
+       |cont AS (SELECT w2h AS l2, COUNT(*) AS ncont FROM cbg GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS t_types FROM cbg),
+       |pm AS (
+       |  SELECT w1h, w2h,
+       |         greatest(c * 100 - 75, 0) * 1000000 // (c1 * 100)
+       |         + (75 * n1 * (ncont * 1000000 // t_types)) // (c1 * 100)
+       |           AS p_ppm
+       |  FROM cbg JOIN c1 ON w1h = l1 JOIN cont ON w2h = l2 CROSS JOIN t),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |         CAST(SUM(CAST(length(bin(greatest(p_ppm, 1))) - 1 AS BIGINT))
+       |           AS BIGINT) AS sum_log2
+       |  FROM b JOIN pm USING (w1h, w2h) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, sum_log2 * 100 // n_bigrams AS kn_x100
+       |FROM s""".stripMargin
+  }
+
+  /** q_ks_drift — per-source two-sample Kolmogorov–Smirnov statistic on
+    * the doc-length distribution, source vs REST of corpus: the
+    * scale-free drift detector that catches what [[qTokenDrift]]'s
+    * token-mixture TV distance cannot — a source whose vocabulary is
+    * normal but whose LENGTH profile shifted (truncation bug, boiler-
+    * plate doubling, a scraper that started concatenating pages).
+    * D = max over values of |ECDF_src − ECDF_rest| in exact truncating
+    * ppm; `at_nchars` is the smallest length where the max is attained
+    * (the diagnostic "where do the curves split" pointer). Scale shape:
+    * ONE corpus scan into (source, n_chars) counts — every other frame
+    * (per-value totals, per-source totals, the grand total) derives
+    * from that aggregate, so the plan has a single documents scan; the
+    * ECDF grid is |sources| × |distinct lengths|, bounded by the
+    * config-bounded source dimension times the VALUE SPACE of doc
+    * length, not by corpus row count.
+    */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.documents(spark, dir)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c_sv"))
+    ksDriftFrom(spark, MaterializeOnce(spark, dir, "text:ks_sv")(sv))
+  }
+
+  /** Un-materialized twin for the single-scan plan audit. */
+  private[graft] def ksDriftPlan(spark: SparkSession, dir: String): DataFrame =
+    ksDriftFrom(spark, Tables.documents(spark, dir)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c_sv")))
+
+  private def ksDriftFrom(spark: SparkSession, svm: DataFrame): DataFrame = {
+    val perV = svm.groupBy("n_chars").agg(sum("c_sv").as("c_v"))
+    val perS = svm.groupBy("source").agg(sum("c_sv").as("tot_s"))
+    val tot = svm.agg(sum("c_sv").as("tot"))
+    val grid = perS.crossJoin(broadcast(perV))
+      .join(svm, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c_sv"))
+      .crossJoin(broadcast(tot))
+    val wCum = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = grid
+      .withColumn("cum_s", sum("c_sv").over(wCum))
+      .withColumn("cum_r", sum(col("c_v") - col("c_sv")).over(wCum))
+      .withColumn("d", abs(expr(
+        "cum_s * 1000000 div tot_s" +
+          " - cum_r * 1000000 div greatest(tot - tot_s, 1L)")))
+    ecdf
+      .withColumn("maxd", max("d").over(Window.partitionBy("source")))
+      .filter(col("d") === col("maxd"))
+      .groupBy("source")
+      .agg(max("tot_s").as("n_docs"), max("d").as("d_ppm"),
+        min("n_chars").as("at_nchars"))
+  }
+
+  val ksDriftSql: String =
+    """WITH sv AS (SELECT source, n_chars, COUNT(*) AS c_sv
+      |            FROM documents GROUP BY 1, 2),
+      |v AS (SELECT n_chars, CAST(SUM(c_sv) AS BIGINT) AS c_v
+      |      FROM sv GROUP BY 1),
+      |s AS (SELECT source, CAST(SUM(c_sv) AS BIGINT) AS tot_s
+      |      FROM sv GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c_sv) AS BIGINT) AS tot FROM sv),
+      |grid AS (
+      |  SELECT s.source, v.n_chars, s.tot_s, v.c_v,
+      |         COALESCE(sv.c_sv, 0) AS c_sv, t.tot
+      |  FROM s CROSS JOIN v CROSS JOIN t
+      |  LEFT JOIN sv ON sv.source = s.source AND sv.n_chars = v.n_chars),
+      |e AS (
+      |  SELECT source, n_chars, tot_s,
+      |         abs(CAST(SUM(c_sv) OVER w AS BIGINT) * 1000000 // tot_s
+      |             - CAST(SUM(c_v - c_sv) OVER w AS BIGINT) * 1000000
+      |               // greatest(tot - tot_s, 1)) AS d
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY source ORDER BY n_chars
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m AS (SELECT source, n_chars, tot_s, d,
+      |             max(d) OVER (PARTITION BY source) AS maxd FROM e)
+      |SELECT source, MAX(tot_s) AS n_docs, CAST(MAX(d) AS BIGINT) AS d_ppm,
+      |       MIN(n_chars) AS at_nchars
+      |FROM m WHERE d = maxd GROUP BY 1""".stripMargin
 }

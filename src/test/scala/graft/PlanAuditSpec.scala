@@ -983,4 +983,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "corpus side must never shuffle for the probe joins")
   }
+
+  test("q_kn_bigram: cbg materialization is load-bearing — 5 lineage scans collapse to 1 (r9g)") {
+    // measured: the un-materialized plan re-explodes the corpus FIVE
+    // times (c1/cont/t/pm each re-derive cbg; Catalyst does not reuse
+    // the exchange across the different parent aggregates) — the
+    // MaterializeOnce on cbg is what makes the registered query pay one
+    // documents scan (the doc-side join; the cbg build is its own job)
+    val lineageScans = finalScans(executed(TextAnalysis.knBigramPlan(spark, dir)))
+    assert(lineageScans >= 4, s"lineage shape changed ($lineageScans scans) — " +
+      "re-check whether the materialization is still needed")
+    val plan = executed(TextAnalysis.qKnBigram(spark, dir))
+    assert(finalScans(plan) == 1,
+      s"registered query must scan documents once: ${finalScans(plan)}\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_ks_drift: every frame derives from ONE documents aggregate (r9g)") {
+    val plan = executed(TextAnalysis.ksDriftPlan(spark, dir))
+    val scans = finalScans(plan)
+    assert(scans == 1 || plan.contains("ReusedExchange")
+      || plan.contains("ReusedQueryStage"),
+      s"per-value/per-source/total frames must reuse the (source, n_chars) " +
+        s"aggregate: $scans scans\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"),
+      "the value-space grid sides must broadcast")
+  }
+
+  test("q_kmv_union: ONE corpus pass into the heap sketch; pair stage sketch-sized (r9g)") {
+    // the corpus-sized stage: distinct → bottom-64 heap, no sort/window
+    val sketchPlan = executed(Dedup.kmvSketchPlan(spark, dir))
+    assert(sketchPlan.contains("TopKPerKey"),
+      s"bottom-k must use the heap operator, not a per-key sort:\n${sketchPlan.take(1500)}")
+    assert(finalScans(sketchPlan) == 1, "sketch build is the one corpus pass")
+    assert(!sketchPlan.split("== Initial Plan ==")(0).contains("Window"),
+      "no window rank — the whole point is the map-side-pruning heap")
+    // the registered query: everything downstream runs on the 320-row
+    // materialized sketch — zero parquet scans, pair frame broadcast
+    val plan = executed(Dedup.qKmvUnion(spark, dir))
+    assert(finalScans(plan) == 0,
+      s"pair/union stages must never re-touch the corpus: ${finalScans(plan)} scans")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the 10-row literal pair frame must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_theil_sen: pair stage is a keyed join, never cartesian (r9g)") {
+    val plan = executed(MetricsEtl.qTheilSen(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "the O(m^2) pair stage must be keyed on (series, hour)")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the self-join must stay an equality join on the group key")
+  }
 }
