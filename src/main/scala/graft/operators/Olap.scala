@@ -2291,4 +2291,47 @@ object Olap {
       |JOIN freq f2 ON f2.pk = p2
       |ORDER BY pair_cnt DESC, p1, p2
       |LIMIT 50""".stripMargin
+
+  /** q_skew_stats — shuffle-key SKEW telemetry, the read a planner (or
+    * the engineer deciding between AQE skew-join and manual salting)
+    * takes before any big join: per hot join key, the log₂-bucketed
+    * key-frequency histogram — n_keys and row mass per
+    * floor(log2(df)) bucket, via the repo's bit-length device (no
+    * libm). A healthy key space is a tight low-bucket pyramid; rows
+    * piling into high buckets is exactly the skew AQE must split (the
+    * 100 TB failure mode: one customer/orderkey holding 10⁸ rows).
+    * Audited over the two join keys every OLAP query here shuffles on
+    * (lineitem.l_orderkey) and every event panel groups on
+    * (events.user_id). Scale shape: one map-side-combinable aggregate
+    * per table, then a ≤64-row histogram — output bounded by the
+    * int64 bit width, never by corpus size.
+    */
+  def qSkewStats(spark: SparkSession, dir: String): DataFrame = {
+    def hist(df: DataFrame, keyCol: String, label: String): DataFrame =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .select(lit(label).as("key_col"),
+          (length(expr("conv(c, 10, 2)")) - 1).cast("long").as("log2_df"),
+          col("c"))
+        .groupBy("key_col", "log2_df")
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
+    hist(Tables.lineitem(spark, dir), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(
+        hist(Tables.events(spark, dir), "user_id", "events.user_id"))
+  }
+
+  val skewStatsSql: String =
+    """WITH lk AS (
+      |  SELECT 'lineitem.l_orderkey' AS key_col,
+      |         CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS log2_df,
+      |         COUNT(*) AS c
+      |  FROM lineitem GROUP BY l_orderkey),
+      |ek AS (
+      |  SELECT 'events.user_id' AS key_col,
+      |         CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS log2_df,
+      |         COUNT(*) AS c
+      |  FROM events GROUP BY user_id),
+      |u AS (SELECT * FROM lk UNION ALL SELECT * FROM ek)
+      |SELECT key_col, log2_df, COUNT(*) AS n_keys,
+      |       CAST(SUM(c) AS BIGINT) AS n_rows
+      |FROM u GROUP BY 1, 2""".stripMargin
 }

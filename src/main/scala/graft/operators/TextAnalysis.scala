@@ -599,6 +599,50 @@ object TextAnalysis {
        |FROM h""".stripMargin
   }
 
+  /** q_compaction_plan — the SMALL-FILES compaction planner (the
+    * Iceberg/Delta `binpack` shape, the lake-maintenance sibling of
+    * [[graft.sinks.LakeSink.writeClustered]]): per source, the 16
+    * doc_id-sharded "files" are walked in shard order and packed into
+    * merge groups by START-OF-FILE cumulative bytes over a constant
+    * target — the sequential binning every table-maintenance service
+    * runs (true FFD bin packing is order-dependent and not worth a
+    * shuffle; sorted-input binpack is what Iceberg's rewrite action
+    * does). An oversized file naturally stands alone (its group closes
+    * immediately). All integer: bytes are exact n_chars sums, the group
+    * id is a truncating div of the nonnegative running total. Scale
+    * shape: one corpus scan → (source, shard) aggregate (map-side
+    * combinable, |sources|·16 rows), one bounded window per source —
+    * output size is the FILE count, corpus size only changes the byte
+    * sums.
+    */
+  def qCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 2000L
+    val files = Tables.documents(spark, dir)
+      .withColumn("shard", col("doc_id") % 16)
+      .groupBy("source", "shard").agg(sum("n_chars").as("bytes"))
+    val w = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.withColumn("cum", sum("bytes").over(w))
+      .select(col("source"), col("shard"), col("bytes"),
+        (col("cum") - col("bytes")).as("cum_before"),
+        expr(s"(cum - bytes) div $target").as("grp"))
+  }
+
+  val compactionPlanSql: String =
+    """WITH f AS (
+      |  SELECT source, doc_id % 16 AS shard,
+      |         CAST(SUM(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, shard, bytes,
+      |         CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY shard
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum
+      |  FROM f)
+      |SELECT source, shard, bytes, cum - bytes AS cum_before,
+      |       (cum - bytes) // 2000 AS grp
+      |FROM c""".stripMargin
+
   /** Constant blocklist — the plan-time term list every corpus filter
     * ships (profanity / boilerplate / SEO-spam lists in production; here
     * vocabulary terms so the operator exercises real hits). Embedded as

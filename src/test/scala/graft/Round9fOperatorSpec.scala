@@ -108,6 +108,43 @@ class Round9fOperatorSpec extends SparkSpec {
     }
   }
 
+  test("q_compaction_plan == a JVM sequential-binpack replay") {
+    val target = 2000L
+    val expected = docWords.map(d => ((d._2, d._1 % 16), d._4))
+      .groupBy(_._1).map { case (k, vs) => (k._1, k._2, vs.map(_._2).sum) }
+      .groupBy(_._1).flatMap { case (_, files) =>
+        var cum = 0L
+        files.toSeq.sortBy(_._2).map { case (src, shard, bytes) =>
+          val before = cum; cum += bytes
+          (src, shard, bytes, before, before / target)
+        }
+      }.toSet
+    val got = TextAnalysis.qCompactionPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // the fixture must produce a multi-file group AND a group boundary
+    assert(expected.exists(_._5 > 0), "no group boundary exercised")
+  }
+
+  test("q_skew_stats == a JVM frequency-histogram replay") {
+    def hist(label: String, keys: Seq[Long]) =
+      keys.groupBy(identity).values.map(_.size.toLong).toSeq
+        .groupBy(c => 63L - java.lang.Long.numberOfLeadingZeros(c))
+        .map { case (b, cs) => (label, b, cs.size.toLong, cs.sum) }
+    val lk = Tables.lineitem(spark, dir).select("l_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    val ek = Tables.events(spark, dir).select("user_id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected =
+      (hist("lineitem.l_orderkey", lk) ++ hist("events.user_id", ek)).toSet
+    val got = graft.operators.Olap.qSkewStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q_theil_sen == a JVM median-of-pairwise-slopes replay") {
     val rows = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"), col("event_id"),
