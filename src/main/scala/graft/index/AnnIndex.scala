@@ -248,10 +248,18 @@ object AnnIndex {
 
   /** SERVED IVF search: the in-cell exact top-3 over the parquet
     * posting lists — value-identical to `q_ann_ivf` built in-session
-    * (same hot-cell cap, same tie order), with the n·K assignment
-    * argmax amortized into the one-time build. */
-  def annSearch(spark: SparkSession, root: String): DataFrame =
-    Similarity.ivfSearch(spark, assignments(spark, root))
+    * (same hot-cell cap, same tie order, same sub-cell split), with the
+    * n·K assignment argmax amortized into the one-time build. The
+    * sub-cell geometry (like the coarse book) is frozen at BUILD scale:
+    * bits derive from meta's row count, exactly what the in-session
+    * search derives from its corpus count — identical post-build, and
+    * re-sized only by the re-train that also re-sizes K. */
+  def annSearch(spark: SparkSession, root: String): DataFrame = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"AnnIndex: no readable index meta at $root"))
+    Similarity.ivfSearch(assignments(spark, root), meta.dim,
+      Similarity.ivfSubBitsFor(meta.nVectors))
+  }
 
   /** SERVED ADC search: LUTs from the persisted codebook (M·K rows —
     * a bounded index-metadata read) against the persisted packed

@@ -1841,11 +1841,14 @@ object Dedup {
     * the pair frame is 10 literal rows regardless of corpus size. */
   private val kmvSources = Seq("src0", "src1", "src2", "src3", "src4")
 
-  /** Distinct (source, 5-gram-hash) frame for the KMV sketches — the
-    * one corpus-sized stage; exposed for the plan audit (the registered
-    * query's sketch is a MaterializeOnce RDD scan). */
-  private[graft] def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(spark, dir))
+  /** RAW (source, 5-gram-hash) stream for the KMV sketches — shared
+    * formula between the batch path ([[kmvDistinct]] adds the
+    * `distinct`) and the STREAMING sketch
+    * ([[graft.streaming.SketchStream.kmvSketch]], which feeds the raw
+    * stream straight into the distinct-by-construction
+    * [[graft.functions.KmvLows]] aggregate — no pre-distinct state). */
+  private[graft] def kmvHashes(docs: DataFrame): DataFrame =
+    docs
       .filter(col("source").isin(kmvSources: _*))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 5)
@@ -1854,6 +1857,15 @@ object Dedup {
           " element_at(w, i), element_at(w, i+1), element_at(w, i+2)," +
           " element_at(w, i+3), element_at(w, i+4)))")).as("gram"))
       .select(col("source"), hash60(col("gram")).as("h"))
+
+  /** The watched source list, for the streaming twin's spec. */
+  private[graft] def kmvWatchedSources: Seq[String] = kmvSources
+
+  /** Distinct (source, 5-gram-hash) frame for the KMV sketches — the
+    * one corpus-sized stage; exposed for the plan audit (the registered
+    * query's sketch is a MaterializeOnce RDD scan). */
+  private[graft] def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvHashes(Tables.fanOut(Tables.documents(spark, dir)))
       .distinct()
 
   /** Un-materialized sketch build (corpus distinct → bottom-64 heap)

@@ -403,6 +403,73 @@ object Similarity {
   private val ivfKSql: String =
     s"(SELECT GREATEST($IvfCells, CAST(floor(sqrt(COUNT(*) / 8.0)) AS BIGINT)) FROM qn)"
 
+  /** Target SUB-CELL population for the in-cell SEARCH join — the
+    * serve-side constant `c` that turns the search linear (VERDICT_r09
+    * item 1). With √n-law cells the expected population is √(8n), so
+    * Σ|cell|² totals n^1.5 — the suite's last measured superlinear term
+    * (q_ann_ivf 522×, q_knn_classify 465× for 100× data at the r9 sf10
+    * probe). [[ivfSubBitsFor]] splits each cell with just enough
+    * data-blind sign-LSH bits that expected (cell, sub) population
+    * stays ≤ this constant, making in-cell work ≈ n·c — LINEAR — while
+    * the cell geometry (assignment, balance diagnostics, semdedup's
+    * within-cell semantics) is untouched. Recall trade: τ-neighbors
+    * split across sub-cells are unseen, the same dial as every banded
+    * LSH stage here (add probe bands to buy recall back); at fixture
+    * SFs (n ≤ 2000 → √(8n) ≤ 127 < 256) ZERO bits engage and results
+    * are bit-identical to the unsplit search. */
+  private val SubCellTarget = 256
+
+  /** Sub-cell bit count for an n-vector corpus: the smallest b with
+    * √(8n)/2^b ≤ [[SubCellTarget]], integer-exact on both engines —
+    * m = ceil(sqrt(8.0·n)) is identical IEEE math (8n exact below 2⁵⁰,
+    * sqrt correctly rounded, exact on perfect squares), the ceil-div u
+    * and the ceil-log₂ are pure integer ops (JVM bit-length == SQL
+    * ceil(log2) for u ≥ 2 because log2 is exact on powers of two). */
+  private[graft] def ivfSubBitsFor(n: Long): Int = {
+    val m = math.ceil(math.sqrt(8.0 * n)).toLong
+    val u = (m + SubCellTarget - 1) / SubCellTarget
+    if (u <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(u - 1)
+  }
+
+  private def ivfSubBits(spark: SparkSession, dir: String): Int =
+    ivfSubBitsFor(vecCount(spark, dir))
+
+  /** The (cell, sub) SEARCH key as one in-row projection over `q`:
+    * `bits` sign-LSH hyperplanes (plan-time literal weights, namespaced
+    * `ivfsub:` so they are independent of the q_ann_lsh planes), packed
+    * into a long exactly like [[lshBuckets]]. `bits = 0` → constant 0
+    * (every cell is one sub-cell — the fixture-scale identity). */
+  private[graft] def ivfSubCol(d: Int, bits: Int): Column =
+    if (bits == 0) lit(0L)
+    else (0 until bits).map { p =>
+      val w = typedLit(Array.tabulate(d)(i =>
+        hash60Jvm(s"ivfsub:$p:$i") % 2001 - 1000).toSeq)
+      when(vecDot(col("q"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Oracle twins of the sub-cell machinery, shared by every in-cell
+    * search SQL: `sb` computes the bit count from the corpus (the
+    * [[ivfSubBitsFor]] formula), `sp` the per-vector sub key (empty at
+    * 0 bits — consumers LEFT JOIN and coalesce to 0). */
+  private val ivfSubSqlCtes: String = {
+    val w = hash60Sql(
+      "'ivfsub:' || CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+    s"""sb AS (SELECT CASE WHEN u <= 1 THEN CAST(0 AS BIGINT)
+       |               ELSE CAST(ceil(log2(u)) AS BIGINT) END AS bits
+       |       FROM (SELECT (CAST(ceil(sqrt(8.0 * COUNT(*))) AS BIGINT)
+       |                     + ${SubCellTarget - 1}) // $SubCellTarget AS u
+       |             FROM qn) uu),
+       |sp AS (SELECT vec_id,
+       |        SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p
+       |            ELSE CAST(0 AS BIGINT) END) AS sub
+       |       FROM (SELECT qn.vec_id, pl.p,
+       |              CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |                i -> qn.q[i] * ($w % 2001 - 1000))) AS BIGINT) AS dotp
+       |             FROM qn, (SELECT unnest(generate_series(0,
+       |               CAST((SELECT bits FROM sb) AS INT) - 1)) AS p) pl) dp
+       |       GROUP BY vec_id)""".stripMargin
+  }
+
   /** q_ann_ivf — IVF-style approximate nearest neighbors, the OTHER
     * classic ANN scale path next to sign-LSH (q_ann_lsh):
     *
@@ -413,14 +480,17 @@ object Similarity {
     *     nested loop over a K-row side — n·K integer dot products in
     *     one codegen'd pass, no shuffle of the corpus), keeping the
     *     argmax-cosine cell with centroid-id tiebreak
-    *  3. search: equality self-join on `cell` (the only corpus shuffle,
-    *     hash-partitioned on an int key), exact cosine top-3 in-cell,
-    *     with the SAME hot-bucket cap as the LSH variants — per-cell
-    *     search is (|cell|)², so with K a plan-time constant an uncapped
-    *     cell grows quadratically in the corpus (measured: the r7
-    *     sf0.1→sf1.0 probe put uncapped q_ann_ivf at 12.7× for 10×
-    *     data, the suite's only near-superlinear query); the cap bounds
-    *     worst-case per-cell work at maxBucket² regardless of scale
+    *  3. search: equality self-join on (cell, sub) (the only corpus
+    *     shuffle, hash-partitioned on int keys), exact cosine top-3,
+    *     with the SAME hot-bucket cap as the LSH variants. `sub` is the
+    *     r10 linearizer (VERDICT_r09 item 1): under the √n cell law the
+    *     per-cell population is √(8n), so the unsplit Σ|cell|² search
+    *     totals n^1.5 — measured 522× for 100× data at the r9 sf10
+    *     probe; [[ivfSubBitsFor]] splits each cell with just enough
+    *     data-blind sign bits that expected (cell, sub) population
+    *     stays ≤ [[SubCellTarget]], making search work n·c — linear.
+    *     Zero bits engage at fixture SFs (results bit-identical); the
+    *     cap remains the hot-key backstop
     *
     * vs q_ann_lsh: IVF adapts to the data distribution (cells follow
     * centroid geometry; LSH buckets are data-blind hyperplanes) at the
@@ -437,12 +507,14 @@ object Similarity {
     // — each previously re-ran the in-cell search (14-19 s apiece at
     // sf10); the frame is ≤3 rows per corpus vector
     materializeOnce(spark, dir, "ann_ivf")(
-      ivfSearch(spark, ivfAssigned(spark, dir)))
+      ivfSearch(ivfAssigned(spark, dir), dim(spark, dir),
+        ivfSubBits(spark, dir)))
 
   /** The full un-materialized plan (assignment inline) — what
     * [[graft.PlanDump]] and the plan audits make claims about. */
   private[graft] def qAnnIvfPlan(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(spark, ivfAssignedPlan(spark, dir))
+    ivfSearch(ivfAssignedPlan(spark, dir), dim(spark, dir),
+      ivfSubBits(spark, dir))
 
   /** The UNCAPPED corpus cell assignment (vec_id, cell, q, nrm, ccos —
     * the cosine to the OWN winning centroid, already computed by the
@@ -511,19 +583,45 @@ object Similarity {
   /** Hot-cell cap + in-cell exact top-3 over an assignment frame — the
     * SERVE half of the IVF index: [[qAnnIvf]] runs it over the
     * in-session assignment, [[graft.index.AnnIndex.annSearch]] over the
-    * parquet-served one (identical results, spec'd in IndexServeSpec). */
-  private[graft] def ivfSearch(spark: SparkSession, assignedRaw: DataFrame): DataFrame = {
-    val assigned = assignedRaw
-      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
+    * parquet-served one (identical results, spec'd in IndexServeSpec).
+    *
+    * SUB-CELLED (VERDICT_r09 item 1): when `subBits > 0` the join key
+    * is (cell, sub) — [[ivfSubCol]]'s data-blind sign split sized by
+    * [[ivfSubBitsFor]] so expected population per key stays ≤
+    * [[SubCellTarget]] and total in-cell work is n·c, LINEAR in the
+    * corpus (the unsplit Σ|cell|² is n^1.5 under the √n cell law — the
+    * r9 sf10 probe's 522× finding). The membership cap guards the
+    * (cell, sub) unit for the same reason it guarded cells. At
+    * `subBits = 0` (all fixture SFs) the plan and results are
+    * bit-identical to the unsplit search. */
+  private[graft] def ivfSearch(assignedRaw: DataFrame, d: Int,
+      subBits: Int): DataFrame = {
+    // at 0 bits the key column is omitted entirely — the fixture-scale
+    // plan is BYTE-IDENTICAL to the unsplit search (zero plan churn for
+    // the audited shapes); the sub machinery engages only at scale
+    val subbed = subBits > 0
+    val keyed =
+      if (!subbed) assignedRaw
+      else assignedRaw.withColumn("sub", ivfSubCol(d, subBits))
+    val capKey = if (subbed) Seq(col("cell"), col("sub")) else Seq(col("cell"))
+    val assigned = keyed
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy(capKey: _*)))
       .filter(col("csz") <= maxBucket).drop("csz")
-    val a = assigned.select(col("vec_id"), col("cell"),
-      col("q").as("qa"), col("nrm").as("na"))
-    val b = assigned.select(col("vec_id").as("neighbor_id"),
-      col("cell").as("cell_b"), col("q").as("qb"), col("nrm").as("nb"))
+    val aCols = Seq(col("vec_id"), col("cell")) ++
+      (if (subbed) Seq(col("sub")) else Nil) ++
+      Seq(col("q").as("qa"), col("nrm").as("na"))
+    val bCols = Seq(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b")) ++
+      (if (subbed) Seq(col("sub").as("sub_b")) else Nil) ++
+      Seq(col("q").as("qb"), col("nrm").as("nb"))
+    val a = assigned.select(aCols: _*)
+    val b = assigned.select(bCols: _*)
+    val joinCond = col("cell") === col("cell_b") &&
+      col("vec_id") =!= col("neighbor_id")
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    a.join(b, col("cell") === col("cell_b") &&
-        col("vec_id") =!= col("neighbor_id"))
+    a.join(b,
+        if (subbed) col("sub") === col("sub_b") && joinCond else joinCond)
       .withColumn("cos",
         cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
       .withColumn("rn", row_number().over(w))
@@ -534,6 +632,7 @@ object Similarity {
 
   val annIvfSql: String =
     s"""WITH $quantizedSql,
+       |$ivfSubSqlCtes,
        |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
        |          WHERE vec_id < $ivfKSql),
        |asg AS (SELECT qn.vec_id, cents.cell, qn.q, qn.nrm,
@@ -546,15 +645,18 @@ object Similarity {
        |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE)) DESC,
        |           cents.cell) AS crn
        |        FROM qn, cents),
-       |cellv AS (SELECT vec_id, cell, q, nrm FROM asg WHERE crn = 1
-       |          QUALIFY COUNT(*) OVER (PARTITION BY cell) <= $maxBucket),
+       |cellv AS (SELECT asg.vec_id, asg.cell, asg.q, asg.nrm,
+       |           COALESCE(sp.sub, 0) AS sub
+       |          FROM asg LEFT JOIN sp ON asg.vec_id = sp.vec_id
+       |          WHERE crn = 1
+       |          QUALIFY COUNT(*) OVER (PARTITION BY cell, sub) <= $maxBucket),
        |p2 AS (SELECT a.vec_id AS vec_id, a.cell AS cell,
        |        b.vec_id AS neighbor_id,
        |        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
        |          i -> a.q[i] * b.q[i])) AS DOUBLE)
        |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
        |       FROM cellv a JOIN cellv b
-       |         ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |         ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id <> b.vec_id)
        |SELECT vec_id, cell, neighbor_id, round(cos, 6) AS cosine,
        |       row_number() OVER (PARTITION BY vec_id
        |         ORDER BY cos DESC, neighbor_id) AS rn
@@ -1087,22 +1189,24 @@ object Similarity {
     * each vector's label is re-predicted by majority vote of its 3
     * nearest within-LSH-bucket neighbors (deterministic vote tie-break:
     * count desc, label asc), and `mismatch` flags disagreement with the
-    * declared label — the review queue for relabeling. Scale shape:
-    * identical to q_ann_lsh (in-row bucket projection, capped
-    * bucket-equality self-join, heap top-3 per vector); the vote is one
-    * more map-side-combinable aggregation + a 3-row-per-vector rank.
-    * Vectors alone in their bucket have no neighbors and drop out
-    * (documented — multi-probe q_ann_lsh_bands is the recall dial).
+    * declared label — the review queue for relabeling. Scale shape
+    * (r10 rebase, VERDICT_r09 item 1): the neighbor lists come from the
+    * PERSISTED index's serve path ([[graft.index.AnnIndex.annSearch]]
+    * over `ensure`'s parquet posting lists — value-identical to
+    * q_ann_ivf by the spec'd serve contract), so the plan this query
+    * executes contains NO n·K assignment argmax (no
+    * broadcast-nested-loop — pinned in PlanAuditSpec) and its in-cell
+    * join runs at the sub-celled LINEAR cost; the vote is one
+    * map-side-combinable aggregation + a 3-row-per-vector rank over the
+    * ≤3-rows-per-vector lists. Vectors alone in their (cell, sub) have
+    * no neighbors and drop out (documented — nprobe/banding is the
+    * recall dial).
     */
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
-    // candidates = q_ann_ivf's materialized top-3 lists (r9 rebase):
-    // the data-ADAPTED √n-celled structure. The previous fixed-plane
-    // sign-LSH bucket join measured 42.8 s isolated at sf10 (clustered
-    // corpora concentrate a constant bucket space — the r7 constant-K
-    // law); the IVF candidates ride a frame three queries share and a
-    // cell geometry that scales with the corpus.
     val lbl = labeled(spark, dir).select(col("vec_id"), col("label"))
-    val top3 = qAnnIvf(spark, dir).select(col("vec_id"), col("neighbor_id"))
+    val top3 = graft.index.AnnIndex
+      .annSearch(spark, graft.index.AnnIndex.ensure(spark, dir))
+      .select(col("vec_id"), col("neighbor_id"))
       .join(lbl, "vec_id")
       .join(lbl.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), "neighbor_id")

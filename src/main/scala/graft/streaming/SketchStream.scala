@@ -38,4 +38,28 @@ object SketchStream {
       .select(posexplode(array(
         TextAnalysis.cmsBuckets(col("token")): _*)).as(Seq("j", "b")))
       .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+
+  /** STREAMING K-Minimum-Values sketch — the incremental twin of
+    * `q_kmv_union`'s batch bottom-64 build and the consumer the native
+    * [[graft.functions.KmvLows]] aggregate exists for: per watched
+    * source, the k smallest DISTINCT 5-gram shingle hashes, maintained
+    * as streaming aggregation state. KmvLows is a
+    * `TypedImperativeAggregate` — partial buffers merge across
+    * partitions AND across micro-batches (its serialize/merge path IS
+    * the state-store round-trip), and distinctness is the aggregate's
+    * own job, so the stream feeds RAW shingle hashes: no growing
+    * pre-`distinct` state anywhere, k longs per source — CONSTANT —
+    * no matter how many documents stream past. The shingle formula is
+    * shared with the batch sketch ([[graft.operators.Dedup.kmvHashes]]),
+    * so the streamed-final lows equal the batch `q_kmv_union` sketch
+    * frame by construction (`SketchStreamSpec` pins it across
+    * micro-batch splits), and any estimate served off the streamed
+    * state matches the batch estimator's.
+    *
+    * Input needs `source` + `text` columns (batch or streaming; for a
+    * stream, aggregate in `complete`/`update` output mode). */
+  def kmvSketch(docs: DataFrame, k: Int = 64): DataFrame =
+    graft.operators.Dedup.kmvHashes(docs)
+      .groupBy("source")
+      .agg(graft.functions.KmvLows.kmvLows(col("h"), k).as("lows"))
 }

@@ -1036,4 +1036,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "the self-join must stay an equality join on the group key")
   }
+
+  test("q_knn_classify: the served plan carries NO inline n·K assignment " +
+      "argmax — posting lists from parquet, equality joins only (r10)") {
+    // VERDICT_r09 item 1: the query consumes the PERSISTED index's
+    // serve path; an inline assignment would show up as the
+    // broadcast-nested-loop argmax over the centroid frame
+    val plan = executed(Similarity.qKnnClassify(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"serve plan must not re-assign the corpus:\n${plan.take(1200)}")
+  }
+
+  test("ivfSearch: the sub-cell key joins (cell, sub) when bits engage — " +
+      "the linear-search geometry at scale (r10)") {
+    // fixture corpora are below the SubCellTarget threshold (bits = 0,
+    // plan byte-identical to r9), so force bits > 0 through the
+    // private API and pin the join keys the scale path would use
+    val asg = Similarity.ivfAssignedPlan(spark, dir)
+    val d = asg.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("q"))).head().getInt(0)
+    val df = Similarity.ivfSearch(asg, d, 2)
+    val plan = executed(df)
+    assert(plan.contains("sub#") && plan.contains("sub_b#"),
+      "forced-bits search must key on the sub column")
+    assert(df.columns.sameElements(
+      Array("vec_id", "cell", "neighbor_id", "cosine", "rn")),
+      "sub-celling must not leak into the output schema")
+    // and the bit-sizing law itself: population/2^bits ≤ target
+    assert(Similarity.ivfSubBitsFor(2000L) == 0,
+      "fixture scales must stay unsplit")
+    val bits = Similarity.ivfSubBitsFor(200000L)
+    assert(bits > 0 &&
+      math.ceil(math.sqrt(8.0 * 200000L)) / (1L << bits) <= 256.0,
+      s"sub-bits must cap expected (cell, sub) population: bits=$bits")
+  }
 }

@@ -54,4 +54,46 @@ class SketchStreamSpec extends SparkSpec {
       assert(served == e, s"estimate for '$tok': streamed $served vs batch $e")
     }
   }
+
+  test("streamed KMV lows == batch bottom-64 sketch (KmvLows merge across micro-batches)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val streamDir = tmpDir("kmv_stream_in")
+    // three chunks → three micro-batches; the KmvLows buffers must
+    // serialize through the state store between batches and MERGE to
+    // the same bottom-64 the batch heap computes — including duplicate
+    // shingle hashes arriving in different micro-batches (the sketch's
+    // own distinctness, no pre-distinct state)
+    (0 until 3).foreach { m =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === m)
+        .coalesce(1).write.mode("append").parquet(streamDir)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = graft.streaming.SketchStream.kmvSketch(stream)
+      .writeStream.format("memory").queryName("kmv_stream_lows")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("kmv_stream_ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("kmv_stream_lows").collect().map { r =>
+      r.getString(0) -> r.getAs[scala.collection.Seq[Long]](1).toSeq
+    }.toMap
+    // batch twin: the registered query's sketch build (distinct →
+    // TopKPerKey bottom-64, rk ascending in h)
+    val batch = Dedup.kmvSketchPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, hs) => s -> hs.map(_._2).sorted.toSeq }
+    assert(streamed.keySet == batch.keySet,
+      s"watched sources: streamed ${streamed.keySet} vs batch ${batch.keySet}")
+    batch.foreach { case (src, hs) =>
+      assert(streamed(src) == hs,
+        s"source $src: streamed lows ${streamed(src).take(5)}... " +
+          s"!= batch ${hs.take(5)}...")
+      assert(streamed(src).size <= 64, s"source $src state exceeded k")
+    }
+    // every watched source must actually be exercised
+    assert(batch.keySet == Dedup.kmvWatchedSources.toSet)
+  }
 }
