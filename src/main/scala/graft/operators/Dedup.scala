@@ -1966,4 +1966,82 @@ object Dedup {
        |FROM eu JOIN es ea ON ea.source = eu.pa
        |        JOIN es eb ON eb.source = eu.pb""".stripMargin
   }
+
+  /** q_dup_ngram_frac — the per-document DUPLICATION SCORE (the
+    * C4/RefinedWeb gate that drops documents MOSTLY made of text seen
+    * elsewhere, where whole-doc dedup keeps them): the fraction of a
+    * document's distinct 5-grams that occur in ≥ 1 OTHER document,
+    * as an exact ppm integer. Per-gram document frequency is ONE
+    * linear groupBy on the gram hash (never a pair join — the r8
+    * saturation law does not apply: df counting is O(corpus grams)
+    * regardless of how saturated the gram space gets), joined back to
+    * the per-doc gram list and folded per document. Only 8-byte gram
+    * hashes ever shuffle.
+    */
+  def qDupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val grams = fiveGrams(spark, dir)
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"),
+        sum((col("df") > 1).cast("long")).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        expr("n_shared * 1000000 div n_grams").as("shared_ppm"))
+  }
+
+  val dupNgramFracSql: String =
+    s"""WITH $fiveGramsSqlCtes,
+       |df AS (SELECT g.g AS key, COUNT(*) AS df FROM g GROUP BY 1),
+       |j AS (SELECT g.doc_id, g.n_grams, df.df
+       |      FROM g JOIN df ON g.g = df.key)
+       |SELECT doc_id, MAX(n_grams) AS n_grams,
+       |       CAST(SUM(CAST(df > 1 AS BIGINT)) AS BIGINT) AS n_shared,
+       |       CAST(SUM(CAST(df > 1 AS BIGINT)) AS BIGINT) * 1000000
+       |         // MAX(n_grams) AS shared_ppm
+       |FROM j GROUP BY 1""".stripMargin
+
+  /** q_affix_dup — boundary-affix duplicate groups: documents sharing
+    * an identical first-8-token PREFIX or last-8-token SUFFIX (the
+    * crawler/chunker artifact detector — re-crawled pages and split
+    * shards keep their boundary text verbatim even when the middle
+    * was edited, so affix groups surface duplication that whole-doc
+    * hashing misses and near-dup banding only finds probabilistically).
+    * Two bounded projections of one scan, a UNION, and ONE groupBy on
+    * the affix string — group cardinality is corpus-bounded and the
+    * ≥ 2 filter keeps output to the actual duplicate groups. The
+    * member list emits as a numerically-ordered joined string (the
+    * array-columns-crash-the-driver rule).
+    */
+  def qAffixDup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+    def side(kind: String, key: Column) =
+      t.select(lit(kind).as("kind"), key.as("affix"), col("doc_id"))
+    side("prefix", concat_ws(" ", slice(col("ws"), 1, 8)))
+      .unionByName(side("suffix", concat_ws(" ", slice(col("ws"), -8, 8))))
+      .groupBy("kind", "affix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"),
+        expr("array_join(transform(array_sort(collect_list(doc_id))," +
+          " x -> cast(x as string)), ',')").as("ids"))
+      .filter(col("n_docs") >= 2)
+      .select("kind", "min_doc_id", "n_docs", "ids")
+  }
+
+  val affixDupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |a AS (
+      |  SELECT 'prefix' AS kind, array_to_string(ws[1:8], ' ') AS affix,
+      |         doc_id
+      |  FROM w WHERE len(ws) >= 8
+      |  UNION ALL
+      |  SELECT 'suffix' AS kind,
+      |         array_to_string(ws[len(ws)-7:len(ws)], ' ') AS affix,
+      |         doc_id
+      |  FROM w WHERE len(ws) >= 8)
+      |SELECT kind, MIN(doc_id) AS min_doc_id, COUNT(*) AS n_docs,
+      |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+      |         AS ids
+      |FROM a GROUP BY kind, affix HAVING COUNT(*) >= 2""".stripMargin
 }

@@ -3843,4 +3843,130 @@ object MetricsEtl {
       |  FROM sl)
       |SELECT name, user_id, w_start, nc AS n_pairs, s_ppm AS ts_slope_ppm
       |FROM r WHERE rn = (nc + 1) // 2""".stripMargin
+
+  /** q_rollup_tiers — TIERED long-term retention (the Thanos/Cortex
+    * compactor shape): raw samples roll into 5m blocks (count/sum/min/
+    * max in exact cents), and the 1h tier is computed FROM THE 5m
+    * BLOCKS, never from raw — the invariant a downsampling store lives
+    * on, because at 100 TB the 1h compaction job only ever reads the
+    * (already tiny) 5m tier. Both aggregations are algebraic
+    * (map-side-combinable), the second runs on rows already bounded by
+    * series×windows; output is the 1h tier keyed by metric name with
+    * the series and block counts a retention monitor alerts on.
+    */
+  def qRollupTiers(spark: SparkSession, dir: String): DataFrame = {
+    val t5 = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        (floor(unix_micros(col("ts")) / 1000000L / 300L) * 300L).as("w5m"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("name", "user_id", "w5m")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        min("cents").as("mn"), max("cents").as("mx"))
+    t5.withColumn("w1h", expr("w5m div 3600 * 3600"))
+      .groupBy("name", "w1h")
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct("user_id").as("n_series"),
+        sum("n").as("n_samples"), sum("s").as("sum_cents"),
+        min("mn").as("min_cents"), max("mx").as("max_cents"))
+  }
+
+  val rollupTiersSql: String =
+    """WITH t5 AS (
+      |  SELECT event_type AS name, user_id,
+      |         epoch_us(ts) // 1000000 // 300 * 300 AS w5m,
+      |         COUNT(*) AS n,
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+      |         MIN(CAST(round(value * 100) AS BIGINT)) AS mn,
+      |         MAX(CAST(round(value * 100) AS BIGINT)) AS mx
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT name, w5m // 3600 * 3600 AS w1h,
+      |       COUNT(*) AS n_blocks,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_series,
+      |       CAST(SUM(n) AS BIGINT) AS n_samples,
+      |       CAST(SUM(s) AS BIGINT) AS sum_cents,
+      |       MIN(mn) AS min_cents, MAX(mx) AS max_cents
+      |FROM t5 GROUP BY 1, 2""".stripMargin
+
+  /** q_scrape_jitter — scrape-interval health per series: the gap
+    * sequence between consecutive samples (seconds, total-ordered by
+    * (µs, event_id) like every series window here), summarized as
+    * count / truncating mean / max plus the EXACT integer population
+    * variance via the n·Σx²−(Σx)² closed form (the q_stdvar device —
+    * float Welford could never hash-compare). Gaps are integer
+    * SECONDS, not ms, so the worst-case n·Σx² at sf10 stays orders of
+    * magnitude inside Long. One window pass + one algebraic groupBy,
+    * output bounded by series cardinality — this is the query an SRE
+    * reads to find the scrape target whose intervals wander.
+    */
+  def qScrapeJitter(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("name", "user_id")
+      .orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("name"), col("user_id"),
+        expr("(ts_us - prev) div 1000000").as("gap_s"))
+      .groupBy("name", "user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_s").as("s1"), sum(expr("gap_s * gap_s")).as("s2"),
+        max("gap_s").as("max_gap_s"))
+      .select(col("name"), col("user_id"), col("n_gaps"),
+        expr("s1 div n_gaps").as("avg_gap_s"), col("max_gap_s"),
+        expr("(n_gaps * s2 - s1 * s1) div (n_gaps * n_gaps)")
+          .as("var_s2"))
+  }
+
+  val scrapeJitterSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name, user_id, epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |g AS (
+      |  SELECT name, user_id,
+      |         (ts_us - lag(ts_us) OVER (PARTITION BY name, user_id
+      |            ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+      |  FROM b QUALIFY gap_s IS NOT NULL)
+      |SELECT name, user_id, COUNT(*) AS n_gaps,
+      |       CAST(SUM(gap_s) AS BIGINT) // COUNT(*) AS avg_gap_s,
+      |       MAX(gap_s) AS max_gap_s,
+      |       (COUNT(*) * CAST(SUM(gap_s * gap_s) AS BIGINT)
+      |         - CAST(SUM(gap_s) AS BIGINT) * CAST(SUM(gap_s) AS BIGINT))
+      |         // (COUNT(*) * COUNT(*)) AS var_s2
+      |FROM g GROUP BY 1, 2""".stripMargin
+
+  /** q_staleness — the series-staleness inventory (Prometheus marks a
+    * series stale 5m after its last sample; a long-retention store
+    * asks the same question against the corpus watermark): per series,
+    * its last sample time, age vs the corpus max, and the stale flag
+    * at the 1-day horizon. One algebraic groupBy for the per-series
+    * max + ONE global scalar entering as a broadcast 1-row frame (the
+    * q_top_share device — never a window-over-everything, which would
+    * shuffle the corpus to one partition). Output = series cardinality.
+    */
+  def qStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"))
+    val now = base.agg(max("ts_s").as("now_s"))
+    base.groupBy("name", "user_id")
+      .agg(max("ts_s").as("last_ts_s"), count(lit(1)).as("n_samples"))
+      .crossJoin(broadcast(now))
+      .select(col("name"), col("user_id"), col("last_ts_s"),
+        col("n_samples"),
+        (col("now_s") - col("last_ts_s")).as("age_s"),
+        (col("now_s") - col("last_ts_s") > 86400L).cast("long")
+          .as("stale"))
+  }
+
+  val stalenessSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name, user_id,
+      |         epoch_us(ts) // 1000000 AS ts_s
+      |  FROM events),
+      |now_s AS (SELECT MAX(ts_s) AS now_s FROM b)
+      |SELECT name, user_id, MAX(ts_s) AS last_ts_s, COUNT(*) AS n_samples,
+      |       now_s - MAX(ts_s) AS age_s,
+      |       CAST(now_s - MAX(ts_s) > 86400 AS BIGINT) AS stale
+      |FROM b, now_s GROUP BY name, user_id, now_s""".stripMargin
 }

@@ -2340,4 +2340,91 @@ object Olap {
       |SELECT key_col, log2_df, COUNT(*) AS n_keys,
       |       CAST(SUM(c) AS BIGINT) AS n_rows
       |FROM u GROUP BY 1, 2""".stripMargin
+
+  /** q_forecast_revenue — the TPC-H Q6 shape (the "what would revenue
+    * change if we dropped these discounts" forecast): one scan of
+    * lineitem with ALL THREE predicates pushed to parquet (date range,
+    * discount band, quantity ceiling — the plan audit pins
+    * PushedFilters), then a single global sum. revenue = Σ price ·
+    * discount stays EXACT: cents × integer-percent, so the output is
+    * the ×10⁴-scaled integer and no float ever sums. The canonical
+    * "filter selectivity is the whole query" scan — at 100 TB this is
+    * the query whose runtime IS the scan rate, which is why the
+    * predicates must reach the reader.
+    */
+  def qForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        round(col("l_discount") * 100).between(5, 7) &&
+        col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_discount") * 100).cast("long"))
+        .as("revenue_x10000"),
+        count(lit(1)).as("n_items"))
+
+  val forecastRevenueSql: String =
+    """SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_x10000,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  /** q_pareto — revenue concentration per nation (the 80/20 read a
+    * go-to-market review runs): the minimum number of customers whose
+    * descending-revenue cumulative sum reaches 80% of the nation's
+    * total. Per-customer revenue is one algebraic groupBy in exact
+    * cents; the ranking window partitions by nation (25 partitions,
+    * each customer appears once — NOT a corpus-wide sort), and the 80%
+    * crossing is the integer cross-multiply `5·prev_cum < 4·total` so
+    * no division or float touches the hash-compared output. Ties break
+    * on c_custkey — a verified total order. Output: 25 rows.
+    */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val byRev = Window.partitionBy("n_name")
+      .orderBy(col("cents").desc, col("c_custkey"))
+    rev
+      .withColumn("cum", sum("cents").over(
+        byRev.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("cents").over(Window.partitionBy("n_name")))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(((col("cum") - col("cents")) * 5 < col("total") * 4)
+          .cast("long")).as("n_top80"),
+        max("total").as("total_cents"))
+  }
+
+  val paretoSql: String =
+    """WITH rev AS (
+      |  SELECT n.n_name, c.c_custkey,
+      |         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+      |           AS BIGINT) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT n_name, cents,
+      |    CAST(SUM(cents) OVER (PARTITION BY n_name
+      |      ORDER BY cents DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(cents) OVER (PARTITION BY n_name) AS BIGINT) AS total
+      |  FROM rev)
+      |SELECT n_name, COUNT(*) AS n_customers,
+      |       CAST(SUM(CAST((cum - cents) * 5 < total * 4 AS BIGINT))
+      |         AS BIGINT) AS n_top80,
+      |       MAX(total) AS total_cents
+      |FROM r GROUP BY 1""".stripMargin
 }

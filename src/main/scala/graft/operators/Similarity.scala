@@ -2429,4 +2429,33 @@ object Similarity {
        |UNION ALL
        |SELECT vec_id, 3 AS pick, neighbor_id, rel_x1m, mmr AS mmr_x1m
        |FROM sel3""".stripMargin
+
+  /** q_ivf_imbalance — the ONE-ROW index-health verdict an operator
+    * reads before trusting any IVF latency number: cell count, corpus
+    * size, hottest/coldest cell population, and the load-imbalance
+    * factor max/mean as a ×100 truncating integer (max·K·100 div n —
+    * the factor by which the worst probe exceeds the average, i.e.
+    * exactly the skew that turns one shuffle partition into the
+    * straggler at 1000 executors). Pure composition: one tiny
+    * aggregate OVER [[qIvfCells]]' K-row output (which itself rides
+    * the shared materialized assignment frame) — the corpus is not
+    * rescanned. The oracle nests q_ivf_cells' full SQL as a derived
+    * table (the pipelineFunnel composition device).
+    */
+  def qIvfImbalance(spark: SparkSession, dir: String): DataFrame =
+    qIvfCells(spark, dir).agg(
+      count(lit(1)).as("n_cells"),
+      sum("n_vectors").as("n_vectors"),
+      max("n_vectors").as("max_cell"),
+      min("n_vectors").as("min_cell"),
+      expr("(max(n_vectors) * count(1) * 100) div sum(n_vectors)")
+        .as("imbalance_x100"))
+
+  lazy val ivfImbalanceSql: String =
+    s"""SELECT COUNT(*) AS n_cells,
+       |       CAST(SUM(n_vectors) AS BIGINT) AS n_vectors,
+       |       MAX(n_vectors) AS max_cell, MIN(n_vectors) AS min_cell,
+       |       MAX(n_vectors) * COUNT(*) * 100
+       |         // CAST(SUM(n_vectors) AS BIGINT) AS imbalance_x100
+       |FROM ($ivfCellsSql)""".stripMargin
 }

@@ -2597,4 +2597,46 @@ object TextAnalysis {
       |SELECT source, MAX(tot_s) AS n_docs, CAST(MAX(d) AS BIGINT) AS d_ppm,
       |       MIN(n_chars) AS at_nchars
       |FROM m WHERE d = maxd GROUP BY 1""".stripMargin
+
+  /** q_length_outliers — per-SOURCE robust length outliers (the data-
+    * card QA row that catches truncated shards and concatenation
+    * accidents, which mean-based z-scores miss because the outliers
+    * themselves inflate the stddev): median and MAD of the per-doc
+    * token count within each source (the q_mad_over_time percentile
+    * device — exact cross-engine at 0.5 on integers), then every doc
+    * whose |len − median| exceeds 3·MAD. The per-source stats frame is
+    * source-cardinality-bounded and BROADCAST back to the doc scan —
+    * the corpus shuffles once for the median pass and never again.
+    */
+  def qLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("len"))
+    val med = lens.groupBy("source")
+      .agg(expr("percentile(len, 0.5)").as("med"))
+      .withColumnRenamed("source", "ms")
+    val stats = lens.join(broadcast(med), col("source") === col("ms"))
+      .groupBy("source")
+      .agg(expr("percentile(abs(len - med), 0.5)").as("mad"),
+        max("med").as("med"))
+      .withColumnRenamed("source", "ss")
+    lens.join(broadcast(stats), col("source") === col("ss"))
+      .filter(abs(col("len") - col("med")) > lit(3) * col("mad"))
+      .select(col("doc_id"), col("source"), col("len"),
+        round(col("med"), 1).as("med"), round(col("mad"), 1).as("mad"))
+  }
+
+  val lengthOutliersSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS len
+      |  FROM documents),
+      |m AS (SELECT source, quantile_cont(len, 0.5) AS med
+      |      FROM l GROUP BY 1),
+      |d AS (SELECT l.source, quantile_cont(abs(l.len - m.med), 0.5) AS mad,
+      |             MAX(m.med) AS med
+      |      FROM l JOIN m USING (source) GROUP BY 1)
+      |SELECT l.doc_id, l.source, l.len,
+      |       round(d.med, 1) AS med, round(d.mad, 1) AS mad
+      |FROM l JOIN d USING (source)
+      |WHERE abs(l.len - d.med) > 3 * d.mad""".stripMargin
 }
