@@ -135,7 +135,19 @@ object PlanDump {
       "q_kn_bigram" -> "Kneser-Ney LM: cbg materialized (5 lineage scans collapse — plan shows the RDD-backed LM side), 8-byte-hash LM joins, ONE doc-join parquet scan (r9g)",
       "q_ks_drift" -> "KS drift: ONE documents aggregate feeds per-value/per-source/total frames, broadcast value-space grid, per-source ECDF windows (r9g)",
       "q_kmv_union" -> "KMV sketches: ONE corpus pass into the TopKPerKey bottom-64 heap; union/pair stages run on the 320-row sketch frame (mergeable-sketch algebra) (r9g)",
-      "q_theil_sen" -> "Theil-Sen trend: minute-downsample windows then a KEYED (series,hour) pair self-join — never cartesian (r9g)")
+      "q_theil_sen" -> "Theil-Sen trend: minute-downsample windows then a KEYED (series,hour) pair self-join — never cartesian (r9g)",
+      "q_forecast_revenue" -> "Q6 forecast: date/discount/quantity predicates in PushedFilters, one scan, zero joins (r10)",
+      "q_rollup_tiers" -> "tiered compaction: ONE events scan, 5m blocks re-aggregated to the 1h tier — aggregation-only plan (r10)",
+      "q_scrape_jitter" -> "gap stats: one scan, one (series)-keyed lag window, algebraic n/S1/S2 groupBy (r10)",
+      "q_staleness" -> "per-series max + ts-only global max broadcast back as a 1-row frame (r10)",
+      "q_pareto" -> "nation-partitioned ranking window over the per-customer aggregate; 25-row dim broadcast (r10)",
+      "q_dup_ngram_frac" -> "duplication score: linear df groupBy on the gram hash, equi-join back — no pair join (r10)",
+      "q_affix_dup" -> "affix groups: two projections of one scan, UNION, one groupBy — zero joins (r10)",
+      "q_length_outliers" -> "MAD outliers: three consumers ride the materialized doc-lens frame; build is one corpus scan (r10)",
+      "q_ivf_imbalance" -> "one-row aggregate over q_ivf_cells' K rows on the shared assignment — embeddings never rescanned (r10)",
+      "q_stale_markers" -> "staleness markers: one lead() window pass on the series shuffle, gap + final rows filtered in place — no join, no grid (r10)",
+      "q_backlog" -> "backlog cumsum over the |days|-bounded daily aggregate; status filter in PushedFilters (r10)",
+      "q_ship_lag" -> "co-partitioned fact-fact orderkey equi-join, floor-division lag buckets, bounded output (r10)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")

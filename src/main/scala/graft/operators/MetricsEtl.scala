@@ -3969,4 +3969,45 @@ object MetricsEtl {
       |       now_s - MAX(ts_s) AS age_s,
       |       CAST(now_s - MAX(ts_s) > 86400 AS BIGINT) AS stale
       |FROM b, now_s GROUP BY name, user_id, now_s""".stripMargin
+
+  /** q_stale_markers — Prometheus STALENESS-MARKER synthesis (the TSDB
+    * writes an explicit stale NaN 5m after a series stops being
+    * scraped; a long-retention store replays the same rule over
+    * history so range queries stop extrapolating dead series): one
+    * marker per gap longer than the staleness horizon (1h here,
+    * scaled to the fixture's scrape cadence) at `last + horizon`,
+    * plus the final marker every series eventually earns after its
+    * last sample. ONE lead() window pass on the series shuffle — a
+    * gap row IS `lead(ts) − ts > horizon`, the final row IS
+    * `lead(ts) IS NULL` — no join, no grid, output ∝ actual gaps.
+    * The STREAMING twin ([[graft.streaming.MetricsStream
+    * .streamingStaleMarkers]]) emits the identical rows live off
+    * per-series timeout state; parity spec'd in `StreamStaleSpec`.
+    */
+  def qStaleMarkers(spark: SparkSession, dir: String): DataFrame = {
+    val staleUs = 3600L * 1000000L
+    val w = Window.partitionBy("name", "user_id").orderBy("ts_us")
+    Tables.events(spark, dir)
+      .select(col("event_type").as("name"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("nxt", lead("ts_us", 1).over(w))
+      .filter(col("nxt").isNull || col("nxt") - col("ts_us") > staleUs)
+      .select(col("name"), col("user_id"),
+        expr("ts_us div 1000000").as("last_ts_s"),
+        expr("ts_us div 1000000 + 3600").as("marker_ts_s"))
+  }
+
+  val staleMarkersSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS name, user_id, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |g AS (
+      |  SELECT name, user_id, ts_us,
+      |         lead(ts_us) OVER (PARTITION BY name, user_id
+      |           ORDER BY ts_us) AS nxt
+      |  FROM b)
+      |SELECT name, user_id, ts_us // 1000000 AS last_ts_s,
+      |       ts_us // 1000000 + 3600 AS marker_ts_s
+      |FROM g
+      |WHERE nxt IS NULL OR nxt - ts_us > CAST(3600 AS BIGINT) * 1000000""".stripMargin
 }

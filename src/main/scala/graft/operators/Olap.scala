@@ -2427,4 +2427,104 @@ object Olap {
       |         AS BIGINT) AS n_top80,
       |       MAX(total) AS total_cents
       |FROM r GROUP BY 1""".stripMargin
+
+  /** q_backlog — open-order BACKLOG time series (the ops dashboard
+    * "how deep is the unfulfilled queue" read): per day in a constant
+    * 30-day window, the orders opened that day that are still open in
+    * the snapshot, and the running backlog accumulated since corpus
+    * start. The status filter pushes to the scan; daily counts are one
+    * map-side-combinable groupBy bounded by \|days\| (~2.4k at any
+    * corpus size — a calendar, not a corpus, cardinality), so the
+    * single-partition cumulative window runs over a bounded frame, and
+    * the 30-day slice lands after the cumsum (it needs all history —
+    * the filter is on output rows, not scanned rows).
+    */
+  def qBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000 * 86400")
+        .as("day_s"))
+      .groupBy("day_s").agg(count(lit(1)).as("n_opened"))
+    val w = Window.orderBy("day_s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("backlog", sum("n_opened").over(w))
+      .filter(col("day_s") >= lit(867715200L) && // 1997-07-01 UTC
+        col("day_s") < lit(870307200L))          // 1997-07-31 UTC
+      .select("day_s", "n_opened", "backlog")
+  }
+
+  val backlogSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 * 86400 AS day_s,
+      |         COUNT(*) AS n_opened
+      |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+      |c AS (
+      |  SELECT day_s, n_opened,
+      |         CAST(SUM(n_opened) OVER (ORDER BY day_s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS backlog
+      |  FROM daily)
+      |SELECT day_s, n_opened, backlog FROM c
+      |WHERE day_s >= 867715200 AND day_s < 870307200""".stripMargin
+
+  /** q_ship_lag — order→ship fulfillment-lag histogram (the SLA view a
+    * fulfillment review reads): per (order priority, week-of-lag
+    * bucket), line count plus the exact ×100 mean lag in days. The
+    * synthetic data has NEGATIVE lags (29k lines at sf0.01 ship before
+    * their order date), so every division is SYMMETRIC-TRUNCATING via
+    * the CASE sign guard ON BOTH ENGINES — measured this round:
+    * DuckDB `//` truncates on INTEGER operands ((-8)//3 = -2, floor
+    * would be -3; the floors-vs-truncates rule in the verify skill
+    * holds for DOUBLE operands), so neither engine's bare division is
+    * trusted with a negative numerator. The orderkey equi-join is the
+    * canonical co-partitioned
+    * fact-fact shuffle (both sides hash on the same key — the layout
+    * bucketing serves for free at 1000 executors); output bounded by
+    * priorities × lag-weeks, all integers.
+    */
+  def qShipLag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("CASE WHEN ship_us >= ord_us" +
+          " THEN (ship_us - ord_us) div 86400000000" +
+          " ELSE -((ord_us - ship_us) div 86400000000) END")
+          .as("lag_days"))
+      .groupBy(col("o_orderpriority"),
+        expr("CASE WHEN lag_days >= 0 THEN lag_days div 7" +
+          " ELSE -((-lag_days) div 7) END").as("lag_week"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("CASE WHEN sum(lag_days) >= 0" +
+          " THEN sum(lag_days) * 100 div count(1)" +
+          " ELSE -((-sum(lag_days)) * 100 div count(1)) END")
+          .as("avg_lag_days_x100"),
+        max("lag_days").as("max_lag_days"))
+
+  val shipLagSql: String =
+    """WITH j0 AS (
+      |  SELECT o.o_orderpriority, epoch_us(l.l_shipdate) AS su,
+      |         epoch_us(o.o_orderdate) AS ou
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |j AS (
+      |  SELECT o_orderpriority,
+      |         CASE WHEN su >= ou THEN (su - ou) // 86400000000
+      |              ELSE -((ou - su) // 86400000000) END AS lag_days
+      |  FROM j0)
+      |SELECT o_orderpriority,
+      |       CASE WHEN lag_days >= 0 THEN lag_days // 7
+      |            ELSE -((-lag_days) // 7) END AS lag_week,
+      |       COUNT(*) AS n_lines,
+      |       CASE WHEN SUM(lag_days) >= 0
+      |            THEN CAST(SUM(lag_days) AS BIGINT) * 100 // COUNT(*)
+      |            ELSE -(CAST(-SUM(lag_days) AS BIGINT) * 100 // COUNT(*))
+      |       END AS avg_lag_days_x100,
+      |       MAX(lag_days) AS max_lag_days
+      |FROM j GROUP BY 1, 2""".stripMargin
 }

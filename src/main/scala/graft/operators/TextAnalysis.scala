@@ -2608,10 +2608,18 @@ object TextAnalysis {
     * source-cardinality-bounded and BROADCAST back to the doc scan —
     * the corpus shuffles once for the median pass and never again.
     */
-  def qLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val lens = Tables.documents(spark, dir)
+  /** Un-materialized (doc_id, source, len) plan — the frame the MAD
+    * pattern consumes THREE times (median pass, MAD pass, flag pass);
+    * materialize-once keeps the wide `text` column's split to ONE
+    * corpus scan instead of three. Plan audits target this builder. */
+  private[graft] def docLensPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).as("len"))
+
+  def qLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val lens = MaterializeOnce(spark, dir, "text:doc_lens")(
+      docLensPlan(spark, dir))
     val med = lens.groupBy("source")
       .agg(expr("percentile(len, 0.5)").as("med"))
       .withColumnRenamed("source", "ms")

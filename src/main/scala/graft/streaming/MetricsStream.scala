@@ -611,6 +611,88 @@ object MetricsStream {
       }
   }
 
+  /** One sample for the staleness tracker; `ts` carries the
+    * watermark. */
+  case class StalePoint(name: String, series: String, tsUs: Long,
+      ts: java.sql.Timestamp)
+
+  /** Keyed state for one series of the staleness tracker: the single
+    * most-recent sample time — the smallest state any operator here
+    * carries (one long per LIVE series; a stale series drops its state
+    * the moment its marker emits, so label churn cannot accumulate). */
+  case class StaleState(lastTsUs: Long)
+
+  /** One emitted staleness marker — the q_stale_markers schema. */
+  case class StaleMarkerRow(name: String, user_id: Long, last_ts_s: Long,
+      marker_ts_s: Long)
+
+  /** STREAMING staleness markers — the live twin of the batch
+    * `q_stale_markers` synthesis, and the real-time shape of
+    * Prometheus's own staleness rule (the TSDB appends a stale NaN
+    * when a scrape stops returning a series): per series, emit one
+    * marker at `last + horizon` whenever the series goes `staleSec`
+    * of EVENT TIME without a sample.
+    *
+    * Two paths produce markers, covering both ways a gap is observed:
+    * the TIMEOUT path (no newer sample exists yet — the watermark
+    * passes `last + horizon` and the marker fires, then the state is
+    * REMOVED: a dead series costs nothing until it resurrects, which
+    * simply re-creates state like a new series), and the ROWS path (a
+    * newer sample arrives revealing an in-history gap — the fold over
+    * the sorted arrivals chained after the stored last emits a marker
+    * per consecutive pair further than the horizon apart, exactly the
+    * batch lead() rule). A marker is tied to the specific sample that
+    * was `last` when its gap closed, so the two paths can never
+    * double-emit. With a far-future watermark mover every live series
+    * also emits its FINAL marker — which is precisely the batch
+    * operator's `lead IS NULL` row, making streamed == batch row-exact
+    * (`StreamStaleSpec`, tercile splits + a dense gap synthetic).
+    */
+  def streamingStaleMarkers(samples: DataFrame, staleSec: Long = 3600L,
+      delay: String = "10 minutes"): Dataset[StaleMarkerRow] = {
+    import samples.sparkSession.implicits._
+    val staleUs = staleSec * 1000000L
+    val pts = samples.select(col("name"),
+        col("series").cast("string").as("series"),
+        unix_micros(col("ts")).as("tsUs"), col("ts"))
+      .withWatermark("ts", delay)
+      .as[StalePoint]
+    pts.groupByKey(p => (p.name, p.series))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, String), rows: Iterator[StalePoint],
+         state: GroupState[StaleState]) =>
+          def marker(lastUs: Long) = StaleMarkerRow(key._1, key._2.toLong,
+            lastUs / 1000000L, lastUs / 1000000L + staleSec)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => marker(s.lastTsUs))
+            state.remove()
+            out.iterator
+          } else {
+            // sort the stored last INTO the arrivals: an out-of-order
+            // sample inside the watermark may sort below it. (The
+            // deliberate single-long-state trade: an out-of-order
+            // arrival straddling a gap already judged in an earlier
+            // trigger can re-split it differently than batch — same
+            // class as streamingIncrease's documented horizon trade;
+            // in-order delivery, which the watermark contract gives at
+            // emission granularity, is row-exact.)
+            val chain =
+              (state.getOption.map(_.lastTsUs).toSeq ++ rows.map(_.tsUs))
+                .sorted
+            val out = chain.sliding(2).collect {
+              case Seq(a, b) if b - a > staleUs => marker(a)
+            }.toSeq
+            val last = chain.last
+            state.update(StaleState(last))
+            state.setTimeoutTimestamp(math.max(
+              last / 1000L + staleSec * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   /** Per-series state for the streaming alert evaluator: buffered
     * samples inside the lookback horizon, the last eval step already
     * judged, and the live breach-run counters. */

@@ -1071,4 +1071,110 @@ class PlanAuditSpec extends SparkSpec {
       math.ceil(math.sqrt(8.0 * 200000L)) / (1L << bits) <= 256.0,
       s"sub-bits must cap expected (cell, sub) population: bits=$bits")
   }
+
+  test("q_forecast_revenue: all three predicates pushed to the scan, " +
+      "one scan, no join (r10)") {
+    val plan = executed(Olap.qForecastRevenue(spark, dir))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate")
+      && plan.contains("l_quantity"),
+      "date + quantity predicates must reach the parquet reader")
+    assert(finalScans(plan) == 1 && !plan.contains("Join"),
+      "Q6 is one scan and zero joins")
+  }
+
+  test("q_rollup_tiers: one events scan feeding both tiers (r10)") {
+    val plan = executed(MetricsEtl.qRollupTiers(spark, dir))
+    assert(finalScans(plan) == 1,
+      "the 1h tier must derive from the 5m blocks, not a second scan")
+    assert(!plan.contains("Join"), "tiering is aggregation-only")
+  }
+
+  test("q_scrape_jitter: one scan, one series window pass (r10)") {
+    val plan = executed(MetricsEtl.qScrapeJitter(spark, dir))
+    assert(finalScans(plan) == 1, "one events scan")
+    assert("Window".r.findAllIn(
+      plan.split("== Initial Plan ==")(0)).size <= 2,
+      "a single lag window pass (final plan)")
+  }
+
+  test("q_staleness: the global max enters broadcast, never a " +
+      "window-over-everything (r10)") {
+    val plan = executed(MetricsEtl.qStaleness(spark, dir))
+    assert(!plan.contains("Window"),
+      "no window-over-everything for the corpus max")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the 1-row now-frame must broadcast")
+    assert(finalScans(plan) <= 2,
+      "at most the two column-pruned scans (series agg + ts-only max)")
+  }
+
+  test("q_pareto: nation dim broadcast, no cartesian, ranking window " +
+      "partitioned by nation (r10)") {
+    val plan = executed(Olap.qPareto(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 25-row nation dim must broadcast")
+  }
+
+  test("q_dup_ngram_frac: df is an equality join on the gram hash — " +
+      "no pair join, no cartesian (r10)") {
+    val plan = executed(Dedup.qDupNgramFrac(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "df join must stay an equi-join")
+    assert(finalScans(plan) <= 2,
+      "grams + df branches: at most two documents scans")
+  }
+
+  test("q_affix_dup: zero joins — grouping only (r10)") {
+    val plan = executed(Dedup.qAffixDup(spark, dir))
+    assert(!plan.contains("Join"), "affix grouping must not join")
+    assert(finalScans(plan) <= 2,
+      "prefix + suffix branches of one scan")
+  }
+
+  test("q_length_outliers: corpus split computed once — the registered " +
+      "query reads the materialized doc-lens frame (r10)") {
+    val plan = executed(TextAnalysis.qLengthOutliers(spark, dir))
+    assert(finalScans(plan) == 0,
+      "three MAD-pattern consumers must ride the materialized frame")
+    // and the frame build itself is one scan
+    val build = executed(TextAnalysis.docLensPlan(spark, dir))
+    assert(finalScans(build) == 1, "doc-lens build is one corpus scan")
+  }
+
+  test("q_ivf_imbalance: pure composition — the embeddings corpus is " +
+      "not rescanned (r10)") {
+    val plan = executed(Similarity.qIvfImbalance(spark, dir))
+    assert(finalScans(plan) == 0,
+      "must aggregate q_ivf_cells' K rows off the materialized assignment")
+  }
+
+  test("q_stale_markers: one scan, one lead window, no join (r10)") {
+    val plan = executed(MetricsEtl.qStaleMarkers(spark, dir))
+    assert(finalScans(plan) == 1 && !plan.contains("Join"))
+  }
+
+  test("q_backlog: status filter pushed; cumsum window runs on the " +
+      "|days|-bounded daily aggregate, not raw orders (r10)") {
+    val df = Olap.qBacklog(spark, dir)
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("o_orderstatus"),
+      "status filter must reach the parquet reader")
+    // the window must sit ABOVE the aggregate in the optimized plan —
+    // Window(child = Aggregate), never Window over the scan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.indexOf("Window") < opt.indexOf("Aggregate"),
+      s"cumsum must run over the daily aggregate:\n$opt")
+  }
+
+  test("q_ship_lag: equi-join on the orderkey (co-partitioned " +
+      "fact-fact shuffle), no cartesian (r10)") {
+    val plan = executed(Olap.qShipLag(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(finalScans(plan) == 2, "one scan per fact side")
+  }
 }
