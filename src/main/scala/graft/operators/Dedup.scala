@@ -261,7 +261,13 @@ object Dedup {
     "q_dedup_ngram", "q_dedup_clusters", "q_cluster_canonical",
     "q_cluster_size_hist", "q_band_recall", "q_split_leakage",
     "q_source_overlap", "q_dup_rate_by_source", "q_dup_span",
-    "q_minhash_est_err", "q_pipeline_funnel")
+    "q_minhash_est_err", "q_pipeline_funnel",
+    // r10: the estimator-error twin ALSO anchors on the exact pair
+    // frame — its omission sent the r10 sf10 probe's only error
+    // (q_bbit_minhash re-ran the 11.4B-row join the pre-flight exists
+    // to prevent, and died on disk where its ten routed siblings were
+    // recorded as routed_to_lsh)
+    "q_bbit_minhash")
 
   /** Default exact-join input budget for [[preflight]]: Σ C(df,2)
     * above this routes to LSH. 2×10⁸ candidate rows ≈ a few GB of
@@ -1146,13 +1152,70 @@ object Dedup {
     * bucket → candidates → exact verify, never all-pairs.
     *
     * Shape: the materialized [[simhashFrame]] explodes to 4 (band_id,
-    * band_val) rows per doc, hot buckets capped at 10 000 members (the
-    * bandPairsPlan guard — the only quadratic path), one equality
-    * self-join, then the verify is a per-row xor on signatures carried
-    * THROUGH the join (min() re-reads them past the pair groupBy —
-    * no re-join against the signature frame). Output ∝ candidates.
+    * band_val) rows per doc, hot buckets capped at [[simhashCap]]
+    * members (the only quadratic path), one equality self-join, then
+    * the verify is a per-row xor on signatures carried THROUGH the
+    * join (min() re-reads them past the pair groupBy — no re-join
+    * against the signature frame). Output ∝ candidates.
+    *
+    * THE CAP IS ADAPTIVE (r10 — the sf10 probe measured 453×: a
+    * 31-word vocab drives the simhash bits far from uniform, so one
+    * 15-bit band value held 18% of a 500k-doc corpus and the fixed
+    * 10k cap passed 1.1B join rows — the r8 saturation law landing on
+    * the BAND space, where per-bucket caps don't fire because dfs sit
+    * under them). [[simhashCap]] picks the largest ladder cap whose
+    * exact kept-pair count Σ C(min(df,cap),2) fits the join budget —
+    * the ivfK device: a plan-time scalar the oracle recomputes
+    * in-query, equal to the old constant at every fixture SF (zero
+    * oracle churn), 300 at sf10 (35M join rows, measured). A
+    * saturated band value carries no information for its members —
+    * dropping it loses only pairs the pigeonhole argument could
+    * never certify efficiently anyway.
     */
-  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsCapped(spark, dir, SimhashPairBudget)
+
+  /** The kept-pair join budget: caps the band self-join's input rows.
+    * ~50M rows is one mid-size query's work at 32 cores and a few
+    * tasks' work per executor at 1000. */
+  private[graft] val SimhashPairBudget = 50000000L
+
+  /** Descending cap ladder — head is the legacy constant (every
+    * fixture SF selects it; the probe SF steps down as saturation
+    * grows). */
+  private[graft] val simhashCapLadder = Seq(10000L, 3000L, 1000L, 300L, 100L)
+
+  private val simhashCapCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Long]]()
+
+  /** Plan-time adaptive hot-band cap: ONE aggregate over the (already
+    * materialized) signature frame computes the exact kept-pair count
+    * at every ladder cap; the largest cap fitting `budget` wins (the
+    * smallest if none fits). Memoized per (session, dir) — the ladder
+    * sums are corpus facts; the budget applies at selection time so
+    * specs can force the route on a small fixture. */
+  private[graft] def simhashCap(spark: SparkSession, dir: String,
+      budget: Long = SimhashPairBudget): Long = {
+    val sums = simhashCapCache.computeIfAbsent((spark, dir), _ => {
+      val hist = simhashFrame(spark, dir)
+        .select(posexplode(array(col("band0"), col("band1"),
+          col("band2"), col("band3"))).as(Seq("band_id", "band_val")))
+        .groupBy("band_id", "band_val").agg(count(lit(1)).as("df"))
+      val aggs = simhashCapLadder.map(c =>
+        sum(expr(s"CASE WHEN df <= $c THEN df * (df - 1) div 2 ELSE 0 END"))
+          .as(s"kept_$c"))
+      val r = hist.agg(aggs.head, aggs.tail: _*).head()
+      simhashCapLadder.indices
+        .map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    })
+    simhashCapLadder.zip(sums)
+      .collectFirst { case (c, s) if s <= budget => c }
+      .getOrElse(simhashCapLadder.last)
+  }
+
+  private[graft] def simhashPairsCapped(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    val cap = simhashCap(spark, dir, budget)
     val sim = simhashFrame(spark, dir)
     val bands = sim
       .select(col("doc_id"), col("simhash"),
@@ -1160,7 +1223,7 @@ object Dedup {
           col("band3"))).as(Seq("band_id", "band_val")))
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy("band_id", "band_val")))
-      .filter(col("bsz") <= 10000).drop("bsz")
+      .filter(col("bsz") <= cap).drop("bsz")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
@@ -1183,9 +1246,20 @@ object Dedup {
        |           unnest([0, 1, 2, 3]) AS band_id,
        |           unnest([band0, band1, band2, band3]) AS band_val
        |    FROM simq)),
-       |bands AS (SELECT * FROM bands0
+       |hist AS (SELECT band_id, band_val, COUNT(*) AS df
+       |         FROM bands0 GROUP BY 1, 2),
+       |lad AS (SELECT c,
+       |          SUM(CASE WHEN df <= c THEN df * (df - 1) // 2 ELSE 0 END)
+       |            AS kept
+       |        FROM hist,
+       |          (SELECT unnest([10000, 3000, 1000, 300, 100]) AS c) l
+       |        GROUP BY c),
+       |capsel AS (SELECT COALESCE(MAX(CASE WHEN kept <= $SimhashPairBudget
+       |                                    THEN c END), 100) AS cap
+       |           FROM lad),
+       |bands AS (SELECT b.* FROM bands0 b, capsel
        |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val)
-       |            <= 10000),
+       |            <= capsel.cap),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         COUNT(*) AS n_shared_bands,

@@ -165,6 +165,54 @@ class Round10OperatorSpec extends SparkSpec {
     assert(expect.nonEmpty, "fixture must contain affix duplicates")
   }
 
+  test("simhash adaptive cap: fixture SFs select the legacy 10k head; " +
+      "a forced budget steps the ladder down and the capped pair set " +
+      "is a value-identical subset") {
+    assert(Dedup.simhashCap(spark, dir) == 10000L,
+      "fixture saturation must not move the cap (zero oracle churn)")
+    assert(Dedup.simhashCap(spark, dir, budget = 0L) == 100L,
+      "an unfittable budget floors at the ladder tail")
+    val full = Dedup.qSimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    val capped = Dedup.simhashPairsCapped(spark, dir, budget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    // at sf0.001 no band bucket reaches even the floor cap (50 docs),
+    // so the floored run must REPRODUCE the full set — the law under
+    // saturation is pinned by the sf10 ladder measurement in SURVEY
+    assert(capped.nonEmpty && capped.size <= full.size)
+    capped.foreach { case (k, (nb, ham, dup)) =>
+      val (fnb, fham, fdup) = full(k)
+      // hamming + verdict are signature facts — identical; the
+      // shared-band count can only shrink (a band dropped by the cap)
+      assert(ham == fham && dup == fdup && nb <= fnb,
+        s"capped pair $k diverged: ($nb,$ham,$dup) vs ($fnb,$fham,$fdup)")
+    }
+  }
+
+  test("every registered query whose source consumes the exact-Jaccard " +
+      "ngramPairs frame is pre-flight-routed (ExactJoinFamily " +
+      "completeness — the r10 probe's only error was an omission here)") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/operators/Dedup.scala")),
+      "UTF-8")
+    // split the object into `def qXxx` blocks; a block that calls
+    // ngramPairs( anchors on the exact pair frame
+    val defs = "def (q[A-Z][A-Za-z0-9]*)".r
+    val starts = defs.findAllMatchIn(src).map(m => (m.group(1), m.start)).toSeq
+    val consumers = starts.zipAll(starts.drop(1).map(_._2), ("", 0), src.length)
+      .collect { case ((name, s), e) if name.nonEmpty &&
+        src.substring(s, e).contains("ngramPairs(spark") => name }
+    val asQuery = consumers.map(n =>
+      "q" + n.drop(1).replaceAll("([A-Z])", "_$1").toLowerCase)
+      .filter(SparkEntry.queries.contains)
+    assert(asQuery.nonEmpty, "the grep must find the known consumers")
+    val missing = asQuery.filterNot(Dedup.ExactJoinFamily)
+    assert(missing.isEmpty,
+      s"exact-pair consumers missing from ExactJoinFamily: $missing")
+  }
+
   test("q_ivf_imbalance == the aggregate of the oracle-verified " +
       "q_ivf_cells rows") {
     val cells = Similarity.qIvfCells(spark, dir).collect()
