@@ -825,8 +825,12 @@ object Dedup {
   private def bandPairs(spark: SparkSession, dir: String): DataFrame =
     materializeOnce(spark, dir, "minhash_band_pairs")(bandPairsPlan(spark, dir))
 
-  private[graft] def bandPairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(spark, dir)
+  /** The 4×4 banding of a signature frame: (doc_id, band_id,
+    * band_hash), one row per (doc, band). Shared by the in-session
+    * pairing ([[bandPairsPlan]]) and the PERSISTED shard-vs-corpus
+    * probe ([[graft.index.BandIndex]]) so both sides band identically
+    * by construction. */
+  private[graft] def bandedSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
       struct(
         lit(b.toLong).as("band_id"),
@@ -834,17 +838,34 @@ object Dedup {
           (0 until 4).map(j => col(s"s${b * 4 + j}").cast("string")): _*))
           .as("band_hash"))
     }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_hash").as("band_hash"))
+  }
+
+  /** The hot-band membership cap (shared by the in-session self-join
+    * and the persisted base buckets). */
+  private[graft] val BandBucketCap = 10000L
+
+  /** The MinHash signature frame with the doc's source attached —
+    * the [[graft.index.BandIndex]] build/probe input (the shard split
+    * is by source). One narrow row per doc. */
+  private[graft] def minhashSigWithSource(spark: SparkSession,
+      dir: String): DataFrame =
+    minhashSig(spark, dir).join(
+      Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+
+  private[graft] def bandPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
     // hot-bucket guard, same rationale as stop-shingles: a degenerate
     // band bucket (e.g. near-empty docs all hashing alike) is the only
     // quadratic path; cap membership before pairing, mirrored in the
     // oracle. No-op at test SF.
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band_id").as("band_id"),
-        col("bb.band_hash").as("band_hash"))
+    val bands = bandedSig(sig)
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy("band_id", "band_hash")))
-      .filter(col("bsz") <= 10000).drop("bsz")
+      .filter(col("bsz") <= BandBucketCap).drop("bsz")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -1164,7 +1185,9 @@ object Dedup {
     * 10k cap passed 1.1B join rows — the r8 saturation law landing on
     * the BAND space, where per-bucket caps don't fire because dfs sit
     * under them). [[simhashCap]] picks the largest ladder cap whose
-    * exact kept-pair count Σ C(min(df,cap),2) fits the join budget —
+    * exact kept-pair count Σ_{df≤cap} C(df,2) fits the join budget
+    * (over-cap bands are DROPPED whole, never truncated to cap
+    * members — the join filter is `bsz <= cap`) —
     * the ivfK device: a plan-time scalar the oracle recomputes
     * in-query, equal to the old constant at every fixture SF (zero
     * oracle churn), 300 at sf10 (35M join rows, measured). A
@@ -1185,19 +1208,39 @@ object Dedup {
     * grows). */
   private[graft] val simhashCapLadder = Seq(10000L, 3000L, 1000L, 300L, 100L)
 
+  /** Keyed by the MATERIALIZED signature-frame INSTANCE, weakly
+    * (ADVICE_r10): the ladder sums are facts OF that frame, so the memo
+    * lives exactly as long as `MaterializeOnce` holds the frame —
+    * `invalidate()`/`release()` drop the strong reference, the weak
+    * entry becomes collectable, and a rebuilt frame (same session+dir
+    * over regenerated fixtures) is a NEW instance that re-derives the
+    * cap. No SparkSession or dir string is retained here, so the map
+    * cannot grow without bound or pin a dead session. */
   private val simhashCapCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Long]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Seq[Long]]())
+
+  /** Test hook: how many times the ladder aggregate actually ran in
+    * this JVM — lets a spec prove the memo re-derives after frame
+    * invalidation without trying to observe GC. */
+  private[graft] val simhashCapDerivations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Plan-time adaptive hot-band cap: ONE aggregate over the (already
     * materialized) signature frame computes the exact kept-pair count
     * at every ladder cap; the largest cap fitting `budget` wins (the
-    * smallest if none fits). Memoized per (session, dir) — the ladder
-    * sums are corpus facts; the budget applies at selection time so
-    * specs can force the route on a small fixture. */
+    * smallest if none fits). Memoized against the frame instance — the
+    * ladder sums are facts of that materialization; the budget applies
+    * at selection time so specs can force the route on a small
+    * fixture. (A lost race recomputes the same sums — benign; the
+    * aggregate must not run under the map lock.) */
   private[graft] def simhashCap(spark: SparkSession, dir: String,
       budget: Long = SimhashPairBudget): Long = {
-    val sums = simhashCapCache.computeIfAbsent((spark, dir), _ => {
-      val hist = simhashFrame(spark, dir)
+    val sim = simhashFrame(spark, dir)
+    val cached = simhashCapCache.get(sim)
+    val sums = if (cached != null) cached else {
+      simhashCapDerivations.incrementAndGet()
+      val hist = sim
         .select(posexplode(array(col("band0"), col("band1"),
           col("band2"), col("band3"))).as(Seq("band_id", "band_val")))
         .groupBy("band_id", "band_val").agg(count(lit(1)).as("df"))
@@ -1205,9 +1248,11 @@ object Dedup {
         sum(expr(s"CASE WHEN df <= $c THEN df * (df - 1) div 2 ELSE 0 END"))
           .as(s"kept_$c"))
       val r = hist.agg(aggs.head, aggs.tail: _*).head()
-      simhashCapLadder.indices
+      val s = simhashCapLadder.indices
         .map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
-    })
+      simhashCapCache.put(sim, s)
+      s
+    }
     simhashCapLadder.zip(sums)
       .collectFirst { case (c, s) if s <= budget => c }
       .getOrElse(simhashCapLadder.last)
@@ -1662,7 +1707,7 @@ object Dedup {
        |FROM m GROUP BY cluster_id""".stripMargin
 
   /** The "new shard" for incremental dedup: one source's documents. */
-  private val newShardSource = "src0"
+  private[graft] val newShardSource = "src0"
 
   /** q_cross_dedup — INCREMENTAL cross-corpus dedup, the shape that
     * actually runs at 100 TB: a freshly crawled shard (here `src0`)
@@ -1701,6 +1746,65 @@ object Dedup {
        |       coalesce(base.n_base, 0) AS n_base_matches,
        |       CAST(base.fp IS NOT NULL AS INT) AS is_dup
        |FROM nw LEFT JOIN base ON nw.fp = base.fp""".stripMargin
+  }
+
+  /** q_cross_neardup — INCREMENTAL near-dup, the batch shard-vs-corpus
+    * shape (VERDICT_r10 item 2) next to [[qCrossDedup]]'s exact
+    * fingerprints: the new shard (`src0`) probes the SETTLED corpus's
+    * PERSISTED MinHash band buckets ([[graft.index.BandIndex]] — the
+    * AnnIndex ensure() pattern applied to the dedup band frame).
+    * Candidates are shard↔base band collisions ONLY; base↔base is
+    * never re-paired (that work was paid when each base shard landed —
+    * at 100 TB re-pairing the base per ingest is what makes naive LSH
+    * ingest quadratic in corpus lifetime). The verify is the MinHash
+    * component-match estimate (0..16, integer) computed from the
+    * persisted base SIGNATURES — base text is never touched. Output:
+    * one row per candidate pair with the est-J ≥ 1/2 near-dup verdict.
+    * The oracle recomputes the identical split/cap/banding in-query;
+    * `BandIndexSpec` proves consecutive shard ingests reuse the base
+    * buckets (work ∝ shard).
+    */
+  def qCrossNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.index.BandIndex.probe(spark, dir,
+      graft.index.BandIndex.ensure(spark, dir))
+
+  val crossNeardupSql: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"min((h30 * ${mhA(i)} + ${mhB(i)}) % $P) AS s$i")
+      .mkString(",\n|        ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(j => s"CAST(s${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, " +
+        s"${hash60Sql(cat)} AS band_hash FROM sig"
+    }.mkString("\n|       UNION ALL ")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingledSql,
+       |hsh AS (SELECT doc_id, sh % 1073741824 AS h30 FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $sigExprs
+       |       FROM hsh GROUP BY doc_id),
+       |bands0 AS ($bandSelects),
+       |bb AS (SELECT b0.doc_id, b0.band_id, b0.band_hash, d.source
+       |       FROM bands0 b0 JOIN documents d ON b0.doc_id = d.doc_id),
+       |base AS (SELECT doc_id, band_id, band_hash FROM bb
+       |         WHERE source <> '$newShardSource'
+       |         QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash)
+       |           <= $BandBucketCap),
+       |shard AS (SELECT doc_id, band_id, band_hash FROM bb
+       |          WHERE source = '$newShardSource'),
+       |cand AS (SELECT s.doc_id AS doc_id, t.doc_id AS base_doc,
+       |                COUNT(*) AS n_shared_bands
+       |         FROM shard s JOIN base t ON s.band_id = t.band_id
+       |           AND s.band_hash = t.band_hash
+       |         GROUP BY 1, 2)
+       |SELECT c.doc_id, c.base_doc, c.n_shared_bands,
+       |       CAST($matchSum AS BIGINT) AS sig_matches,
+       |       CAST(($matchSum) >= 8 AS INT) AS is_neardup
+       |FROM cand c JOIN sig a ON a.doc_id = c.doc_id
+       |JOIN sig b ON b.doc_id = c.base_doc""".stripMargin
   }
 
   /** q_contam_by_source — contamination TRIAGE by source (the question

@@ -3894,16 +3894,32 @@ object MetricsEtl {
     * variance via the n·Σx²−(Σx)² closed form (the q_stdvar device —
     * float Welford could never hash-compare). Gaps are integer
     * SECONDS, not ms, so the worst-case n·Σx² at sf10 stays orders of
-    * magnitude inside Long. One window pass + one algebraic groupBy,
-    * output bounded by series cardinality — this is the query an SRE
-    * reads to find the scrape target whose intervals wander.
+    * magnitude inside Long — and that headroom is GUARDED, not just
+    * asserted in prose (ADVICE_r10): under non-ANSI configs Spark's
+    * long arithmetic wraps silently where DuckDB's HUGEINT→BIGINT cast
+    * raises (a quiet hash divergence), and even under the ANSI default
+    * the raw ARITHMETIC_OVERFLOW names no culprit. A per-series
+    * `assert_true` on the aggregated frame (series cardinality —
+    * negligible cost) makes the overflow regime fail LOUDLY and NAMED
+    * before the closed form evaluates: n·Σx² needs Σx² ≤ Long.Max/n
+    * and (Σx)² needs Σx ≤ ⌊√Long.Max⌋ = 3037000499. One window pass + one
+    * algebraic groupBy, output bounded by series cardinality — this is
+    * the query an SRE reads to find the scrape target whose intervals
+    * wander.
     */
-  def qScrapeJitter(spark: SparkSession, dir: String): DataFrame = {
+  def qScrapeJitter(spark: SparkSession, dir: String): DataFrame =
+    scrapeJitterFrom(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("name"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id")))
+
+  /** The jitter kernel over a (name, user_id, ts_us, event_id) frame —
+    * split out so the overflow guard is spec-drivable with a synthetic
+    * series the fixtures can't contain. */
+  private[graft] def scrapeJitterFrom(base: DataFrame): DataFrame = {
     val w = Window.partitionBy("name", "user_id")
       .orderBy("ts_us", "event_id")
-    Tables.events(spark, dir)
-      .select(col("event_type").as("name"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    base
       .withColumn("prev", lag("ts_us", 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("name"), col("user_id"),
@@ -3912,6 +3928,13 @@ object MetricsEtl {
       .agg(count(lit(1)).as("n_gaps"),
         sum("gap_s").as("s1"), sum(expr("gap_s * gap_s")).as("s2"),
         max("gap_s").as("max_gap_s"))
+      .withColumn("_hdrm", assert_true(
+        expr(s"s2 <= ${Long.MaxValue}L div n_gaps AND s1 <= 3037000499L"),
+        concat(lit("q_scrape_jitter overflow: series (name="), col("name"),
+          lit(", user_id="), col("user_id"),
+          lit(") exceeds the n·Σgap² / (Σgap)² int64 headroom — widen " +
+            "the closed form before trusting var_s2"))))
+      .filter(col("_hdrm").isNull)
       .select(col("name"), col("user_id"), col("n_gaps"),
         expr("s1 div n_gaps").as("avg_gap_s"), col("max_gap_s"),
         expr("(n_gaps * s2 - s1 * s1) div (n_gaps * n_gaps)")

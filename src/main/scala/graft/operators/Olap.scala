@@ -2344,19 +2344,24 @@ object Olap {
   /** q_forecast_revenue — the TPC-H Q6 shape (the "what would revenue
     * change if we dropped these discounts" forecast): one scan of
     * lineitem with ALL THREE predicates pushed to parquet (date range,
-    * discount band, quantity ceiling — the plan audit pins
-    * PushedFilters), then a single global sum. revenue = Σ price ·
-    * discount stays EXACT: cents × integer-percent, so the output is
-    * the ×10⁴-scaled integer and no float ever sums. The canonical
-    * "filter selectivity is the whole query" scan — at 100 TB this is
-    * the query whose runtime IS the scan rate, which is why the
-    * predicates must reach the reader.
+    * discount band, quantity ceiling — the plan audit pins all three in
+    * PushedFilters), then a single global sum. The discount band is the
+    * RAW-COLUMN open interval (0.045, 0.075) — discounts are exact
+    * hundredths, so it selects exactly {5%, 6%, 7%} while staying a
+    * plain range the parquet reader can evaluate against row-group
+    * stats (the r10 `round(l_discount*100).between(5,7)` form was an
+    * expression filter that could never push — ADVICE_r10). revenue =
+    * Σ price · discount stays EXACT: cents × integer-percent, so the
+    * output is the ×10⁴-scaled integer and no float ever sums. The
+    * canonical "filter selectivity is the whole query" scan — at
+    * 100 TB this is the query whose runtime IS the scan rate, which is
+    * why the predicates must reach the reader.
     */
   def qForecastRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-        round(col("l_discount") * 100).between(5, 7) &&
+        col("l_discount") > 0.045 && col("l_discount") < 0.075 &&
         col("l_quantity") < 24)
       .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
         round(col("l_discount") * 100).cast("long"))
@@ -2371,7 +2376,7 @@ object Olap {
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1997-01-01'
-      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_discount > 0.045 AND l_discount < 0.075
       |  AND l_quantity < 24""".stripMargin
 
   /** q_pareto — revenue concentration per nation (the 80/20 read a

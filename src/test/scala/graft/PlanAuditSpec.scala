@@ -1074,10 +1074,20 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_forecast_revenue: all three predicates pushed to the scan, " +
       "one scan, no join (r10)") {
-    val plan = executed(Olap.qForecastRevenue(spark, dir))
+    val df = Olap.qForecastRevenue(spark, dir)
+    val plan = executed(df)
     assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate")
       && plan.contains("l_quantity"),
       "date + quantity predicates must reach the parquet reader")
+    // executedPlan.toString TRUNCATES long PushedFilters lists at
+    // spark.sql.maxMetadataStringLength — the FORMATTED explain prints
+    // the scan's pushed-filter list in full
+    val pushed = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pushed.contains("GreaterThan(l_discount,0.045)") &&
+      pushed.contains("LessThan(l_discount,0.075)"),
+      "the discount band must be a raw-column range in PushedFilters " +
+        s"(ADVICE_r10: the round(*100) form could never push): $pushed")
     assert(finalScans(plan) == 1 && !plan.contains("Join"),
       "Q6 is one scan and zero joins")
   }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, MaterializeOnce, MetricsEtl}
+import org.apache.spark.sql.functions._
+
+/** Round-11 guards from ADVICE_r10: the simhash cap memo's lifecycle
+  * (re-derives when the signature frame is rebuilt, retains nothing)
+  * and q_scrape_jitter's loud int64-headroom guard (the closed form
+  * wraps silently in Spark where DuckDB raises — the overflow regime
+  * must fail, not hash-diverge).
+  */
+class Round11OperatorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("simhashCap memo is keyed to the frame INSTANCE: repeated calls " +
+      "hit the memo; an invalidated (rebuilt) signature frame " +
+      "re-derives the ladder, same cap (ADVICE_r10)") {
+    val cap0 = Dedup.simhashCap(spark, dir)
+    val d0 = Dedup.simhashCapDerivations.get()
+    assert(Dedup.simhashCap(spark, dir) == cap0)
+    assert(Dedup.simhashCapDerivations.get() == d0,
+      "a second call on the same frame instance must hit the memo")
+    MaterializeOnce.invalidate() // models in-place fixture regeneration
+    assert(Dedup.simhashCap(spark, dir) == cap0,
+      "an unchanged corpus re-derives the same cap")
+    assert(Dedup.simhashCapDerivations.get() == d0 + 1,
+      "a rebuilt signature frame is a NEW instance and must re-derive " +
+        "the ladder sums — the stale-memo class ADVICE_r10 flagged")
+  }
+
+  test("q_scrape_jitter overflow guard: a series past the n·Σgap² " +
+      "int64 headroom fails LOUDLY instead of wrapping (ADVICE_r10)") {
+    import spark.implicits._
+    // three samples with 2e9-s gaps: every INTERMEDIATE stays inside
+    // int64 (gap² = 4e18, Σgap² = 8e18 — so ANSI mode has nothing to
+    // raise on during aggregation), but Σgap = 4e9 > ⌊√Long.Max⌋ =
+    // 3037000499, so (Σgap)² in the closed form is exactly the regime
+    // the guard exists to catch BEFORE the var expression evaluates
+    val g = 2000000000L * 1000000L // 2e9 s in µs
+    val bad = Seq(
+      ("m", 1L, 0L, 10L),
+      ("m", 1L, g, 11L),
+      ("m", 1L, 2L * g, 12L))
+      .toDF("name", "user_id", "ts_us", "event_id")
+    val e = intercept[Exception] {
+      MetricsEtl.scrapeJitterFrom(bad).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("q_scrape_jitter overflow"),
+      s"expected the headroom assert, got: ${e.getMessage}")
+    // and a within-headroom series passes through with the exact
+    // population variance: gaps (1, 3) → var = (2·10 − 16) / 4 = 1
+    val ok = Seq(
+      ("m", 1L, 0L, 1L),
+      ("m", 1L, 1000000L, 2L),
+      ("m", 1L, 4000000L, 3L))
+      .toDF("name", "user_id", "ts_us", "event_id")
+    val r = MetricsEtl.scrapeJitterFrom(ok).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 2L && r(0).getLong(3) == 2L &&
+      r(0).getLong(4) == 3L && r(0).getLong(5) == 1L,
+      s"exact jitter row diverged: ${r(0)}")
+  }
+
+  test("q_scrape_jitter guard is transparent on real data: no series " +
+      "dropped vs the guardless aggregate") {
+    val guarded = MetricsEtl.qScrapeJitter(spark, dir).count()
+    val series = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id").count()
+      .filter(col("count") >= 2).count()
+    assert(guarded == series,
+      "every series with ≥2 samples must survive the guard")
+  }
+}
