@@ -908,6 +908,96 @@ object Similarity {
        |FROM n LEFT JOIN h ON n.np = h.np""".stripMargin
   }
 
+  /** q_probe_served — the nprobe recall/cost dial measured on the
+    * PERSISTED index (VERDICT_r10 item 7): [[qIvfProbeCurve]] answers
+    * the same question against the in-session assignment, but a
+    * deployed service runs [[graft.index.AnnIndex.query]] against the
+    * parquet artifacts — THIS query measures the knob on the artifact
+    * actually served. The query set (`vec_id < QuerySetSize`, the
+    * family's constant held-out slice) is submitted as EXTERNAL
+    * queries at nprobe ∈ {1, 2, 4}; per query, k = 5 is requested and
+    * the query's own posting row dropped, which yields exactly the
+    * top-3 non-self rows of the served total order (dropping at most
+    * ONE element from a top-5 prefix cannot disturb the first three of
+    * the rest — no re-ranking, the served `rn` is reused). Recall is
+    * against the same brute-force ground truth as the in-session
+    * curve. One |Q|·K argmax + the probed posting lists per tier —
+    * |Q|-bounded, never a corpus self-join; the serve path's posting
+    * list is deliberately UNCAPPED (a service answers from whatever
+    * the index holds), so the oracle models the uncapped cells too.
+    */
+  def qProbeServed(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.index.AnnIndex.ensure(spark, dir)
+    val queries = Tables.fanOut(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val tiers = Seq(1, 2, 4)
+    val found = tiers.map { np =>
+      graft.index.AnnIndex.query(spark, root, queries, nprobe = np, k = 5)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy("query_id").orderBy("rn")))
+        .filter(col("rn2") <= 3)
+        .select(col("query_id").as("qid"), lit(np).as("nprobe"),
+          col("neighbor_id"))
+    }.reduce(_ union _)
+    val gt = qEmbedCosineTopk(spark, dir).filter(col("rn") <= 3)
+      .select(col("vec_id").as("g_qid"), col("neighbor_id").as("g_nid"))
+    val hits = found.join(gt, col("qid") === col("g_qid") &&
+        col("neighbor_id") === col("g_nid"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    found.groupBy("nprobe").agg(count(lit(1)).as("n_found"))
+      .join(hits, Seq("nprobe"), "left_outer")
+      .select(col("nprobe"), col("n_found"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm",
+        expr(s"hits * 1000000 div ${QuerySetSize * 3}"))
+  }
+
+  val probeServedSql: String = {
+    val ccos = """CAST(list_sum(list_transform(generate_series(1, len(qn.q)),
+       |             i -> qn.q[i] * cents.qc[i])) AS DOUBLE)
+       |             / sqrt(CAST(qn.nrm * cents.nc AS DOUBLE))"""
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cell, q AS qc, nrm AS nc FROM qn
+       |          WHERE vec_id < $ivfKSql),
+       |asg AS (SELECT qn.vec_id, cents.cell, qn.q, qn.nrm,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY $ccos DESC,
+       |           cents.cell) AS crn
+       |        FROM qn, cents),
+       |posting AS (SELECT vec_id, cell, q, nrm FROM asg WHERE crn = 1),
+       |pr AS (SELECT qn.vec_id AS qid, qn.q AS qa, qn.nrm AS na, cents.cell,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY $ccos DESC,
+       |           cents.cell) AS probe_rank
+       |        FROM qn, cents WHERE qn.vec_id < $QuerySetSize
+       |        QUALIFY probe_rank <= 4),
+       |cand AS (SELECT pr.qid, pr.probe_rank, b.vec_id AS neighbor_id,
+       |          CAST(list_sum(list_transform(generate_series(1, len(pr.qa)),
+       |            i -> pr.qa[i] * b.q[i])) AS DOUBLE)
+       |            / sqrt(CAST(pr.na * b.nrm AS DOUBLE)) AS cos
+       |         FROM pr JOIN posting b
+       |           ON pr.cell = b.cell AND pr.qid <> b.vec_id),
+       |t AS (SELECT cand.*, tiers.np FROM cand,
+       |        (SELECT unnest([1, 2, 4]) AS np) tiers
+       |      WHERE probe_rank <= np),
+       |top3 AS (SELECT qid, np, neighbor_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY qid, np
+       |             ORDER BY cos DESC, neighbor_id) AS rn FROM t)
+       |         WHERE rn <= 3),
+       |gt AS (SELECT vec_id AS g_qid, neighbor_id AS g_nid
+       |       FROM ($embedCosineTopkSql) WHERE rn <= 3),
+       |h AS (SELECT np, COUNT(*) AS hits FROM top3 JOIN gt
+       |        ON qid = g_qid AND neighbor_id = g_nid GROUP BY np),
+       |n AS (SELECT np, COUNT(*) AS n_found FROM top3 GROUP BY np)
+       |SELECT CAST(n.np AS INT) AS nprobe, n.n_found,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) * 1000000
+       |         // ${QuerySetSize * 3} AS recall_ppm
+       |FROM n LEFT JOIN h ON n.np = h.np""".stripMargin
+  }
+
   /** q_kmeans_step — one Lloyd iteration of IVF centroid refinement:
     * assign every vector to its nearest centroid (the q_ann_ivf
     * assignment pass), then recompute each cell's centroid as the

@@ -616,11 +616,18 @@ object MetricsStream {
   case class StalePoint(name: String, series: String, tsUs: Long,
       ts: java.sql.Timestamp)
 
-  /** Keyed state for one series of the staleness tracker: the single
-    * most-recent sample time — the smallest state any operator here
-    * carries (one long per LIVE series; a stale series drops its state
-    * the moment its marker emits, so label churn cannot accumulate). */
-  case class StaleState(lastTsUs: Long)
+  /** Keyed state for one series of the staleness tracker (r11 — the
+    * r8/r9 streamingIncrease device applied here, closing the r10
+    * out-of-order trade): the SETTLED last sample time (every sample
+    * strictly below the watermark has been folded in and its following
+    * gap judged), whether that sample's trailing marker already
+    * emitted, and the IN-WATERMARK TAIL — buffered sample times at or
+    * above the watermark, which a late-but-in-watermark arrival can
+    * still reorder. The buffer is bounded by watermark delay × scrape
+    * cadence per series (10 min delay at 1/s ≈ 600 longs); a fully
+    * stale series still drops to nothing once its marker emits. */
+  case class StaleState(settledLastUs: Long, emitted: Boolean,
+      buf: Seq[Long])
 
   /** One emitted staleness marker — the q_stale_markers schema. */
   case class StaleMarkerRow(name: String, user_id: Long, last_ts_s: Long,
@@ -633,20 +640,32 @@ object MetricsStream {
     * marker at `last + horizon` whenever the series goes `staleSec`
     * of EVENT TIME without a sample.
     *
-    * Two paths produce markers, covering both ways a gap is observed:
-    * the TIMEOUT path (no newer sample exists yet — the watermark
-    * passes `last + horizon` and the marker fires, then the state is
-    * REMOVED: a dead series costs nothing until it resurrects, which
-    * simply re-creates state like a new series), and the ROWS path (a
-    * newer sample arrives revealing an in-history gap — the fold over
-    * the sorted arrivals chained after the stored last emits a marker
-    * per consecutive pair further than the horizon apart, exactly the
-    * batch lead() rule). A marker is tied to the specific sample that
-    * was `last` when its gap closed, so the two paths can never
-    * double-emit. With a far-future watermark mover every live series
-    * also emits its FINAL marker — which is precisely the batch
-    * operator's `lead IS NULL` row, making streamed == batch row-exact
-    * (`StreamStaleSpec`, tercile splits + a dense gap synthetic).
+    * GAPS ARE JUDGED ONLY FROM SETTLED SAMPLES (r11, closing the r10
+    * out-of-order trade): arrivals at or above the watermark sit in a
+    * per-series buffer (bounded by watermark delay × cadence) until
+    * the watermark passes them — only then is their ORDER final, so a
+    * late-but-in-watermark arrival can never re-split a gap that was
+    * already judged. Three judgment moves, all on settled data:
+    *
+    *   - consecutive settled pairs further than the horizon apart emit
+    *     a marker at the earlier sample (exactly the batch lead()
+    *     rule — both endpoints and the whole interior are final);
+    *   - the TRAILING marker for the last settled sample emits once
+    *     the watermark passes `last + horizon`: any sample that could
+    *     still arrive is ≥ the watermark > last + horizon, so the gap
+    *     is certain regardless of what arrives (the `emitted` flag
+    *     suppresses the re-judgment when the successor settles);
+    *   - a series whose trailing marker emitted and whose buffer is
+    *     empty REMOVES its state — a dead series costs nothing until
+    *     it resurrects, which re-creates state like a new series.
+    *
+    * Timeouts wake the series at its next judgment point (trailing
+    * horizon or buffer head). With a far-future watermark mover every
+    * series settles fully and emits its FINAL marker — precisely the
+    * batch operator's `lead IS NULL` row, so streamed == batch
+    * row-exact for ANY delivery order the watermark admits
+    * (`StreamStaleSpec`: in-order terciles, a dense-gap synthetic, and
+    * the r11 SHUFFLED within-watermark delivery).
     */
   def streamingStaleMarkers(samples: DataFrame, staleSec: Long = 3600L,
       delay: String = "10 minutes"): Dataset[StaleMarkerRow] = {
@@ -664,32 +683,47 @@ object MetricsStream {
          state: GroupState[StaleState]) =>
           def marker(lastUs: Long) = StaleMarkerRow(key._1, key._2.toLong,
             lastUs / 1000000L, lastUs / 1000000L + staleSec)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(s => marker(s.lastTsUs))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(StaleState(-1L, false, Nil))
+          // fold arrivals into the tail, settle everything now FINAL
+          // (strictly below the watermark — a sample AT the watermark
+          // can still gain same-trigger peers)
+          val all = (st.buf ++ rows.map(_.tsUs)).sorted
+          val (settle, keep) = all.partition(_ < wmUs)
+          val chain =
+            (if (st.settledLastUs >= 0) Seq(st.settledLastUs) else Nil) ++
+              settle
+          val gapMarkers = chain.sliding(2).collect {
+            case Seq(a, b) if b - a > staleUs &&
+              !(st.emitted && a == st.settledLastUs) => marker(a)
+          }.toList
+          val settledLast = if (settle.nonEmpty) settle.last
+            else st.settledLastUs
+          val settledEmitted = if (settle.nonEmpty) false else st.emitted
+          // trailing judgment: past last + horizon nothing admissible
+          // can close the gap, so the marker is certain
+          val judgeTail = settledLast >= 0 && !settledEmitted &&
+            wmUs > settledLast + staleUs
+          val out = gapMarkers ++
+            (if (judgeTail) Seq(marker(settledLast)) else Nil)
+          val emitted = settledEmitted || judgeTail
+          if (keep.isEmpty && emitted && settledLast >= 0) {
             state.remove()
-            out.iterator
           } else {
-            // sort the stored last INTO the arrivals: an out-of-order
-            // sample inside the watermark may sort below it. (The
-            // deliberate single-long-state trade: an out-of-order
-            // arrival straddling a gap already judged in an earlier
-            // trigger can re-split it differently than batch — same
-            // class as streamingIncrease's documented horizon trade;
-            // in-order delivery, which the watermark contract gives at
-            // emission granularity, is row-exact.)
-            val chain =
-              (state.getOption.map(_.lastTsUs).toSeq ++ rows.map(_.tsUs))
-                .sorted
-            val out = chain.sliding(2).collect {
-              case Seq(a, b) if b - a > staleUs => marker(a)
-            }.toSeq
-            val last = chain.last
-            state.update(StaleState(last))
+            state.update(StaleState(settledLast, emitted, keep))
+            // wake at the earliest FUTURE judgment point: the trailing
+            // horizon or the buffer head becoming settled (ms, strictly
+            // beyond the current watermark as EventTimeTimeout demands)
+            val cands = Seq(
+              if (settledLast >= 0 && !emitted)
+                Some(settledLast / 1000L + staleSec * 1000L + 1L)
+              else None,
+              keep.headOption.map(_ / 1000L + 1L)).flatten
             state.setTimeoutTimestamp(math.max(
-              last / 1000L + staleSec * 1000L,
+              if (cands.nonEmpty) cands.min else Long.MaxValue / 2,
               state.getCurrentWatermarkMs() + 1L))
-            out.iterator
           }
+          out.iterator
       }
   }
 

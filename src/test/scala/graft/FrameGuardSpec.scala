@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CONSUMER-COMPLETENESS for every shared frame that carries a cap,
+  * budget, or pre-flight (VERDICT_r10 item 4 — generalizing the r10
+  * ngramPairs grep-spec): the q_bbit_minhash sf10 death was a
+  * hand-maintained membership list missing ONE consumer of a guarded
+  * frame, and that omission class applies to EVERY guarded frame, not
+  * just the exact-join one. This suite greps the source for each
+  * frame's consumers and asserts each either shows in-block guard
+  * EVIDENCE (the cap identifier), is routed (ExactJoinFamily), or
+  * sits in a documented bounded-by-construction set. Adding a new
+  * consumer without a scale guard FAILS here until it is guarded or
+  * justified — which is the point.
+  */
+class FrameGuardSpec extends AnyFunSuite {
+
+  private def read(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+
+  /** Split a source file into `def <name>` blocks (each block runs to
+    * the next def), keyed by the registered-query name for q-defs
+    * (qFooBar → q_foo_bar) and the raw def name otherwise. */
+  private def defBlocks(src: String): Seq[(String, String)] = {
+    val defs = "def ([a-zA-Z][A-Za-z0-9]*)".r
+    val starts = defs.findAllMatchIn(src).map(m => (m.group(1), m.start)).toSeq
+    starts.zipAll(starts.drop(1).map(_._2), ("", 0), src.length).collect {
+      case ((name, s), e) if name.nonEmpty =>
+        val key =
+          if (name.matches("q[A-Z].*"))
+            "q" + name.drop(1).replaceAll("([A-Z])", "_$1").toLowerCase
+          else name
+        (key, src.substring(s, e))
+    }
+  }
+
+  /** One guarded frame: where it lives, how consumption looks in
+    * source, what counts as a guard, and which consumers are bounded
+    * by construction (each with its reason, which IS the review). */
+  private case class Frame(
+      name: String,
+      files: Seq[String],
+      anchor: String,
+      guardEvidence: String => Boolean,
+      guardDesc: String,
+      boundedOk: Map[String, String] = Map.empty,
+      routedOk: String => Boolean = _ => false,
+      // the frame's own def (and direct producers) self-match the
+      // anchor in their signature/body — not consumers
+      selfNames: Set[String] = Set.empty,
+      // check every def (plan builders too), or only registered
+      // queries (the r10 scope)
+      allDefs: Boolean = false)
+
+  private val dedupSrc = "src/main/scala/graft/operators/Dedup.scala"
+  private val simSrc = "src/main/scala/graft/operators/Similarity.scala"
+  private val bandIdxSrc = "src/main/scala/graft/index/BandIndex.scala"
+
+  private val frames = Seq(
+    Frame("exact-Jaccard ngramPairs (Σ C(df,2) join — the sf10 killer)",
+      Seq(dedupSrc), "ngramPairs(spark",
+      guardEvidence = _ => false, // only the routing counts
+      guardDesc = "membership in Dedup.ExactJoinFamily (the pre-flight " +
+        "routes to LSH past the join budget)",
+      routedOk = graft.operators.Dedup.ExactJoinFamily),
+    Frame("simhashFrame (band self-join saturates on the band SPACE)",
+      Seq(dedupSrc), "simhashFrame(spark",
+      guardEvidence = b => b.contains("simhashPairsCapped(") ||
+        b.contains("simhashCap("),
+      guardDesc = "the adaptive hot-band cap (simhashCap / " +
+        "simhashPairsCapped)",
+      boundedOk = Map(
+        "q_simhash" -> ("per-doc signature projection — no pairing " +
+          "join, output = one row per doc"))),
+    Frame("IVF assignment (in-cell self-joins go quadratic per hot cell)",
+      Seq(simSrc), "ivfAssigned(spark",
+      // ivfSearch IS the capped kernel (csz <= maxBucket inside it,
+      // Similarity.scala ivfSearch) — calling it counts as guarded
+      guardEvidence = b => b.contains("maxBucket") ||
+        b.contains("ivfSearch("),
+      guardDesc = "the hot-cell cap (csz <= maxBucket before any " +
+        "in-cell pairing, directly or via the ivfSearch kernel)",
+      boundedOk = Map(
+        "q_ivf_cells" -> ("aggregation-only: one groupBy(cell), output " +
+          "= K rows, no pairing — and the balance diagnostic must see " +
+          "the uncapped population it reports on"),
+        "q_ivf_imbalance" -> ("aggregation-only over the same cell " +
+          "histogram — 1 output row, no pairing"),
+        "q_cell_purity" -> "groupBy(cell, label) counts — no pairing",
+        "q_kmeans_step" -> ("vec_sum refine aggregate — K·d buffers " +
+          "cross the exchange, no pairing"))),
+    Frame("raw bandedSig (uncapped band postings — pairing input)",
+      Seq(dedupSrc, bandIdxSrc), "bandedSig(",
+      guardEvidence = _.contains("BandBucketCap"),
+      guardDesc = "the band-bucket membership cap (bsz <= " +
+        "BandBucketCap before any join/persist)",
+      boundedOk = Map(
+        "probe" -> ("shard-side bands join WRITE-TIME-CAPPED base " +
+          "buckets — pairing ≤ |shard bands| × BandBucketCap by the " +
+          "persisted side's construction")),
+      selfNames = Set("bandedSig"),
+      allDefs = true))
+
+  private val registered = SparkEntry.queries.keySet
+
+  for (f <- frames) {
+    test(s"every consumer of ${f.name} is guarded or bounded") {
+      val blocks = f.files.flatMap(p => defBlocks(read(p)))
+      val consumers = blocks.filter { case (name, block) =>
+        block.contains(f.anchor) && !f.selfNames.contains(name) &&
+          (f.allDefs || registered.contains(name))
+      }
+      assert(consumers.nonEmpty,
+        s"the grep must find the known consumers of ${f.anchor}")
+      val offenders = consumers.collect {
+        case (name, block) if !f.guardEvidence(block) &&
+          !f.boundedOk.contains(name) && !f.routedOk(name) => name
+      }
+      assert(offenders.isEmpty,
+        s"consumers of ${f.name} without a scale guard: $offenders — " +
+          s"guard with ${f.guardDesc}, or add to boundedOk WITH the " +
+          "boundedness argument")
+    }
+  }
+}

@@ -63,6 +63,24 @@ class Round11OperatorSpec extends SparkSpec {
       s"exact jitter row diverged: ${r(0)}")
   }
 
+  test("q_probe_served == q_ivf_probe_curve at fixture SF (the serve " +
+      "path swaps the machinery — persisted posting lists via " +
+      "AnnIndex.query — not the math; the in-session cap is a no-op " +
+      "here so the curves must coincide), and recall is monotone " +
+      "in nprobe") {
+    val served = graft.operators.Similarity.qProbeServed(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val insess = graft.operators.Similarity.qIvfProbeCurve(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(served.toSeq == insess.toSeq,
+      s"served curve diverged: $served vs $insess")
+    assert(served.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(served.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+      "recall@3 must be monotone in nprobe")
+  }
+
   test("q_scrape_jitter guard is transparent on real data: no series " +
       "dropped vs the guardless aggregate") {
     val guarded = MetricsEtl.qScrapeJitter(spark, dir).count()
