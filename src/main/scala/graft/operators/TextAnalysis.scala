@@ -1169,15 +1169,51 @@ object TextAnalysis {
   private def unigramLp(spark: SparkSession, dir: String): DataFrame =
     MaterializeOnce(spark, dir, "text:unigram_lp")(unigramLpPlan(spark, dir))
 
-  /** (doc_id, token-hash) rows — the corpus token explode, materialized
-    * once per (session, dir); SHARED by the unigram-LM score and the
-    * hapax/rare-share diagnostic (each previously re-exploded the
-    * corpus). */
+  /** (doc_id, pos, token-hash) rows — the corpus token explode,
+    * materialized once per (session, dir); SHARED by the unigram-LM
+    * score, the hapax/rare-share diagnostic, BM25, token entropy, and
+    * (r11) the POSITIONED bigram family: carrying `pos` lets
+    * [[docBigrams]] derive every bigram frame from this one
+    * materialization with ONE hash per token, instead of re-scanning
+    * documents and re-hashing each word twice inside interpreted HOF
+    * lambdas (the r10 q_kn_bigram/q_bigram_lp constant — 100.6 s /
+    * 58.7 s at sf10 was ~2 corpus scans + 2 md5 per token per query). */
   private def docTokens(spark: SparkSession, dir: String): DataFrame =
-    MaterializeOnce(spark, dir, "text:doc_tokens")(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(words).as("token"))
-        .select(col("doc_id"), hash60(col("token")).as("th")))
+    MaterializeOnce(spark, dir, "text:doc_tokens")(docTokensPlan(spark, dir))
+
+  private[graft] def docTokensPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos"), hash60(col("token")).as("th"))
+
+  /** The positioned-bigram kernel: bigrams formed by a CODEGEN'D lead
+    * window over the already-hashed token frame (the shingled() device
+    * — the window shuffle partitions by doc_id and parallelizes huge
+    * docs; the in-row HOF alternative evaluates interpreted and hashes
+    * every word twice). */
+  private[graft] def docBigramsFrom(toks: DataFrame): DataFrame = {
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    toks.withColumn("w2h", lead("th", 1).over(wdoc))
+      .filter(col("w2h").isNotNull)
+      .select(col("doc_id"), col("th").as("w1h"), col("w2h"))
+  }
+
+  /** (doc_id, w1h, w2h) — one narrow row per corpus bigram,
+    * materialized once and SHARED by [[qKnBigram]] and [[qBigramLp]]
+    * (each consumes it twice: the type-count build and the per-doc
+    * score join), so the corpus-token-linear work — tokenize, hash,
+    * window — is paid ONCE per session for the whole bigram family. */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "text:doc_bigrams")(
+      docBigramsFrom(docTokens(spark, dir)))
+
+  /** The bigram TYPE counts (w1h, w2h → c) — the Zipf-vocabulary frame
+    * both LM scores derive their statistics from (kn: c1/cont/t/pm;
+    * lp: log2 tf), materialized once. */
+  private def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "text:bigram_counts")(
+      docBigrams(spark, dir).groupBy("w1h", "w2h")
+        .agg(count(lit(1)).as("c")))
 
   /** The corpus token-frequency table (th → tf), vocab-sized (Zipf),
     * materialized once and SHARED by the same two consumers. */
@@ -1322,18 +1358,29 @@ object TextAnalysis {
     * no bigrams and drop out in both engines.
     */
   def qBigramLp(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.documents(spark, dir)
-      .withColumn("w", words)
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-1)," +
-          " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
-        .as("bigram"))
-      .select(col("doc_id"), hash60(col("bigram")).as("bh"))
-    val lm = bg.groupBy("bh").agg(count(lit(1)).as("tf"))
-      .select(col("bh").as("lm_bh"),
-        (length(expr("conv(tf, 10, 2)")) - 1).cast("long").as("log2_tf"))
-    bg.join(lm, col("bh") === col("lm_bh"))
+    // r11: rides the SHARED positioned-bigram family frames (see
+    // docBigrams/bigramCounts) — the bigram key is the (w1h, w2h) hash
+    // PAIR, mirrored in-oracle, instead of a third hash of the
+    // concatenated string: same distribution, one less md5 per bigram,
+    // and the type-count frame is the same one q_kn_bigram reads
+    val bg = docBigrams(spark, dir)
+    val lm = bigramCounts(spark, dir)
+      .select(col("w1h").as("l1"), col("w2h").as("l2"),
+        (length(expr("conv(c, 10, 2)")) - 1).cast("long").as("log2_tf"))
+    bg.join(lm, col("w1h") === col("l1") && col("w2h") === col("l2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("log2_tf").as("sum_log2"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_log2 * 100 div n_bigrams").as("lp2_x100"))
+  }
+
+  /** Un-materialized twin for plan audits. */
+  private[graft] def bigramLpPlan(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docBigramsFrom(docTokensPlan(spark, dir))
+    val lm = bg.groupBy("w1h", "w2h").agg(count(lit(1)).as("c"))
+      .select(col("w1h").as("l1"), col("w2h").as("l2"),
+        (length(expr("conv(c, 10, 2)")) - 1).cast("long").as("log2_tf"))
+    bg.join(lm, col("w1h") === col("l1") && col("w2h") === col("l2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("log2_tf").as("sum_log2"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -1341,22 +1388,22 @@ object TextAnalysis {
   }
 
   val bigramLpSql: String = {
-    val bh = graft.functions.Portable.hash60Sql("bigram")
-    s"""WITH b AS (
-       |  SELECT doc_id, $bh AS bh
-       |  FROM (SELECT doc_id,
-       |          unnest(list_transform(range(1, len(w)),
-       |            i -> w[i] || ' ' || w[i+1])) AS bigram
+    val h1 = graft.functions.Portable.hash60Sql("a")
+    val h2 = graft.functions.Portable.hash60Sql("b")
+    s"""WITH bp AS (
+       |  SELECT doc_id, w[i] AS a, w[i+1] AS b
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
        |        FROM (SELECT doc_id, $wordsSql AS w FROM documents)
        |        WHERE len(w) >= 2)),
+       |b AS (SELECT doc_id, $h1 AS w1h, $h2 AS w2h FROM bp),
        |lm AS (
-       |  SELECT bh AS lm_bh,
+       |  SELECT w1h AS l1, w2h AS l2,
        |         CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS log2_tf
-       |  FROM b GROUP BY bh),
+       |  FROM b GROUP BY 1, 2),
        |s AS (
        |  SELECT doc_id, COUNT(*) AS n_bigrams,
        |         CAST(SUM(log2_tf) AS BIGINT) AS sum_log2
-       |  FROM b JOIN lm ON bh = lm_bh
+       |  FROM b JOIN lm ON w1h = l1 AND w2h = l2
        |  GROUP BY doc_id)
        |SELECT doc_id, n_bigrams, sum_log2 * 100 // n_bigrams AS lp2_x100
        |FROM s""".stripMargin
@@ -2451,22 +2498,16 @@ object TextAnalysis {
 
   private def knBigramFrom(spark: SparkSession, dir: String,
       materialize: Boolean): DataFrame = {
-    val bg = Tables.documents(spark, dir)
-      .withColumn("w", words)
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-1)," +
-          " i -> struct(element_at(w, i) AS a, element_at(w, i+1) AS b))"))
-        .as("p"))
-      .select(col("doc_id"),
-        hash60(col("p.a")).as("w1h"), hash60(col("p.b")).as("w2h"))
-    // the bigram-count frame feeds FOUR consumers (c1/cont/t/pm) — left
-    // as lineage each would re-explode the corpus; materialized it is a
-    // Zipf-sub-corpus vocabulary read 4× from memory (documents is
-    // scanned exactly twice: once building cbg, once for the doc join)
-    val cbgRaw = bg.groupBy("w1h", "w2h").agg(count(lit(1)).as("c"))
-    val cbg = if (materialize)
-      MaterializeOnce(spark, dir, "text:kn_cbg")(cbgRaw) else cbgRaw
+    // r11: the bigram frame and its type counts are the SHARED
+    // materialized family frames (one tokenize+hash+window for kn AND
+    // lp together — the r10 form re-scanned documents and re-hashed
+    // every word twice in interpreted HOFs, the suite's largest sf10
+    // constant); the un-materialized twin keeps the full lineage for
+    // plan audits
+    val bg = if (materialize) docBigrams(spark, dir)
+      else docBigramsFrom(docTokensPlan(spark, dir))
+    val cbg = if (materialize) bigramCounts(spark, dir)
+      else bg.groupBy("w1h", "w2h").agg(count(lit(1)).as("c"))
     val c1 = cbg.groupBy("w1h")
       .agg(sum("c").as("c1"), count(lit(1)).as("n1"))
       .withColumnRenamed("w1h", "l1")

@@ -502,19 +502,23 @@ class PlanAuditSpec extends SparkSpec {
       "the 3-row prefix frame must broadcast (never shuffle the tokens)")
   }
 
-  test("q_bigram_lp: in-row bigrams, keyed LM join, map-side partials") {
+  test("q_bigram_lp: rides the shared bigram family frames; the " +
+      "lineage twin builds bigrams via the codegen'd lead window, " +
+      "never interpreted HOFs or a positional self-join (r11)") {
     val plan = executed(operators.TextAnalysis.qBigramLp(spark, dir))
     assert(!plan.contains("CartesianProduct"))
-    // bigrams come from ONE Generate per pass (the in-row array
-    // transform) — a positional self-join would add a corpus-scale
-    // equality join on (doc_id, pos) and a second shuffle
-    assert(plan.contains("Generate explode(transform("),
-      "bigrams must be built in-row, not via positional self-join")
-    // the LM frequency aggregate combines map-side before its exchange
-    // (same double-derive-over-materialize tradeoff as q_unigram_lp:
-    // the token-scale base is cheaper to recompute than to shuffle
-    // or pin, and the hash join keeps stop-bigram skew AQE-handled)
-    assert(plan.contains("partial_count"),
+    assert(finalScans(plan) == 0,
+      "registered query must read the materialized docBigrams + " +
+        s"bigramCounts frames: ${finalScans(plan)} scans")
+    // the lineage twin shows the kernel: posexplode Generate (one hash
+    // per token) + lead window — the r10 in-row HOF form evaluated
+    // interpreted and hashed every word twice (100.6 s at sf10)
+    val twin = executed(operators.TextAnalysis.bigramLpPlan(spark, dir))
+    assert(twin.contains("Generate posexplode("),
+      "tokens must explode positioned (one hash per token)")
+    assert(twin.contains("Window") && !twin.contains("transform("),
+      "bigrams must form via the lead window, not HOF lambdas")
+    assert(twin.contains("partial_count"),
       "LM tf aggregation must keep partial aggregation")
   }
 
@@ -984,18 +988,24 @@ class PlanAuditSpec extends SparkSpec {
       "corpus side must never shuffle for the probe joins")
   }
 
-  test("q_kn_bigram: cbg materialization is load-bearing — 5 lineage scans collapse to 1 (r9g)") {
-    // measured: the un-materialized plan re-explodes the corpus FIVE
-    // times (c1/cont/t/pm each re-derive cbg; Catalyst does not reuse
-    // the exchange across the different parent aggregates) — the
-    // MaterializeOnce on cbg is what makes the registered query pay one
-    // documents scan (the doc-side join; the cbg build is its own job)
-    val lineageScans = finalScans(executed(TextAnalysis.knBigramPlan(spark, dir)))
-    assert(lineageScans >= 4, s"lineage shape changed ($lineageScans scans) — " +
-      "re-check whether the materialization is still needed")
+  test("q_kn_bigram: family-frame materialization is load-bearing — " +
+      "5 lineage scans collapse to 0 (r11)") {
+    // r11 bonus: the lead-window kernel puts a doc_id EXCHANGE below
+    // the four cbg consumers, and AQE reuses it — the r10 in-row HOF
+    // lineage re-scanned documents FIVE times (nothing to reuse across
+    // the parent aggregates); the window form scans ONCE even
+    // un-materialized. The family frames remain load-bearing for
+    // CROSS-QUERY sharing (kn + lp ride one tokenize+hash+window).
+    val twin = executed(TextAnalysis.knBigramPlan(spark, dir))
+    val lineageScans = finalScans(twin)
+    assert(lineageScans == 1 && (twin.contains("ReusedExchange") ||
+      twin.contains("ReusedQueryStage")),
+      s"lineage shape changed ($lineageScans scans) — the window " +
+        "exchange must be the in-plan reuse point")
     val plan = executed(TextAnalysis.qKnBigram(spark, dir))
-    assert(finalScans(plan) == 1,
-      s"registered query must scan documents once: ${finalScans(plan)}\n${plan.take(2000)}")
+    assert(finalScans(plan) == 0,
+      s"registered query must ride the materialized family frames: " +
+        s"${finalScans(plan)} scans\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"))
   }
 
