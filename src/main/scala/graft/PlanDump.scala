@@ -70,7 +70,7 @@ object PlanDump {
       "q_ngram_novelty" -> "first-occurrence attribution: sh-keyed distinct/agg/join, no self-join, |sources|-bounded tail",
       "q_bench_leakage" -> "reverse contamination: constant-size benchmark broadcast, |bench|-bounded aggregate tail",
       "q_vocab_growth" -> "Heaps curve: constant prefix bound in PushedFilters, 3-row prefix frame broadcast",
-      "q_bigram_lp" -> "bigram LM: in-row Generate (no positional self-join), keyed tf join, map-side partials",
+      "q_bigram_lp" -> "bigram LM: rides the materialized docBigrams/bigramCounts family frames (zero parquet scans; the lineage kernel is posexplode + lead window — one hash per token, r11)",
       "q_jaccard_curve" -> "threshold curve: columnar 16-component signatures (no Generate), keyed pair joins, 1-row out",
       "q_embed_norm_hist" -> "norm histogram: one projection over the quantized frame, partial+final digit aggregate",
       "q_limitk" -> "limitk/limit_ratio: |series|-bounded rank window + codegen'd hash flag over the instant vector",
@@ -132,11 +132,11 @@ object PlanDump {
       "q_alert_for" -> "alert for-duration: ONE events scan, join-free explode + island windows (r9)",
       "q_simhash_pairs" -> "simhash dedup: materialized signature frame, capped band self-join, in-row Hamming verify (r9)",
       "q_mmr" -> "MMR re-rank: zero parquet scans — broadcast-filtered candidate vectors, constant-frame greedy joins (r9)",
-      "q_kn_bigram" -> "Kneser-Ney LM: cbg materialized (5 lineage scans collapse — plan shows the RDD-backed LM side), 8-byte-hash LM joins, ONE doc-join parquet scan (r9g)",
+      "q_kn_bigram" -> "Kneser-Ney LM: shared positioned-bigram family frames (zero parquet scans in the registered plan; the lineage twin scans once via window-exchange reuse, r11), 8-byte-hash LM joins",
       "q_ks_drift" -> "KS drift: ONE documents aggregate feeds per-value/per-source/total frames, broadcast value-space grid, per-source ECDF windows (r9g)",
       "q_kmv_union" -> "KMV sketches: ONE corpus pass into the TopKPerKey bottom-64 heap; union/pair stages run on the 320-row sketch frame (mergeable-sketch algebra) (r9g)",
       "q_theil_sen" -> "Theil-Sen trend: minute-downsample windows then a KEYED (series,hour) pair self-join — never cartesian (r9g)",
-      "q_forecast_revenue" -> "Q6 forecast: date/discount/quantity predicates in PushedFilters, one scan, zero joins (r10)",
+      "q_forecast_revenue" -> "Q6 forecast: ALL THREE predicates (date range, raw-column discount band, quantity) in PushedFilters, one scan, zero joins (r11)",
       "q_rollup_tiers" -> "tiered compaction: ONE events scan, 5m blocks re-aggregated to the 1h tier — aggregation-only plan (r10)",
       "q_scrape_jitter" -> "gap stats: one scan, one (series)-keyed lag window, algebraic n/S1/S2 groupBy (r10)",
       "q_staleness" -> "per-series max + ts-only global max broadcast back as a 1-row frame (r10)",
@@ -147,7 +147,9 @@ object PlanDump {
       "q_ivf_imbalance" -> "one-row aggregate over q_ivf_cells' K rows on the shared assignment — embeddings never rescanned (r10)",
       "q_stale_markers" -> "staleness markers: one lead() window pass on the series shuffle, gap + final rows filtered in place — no join, no grid (r10)",
       "q_backlog" -> "backlog cumsum over the |days|-bounded daily aggregate; status filter in PushedFilters (r10)",
-      "q_ship_lag" -> "co-partitioned fact-fact orderkey equi-join, floor-division lag buckets, bounded output (r10)")
+      "q_ship_lag" -> "co-partitioned fact-fact orderkey equi-join, floor-division lag buckets, bounded output (r10)",
+      "q_cross_neardup" -> "incremental near-dup: shard bands equi-join the PERSISTED base bucket parquet (base never re-paired), candidate-bounded sig joins (r11)",
+      "q_probe_served" -> "served nprobe curve: three |Q|-bounded AnnIndex.query plans over the persisted posting parquet, broadcast centroid argmax, no corpus self-join (r11)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit evidence (generated by graft.PlanDump)\n\n")
@@ -165,7 +167,9 @@ object PlanDump {
       "q_minhash_lsh" -> (graft.operators.Dedup.bandPairsPlan _),
       "q_ann_ivf" -> (graft.operators.Similarity.qAnnIvfPlan _),
       "q_ks_drift" -> (graft.operators.TextAnalysis.ksDriftPlan _),
-      "q_kmv_union" -> (graft.operators.Dedup.kmvSketchPlan _))
+      "q_kmv_union" -> (graft.operators.Dedup.kmvSketchPlan _),
+      "q_kn_bigram" -> (graft.operators.TextAnalysis.knBigramPlan _),
+      "q_bigram_lp" -> (graft.operators.TextAnalysis.bigramLpPlan _))
     audited.foreach { case (name, why) =>
       val df = planOverrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       sb.append(s"## $name — $why\n\n```\n")

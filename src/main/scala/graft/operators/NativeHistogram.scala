@@ -634,6 +634,30 @@ object NativeHistogram {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
+  /** q_native_sum — `sum(native_histogram)` across series (the
+    * Prometheus 3.x aggregation a recording rule runs over a native-
+    * histogram metric): sparse histograms of the SAME schema merge by
+    * adding bucket counts per index — the algebraic property the
+    * streaming histogram_quantile twin already exploits, here as the
+    * batch cross-series aggregator. Per (name, window, sign, bucket):
+    * the merged count and how many series populated that bucket.
+    * Rides the shared [[buckets0]] frame (4th consumer); the merge is
+    * ONE map-side-combinable groupBy of a series×buckets-bounded
+    * frame — at 100 TB the samples were already collapsed to sparse
+    * buckets by the shared build, so the cross-series fold never
+    * touches raw samples. */
+  def qNativeSum(spark: SparkSession, dir: String): DataFrame =
+    buckets0(spark, dir)
+      .groupBy("name", "w_start", "sgn", "bucket_idx")
+      .agg(sum("cnt").as("cnt"), count(lit(1)).as("n_series"))
+
+  val nativeSumSql: String =
+    s"""WITH $buckets0Sql
+       |SELECT name, w_start, sgn, bucket_idx,
+       |       CAST(SUM(cnt) AS BIGINT) AS cnt,
+       |       COUNT(*) AS n_series
+       |FROM bk GROUP BY 1, 2, 3, 4""".stripMargin
+
   val nativeStatsSql: String =
     s"""WITH $buckets0Sql,
        |base AS (SELECT name, user_id, w_start,

@@ -2548,4 +2548,83 @@ object Similarity {
        |       MAX(n_vectors) * COUNT(*) * 100
        |         // CAST(SUM(n_vectors) AS BIGINT) AS imbalance_x100
        |FROM ($ivfCellsSql)""".stripMargin
+
+  /** q_hubness — the kNN-graph HUB diagnostic (r11): the in-degree
+    * distribution of the corpus-wide in-cell top-3 graph
+    * ([[qAnnIvf]]'s materialized result frame, 5th consumer). Hubs —
+    * vectors that appear in disproportionately many neighbor lists —
+    * are the classic high-dimensional ANN pathology (Radovanović et
+    * al.): a hubby embedding space degrades retrieval diversity and
+    * poisons kNN label propagation, and ANTI-hubs (in-degree 0) are
+    * the vectors no query ever reaches. One groupBy of the ≤3n result
+    * frame + a left join onto the quantized id set to count anti-hubs;
+    * output = one row per log₂ in-degree bucket (−1 = anti-hub) at any
+    * corpus size. */
+  def qHubness(spark: SparkSession, dir: String): DataFrame = {
+    val indeg = qAnnIvf(spark, dir)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("indeg"))
+    quantized(spark, dir).select(col("vec_id"))
+      .join(indeg, col("vec_id") === col("neighbor_id"), "left_outer")
+      .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .withColumn("log2_indeg", when(col("indeg") === 0L, -1L)
+        .otherwise((length(expr("conv(indeg, 10, 2)")) - 1).cast("long")))
+      .groupBy("log2_indeg")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("indeg").as("n_edges_in"),
+        max("indeg").as("max_indeg"))
+  }
+
+  lazy val hubnessSql: String =
+    s"""WITH $quantizedSql,
+       |r AS (SELECT * FROM ($annIvfSql)),
+       |ind AS (SELECT neighbor_id, COUNT(*) AS indeg FROM r
+       |        GROUP BY neighbor_id),
+       |d AS (SELECT COALESCE(ind.indeg, 0) AS indeg
+       |      FROM qn LEFT JOIN ind ON qn.vec_id = ind.neighbor_id)
+       |SELECT CASE WHEN indeg = 0 THEN CAST(-1 AS BIGINT)
+       |            ELSE CAST(length(bin(indeg)) - 1 AS BIGINT)
+       |       END AS log2_indeg,
+       |       COUNT(*) AS n_vectors,
+       |       CAST(SUM(indeg) AS BIGINT) AS n_edges_in,
+       |       CAST(MAX(indeg) AS BIGINT) AS max_indeg
+       |FROM d GROUP BY 1""".stripMargin
+
+  /** q_mutual_knn — RECIPROCAL nearest neighbors per cell (r11): the
+    * fraction of top-3 edges that are mutual (a ∈ top3(b) AND
+    * b ∈ top3(a)) — the standard high-precision near-dup candidate
+    * signal (mutual-kNN pairs are far likelier to be true duplicates
+    * than one-directional hits) and the reciprocity health metric of
+    * the ANN graph. Rides the same materialized result frame; the
+    * mutuality test is ONE equality self-join on the swapped
+    * (vec_id, neighbor_id) pair — hash join on 16-byte keys, input =
+    * the ≤3n edge list, never the corpus. Output = K cell rows. */
+  def qMutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val r = qAnnIvf(spark, dir)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"),
+        col("cell"))
+    val mutual = r.as("x")
+      .join(r.select(col("a").as("ya"), col("b").as("yb")).as("y"),
+        col("x.a") === col("yb") && col("x.b") === col("ya"))
+      .filter(col("x.a") < col("x.b"))
+      .groupBy(col("x.cell").as("m_cell"))
+      .agg(count(lit(1)).as("n_mutual"))
+    r.groupBy("cell").agg(count(lit(1)).as("n_edges"))
+      .join(mutual, col("cell") === col("m_cell"), "left_outer")
+      .select(col("cell"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .withColumn("mutual_ppm",
+        expr("n_mutual * 2 * 1000000 div n_edges"))
+  }
+
+  lazy val mutualKnnSql: String =
+    s"""WITH r AS (SELECT vec_id AS a, neighbor_id AS b, cell
+       |           FROM ($annIvfSql)),
+       |m AS (SELECT x.cell, COUNT(*) AS n_mutual
+       |      FROM r x JOIN r y ON x.a = y.b AND x.b = y.a
+       |      WHERE x.a < x.b GROUP BY x.cell),
+       |e AS (SELECT cell, COUNT(*) AS n_edges FROM r GROUP BY cell)
+       |SELECT e.cell, e.n_edges, COALESCE(m.n_mutual, 0) AS n_mutual,
+       |       COALESCE(m.n_mutual, 0) * 2 * 1000000 // e.n_edges
+       |         AS mutual_ppm
+       |FROM e LEFT JOIN m ON e.cell = m.cell""".stripMargin
 }

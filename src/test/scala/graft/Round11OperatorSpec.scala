@@ -81,6 +81,72 @@ class Round11OperatorSpec extends SparkSpec {
       "recall@3 must be monotone in nprobe")
   }
 
+  test("q_native_sum == a JVM bucket-merge replay, and == the " +
+      "per-series q_native_hist rows at schema 0 re-aggregated " +
+      "(the algebraic merge property)") {
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 1000000 div 3600 * 3600").as("w"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    def idx0(pos: Long): Long =
+      if (pos <= 1L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(pos - 1)
+    val expect = raw.groupBy { case (n, u, w, c) =>
+      val sgn = java.lang.Long.signum(c).toLong
+      (n, w, sgn, if (sgn == 0) 0L else idx0(math.abs(c)))
+    }.map { case ((n, w, sgn, bi), xs) =>
+      (n, w, sgn, bi, xs.length.toLong,
+        xs.map(_._2).distinct.length.toLong)
+    }.toSet
+    val got = graft.operators.NativeHistogram.qNativeSum(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect)
+    // algebraic merge: re-aggregating the per-series schema-0 rows of
+    // q_native_hist must give the same merged histogram
+    val hist = graft.operators.NativeHistogram.qNativeHist(spark, dir)
+      .filter(col("bucket_schema") === 0L).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val merged = hist.groupBy { case (n, w, sgn, bi, _) => (n, w, sgn, bi) }
+      .map { case ((n, w, sgn, bi), xs) =>
+        (n, w, sgn, bi, xs.map(_._5).sum, xs.length.toLong) }.toSet
+    assert(merged == got, "bucket counts must merge algebraically")
+  }
+
+  test("q_hubness + q_mutual_knn == JVM replays over the collected " +
+      "IVF top-3 edge list") {
+    val edges = graft.operators.Similarity.qAnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVec = Tables.embeddings(spark, dir).count()
+    // hubness
+    val indeg = edges.groupBy(_._3).map { case (b, xs) =>
+      b -> xs.length.toLong }
+    val allDeg = (0L until nVec).map(v => indeg.getOrElse(v, 0L))
+    def lg(x: Long): Long =
+      if (x == 0) -1L else 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val expectHub = allDeg.groupBy(lg).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.sum, xs.max) }.toSet
+    val gotHub = graft.operators.Similarity.qHubness(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(gotHub == expectHub, s"hubness: $gotHub vs $expectHub")
+    // mutual kNN
+    val edgeSet = edges.map(e => (e._1, e._3)).toSet
+    val byCell = edges.groupBy(_._2)
+    val expectMut = byCell.map { case (cell, xs) =>
+      val mutual = xs.count(e => e._1 < e._3 &&
+        edgeSet.contains((e._3, e._1)))
+      (cell, xs.length.toLong, mutual.toLong,
+        mutual.toLong * 2L * 1000000L / xs.length)
+    }.toSet
+    val gotMut = graft.operators.Similarity.qMutualKnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(gotMut == expectMut, s"mutual: $gotMut vs $expectMut")
+  }
+
   test("q_scrape_jitter guard is transparent on real data: no series " +
       "dropped vs the guardless aggregate") {
     val guarded = MetricsEtl.qScrapeJitter(spark, dir).count()
