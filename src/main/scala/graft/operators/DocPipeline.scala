@@ -110,4 +110,50 @@ object DocPipeline {
       nShards = shards,
       nearDupRoute = if (pf.routeToLsh) "lsh" else "exact")
   }
+
+  /** Accounting for one incremental shard ingest. */
+  case class ShardSummary(nShardDocs: Long, nExactDup: Long,
+      nNearDup: Long, nKept: Long, indexRoot: String)
+
+  /** INCREMENTAL shard ingest (r11) — the production APPEND path next
+    * to [[run]]'s full-corpus build, the reference's idempotent
+    * window-reload story (etl_job.py:357-393, R9) applied to
+    * documents: only the NEW shard (`shardSource`) is judged; the
+    * settled base is consulted through (a) its distinct normalized
+    * fingerprints ([[Dedup.qCrossDedup]]'s exact rule — one
+    * map-side-combinable aggregation of the base, 8-byte keys) and
+    * (b) its PERSISTED MinHash band buckets
+    * ([[graft.index.BandIndex]] — near-dup at est-J ≥ 1/2 against any
+    * base doc). Work ∝ shard plus one columnar read of the persisted
+    * postings; base text is never touched and base↔base is never
+    * re-paired — which is what lets a 100 TB corpus take daily shard
+    * appends. Deterministic, so re-delivery of the same shard yields
+    * identical decisions (the ReplacingMergeTree re-deliver contract).
+    *
+    * Returns one decision row per shard doc: (doc_id, exact_dup,
+    * near_dup, keep) plus the accounting summary.
+    */
+  def ingestShard(spark: SparkSession, dir: String,
+      root0: String = null,
+      shardSource: String = Dedup.newShardSource): (DataFrame, ShardSummary) = {
+    val root = graft.index.BandIndex.ensure(spark, dir, root0, shardSource)
+    val exact = Dedup.qCrossDedup(spark, dir)
+      .select(col("doc_id"), col("is_dup").as("exact_dup"))
+    val near = graft.index.BandIndex.probe(spark, dir, root, shardSource)
+      .filter(col("is_neardup") === 1)
+      .select(col("doc_id").as("nd_doc")).distinct()
+    val decisions = exact
+      .join(near, col("doc_id") === col("nd_doc"), "left_outer")
+      .select(col("doc_id"), col("exact_dup"),
+        col("nd_doc").isNotNull.cast("int").as("near_dup"))
+      .withColumn("keep",
+        (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+    val agg = decisions.agg(
+      count(lit(1)).as("n"),
+      sum("exact_dup").as("ne"),
+      sum("near_dup").as("nn"),
+      sum("keep").as("nk")).head()
+    (decisions, ShardSummary(agg.getLong(0), agg.getLong(1),
+      agg.getLong(2), agg.getLong(3), root))
+  }
 }

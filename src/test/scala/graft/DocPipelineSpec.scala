@@ -81,4 +81,35 @@ class DocPipelineSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "routed run must match the exact run on the planted fixture")
   }
+
+  test("ingestShard (r11): one decision per shard doc, verdicts equal " +
+      "the exact + persisted-band sources, re-delivery is idempotent " +
+      "and reuses the base index") {
+    val root = tmpDir("docpipe_shard_idx")
+    val (dec, s) = DocPipeline.ingestShard(spark, dir, root)
+    val rows = dec.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(s.nShardDocs == rows.size.toLong && s.nShardDocs > 0)
+    assert(s.nKept == rows.values.count(_._3 == 1).toLong)
+    // verdict sources: exact from qCrossDedup, near from the probe
+    val exact = Dedup.qCrossDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val near = graft.index.BandIndex.probe(spark, dir, root)
+      .filter(org.apache.spark.sql.functions.col("is_neardup") === 1)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, (e, n, k)) =>
+      assert(e == exact(id), s"exact verdict diverged for $id")
+      assert((n == 1) == near.contains(id), s"near verdict diverged for $id")
+      assert((k == 1) == (e == 0 && n == 0))
+    }
+    // re-delivery: same decisions, zero extra index builds
+    val before = graft.index.BandIndex.builds.get()
+    val (dec2, s2) = DocPipeline.ingestShard(spark, dir, root)
+    assert(graft.index.BandIndex.builds.get() == before,
+      "re-delivery must not rebuild the base buckets")
+    assert(s2 == s.copy(indexRoot = s2.indexRoot))
+    assert(dec2.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap == rows,
+      "re-delivered decisions must be identical (idempotent ingest)")
+  }
 }
