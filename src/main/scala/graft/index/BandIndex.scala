@@ -58,8 +58,14 @@ case class BandMeta(formatVersion: Int, corpusDir: String,
   */
 object BandIndex {
 
-  /** Bump when the artifact layout changes. */
-  val FormatVersion = 1
+  /** Bump when the artifact layout changes.
+    * v2 (r11): `buckets/` is stored UNCAPPED with a vocab-sized
+    * `sizes/` sidecar (band_id, band_hash, df); the hot-bucket cap is
+    * applied at PROBE time from the sidecar. That is what makes
+    * [[append]] EXACTLY equal to a rebuild: appending can push a
+    * bucket over the cap, and the probe-time filter sees the updated
+    * df where a write-time cap would have frozen the stale verdict. */
+  val FormatVersion = 2
 
   private def p(root: String, part: String) = s"$root/$part"
 
@@ -88,22 +94,70 @@ object BandIndex {
 
   /** Build the base band buckets + signatures for `corpusDir`, treating
     * `shardSource` as the NOT-YET-SETTLED shard (excluded from the
-    * base). Overwrites `root`. */
+    * base). Overwrites `root`. Buckets are UNCAPPED (v2) — the cap is
+    * the probe's, fed by the `sizes/` sidecar. */
   def write(spark: SparkSession, corpusDir: String, root: String,
       shardSource: String = Dedup.newShardSource): Unit = {
-    import spark.implicits._
     builds.incrementAndGet()
     val base = baseSigs(spark, corpusDir, shardSource)
     val buckets = Dedup.bandedSig(base)
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy("band_id", "band_hash")))
-      .filter(col("bsz") <= Dedup.BandBucketCap).drop("bsz")
     buckets.write.mode("overwrite").parquet(p(root, "buckets"))
+    buckets.groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(p(root, "sizes"))
     base.write.mode("overwrite").parquet(p(root, "sigs"))
-    val meta = BandMeta(FormatVersion, corpusDir, shardSource,
-      base.count(), baseFingerprint(base))
+    writeMeta(spark, root, BandMeta(FormatVersion, corpusDir,
+      shardSource, base.count(), baseFingerprint(base)))
+  }
+
+  private def writeMeta(spark: SparkSession, root: String,
+      meta: BandMeta): Unit = {
+    import spark.implicits._
     Seq(meta).toDS().toDF().coalesce(1)
       .write.mode("overwrite").parquet(p(root, "meta"))
+  }
+
+  /** SETTLE an ingested shard into the index (r11) — the lifecycle
+    * step after [[probe]] + ingest decisions: the appended source's
+    * band postings and signatures are ADDED, the bucket-size sidecar
+    * is merged algebraically (old df + shard df — vocab-sized, never a
+    * posting rescan), and the meta moves to the NEXT shard source, so
+    * the next ingest probes against a base that includes this shard.
+    * Banding is content-pure (no trained state), so append == a full
+    * rebuild with the shard included EXACTLY — spec'd; the frozen-book
+    * drift [[AnnIndex.append]] documents does not exist here. Cost ∝
+    * shard (+ the sidecar rewrite). The appended source must be the
+    * meta's current `shardSource` (the set the probes excluded). */
+  def append(spark: SparkSession, corpusDir: String, root: String,
+      nextShardSource: String): Unit = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"BandIndex: no index at $root to append into"))
+    require(meta.formatVersion == FormatVersion,
+      s"BandIndex: cannot append into format v${meta.formatVersion}")
+    require(meta.corpusDir == corpusDir, "BandIndex: corpus mismatch")
+    require(nextShardSource != meta.shardSource,
+      "BandIndex: next shard must differ from the appended one")
+    val shard = Dedup.minhashSigWithSource(spark, corpusDir)
+      .filter(col("source") === meta.shardSource).drop("source")
+    // derived twice (append + sidecar counts) — bandedSig over the
+    // materialized signature frame is cheap; no checkpoint blocks held
+    val shardBuckets = Dedup.bandedSig(shard)
+    shardBuckets.write.mode("append").parquet(p(root, "buckets"))
+    shard.write.mode("append").parquet(p(root, "sigs"))
+    // algebraic sidecar merge, swapped in via the vacuum rename device
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val merged = spark.read.parquet(p(root, "sizes"))
+      .unionByName(shardBuckets.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("df")))
+      .groupBy("band_id", "band_hash").agg(sum("df").as("df"))
+    merged.write.mode("overwrite").parquet(p(root, "sizes.next"))
+    fs.delete(new org.apache.hadoop.fs.Path(p(root, "sizes")), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(p(root, "sizes.next")),
+      new org.apache.hadoop.fs.Path(p(root, "sizes"))),
+      s"BandIndex: sizes swap failed at $root")
+    val newBase = baseSigs(spark, corpusDir, nextShardSource)
+    writeMeta(spark, root, meta.copy(shardSource = nextShardSource,
+      nBaseDocs = newBase.count(), baseFp = baseFingerprint(newBase)))
   }
 
   private def readMeta(spark: SparkSession, root: String): Option[BandMeta] =
@@ -155,8 +209,15 @@ object BandIndex {
     val shardSig = Dedup.minhashSigWithSource(spark, corpusDir)
       .filter(col("source") === shardSource).drop("source")
     val shardBands = Dedup.bandedSig(shardSig)
+    // probe-time hot-bucket cap (v2): the vocab-sized sidecar names
+    // the admissible buckets; a bucket the appends pushed over the cap
+    // drops whole, exactly as a rebuild would have dropped it
+    val ok = spark.read.parquet(p(root, "sizes"))
+      .filter(col("df") <= Dedup.BandBucketCap)
+      .select("band_id", "band_hash")
     val buckets = spark.read.parquet(p(root, "buckets"))
       .withColumnsRenamed(Map("doc_id" -> "base_doc"))
+      .join(ok, Seq("band_id", "band_hash"), "left_semi")
     val cand = shardBands.join(buckets, Seq("band_id", "band_hash"))
       .groupBy("doc_id", "base_doc")
       .agg(count(lit(1)).as("n_shared_bands"))

@@ -61,6 +61,38 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("append == rebuild (r11): settling the ingested shard into the " +
+      "index equals a from-scratch build over the widened base — " +
+      "banding is content-pure, so no drift is possible") {
+    val rootA = tmpDir("band_idx_append")
+    val rootB = tmpDir("band_idx_rebuild")
+    // A: build excluding src0, then APPEND src0 (next shard = a
+    // source that does not exist yet → settled set = all docs)
+    BandIndex.write(spark, dir, rootA, shardSource = "src0")
+    BandIndex.append(spark, dir, rootA, nextShardSource = "__future__")
+    // B: one-shot build with the same settled set
+    BandIndex.write(spark, dir, rootB, shardSource = "__future__")
+    def snap(root: String) = (
+      spark.read.parquet(s"$root/buckets").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      spark.read.parquet(s"$root/sizes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      spark.read.parquet(s"$root/sigs").count())
+    val (ba, sa, na) = snap(rootA)
+    val (bb, sb, nb) = snap(rootB)
+    assert(ba == bb, "appended postings must equal the rebuild's")
+    assert(sa == sb, "merged sidecar sizes must equal the rebuild's")
+    assert(na == nb)
+    // the appended index now VALIDATES for the next shard: ensure must
+    // not rebuild it
+    val before = BandIndex.builds.get()
+    BandIndex.ensure(spark, dir, rootA, shardSource = "__future__")
+    assert(BandIndex.builds.get() == before,
+      "an appended index must validate as-is for the next shard")
+    // and probing a NONEXISTENT next shard yields no candidates
+    assert(BandIndex.probe(spark, dir, rootA, "__future__").count() == 0)
+  }
+
   test("staleness: a base regenerated in place (content fingerprint " +
       "moves) rebuilds; a newer-format root is never clobbered") {
     import spark.implicits._
