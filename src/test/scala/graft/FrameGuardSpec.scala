@@ -97,9 +97,14 @@ class FrameGuardSpec extends AnyFunSuite {
       guardDesc = "the band-bucket membership cap (bsz <= " +
         "BandBucketCap before any join/persist)",
       boundedOk = Map(
-        "probe" -> ("shard-side bands join WRITE-TIME-CAPPED base " +
-          "buckets — pairing ≤ |shard bands| × BandBucketCap by the " +
-          "persisted side's construction")),
+        "write" -> ("persists UNCAPPED postings BY DESIGN (v2): no " +
+          "pairing happens here — the cap moved to probe time via the " +
+          "sizes sidecar so append == rebuild stays exact"),
+        "append" -> ("shard-proportional posting/sidecar append, no " +
+          "pairing — the probe-time sidecar filter is the guard"),
+        "probe" -> ("the ONLY pairing site: joins postings " +
+          "left-semi'd to sidecar buckets with df ≤ BandBucketCap — " +
+          "pairing ≤ |shard bands| × cap")),
       selfNames = Set("bandedSig"),
       allDefs = true))
 
