@@ -118,8 +118,8 @@ object Bench {
           .getOrElse(graft.operators.Dedup.PreflightMaxJoinRows)
         val pf = graft.operators.Dedup.preflight(spark, sfDir, budget)
         System.err.println(s"[bench] preflight: join_rows=${pf.joinRows} " +
-          s"distinct_ppm=${pf.distinctPpm} budget=$budget " +
-          s"route_to_lsh=${pf.routeToLsh}")
+          s"distinct_ppm=${pf.distinctPpm} dropped_ppm=${pf.droppedPpm} " +
+          s"budget=$budget route_to_lsh=${pf.routeToLsh}")
         if (pf.routeToLsh) exactFamily else Set.empty
       }
     val routedJson = routed.toSeq.sorted

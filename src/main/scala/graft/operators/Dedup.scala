@@ -237,14 +237,23 @@ object Dedup {
         sum(when(col("df") > maxShingleDf, 1L).otherwise(0L))
           .as("n_stop_shingles"),
         sum(when(col("df") <= maxShingleDf,
-          expr("df * (df - 1) div 2")).otherwise(0L)).as("join_rows"))
+          expr("df * (df - 1) div 2")).otherwise(0L)).as("join_rows"),
+        sum(when(col("df") > maxShingleDf, col("df")).otherwise(0L))
+          .as("dropped_rows"))
       .select(col("n_shingle_rows"), col("n_distinct_shingles"),
         col("n_stop_shingles"), col("join_rows"),
         // greatest(coalesce(.,0),1): on an empty/degenerate corpus
         // Spark's div yields NULL while DuckDB's // raises — the
         // q_dim_variance guard (ADVICE_r07) applied to this family too
         expr("n_distinct_shingles * 1000000 div greatest(coalesce(n_shingle_rows, 0), 1)")
-          .as("distinct_ppm"))
+          .as("distinct_ppm"),
+        // r11 (the sf100 probe's finding): the share of shingle ROWS
+        // sitting in stop-capped shingles — at TOTAL saturation this
+        // hits ~10⁶ while join_rows COLLAPSES TO ZERO (every shingle
+        // exceeds the cap), so the join-size clause alone reads a
+        // blind exact path as "cheap"
+        expr("dropped_rows * 1000000 div greatest(coalesce(n_shingle_rows, 0), 1)")
+          .as("dropped_ppm"))
 
   /** The queries whose plans consume the exact inverted-index
     * self-join — directly (q_dedup_ngram, q_band_recall,
@@ -279,14 +288,29 @@ object Dedup {
   /** One pre-flight verdict: the exact numbers (from one shingle
     * pass) plus the routing rule applied to them. */
   case class PreflightDecision(joinRows: Long, distinctPpm: Long,
-      maxJoinRows: Long) {
+      droppedPpm: Long, maxJoinRows: Long,
+      maxDroppedPpm: Long = PreflightMaxDroppedPpm) {
     /** True ⇒ run the LSH candidate-then-verify family instead of any
-      * [[ExactJoinFamily]] plan. */
-    def routeToLsh: Boolean = joinRows > maxJoinRows
+      * [[ExactJoinFamily]] plan. TWO clauses (r11 — the sf100 probe's
+      * finding): the join-size clause catches the MID-saturation
+      * regime (sf10: mean df ~875 under the stop cap ⇒ Σ C(df,2) =
+      * 11.4B rows, disk death), and the dropped-signal clause catches
+      * TOTAL saturation (sf100: mean df ~8,700 — EVERY shingle blows
+      * the stop cap, join_rows collapses to ZERO, and the exact path
+      * runs cheap but BLIND while the LSH signatures, computed over
+      * the uncapped shingle stream, still pair). A router that only
+      * prices the join reads a blind plan as a good one. */
+    def routeToLsh: Boolean =
+      joinRows > maxJoinRows || droppedPpm > maxDroppedPpm
   }
 
+  /** Route to LSH when more than half the shingle ROWS sit in
+    * stop-capped shingles — past that the exact path's pairing signal
+    * is mostly gone regardless of how cheap its join is. */
+  val PreflightMaxDroppedPpm = 500000L
+
   private val preflightCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Long, Long)]()
+    (SparkSession, String), (Long, Long, Long)]()
 
   /** The PRE-FLIGHT a pipeline or harness runs BEFORE any exact-join
     * plan (VERDICT_r08 item 4): one [[qPairJoinCost]] evaluation
@@ -297,12 +321,13 @@ object Dedup {
     * spec can force the route on a small fixture. */
   def preflight(spark: SparkSession, dir: String,
       maxJoinRows: Long = PreflightMaxJoinRows): PreflightDecision = {
-    val (jr, ppm) = preflightCache.computeIfAbsent((spark, dir), _ => {
+    val (jr, ppm, dropped) = preflightCache.computeIfAbsent((spark, dir), _ => {
       val r = qPairJoinCost(spark, dir)
-        .select(col("join_rows"), col("distinct_ppm")).head()
-      (r.getLong(0), r.getLong(1))
+        .select(col("join_rows"), col("distinct_ppm"), col("dropped_ppm"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     })
-    PreflightDecision(jr, ppm, maxJoinRows)
+    PreflightDecision(jr, ppm, dropped, maxJoinRows)
   }
 
   val pairJoinCostSql: String =
@@ -317,7 +342,11 @@ object Dedup {
        |         AS join_rows,
        |       CAST(COUNT(*) AS BIGINT) * 1000000
        |         // GREATEST(COALESCE(CAST(SUM(df) AS BIGINT), 0), 1)
-       |         AS distinct_ppm
+       |         AS distinct_ppm,
+       |       CAST(SUM(CASE WHEN df > $maxShingleDf THEN df ELSE 0 END)
+       |         AS BIGINT) * 1000000
+       |         // GREATEST(COALESCE(CAST(SUM(df) AS BIGINT), 0), 1)
+       |         AS dropped_ppm
        |FROM df""".stripMargin
 
   /** q_dedup_clusters — connected components over the near-dup pair

@@ -81,6 +81,22 @@ class Round11OperatorSpec extends SparkSpec {
       "recall@3 must be monotone in nprobe")
   }
 
+  test("preflight TOTAL-saturation clause (r11 — the sf100 probe's " +
+      "finding): join_rows collapsed to 0 by the stop cap must still " +
+      "route to LSH when the cap dropped the pairing signal") {
+    import graft.operators.Dedup.PreflightDecision
+    // the sf100 regime: every shingle over the cap — exact is cheap
+    // but blind
+    assert(PreflightDecision(0L, 114L, 999999L, 200000000L).routeToLsh)
+    // the sf10 regime: join-size clause
+    assert(PreflightDecision(11409168136L, 1142L, 0L, 200000000L).routeToLsh)
+    // a healthy corpus routes on neither clause
+    assert(!PreflightDecision(100000L, 800000L, 1000L, 200000000L).routeToLsh)
+    val pf = graft.operators.Dedup.preflight(spark, dir)
+    assert(!pf.routeToLsh && pf.droppedPpm == 0L,
+      s"fixture must stay on the exact path: $pf")
+  }
+
   test("q_native_sum == a JVM bucket-merge replay, and == the " +
       "per-series q_native_hist rows at schema 0 re-aggregated " +
       "(the algebraic merge property)") {

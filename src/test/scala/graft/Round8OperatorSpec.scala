@@ -156,11 +156,13 @@ class Round8OperatorSpec extends SparkSpec {
     }
     val joinRows = df.values.filter(_ <= 1000).map(d => d * (d - 1) / 2).sum
     val stop = df.values.count(_ > 1000).toLong
+    val droppedRows = df.values.filter(_ > 1000).sum
     val expected = (totalRows, df.size.toLong, stop, joinRows,
-      df.size.toLong * 1000000L / totalRows)
+      df.size.toLong * 1000000L / totalRows,
+      droppedRows * 1000000L / totalRows)
     val r = operators.Dedup.qPairJoinCost(spark, dir).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4)) == expected)
+      r.getLong(4), r.getLong(5)) == expected)
   }
 
   /** JVM band-candidate pairs via the spec-proven DedupStream kernel
