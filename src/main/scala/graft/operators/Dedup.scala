@@ -1235,7 +1235,8 @@ object Dedup {
   /** Descending cap ladder — head is the legacy constant (every
     * fixture SF selects it; the probe SF steps down as saturation
     * grows). */
-  private[graft] val simhashCapLadder = Seq(10000L, 3000L, 1000L, 300L, 100L)
+  private[graft] val simhashCapLadder =
+    Seq(10000L, 3000L, 1000L, 300L, 100L, 30L, 10L, 3L)
 
   /** Keyed by the MATERIALIZED signature-frame INSTANCE, weakly
     * (ADVICE_r10): the ladder sums are facts OF that frame, so the memo
@@ -1326,10 +1327,10 @@ object Dedup {
        |          SUM(CASE WHEN df <= c THEN df * (df - 1) // 2 ELSE 0 END)
        |            AS kept
        |        FROM hist,
-       |          (SELECT unnest([10000, 3000, 1000, 300, 100]) AS c) l
+       |          (SELECT unnest([10000, 3000, 1000, 300, 100, 30, 10, 3]) AS c) l
        |        GROUP BY c),
        |capsel AS (SELECT COALESCE(MAX(CASE WHEN kept <= $SimhashPairBudget
-       |                                    THEN c END), 100) AS cap
+       |                                    THEN c END), 3) AS cap
        |           FROM lad),
        |bands AS (SELECT b.* FROM bands0 b, capsel
        |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val)
@@ -1365,6 +1366,13 @@ object Dedup {
     * a codegen'd projection, and all downstream joins key on the 8-byte
     * hash. Work per doc is O(tokens); selected set is ~tokens/w.
     */
+  /** The fingerprint frame materialized once per (session, dir) — the
+    * cap ladder and the pair join both ride it (and the self-join's
+    * two sides share the checkpointed scan). Token-scale rows, the
+    * docTokens precedent. */
+  private def winnowedM(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "winnowed")(winnowed(spark, dir))
+
   private def winnowed(spark: SparkSession, dir: String): DataFrame = {
     val wdoc = Window.partitionBy("doc_id").orderBy("pos")
     val words = Tables.fanOut(Tables.documents(spark, dir))
@@ -1408,8 +1416,42 @@ object Dedup {
        |fpn AS (SELECT fp0.doc_id, fpsz.n, fp0.fp
        |        FROM fp0 JOIN fpsz ON fp0.doc_id = fpsz.doc_id)""".stripMargin
 
-  /** Hot-fingerprint guard, same rationale as [[dropStopShingles]]. */
-  private val maxFpDf = 1000
+  /** Hot-fingerprint guard head — the LADDER's largest cap, selected
+    * at every fixture SF (zero oracle churn there); the sf100 probe
+    * found the FIXED cap spilling past disk at total saturation
+    * (winnow minima live in the same saturated gram space — Σ C(df,2)
+    * under a fixed cap is unbounded when the value space × cap² is
+    * large), so the cap is ADAPTIVE now, the simhashCap device. */
+  private[graft] val fpCapLadder = Seq(1000L, 300L, 100L, 30L, 10L, 3L)
+
+  /** Kept-pair budget for the winnow fingerprint self-join. */
+  private[graft] val WinnowPairBudget = 50000000L
+
+  /** Keyed weakly by the materialized fingerprint-frame instance —
+    * same lifecycle argument as [[simhashCapCache]] (ADVICE_r10). */
+  private val winnowCapCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Seq[Long]]())
+
+  private[graft] def winnowCap(spark: SparkSession, dir: String,
+      budget: Long = WinnowPairBudget): Long = {
+    val fpn = winnowedM(spark, dir)
+    val cached = winnowCapCache.get(fpn)
+    val sums = if (cached != null) cached else {
+      val hist = fpn.groupBy("fp").agg(count(lit(1)).as("df"))
+      val aggs = fpCapLadder.map(c =>
+        sum(expr(s"CASE WHEN df <= $c THEN df * (df - 1) div 2 ELSE 0 END"))
+          .as(s"kept_$c"))
+      val r = hist.agg(aggs.head, aggs.tail: _*).head()
+      val out = fpCapLadder.indices
+        .map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+      winnowCapCache.put(fpn, out)
+      out
+    }
+    fpCapLadder.zip(sums)
+      .collectFirst { case (c, k) if k <= budget => c }
+      .getOrElse(fpCapLadder.last)
+  }
 
   /** q_winnow — document fingerprinting by WINNOWING (the MOSS
     * algorithm): per-window minima of 4-gram hashes form each doc's
@@ -1421,10 +1463,15 @@ object Dedup {
     * one quadratic risk (a boilerplate fingerprint shared corpus-wide),
     * mirrored in the oracle.
     */
-  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val fp = winnowed(spark, dir)
+  def qWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowCapped(spark, dir, WinnowPairBudget)
+
+  private[graft] def winnowCapped(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    val cap = winnowCap(spark, dir, budget)
+    val fp = winnowedM(spark, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("df") <= maxFpDf).drop("df")
+      .filter(col("df") <= cap).drop("df")
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1439,8 +1486,18 @@ object Dedup {
 
   val winnowSql: String =
     s"""WITH $winnowedSql,
-       |fpf AS (SELECT doc_id, n, fp FROM fpn
-       |        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= $maxFpDf)
+       |fdf AS (SELECT fp, COUNT(*) AS df FROM fpn GROUP BY fp),
+       |lad AS (SELECT c,
+       |          SUM(CASE WHEN df <= c THEN df * (df - 1) // 2 ELSE 0 END)
+       |            AS kept
+       |        FROM fdf,
+       |          (SELECT unnest([1000, 300, 100, 30, 10, 3]) AS c) l
+       |        GROUP BY c),
+       |capsel AS (SELECT COALESCE(MAX(CASE WHEN kept <= $WinnowPairBudget
+       |                                    THEN c END), 3) AS cap
+       |           FROM lad),
+       |fpf AS (SELECT fpn.doc_id, fpn.n, fpn.fp FROM fpn, capsel
+       |        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= capsel.cap)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       COUNT(*) AS n_common, max(a.n) AS na, max(b.n) AS nb,
        |       round(CAST(COUNT(*) AS DOUBLE) /

@@ -91,6 +91,15 @@ class FrameGuardSpec extends AnyFunSuite {
         "q_cell_purity" -> "groupBy(cell, label) counts — no pairing",
         "q_kmeans_step" -> ("vec_sum refine aggregate — K·d buffers " +
           "cross the exchange, no pairing"))),
+    Frame("winnow fingerprints (minima of the SATURATED gram space — " +
+      "a fixed df cap spilled past disk at sf100)",
+      Seq(dedupSrc), "winnowedM(spark",
+      guardEvidence = b => b.contains("winnowCap(") ||
+        b.contains("winnowCapped("),
+      guardDesc = "the adaptive kept-pair cap ladder (winnowCap / " +
+        "winnowCapped)",
+      selfNames = Set("winnowedM"),
+      allDefs = true),
     Frame("raw bandedSig (uncapped band postings — pairing input)",
       Seq(dedupSrc, bandIdxSrc), "bandedSig(",
       guardEvidence = _.contains("BandBucketCap"),

@@ -170,8 +170,10 @@ class Round10OperatorSpec extends SparkSpec {
       "is a value-identical subset") {
     assert(Dedup.simhashCap(spark, dir) == 10000L,
       "fixture saturation must not move the cap (zero oracle churn)")
-    assert(Dedup.simhashCap(spark, dir, budget = 0L) == 100L,
-      "an unfittable budget floors at the ladder tail")
+    assert(Dedup.simhashCap(spark, dir, budget = 0L) == 3L,
+      "an unfittable budget floors at the ladder tail (r11: the tail " +
+        "extends to 3 — the sf100 probe found even cap=100 spilling " +
+        "past disk at total band saturation)")
     val full = Dedup.qSimhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
