@@ -1149,7 +1149,58 @@ object Dedup {
     * query would otherwise recompute the 60×-vocabulary bit shuffle
     * on both sides of its band join). One row per doc. */
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame =
-    materializeOnce(spark, dir, "simhash")(simhashPlan(spark, dir))
+    // r11: built by the JVM kernel (zero shuffle, no 60× bit-vote row
+    // amplification — the relational build spilled past disk at sf100);
+    // the relational simhashPlan stays as the spec'd row-exact twin and
+    // the oracle's SQL form
+    materializeOnce(spark, dir, "simhash")(simhashKernelPlan(spark, dir))
+
+  /** Per-doc SimHash in ONE JVM pass — the kernel behind the
+    * registered query (r11). The relational [[simhashPlan]] explodes
+    * (doc, token) rows × 60 bit votes before its per-doc fold: with a
+    * small vocabulary every doc carries nearly every token, so that
+    * intermediate is ~|corpus tokens| × 60 — 9.3B rows at the sf100
+    * probe, which spilled past the disk BUILDING the signature frame
+    * (the pair join it feeds was already budget-bounded). The in-row
+    * Catalyst HOF alternative evaluates interpreted (the 68-docs/s
+    * streaming measurement). This is the [[graft.streaming.DedupStream]]
+    * device: a typed map on the spec-proven `hash60Jvm == hash60`
+    * twin — O(tokens) per doc, ZERO shuffle, no row amplification;
+    * `Round11OperatorSpec` pins kernel == relational frame row-exact
+    * and the oracle recomputes the relational form in SQL. (This is
+    * the repo's 4th and newest documented JVM-kernel site, next to the
+    * TSV parser, the binary decode stage, and the custom physical
+    * operator — each exists because the relational form either
+    * amplifies data or drops out of codegen.) */
+  private[graft] def simhashJvm(text: String): (Long, Long, Long, Long, Long) = {
+    val counts = new java.util.HashMap[String, Long]()
+    text.split(" ", -1).foreach(t =>
+      counts.merge(t, 1L, (a, b) => a + b))
+    val sums = new Array[Long](60)
+    counts.forEach { (tok, cnt) =>
+      val h = hash60Jvm(tok)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) sums(b) += cnt else sums(b) -= cnt
+        b += 1
+      }
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) { if (sums(b) > 0) sim |= (1L << b); b += 1 }
+    (sim, sim & 32767L, (sim >> 15) & 32767L,
+      (sim >> 30) & 32767L, (sim >> 45) & 32767L)
+  }
+
+  private[graft] def simhashKernelPlan(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val r = simhashJvm(t); (id, r._1, r._2, r._3, r._4, r._5) }
+      .toDF("doc_id", "simhash", "band0", "band1", "band2", "band3")
+  }
 
   private[graft] def simhashPlan(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.fanOut(Tables.documents(spark, dir))

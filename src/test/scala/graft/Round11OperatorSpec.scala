@@ -81,6 +81,24 @@ class Round11OperatorSpec extends SparkSpec {
       "recall@3 must be monotone in nprobe")
   }
 
+  test("simhash JVM kernel == the relational bit-vote plan row-exact " +
+      "(r11: the kernel is the registered build — the 60× explode " +
+      "spilled past disk at sf100 — and the oracle recomputes the " +
+      "relational form, so this equality IS the parity bridge)") {
+    val kern = graft.operators.Dedup.simhashKernelPlan(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rel = graft.operators.Dedup.simhashPlan(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(kern.size == rel.size && kern.nonEmpty)
+    assert(kern == rel, {
+      val bad = kern.collect { case (k, v) if rel.get(k) != Some(v) =>
+        s"$k: $v vs ${rel.get(k)}" }.take(3)
+      s"kernel diverged from relational plan: $bad"
+    })
+  }
+
   test("preflight TOTAL-saturation clause (r11 — the sf100 probe's " +
       "finding): join_rows collapsed to 0 by the stop cap must still " +
       "route to LSH when the cap dropped the pairing signal") {
