@@ -507,6 +507,81 @@ object MetricsStream {
       }
   }
 
+  /** One schema-0 native-histogram observation for the streaming
+    * cross-series sum — the bucket index is computed at ingest (pure
+    * integer bit-length math); the key is (name, window). */
+  case class NsPoint(name: String, wStart: Long, series: Long,
+      sgn: Long, bucket: Long, ts: java.sql.Timestamp)
+
+  /** Keyed state for one (name, window) of the native-sum rule:
+    * per-(sign, bucket, SERIES) observation counts. Counts COMMUTE
+    * (the same algebraic property as [[HqState]]), and the series key
+    * is what lets the emitted row carry the exact `n_series` the batch
+    * operator reports — state is bounded by live series × populated
+    * buckets per window (≤ ~60 sparse buckets), a recording-rule
+    * footprint, never the samples. */
+  case class NsState(counts: Seq[((Long, Long, Long), Long)])
+
+  /** One emitted merged-bucket row — the q_native_sum schema. */
+  case class NativeSumRow(name: String, w_start: Long, sgn: Long,
+      bucket_idx: Long, cnt: Long, n_series: Long)
+
+  /** STREAMING `sum(native_histogram)` — the live twin of the batch
+    * `q_native_sum` (the Prometheus 3.x recording rule over a native-
+    * histogram metric): sparse same-schema histograms merge by ADDING
+    * bucket counts per index, so the per-(name, window) state is a
+    * commutative count map and arrival order cannot matter. Emits on
+    * watermark close, one row per populated (sign, bucket) with the
+    * merged count and the exact contributing-series count —
+    * row-identical to the batch operator (`StreamNativeSumSpec`). */
+  def streamingNativeSum(samples: DataFrame, windowSec: Long = 3600L,
+      delay: String = "10 minutes"): Dataset[NativeSumRow] = {
+    import samples.sparkSession.implicits._
+    val cents = round(col("value") * 100).cast("long")
+    val pts = samples.select(col("name"),
+        (floor(unix_micros(col("ts")) / 1000000L / windowSec) * windowSec)
+          .as("wStart"),
+        col("series").cast("long").as("series"),
+        signum(cents).cast("long").as("sgn"),
+        when(signum(cents) === 0, 0L)
+          .when(abs(cents) <= 1L, 0L)
+          .otherwise(length(expr(
+            "conv(abs(CAST(round(value * 100) AS BIGINT)) - 1, 10, 2)"))
+            .cast("long")).as("bucket"),
+        col("ts"))
+      .withWatermark("ts", delay)
+      .as[NsPoint]
+    pts.groupByKey(p => (p.name, p.wStart))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long), rows: Iterator[NsPoint],
+         state: GroupState[NsState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.map(_.counts).getOrElse(Seq.empty)
+            state.remove()
+            counts.groupBy { case ((sgn, b, _), _) => (sgn, b) }
+              .toSeq.sortBy(_._1)
+              .map { case ((sgn, b), xs) =>
+                NativeSumRow(key._1, key._2, sgn, b,
+                  xs.map(_._2).sum, xs.size.toLong)
+              }.iterator
+          } else {
+            val add = rows.map(p => (p.sgn, p.bucket, p.series)).toSeq
+              .groupBy(identity).toSeq
+              .map { case (k, xs) => (k, xs.size.toLong) }
+            val merged =
+              (state.getOption.map(_.counts).getOrElse(Seq.empty) ++ add)
+                .groupBy(_._1).toSeq
+                .map { case (k, xs) => (k, xs.map(_._2).sum) }
+            state.update(NsState(merged))
+            state.setTimeoutTimestamp(math.max(
+              (key._2 + windowSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One bucketed observation for the streaming classic-histogram
     * quantile recording rule — the le bucket is computed at ingest
     * (the exporter already fixed the boundaries); the key is
