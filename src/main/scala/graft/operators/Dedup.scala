@@ -270,7 +270,7 @@ object Dedup {
     "q_dedup_ngram", "q_dedup_clusters", "q_cluster_canonical",
     "q_cluster_size_hist", "q_band_recall", "q_split_leakage",
     "q_source_overlap", "q_dup_rate_by_source", "q_dup_span",
-    "q_minhash_est_err", "q_pipeline_funnel",
+    "q_minhash_est_err", "q_pipeline_funnel", "q_quality_calibration",
     // r10: the estimator-error twin ALSO anchors on the exact pair
     // frame — its omission sent the r10 sf10 probe's only error
     // (q_bbit_minhash re-ran the 11.4B-row join the pre-flight exists
@@ -1943,6 +1943,67 @@ object Dedup {
        |FROM cand c JOIN sig a ON a.doc_id = c.doc_id
        |JOIN sig b ON b.doc_id = c.base_doc""".stripMargin
   }
+
+  /** q_quality_calibration — does the quality score PREDICT
+    * duplication? (r11, the curation sanity check run before trusting
+    * either signal): per quality-score DECILE, how many docs sit in a
+    * near-dup cluster and how many LOSE dedup. A well-behaved corpus
+    * shows duplication concentrated in particular deciles (template
+    * spam is both low-quality and duplicated); a flat profile means
+    * the two filters are independent and both are needed. Deciles are
+    * ntile(10) over the (×10⁶-integer score, doc_id) TOTAL order — the
+    * qQualityByLang integer-scaling device, so no float ever ranks
+    * (the global ntile sorts a 16-byte (score, id) PROJECTION — the
+    * exact-decile caveat every exact-percentile diagnostic here
+    * carries; at 100 TB the production substitute is
+    * q_percentiles_approx's sketch boundaries); the cluster feed is
+    * the exact n-gram one (this query is
+    * ExactJoinFamily — at saturation the harness routes it with its
+    * siblings). One corpus-projection join against the
+    * cluster-members frame, 10 rows out.
+    */
+  def qQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qQuality(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1000000d).cast("long").as("s"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("s"), col("doc_id"))))
+    val cl = clusters(spark, dir)
+      .select(col("doc_id").as("cl_doc"), col("cluster_id"))
+    q.join(cl, col("doc_id") === col("cl_doc"), "left_outer")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cl_doc").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("cl_doc").isNotNull &&
+          col("cl_doc") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_losers"),
+        min("s").as("min_score_x1m"), max("s").as("max_score_x1m"))
+      .withColumn("dup_ppm", expr("n_losers * 1000000 div n_docs"))
+      .select(col("decile").cast("int").as("decile"), col("n_docs"),
+        col("n_clustered"), col("n_losers"), col("dup_ppm"),
+        col("min_score_x1m"), col("max_score_x1m"))
+  }
+
+  lazy val qualityCalibrationSql: String =
+    s"""WITH qd AS (SELECT doc_id,
+       |        CAST(round(quality_score * 1000000) AS BIGINT) AS s
+       |      FROM (${TextAnalysis.qualitySql})),
+       |dd AS (SELECT doc_id, s,
+       |        ntile(10) OVER (ORDER BY s, doc_id) AS decile FROM qd),
+       |cl AS (SELECT doc_id AS cl_doc, cluster_id
+       |       FROM ($dedupClustersSql))
+       |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN cl_doc IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_clustered,
+       |       CAST(SUM(CASE WHEN cl_doc IS NOT NULL AND cl_doc <> cluster_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_losers,
+       |       CAST(SUM(CASE WHEN cl_doc IS NOT NULL AND cl_doc <> cluster_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |         // COUNT(*) AS dup_ppm,
+       |       MIN(s) AS min_score_x1m, MAX(s) AS max_score_x1m
+       |FROM dd LEFT JOIN cl ON dd.doc_id = cl.cl_doc
+       |GROUP BY decile""".stripMargin
 
   /** q_contam_by_source — contamination TRIAGE by source (the question
     * after q_decontaminate fires is always "WHICH crawl leaked the

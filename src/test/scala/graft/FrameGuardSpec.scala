@@ -65,6 +65,16 @@ class FrameGuardSpec extends AnyFunSuite {
       guardDesc = "membership in Dedup.ExactJoinFamily (the pre-flight " +
         "routes to LSH past the join budget)",
       routedOk = graft.operators.Dedup.ExactJoinFamily),
+    Frame("exact n-gram clusters (transitive ngramPairs consumers — " +
+      "the r10 grep only saw DIRECT pair-frame calls, the same " +
+      "omission class)",
+      Seq(dedupSrc), "clusters(spark",
+      guardEvidence = _ => false, // routing is the only guard
+      guardDesc = "membership in Dedup.ExactJoinFamily (the cluster " +
+        "fixpoint is built ON the exact pair join)",
+      routedOk = graft.operators.Dedup.ExactJoinFamily,
+      // the producing fixpoint + the LSH twin that shares the name
+      selfNames = Set("clusters", "qDedupClustersLsh")),
     Frame("simhashFrame (band self-join saturates on the band SPACE)",
       Seq(dedupSrc), "simhashFrame(spark",
       guardEvidence = b => b.contains("simhashPairsCapped(") ||

@@ -81,6 +81,35 @@ class Round11OperatorSpec extends SparkSpec {
       "recall@3 must be monotone in nprobe")
   }
 
+  test("q_quality_calibration == a JVM decile replay over collected " +
+      "scores and clusters") {
+    val scores = graft.operators.TextAnalysis.qQuality(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(6) * 1000000d))).sortBy(t => (t._2, t._1))
+    val cl = graft.operators.Dedup.clusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = scores.length
+    // ntile(10): first (n mod 10) tiles get ceil(n/10)
+    val base = n / 10; val extra = n % 10
+    val expect = scores.zipWithIndex.map { case ((id, s), i) =>
+      val cut = extra * (base + 1)
+      val d = if (i < cut) i / (base + 1) + 1
+              else (i - cut) / base + extra + 1
+      (d, id, s)
+    }.groupBy(_._1).map { case (d, xs) =>
+      val ids = xs.map(_._2)
+      val nc = ids.count(cl.contains)
+      val nl = ids.count(id => cl.get(id).exists(_ != id))
+      (d, xs.length.toLong, nc.toLong, nl.toLong,
+        nl.toLong * 1000000L / xs.length,
+        xs.map(_._3).min, xs.map(_._3).max)
+    }.toSet
+    val got = graft.operators.Dedup.qQualityCalibration(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect, s"extra=${got -- expect} missing=${expect -- got}")
+  }
+
   test("simhash JVM kernel == the relational bit-vote plan row-exact " +
       "(r11: the kernel is the registered build — the 60× explode " +
       "spilled past disk at sf100 — and the oracle recomputes the " +
