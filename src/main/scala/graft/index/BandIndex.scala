@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * `IndexMeta` device applied to the dedup band frame. `baseFp` is a
   * content fingerprint of the SETTLED corpus's signature frame, so a
   * base regenerated in place (same row count, new text) rebuilds
-  * instead of silently probing stale buckets. */
+  * instead of silently probing stale buckets. `nPostings` (v3) pins
+  * the PERSISTED posting count, so a half-appended index (buckets
+  * landed, meta not yet rewritten — the append crash window) or an
+  * over-inclusive one reads as stale instead of silently serving
+  * (ADVICE_r11). */
 case class BandMeta(formatVersion: Int, corpusDir: String,
-    shardSource: String, nBaseDocs: Long, baseFp: Long)
+    shardSource: String, nBaseDocs: Long, baseFp: Long, nPostings: Long)
 
 /** PERSISTED MinHash-LSH band buckets for INCREMENTAL near-dup — the
   * batch shard-vs-corpus shape (VERDICT_r10 item 2) that completes the
@@ -64,8 +68,13 @@ object BandIndex {
     * applied at PROBE time from the sidecar. That is what makes
     * [[append]] EXACTLY equal to a rebuild: appending can push a
     * bucket over the cap, and the probe-time filter sees the updated
-    * df where a write-time cap would have frozen the stale verdict. */
-  val FormatVersion = 2
+    * df where a write-time cap would have frozen the stale verdict.
+    * v3 (r12, ADVICE_r11): [[BandMeta]] gains `nPostings` (the
+    * persisted-postings pin that makes half-appended or
+    * over-inclusive buckets read as stale) and `baseFp` covers ALL 16
+    * signature components (v2 hashed only (doc_id, s0, s15), so a
+    * regeneration preserving those three passed the staleness check). */
+  val FormatVersion = 3
 
   private def p(root: String, part: String) = s"$root/$part"
 
@@ -81,11 +90,22 @@ object BandIndex {
       corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Content fingerprint of the BASE side's signature frame: order-
-    * independent xor over (doc_id, s0, s15) hashes. Rides the shared
-    * materialized signature frame — no extra corpus scan. */
-  private def baseFingerprint(base: DataFrame): Long =
-    base.select(coalesce(expr("bit_xor(xxhash64(doc_id, s0, s15))"),
+    * independent xor over (doc_id, s0..s15) hashes — ALL 16 components
+    * (v3; v2's (doc_id, s0, s15) subset let a base regenerated in
+    * place that happened to preserve those two components serve stale
+    * buckets — ADVICE_r11). Same single-aggregate cost; rides the
+    * shared materialized signature frame — no extra corpus scan. */
+  private[graft] def baseFingerprint(base: DataFrame): Long = {
+    val comps = ("doc_id" +: (0 until 16).map(i => s"s$i")).mkString(", ")
+    base.select(coalesce(expr(s"bit_xor(xxhash64($comps))"),
       lit(0L)).as("fp")).head().getLong(0)
+  }
+
+  /** Persisted posting count, from parquet footers only (no data
+    * scan) — the validation read [[ensure]] pins against
+    * [[BandMeta.nPostings]]. */
+  private def postingCount(spark: SparkSession, root: String): Long =
+    spark.read.parquet(p(root, "buckets")).count()
 
   private def baseSigs(spark: SparkSession, corpusDir: String,
       shardSource: String): DataFrame =
@@ -106,7 +126,8 @@ object BandIndex {
       .write.mode("overwrite").parquet(p(root, "sizes"))
     base.write.mode("overwrite").parquet(p(root, "sigs"))
     writeMeta(spark, root, BandMeta(FormatVersion, corpusDir,
-      shardSource, base.count(), baseFingerprint(base)))
+      shardSource, base.count(), baseFingerprint(base),
+      postingCount(spark, root)))
   }
 
   private def writeMeta(spark: SparkSession, root: String,
@@ -136,6 +157,20 @@ object BandIndex {
     require(meta.corpusDir == corpusDir, "BandIndex: corpus mismatch")
     require(nextShardSource != meta.shardSource,
       "BandIndex: next shard must differ from the appended one")
+    // the next shard must NOT have landed yet (ADVICE_r11): if
+    // nextShardSource already has docs, they were part of THIS index's
+    // base (write excluded only meta.shardSource), so the persisted
+    // buckets contain them and the next probe would pair those docs
+    // against their own postings — self-pairs with sig_matches=16,
+    // i.e. false near-dup verdicts that ingestShard turns into
+    // wrongful drops. Fail loudly instead.
+    val nNext = Dedup.minhashSigWithSource(spark, corpusDir)
+      .filter(col("source") === nextShardSource).count()
+    require(nNext == 0L,
+      s"BandIndex: next shard '$nextShardSource' already has $nNext docs " +
+        "in the corpus — they are inside this index's persisted base, so " +
+        "probing them against it would self-pair; rebuild (ensure) with " +
+        "the new shard split instead of appending")
     val shard = Dedup.minhashSigWithSource(spark, corpusDir)
       .filter(col("source") === meta.shardSource).drop("source")
     // derived twice (append + sidecar counts) — bandedSig over the
@@ -157,16 +192,48 @@ object BandIndex {
       s"BandIndex: sizes swap failed at $root")
     val newBase = baseSigs(spark, corpusDir, nextShardSource)
     writeMeta(spark, root, meta.copy(shardSource = nextShardSource,
-      nBaseDocs = newBase.count(), baseFp = baseFingerprint(newBase)))
+      nBaseDocs = newBase.count(), baseFp = baseFingerprint(newBase),
+      nPostings = postingCount(spark, root)))
   }
 
+  /** Version-aware meta read: the `formatVersion` column exists in
+    * every version, so it is extracted FIRST and only a current-version
+    * meta is parsed fully — an older meta comes back as a stub carrying
+    * just its version (→ rebuild), and a NEWER one is still visible to
+    * [[ensure]]'s refuse-to-clobber check even though its schema is
+    * unknown to this build. */
   private def readMeta(spark: SparkSession, root: String): Option[BandMeta] =
     try {
       import spark.implicits._
-      Some(spark.read.parquet(p(root, "meta")).as[BandMeta].head())
+      val df = spark.read.parquet(p(root, "meta"))
+      val ver = df.select("formatVersion").head().getInt(0)
+      if (ver != FormatVersion) Some(BandMeta(ver, "", "", -1L, 0L, -1L))
+      else Some(df.as[BandMeta].head())
     } catch { case _: Exception => None }
 
   private val ensuring = new ConcurrentHashMap[String, AnyRef]()
+
+  private def sizesReadable(spark: SparkSession, root: String): Boolean =
+    try {
+      spark.read.parquet(p(root, "sizes"))
+        .select("band_id", "band_hash", "df").schema
+      true
+    } catch { case _: Exception => false }
+
+  /** Test hook: sidecar repairs performed in this JVM — the spec's
+    * proof that a deleted sidecar heals WITHOUT a corpus rebuild
+    * (the `builds` counter stays flat while this one moves). */
+  private[graft] val sizeRepairs = new AtomicInteger(0)
+
+  /** Recompute the `sizes/` sidecar from the persisted postings — the
+    * cheap crash-repair for the append swap window: one groupBy over
+    * `buckets/`, work ∝ |postings|, base text and signatures untouched. */
+  private def rebuildSizes(spark: SparkSession, root: String): Unit = {
+    sizeRepairs.incrementAndGet()
+    spark.read.parquet(p(root, "buckets"))
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(p(root, "sizes"))
+  }
 
   /** The deployment contract ([[AnnIndex.ensure]]'s): return a root
     * holding VALID base buckets for `corpusDir`, building only when the
@@ -188,9 +255,19 @@ object BandIndex {
             m.corpusDir == corpusDir && m.shardSource == shardSource && {
               val base = baseSigs(spark, corpusDir, shardSource)
               m.nBaseDocs == base.count() &&
-                m.baseFp == baseFingerprint(base)
+                m.baseFp == baseFingerprint(base) &&
+                // the persisted-postings pin (v3): a crash inside
+                // append() (buckets landed, meta not rewritten) or any
+                // over-inclusive buckets read as STALE here instead of
+                // silently self-pairing on the next probe (ADVICE_r11)
+                m.nPostings == postingCount(spark, root)
             } =>
-          () // valid — serve as-is
+          // valid — serve as-is, after the one cheap repair: a missing/
+          // unreadable `sizes/` sidecar (the append swap's crash window
+          // leaves delete-without-rename) recomputes from the persisted
+          // postings — ONE groupBy over `buckets/`, never a full corpus
+          // rebuild (VERDICT_r11 item 4)
+          if (!sizesReadable(spark, root)) rebuildSizes(spark, root)
         case _ => write(spark, corpusDir, root, shardSource)
       }
     }
@@ -205,9 +282,21 @@ object BandIndex {
     * components). Work ∝ shard: the base enters as one columnar scan
     * of `buckets` + a |candidates|-bounded `sigs` join. */
   def probe(spark: SparkSession, corpusDir: String, root: String,
-      shardSource: String = Dedup.newShardSource): DataFrame = {
-    val shardSig = Dedup.minhashSigWithSource(spark, corpusDir)
-      .filter(col("source") === shardSource).drop("source")
+      shardSource: String = Dedup.newShardSource): DataFrame =
+    probeSigs(spark, root,
+      Dedup.minhashSigWithSource(spark, corpusDir)
+        .filter(col("source") === shardSource).drop("source"))
+
+  /** The probe CORE on an arbitrary shard SIGNATURE frame (doc_id,
+    * s0..s15) — split out (r12, VERDICT_r11 item 5) so the STREAMING
+    * shard-ingest path ([[graft.streaming.ShardIngestStream]]) can
+    * hand a per-micro-batch JVM-kernel signature frame to the SAME
+    * persisted postings the batch probe reads: one implementation,
+    * parity by construction. Each doc's verdict depends only on its
+    * own signature and the static index, so any micro-batch split of
+    * the shard yields exactly the batch probe's rows. */
+  def probeSigs(spark: SparkSession, root: String,
+      shardSig: DataFrame): DataFrame = {
     val shardBands = Dedup.bandedSig(shardSig)
     // probe-time hot-bucket cap (v2): the vocab-sized sidecar names
     // the admissible buckets; a bucket the appends pushed over the cap
@@ -219,6 +308,12 @@ object BandIndex {
       .withColumnsRenamed(Map("doc_id" -> "base_doc"))
       .join(ok, Seq("band_id", "band_hash"), "left_semi")
     val cand = shardBands.join(buckets, Seq("band_id", "band_hash"))
+      // defense in depth (ADVICE_r11): shard and base are disjoint by
+      // source in every valid index, so this is a no-op there — but an
+      // over-inclusive index (the append hazard the v3 meta pins
+      // against) must never surface a doc paired with ITSELF as a
+      // sig_matches=16 "near-dup"
+      .filter(col("doc_id") =!= col("base_doc"))
       .groupBy("doc_id", "base_doc")
       .agg(count(lit(1)).as("n_shared_bands"))
     val baseSig = spark.read.parquet(p(root, "sigs"))

@@ -309,25 +309,24 @@ object Dedup {
     * is mostly gone regardless of how cheap its join is. */
   val PreflightMaxDroppedPpm = 500000L
 
-  private val preflightCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Long, Long, Long)]()
-
   /** The PRE-FLIGHT a pipeline or harness runs BEFORE any exact-join
     * plan (VERDICT_r08 item 4): one [[qPairJoinCost]] evaluation
     * (a single shingle pass — 4.5 s at sf10, where the join it guards
-    * took the disk down), memoized per (session, dir), folded into a
-    * [[PreflightDecision]]. [[graft.operators.DocPipeline.run]] and
-    * `graft.Bench` both consult it; `maxJoinRows` is injectable so a
-    * spec can force the route on a small fixture. */
+    * took the disk down), folded into a [[PreflightDecision]].
+    * [[graft.operators.DocPipeline.run]] and `graft.Bench` both
+    * consult it; `maxJoinRows` is injectable so a spec can force the
+    * route on a small fixture. The memo IS a MaterializeOnce'd 1-row
+    * frame (ADVICE_r11: the former (session, dir)-keyed strong map
+    * pinned the SparkSession for the JVM lifetime and survived
+    * in-place fixture regeneration — this way the verdict's lifecycle
+    * exactly tracks every other shared frame: `invalidate()`/
+    * `release()` drop it, and a regenerated corpus re-derives). */
   def preflight(spark: SparkSession, dir: String,
       maxJoinRows: Long = PreflightMaxJoinRows): PreflightDecision = {
-    val (jr, ppm, dropped) = preflightCache.computeIfAbsent((spark, dir), _ => {
-      val r = qPairJoinCost(spark, dir)
-        .select(col("join_rows"), col("distinct_ppm"), col("dropped_ppm"))
-        .head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    })
-    PreflightDecision(jr, ppm, dropped, maxJoinRows)
+    val r = materializeOnce(spark, dir, "preflight")(qPairJoinCost(spark, dir))
+      .select(col("join_rows"), col("distinct_ppm"), col("dropped_ppm"))
+      .head()
+    PreflightDecision(r.getLong(0), r.getLong(1), r.getLong(2), maxJoinRows)
   }
 
   val pairJoinCostSql: String =
@@ -348,6 +347,76 @@ object Dedup {
        |         // GREATEST(COALESCE(CAST(SUM(df) AS BIGINT), 0), 1)
        |         AS dropped_ppm
        |FROM df""".stripMargin
+
+  /** q_verify_cost — the PRE-FLIGHT cost table for the LSH
+    * candidate-then-verify family (r12, VERDICT_r11 item 2 — the
+    * verify stage was 80% of the sf100 documents slice and the one
+    * unbudgeted cost): from ONE aggregate over the banded signature
+    * frame (vocab-sized band histogram — the frame every LSH consumer
+    * already builds), the EXACT candidate-pair count Σ_{df≤c} C(df,2)
+    * at every [[bandCapLadder]] rung, the count of hot buckets each
+    * rung drops whole, whether the rung fits [[LshCandBudget]], and
+    * WHICH rung [[bandCap]] selects — the recorded routing decision,
+    * exactly what [[qPairJoinCost]] is for the exact-join path. Every
+    * downstream verify cost (q_lsh_verify's shingle join,
+    * q_edit_verify's DP, the LSH cluster fixpoint) is linear in the
+    * selected rung's candidate count, so this table IS the 100 TB
+    * admission ticket for the family. 8 rows out. */
+  def qVerifyCost(spark: SparkSession, dir: String): DataFrame = {
+    val hist = bandedSig(minhashSig(spark, dir))
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
+    val ladder = spark.range(1)
+      .select(explode(typedLit(bandCapLadder)).as("cap"))
+    val agg = hist.crossJoin(broadcast(ladder))
+      .groupBy("cap")
+      .agg(sum(when(col("df") <= col("cap"),
+          expr("df * (df - 1) div 2")).otherwise(0L)).as("cand_pairs"),
+        sum(when(col("df") > col("cap"), 1L).otherwise(0L))
+          .as("n_hot_buckets"))
+    val all = Window.partitionBy(lit(1))
+    agg
+      .withColumn("fits",
+        (col("cand_pairs") <= LshCandBudget).cast("int"))
+      .withColumn("chosen",
+        (col("cap") === coalesce(
+          max(when(col("fits") === 1, col("cap"))).over(all),
+          lit(bandCapLadder.last))).cast("int"))
+      .select(col("cap"), col("cand_pairs"), col("n_hot_buckets"),
+        col("fits"), col("chosen"))
+  }
+
+  lazy val verifyCostSql: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"min((h30 * ${mhA(i)} + ${mhB(i)}) % $P) AS s$i").mkString(",\n|        ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(j => s"CAST(s${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_id, ${hash60Sql(cat)} AS band_hash FROM sig"
+    }.mkString("\n|       UNION ALL ")
+    s"""WITH $shingledSql,
+       |hsh AS (SELECT doc_id, sh % 1073741824 AS h30 FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $sigExprs
+       |       FROM hsh GROUP BY doc_id),
+       |bands0 AS ($bandSelects),
+       |bhist AS (SELECT band_id, band_hash, COUNT(*) AS df
+       |          FROM bands0 GROUP BY 1, 2),
+       |agg AS (SELECT l.cap,
+       |          CAST(SUM(CASE WHEN h.df <= l.cap
+       |                        THEN h.df * (h.df - 1) // 2 ELSE 0 END)
+       |            AS BIGINT) AS cand_pairs,
+       |          CAST(SUM(CASE WHEN h.df > l.cap THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_hot_buckets
+       |        FROM bhist h CROSS JOIN
+       |          (SELECT unnest([${bandCapLadder.mkString(", ")}]) AS cap) l
+       |        GROUP BY l.cap)
+       |SELECT CAST(cap AS BIGINT) AS cap, cand_pairs, n_hot_buckets,
+       |       CAST(cand_pairs <= $LshCandBudget AS INT) AS fits,
+       |       CAST(cap = COALESCE(MAX(CASE WHEN cand_pairs <= $LshCandBudget
+       |                                    THEN cap END) OVER (),
+       |                           ${bandCapLadder.last}) AS INT) AS chosen
+       |FROM agg""".stripMargin
+  }
 
   /** q_dedup_clusters — connected components over the near-dup pair
     * graph: each document gets the MINIMUM doc_id reachable through
@@ -873,9 +942,69 @@ object Dedup {
         col("bb.band_hash").as("band_hash"))
   }
 
-  /** The hot-band membership cap (shared by the in-session self-join
-    * and the persisted base buckets). */
+  /** The hot-band membership cap HEAD (the persisted [[graft.index.BandIndex]]
+    * probe cap, and the largest rung of the in-session adaptive
+    * ladder — selected at every fixture SF, so the r12 adaptivity
+    * changed no fixture answer). */
   private[graft] val BandBucketCap = 10000L
+
+  /** CANDIDATE budget for the MinHash-LSH family (VERDICT_r11 item 2 —
+    * the verify stage was the one unbudgeted cost: 80% of the sf100
+    * documents slice, linear in candidates with no ceiling). The band
+    * self-join emits Σ_{df≤cap} C(df,2) candidate pairs; every
+    * downstream stage — q_lsh_verify's exact shingle verify
+    * (~|candidates| × 2·48 shingle rows ≈ [[PreflightMaxJoinRows]] at
+    * this budget), q_edit_verify's per-pair DP, the cluster fixpoint —
+    * is linear in that count, so budgeting the CANDIDATE volume bounds
+    * the whole candidate-then-verify pipeline at plan time. */
+  private[graft] val LshCandBudget = 4000000L
+
+  /** Descending cap ladder for the band space — the simhashCap device;
+    * head == [[BandBucketCap]] (every fixture SF selects it). */
+  private[graft] val bandCapLadder: Seq[Long] =
+    Seq(BandBucketCap, 3000L, 1000L, 300L, 100L, 30L, 10L, 3L)
+
+  /** Keyed WEAKLY by the materialized signature-frame instance — the
+    * [[simhashCapCache]] lifecycle argument (ADVICE_r10): the ladder
+    * sums are facts of that materialization, `invalidate()`/`release()`
+    * make the entry collectable, nothing retains the SparkSession. */
+  private val bandCapCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Seq[Long]]())
+
+  /** Test hook — proves the memo re-derives after frame invalidation. */
+  private[graft] val bandCapDerivations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Plan-time adaptive hot-band cap for the MinHash band self-join
+    * (r12): ONE aggregate over the banded signature frame computes the
+    * exact candidate count Σ_{df≤c} C(df,2) at every ladder rung; the
+    * largest rung fitting `budget` wins (the smallest if none fits —
+    * over-cap buckets DROP whole, the saturation law: a band value
+    * shared past the cap carries no pairing signal). The oracle
+    * recomputes the identical selection in-query (`bcapsel` in
+    * [[minhashLshSql]]); [[qVerifyCost]] is the recorded decision. */
+  private[graft] def bandCap(spark: SparkSession, dir: String,
+      budget: Long = LshCandBudget): Long = {
+    val sig = minhashSig(spark, dir)
+    val cached = bandCapCache.get(sig)
+    val sums = if (cached != null) cached else {
+      bandCapDerivations.incrementAndGet()
+      val hist = bandedSig(sig)
+        .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
+      val aggs = bandCapLadder.map(c =>
+        sum(expr(s"CASE WHEN df <= $c THEN df * (df - 1) div 2 ELSE 0 END"))
+          .as(s"kept_$c"))
+      val r = hist.agg(aggs.head, aggs.tail: _*).head()
+      val s = bandCapLadder.indices
+        .map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+      bandCapCache.put(sig, s)
+      s
+    }
+    bandCapLadder.zip(sums)
+      .collectFirst { case (c, s) if s <= budget => c }
+      .getOrElse(bandCapLadder.last)
+  }
 
   /** The MinHash signature frame with the doc's source attached —
     * the [[graft.index.BandIndex]] build/probe input (the shard split
@@ -885,16 +1014,24 @@ object Dedup {
     minhashSig(spark, dir).join(
       Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
 
-  private[graft] def bandPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandPairsPlan(spark: SparkSession, dir: String): DataFrame =
+    bandPairsPlanCapped(spark, dir, LshCandBudget)
+
+  private[graft] def bandPairsPlanCapped(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
     val sig = minhashSig(spark, dir)
     // hot-bucket guard, same rationale as stop-shingles: a degenerate
-    // band bucket (e.g. near-empty docs all hashing alike) is the only
-    // quadratic path; cap membership before pairing, mirrored in the
-    // oracle. No-op at test SF.
+    // band bucket (near-empty docs all hashing alike, or the sf100
+    // saturation regime where band values collide corpus-wide) is the
+    // only quadratic path; cap membership before pairing with the
+    // ADAPTIVE ladder cap (r12 — a FIXED cap never bounds Σ C(df,2)
+    // when value-space × cap² is large, the r11 law), mirrored in the
+    // oracle. Ladder head at every test SF.
+    val cap = bandCap(spark, dir, budget)
     val bands = bandedSig(sig)
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy("band_id", "band_hash")))
-      .filter(col("bsz") <= BandBucketCap).drop("bsz")
+      .filter(col("bsz") <= cap).drop("bsz")
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -917,8 +1054,21 @@ object Dedup {
        |        $sigExprs
        |       FROM hsh GROUP BY doc_id),
        |bands0 AS ($bandSelects),
-       |bands AS (SELECT * FROM bands0
-       |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash) <= 10000)
+       |bhist AS (SELECT band_id, band_hash, COUNT(*) AS df
+       |          FROM bands0 GROUP BY 1, 2),
+       |blad AS (SELECT c,
+       |           SUM(CASE WHEN df <= c THEN df * (df - 1) // 2 ELSE 0 END)
+       |             AS kept
+       |         FROM bhist,
+       |           (SELECT unnest([${bandCapLadder.mkString(", ")}]) AS c) l
+       |         GROUP BY c),
+       |bcapsel AS (SELECT COALESCE(MAX(CASE WHEN kept <= $LshCandBudget
+       |                                     THEN c END),
+       |                            ${bandCapLadder.last}) AS cap
+       |            FROM blad),
+       |bands AS (SELECT b.* FROM bands0 b, bcapsel
+       |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash)
+       |            <= bcapsel.cap)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
        |FROM bands a JOIN bands b
        |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -1856,14 +2006,22 @@ object Dedup {
     * ∝ |base| + |new|, and only hashes shuffle. Per new doc: exact-dup
     * flag and the kept/dropped decision a shard-append job executes.
     */
-  def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+  def qCrossDedup(spark: SparkSession, dir: String): DataFrame =
+    crossDedupFor(spark, dir, newShardSource)
+
+  /** The exact path parameterized by WHICH source is the new shard
+    * (ADVICE_r11: `DocPipeline.ingestShard` plumbs its `shardSource`
+    * here — previously the exact rule silently judged `src0` while the
+    * near-dup probe judged the caller's shard). */
+  private[graft] def crossDedupFor(spark: SparkSession, dir: String,
+      shardSource: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")),
       "[ \\t\\n\\r\\f]+", " "))
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), hash60(norm).as("fp"))
-    val base = fp.filter(col("source") =!= newShardSource)
+    val base = fp.filter(col("source") =!= shardSource)
       .groupBy("fp").agg(count(lit(1)).as("n_base"))
-    fp.filter(col("source") === newShardSource)
+    fp.filter(col("source") === shardSource)
       .join(base.withColumnRenamed("fp", "base_fp"),
         col("fp") === col("base_fp"), "left_outer")
       .select(col("doc_id"),
@@ -1942,6 +2100,107 @@ object Dedup {
        |       CAST(($matchSum) >= 8 AS INT) AS is_neardup
        |FROM cand c JOIN sig a ON a.doc_id = c.doc_id
        |JOIN sig b ON b.doc_id = c.base_doc""".stripMargin
+  }
+
+  /** q_contam_delta — what did THIS shard newly contaminate? (r12,
+    * VERDICT_r11 item 6 — the ingest-time triage next to
+    * [[qCrossNeardup]]'s pair list): per BASE source, how many settled
+    * docs the incoming shard near-dup-hit, how many shard docs did the
+    * hitting, and the pair count — the delta a shard-append job alerts
+    * on (a crawl that suddenly re-mints one source's content is
+    * upstream drift, not new data). RIDES the persisted-index probe
+    * output — one base-source join of a candidate-bounded frame, no
+    * new corpus scan; base text is never touched. Output ≤ |sources|
+    * rows. */
+  def qContamDelta(spark: SparkSession, dir: String): DataFrame =
+    qCrossNeardup(spark, dir)
+      .filter(col("is_neardup") === 1)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("base_doc"), col("source").as("base_source")),
+        Seq("base_doc"))
+      .groupBy("base_source")
+      .agg(countDistinct("base_doc").as("n_base_contaminated"),
+        countDistinct("doc_id").as("n_shard_docs"),
+        count(lit(1)).as("n_pairs"))
+
+  lazy val contamDeltaSql: String =
+    s"""WITH cn AS (SELECT * FROM ($crossNeardupSql))
+       |SELECT d.source AS base_source,
+       |       CAST(COUNT(DISTINCT cn.base_doc) AS BIGINT) AS n_base_contaminated,
+       |       CAST(COUNT(DISTINCT cn.doc_id) AS BIGINT) AS n_shard_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM cn JOIN documents d ON cn.base_doc = d.doc_id
+       |WHERE cn.is_neardup = 1
+       |GROUP BY d.source""".stripMargin
+
+  /** The corpus share past which a host is governance-flagged (10%):
+    * domain-mixing caps exist because one over-represented host skews
+    * a training mix even when its docs are individually fine. */
+  private[graft] val HostSharePpmCap = 100000L
+
+  /** q_host_dedup — URL/HOST-level dedup grouping (r12, VERDICT_r11
+    * item 6 — the standard domain-mixing governance lens): per host,
+    * the doc count, DISTINCT-content count under the exact normalized
+    * fingerprint (what per-host URL dedup would keep), the intra-host
+    * dup rate, the host's corpus share, and the over-cap governance
+    * flag at [[HostSharePpmCap]]. The fixture corpus carries no URL
+    * column, so a deterministic synthetic URL is minted per doc
+    * (first token + source as the host — the documented fixture shim);
+    * the host EXTRACTION is the real regexp parse a pipeline runs on
+    * crawl URLs, and everything downstream of it is the real
+    * governance aggregation. Scale shape: one corpus scan →
+    * map-side-combinable groupBy(host, fp) → host-sized rollup; only
+    * 8-byte hashes and host strings shuffle, and the corpus-total
+    * share comes from a window over the host-sized frame, never a
+    * second scan. */
+  def qHostDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")),
+      "[ \\t\\n\\r\\f]+", " "))
+    val url = concat(lit("https://"),
+      element_at(split(col("text"), " "), 1), lit("."),
+      col("source"), lit(".example/"), col("doc_id"))
+    val withHost = Tables.documents(spark, dir)
+      .select(col("doc_id"), hash60(norm).as("fp"), url.as("url"))
+      .select(col("doc_id"), col("fp"),
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"))
+    withHost
+      .groupBy("host", "fp").agg(count(lit(1)).as("m"))
+      .groupBy("host")
+      .agg(sum("m").as("n_docs"),
+        count(lit(1)).as("n_distinct_content"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_content"))
+      .withColumn("dup_ppm",
+        expr("n_dup_docs * 1000000 div n_docs"))
+      .withColumn("total_docs",
+        sum("n_docs").over(Window.partitionBy(lit(1))))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div total_docs"))
+      .withColumn("over_cap",
+        (col("share_ppm") > HostSharePpmCap).cast("int"))
+      .drop("total_docs")
+  }
+
+  val hostDedupSql: String = {
+    val fpExpr = hash60Sql(
+      "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))")
+    s"""WITH wh AS (SELECT doc_id, $fpExpr AS fp,
+       |         regexp_extract('https://' || string_split(text, ' ')[1]
+       |             || '.' || source || '.example/' || doc_id,
+       |           '^https://([^/]+)/', 1) AS host
+       |       FROM documents),
+       |hf AS (SELECT host, fp, CAST(COUNT(*) AS BIGINT) AS m
+       |       FROM wh GROUP BY 1, 2),
+       |h AS (SELECT host, CAST(SUM(m) AS BIGINT) AS n_docs,
+       |        CAST(COUNT(*) AS BIGINT) AS n_distinct_content
+       |      FROM hf GROUP BY host)
+       |SELECT host, n_docs, n_distinct_content,
+       |       n_docs - n_distinct_content AS n_dup_docs,
+       |       (n_docs - n_distinct_content) * 1000000 // n_docs AS dup_ppm,
+       |       n_docs * 1000000
+       |         // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_ppm,
+       |       CAST(n_docs * 1000000
+       |         // CAST(SUM(n_docs) OVER () AS BIGINT) > $HostSharePpmCap
+       |         AS INT) AS over_cap
+       |FROM h""".stripMargin
   }
 
   /** q_quality_calibration — does the quality score PREDICT

@@ -137,7 +137,11 @@ object DocPipeline {
       root0: String = null,
       shardSource: String = Dedup.newShardSource): (DataFrame, ShardSummary) = {
     val root = graft.index.BandIndex.ensure(spark, dir, root0, shardSource)
-    val exact = Dedup.qCrossDedup(spark, dir)
+    // the exact rule judges the SAME shard as the near-dup probe
+    // (ADVICE_r11: qCrossDedup hardcodes src0 — with any other
+    // shardSource the two verdicts would silently disagree on WHICH
+    // docs are being ingested)
+    val exact = Dedup.crossDedupFor(spark, dir, shardSource)
       .select(col("doc_id"), col("is_dup").as("exact_dup"))
     val near = graft.index.BandIndex.probe(spark, dir, root, shardSource)
       .filter(col("is_neardup") === 1)

@@ -316,7 +316,19 @@ object NativeHistogram {
     * are a plan-time constant list), so negative observations land in
     * bucket 0 exactly as a migrated classic histogram would put them.
     * Sparse output: only populated buckets emit. */
-  def qNativeCustom(spark: SparkSession, dir: String): DataFrame = {
+  def qNativeCustom(spark: SparkSession, dir: String): DataFrame =
+    nhcb(spark, dir)
+
+  /** The NHCB bucket frame materialized once per (session, dir) —
+    * the shared-frame rule (r12): three consumers now ([[qNativeCustom]],
+    * [[qNativeCustomQ]], and [[qNhcbRateQ]] — whose window-pair shape
+    * alone references the frame three times), and the frame is series ×
+    * windows × ≤5 buckets, so the checkpoint is tiny while the samples
+    * scan it saves is the corpus. */
+  private def nhcb(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "nh:nhcb")(nhcbPlan(spark, dir))
+
+  private[graft] def nhcbPlan(spark: SparkSession, dir: String): DataFrame = {
     val bs = CustomBounds.mkString(", ")
     samples(spark, dir)
       .withColumn("cents", col("sgn") * col("pos"))
@@ -408,6 +420,141 @@ object NativeHistogram {
        |             ELSE CAST(lo AS DOUBLE)
        |                  + CAST(le_cents - lo AS DOUBLE)
        |                    * ((rk - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+       |             END / 100.0, 6) AS q_value
+       |FROM lo""".stripMargin
+  }
+
+  /** q_nhcb_rate_q — `histogram_quantile(φ, rate(nhcb[1h]))`, the
+    * STACKED form a Prometheus 3.x latency dashboard actually evaluates
+    * (r12, VERDICT_r11 item 6 — [[qNativeRate]] and [[qNativeCustomQ]]
+    * existed separately; the composition did not): per (series,
+    * adjacent-window pair), the bucket-wise INCREASE under the
+    * histogram reset rule — a TOTAL-count decrease means the whole
+    * histogram reset ([[qNativeRate]]'s rule), so the increase IS the
+    * next window's counts; otherwise per-bucket next − prev clamped at
+    * 0 (counter semantics: an individual bucket cannot shrink without
+    * a reset) — then the NHCB LINEAR-interpolation quantile over the
+    * increase buckets. The 1/WindowSec rate factor CANCELS in the
+    * quantile (rank scales with the total exactly as the buckets do),
+    * so quantile∘rate ≡ quantile∘increase — computed that way, all
+    * integers until the one interpolation term. Window pairs where
+    * both windows exist only (the [[qNativeDelta]] gap rule); pairs
+    * whose total increase is zero emit nothing (no rank exists).
+    * Output ∝ series × windows × 2 φ values. */
+  def qNhcbRateQ(spark: SparkSession, dir: String): DataFrame = {
+    val bk = qNativeCustom(spark, dir)
+    val grp = Seq("name", "user_id", "w_start")
+    val tot = bk.groupBy(grp.map(col): _*).agg(sum("cnt").as("tot_next"))
+    val totPrev = tot.select(col("name"), col("user_id"),
+      (col("w_start") + WindowSec).as("w_start"),
+      col("tot_next").as("tot_prev"))
+    val pairs = tot.join(totPrev, grp)
+      .withColumn("reset", (col("tot_next") < col("tot_prev")).cast("long"))
+      .select(col("name"), col("user_id"), col("w_start"), col("reset"))
+    val prev = bk.select(col("name"), col("user_id"),
+      (col("w_start") + WindowSec).as("w_start"), col("bucket_idx"),
+      col("le_cents"), col("cnt").as("prev_cnt"))
+    val next = bk.withColumnRenamed("cnt", "next_cnt")
+    val inc = next.join(prev,
+        Seq("name", "user_id", "w_start", "bucket_idx", "le_cents"),
+        "full_outer")
+      .join(pairs, grp) // inner: both windows exist, carries the reset flag
+      .withColumn("inc",
+        when(col("reset") === 1L, coalesce(col("next_cnt"), lit(0L)))
+          .otherwise(greatest(
+            coalesce(col("next_cnt"), lit(0L)) -
+              coalesce(col("prev_cnt"), lit(0L)), lit(0L))))
+      .filter(col("inc") > 0L)
+    val q = inc
+      .withColumn("tot",
+        sum("inc").over(Window.partitionBy(grp.map(col): _*)))
+      .withColumn("cum", sum("inc").over(Window.partitionBy(grp.map(col): _*)
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val phis = spark.range(1).select(
+      explode(typedLit(Seq(50L, 90L))).as("phi_x100"))
+    val lastFinite = CustomBounds.last
+    val boundsArr = CustomBounds.mkString(", ")
+    q.crossJoin(broadcast(phis))
+      .withColumn("rk",
+        (col("tot") * col("phi_x100")).cast("double") / 100.0)
+      .filter(col("cum") >= col("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy((grp :+ "phi_x100").map(col): _*)
+          .orderBy("bucket_idx")))
+      .filter(col("rn") === 1)
+      .withColumn("lo", when(col("bucket_idx") === 0L, 0L)
+        .otherwise(expr(s"element_at(array($boundsArr), CAST(bucket_idx AS INT))")))
+      .select(col("name"), col("user_id"), col("w_start"), col("phi_x100"),
+        col("reset"),
+        round(
+          when(col("le_cents") === -1L, lit(lastFinite.toDouble))
+            .otherwise(col("lo").cast("double")
+              + (col("le_cents") - col("lo")).cast("double")
+                * ((col("rk") - (col("cum") - col("inc")).cast("double"))
+                  / col("inc").cast("double"))) / 100.0, 6).as("q_value"))
+  }
+
+  lazy val nhcbRateQSql: String = {
+    val boundsArr = CustomBounds.mkString(", ")
+    s"""WITH nc AS (SELECT * FROM ($nativeCustomSql)),
+       |tw AS (SELECT name, user_id, w_start,
+       |         CAST(SUM(cnt) AS BIGINT) AS tot_next
+       |       FROM nc GROUP BY 1, 2, 3),
+       |tp AS (SELECT name, user_id, w_start + $WindowSec AS w_start,
+       |         tot_next AS tot_prev
+       |       FROM tw),
+       |pairs AS (SELECT tw.name, tw.user_id, tw.w_start,
+       |            CAST(CASE WHEN tw.tot_next < tp.tot_prev
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS reset
+       |          FROM tw JOIN tp ON tw.name = tp.name
+       |            AND tw.user_id = tp.user_id AND tw.w_start = tp.w_start),
+       |pv AS (SELECT name, user_id, w_start + $WindowSec AS w_start,
+       |         bucket_idx, le_cents, cnt AS prev_cnt
+       |       FROM nc),
+       |nx AS (SELECT name, user_id, w_start, bucket_idx, le_cents,
+       |         cnt AS next_cnt
+       |       FROM nc),
+       |fo AS (SELECT COALESCE(nx.name, pv.name) AS name,
+       |         COALESCE(nx.user_id, pv.user_id) AS user_id,
+       |         COALESCE(nx.w_start, pv.w_start) AS w_start,
+       |         COALESCE(nx.bucket_idx, pv.bucket_idx) AS bucket_idx,
+       |         COALESCE(nx.le_cents, pv.le_cents) AS le_cents,
+       |         COALESCE(nx.next_cnt, 0) AS next_cnt,
+       |         COALESCE(pv.prev_cnt, 0) AS prev_cnt
+       |       FROM nx FULL OUTER JOIN pv
+       |         ON nx.name = pv.name AND nx.user_id = pv.user_id
+       |         AND nx.w_start = pv.w_start AND nx.bucket_idx = pv.bucket_idx
+       |         AND nx.le_cents = pv.le_cents),
+       |inc AS (SELECT fo.name, fo.user_id, fo.w_start, fo.bucket_idx,
+       |          fo.le_cents, p.reset,
+       |          CAST(CASE WHEN p.reset = 1 THEN fo.next_cnt
+       |               ELSE GREATEST(fo.next_cnt - fo.prev_cnt, 0)
+       |               END AS BIGINT) AS inc
+       |        FROM fo JOIN pairs p ON fo.name = p.name
+       |          AND fo.user_id = p.user_id AND fo.w_start = p.w_start),
+       |o AS (SELECT *,
+       |        CAST(SUM(inc) OVER (PARTITION BY name, user_id, w_start)
+       |          AS BIGINT) AS tot,
+       |        CAST(SUM(inc) OVER (PARTITION BY name, user_id, w_start
+       |          ORDER BY bucket_idx ROWS UNBOUNDED PRECEDING)
+       |          AS BIGINT) AS cum
+       |      FROM inc WHERE inc > 0),
+       |ph AS (SELECT unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT)]) AS phi_x100),
+       |r AS (SELECT o.*, ph.phi_x100,
+       |        CAST(o.tot * ph.phi_x100 AS DOUBLE) / 100.0 AS rk
+       |      FROM o CROSS JOIN ph),
+       |sel AS (SELECT *, row_number() OVER (PARTITION BY name, user_id,
+       |          w_start, phi_x100 ORDER BY bucket_idx) AS rn
+       |        FROM r WHERE cum >= rk),
+       |lo AS (SELECT *, CASE WHEN bucket_idx = 0 THEN 0
+       |         ELSE ([$boundsArr])[CAST(bucket_idx AS INT)] END AS lo
+       |       FROM sel WHERE rn = 1)
+       |SELECT name, user_id, w_start, phi_x100, reset,
+       |       round(CASE WHEN le_cents = -1 THEN CAST(${CustomBounds.last} AS DOUBLE)
+       |             ELSE CAST(lo AS DOUBLE)
+       |                  + CAST(le_cents - lo AS DOUBLE)
+       |                    * ((rk - CAST(cum - inc AS DOUBLE)) / CAST(inc AS DOUBLE))
        |             END / 100.0, 6) AS q_value
        |FROM lo""".stripMargin
   }

@@ -99,11 +99,19 @@ object DedupStream {
   /** The per-doc signature kernel: distinct 3-shingles → h30 →
     * 16 universal-hash minima → 4 band hashes. Same constants, same
     * formulas, same values as `Dedup.minhashSigPlan` + band structs. */
-  private[graft] def bandHashesJvm(docId: Long, text: String)
-      : Seq[(Long, Long, Long)] = {
+  /** The raw 16-component MinHash signature of one document — the
+    * kernel [[bandHashesJvm]] bands, exposed on its own (r12) so the
+    * streaming SHARD-INGEST path can hand full signatures to the
+    * persisted [[graft.index.BandIndex]] probe (which needs the
+    * components for its sig-match verify, not just the band hashes).
+    * None for docs under 3 tokens (no shingles — drops out exactly
+    * like the batch frame). Value-identical to `Dedup.minhashSigPlan`
+    * by the same constants/formulas; `StreamShardIngestSpec` pins the
+    * frame-level equality. */
+  private[graft] def sigJvm(text: String): Option[Array[Long]] = {
     import graft.functions.Portable.hash60Jvm
     val ws = text.split(" ", -1)
-    if (ws.length < 3) Seq.empty
+    if (ws.length < 3) None
     else {
       val sigs = Array.fill(16)(Long.MaxValue)
       val seen = new scala.collection.mutable.HashSet[String]()
@@ -121,10 +129,20 @@ object DedupStream {
         }
         i += 1
       }
-      (0 until 4).map { b =>
-        val cat = (0 until 4).map(j => sigs(b * 4 + j)).mkString(",")
-        (docId, b.toLong, hash60Jvm(cat))
-      }
+      Some(sigs)
+    }
+  }
+
+  private[graft] def bandHashesJvm(docId: Long, text: String)
+      : Seq[(Long, Long, Long)] = {
+    import graft.functions.Portable.hash60Jvm
+    sigJvm(text) match {
+      case None => Seq.empty
+      case Some(sigs) =>
+        (0 until 4).map { b =>
+          val cat = (0 until 4).map(j => sigs(b * 4 + j)).mkString(",")
+          (docId, b.toLong, hash60Jvm(cat))
+        }
     }
   }
 

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.index.BandIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING shard ingest against the SETTLED corpus (r12,
+  * VERDICT_r11 item 5) — the live twin of
+  * [[graft.operators.DocPipeline.ingestShard]], closing the near-dup
+  * production triad's last seam: a freshly crawled shard arrives as a
+  * STREAM and every document is judged against the persisted
+  * [[BandIndex]] — the same artifacts, the same probe core
+  * ([[BandIndex.probeSigs]]) the batch path runs — so verdicts are
+  * identical BY CONSTRUCTION no matter how the shard splits into
+  * micro-batches.
+  *
+  * This is the reference's windowed-incremental story
+  * (etl_job.py:357-393: re-deliver a window against settled data,
+  * never reprocess the base) applied to the near-dup path end to end:
+  *
+  *   - STATE DOES NOT GROW WITH THE CORPUS. [[DedupStream]] keeps the
+  *     indexed corpus as keyed streaming state (right for dedup
+  *     WITHIN a stream); here the settled corpus lives in the
+  *     persisted index — the stream carries ZERO keyed state, so a
+  *     100 TB base costs a shard ingest exactly one columnar postings
+  *     read per micro-batch, like the batch probe.
+  *   - Per micro-batch: the JVM signature kernel
+  *     ([[DedupStream.sigJvm]] — the spec-proven hash60Jvm twin, the
+  *     documented row-wise-imperative case) maps each doc to its 16
+  *     MinHash components with no corpus-wide window and no row
+  *     amplification; [[BandIndex.probeSigs]] then bands, joins the
+  *     persisted (sidecar-capped) buckets, and verifies against the
+  *     persisted base signatures. Work ∝ micro-batch.
+  *   - foreachBatch is the right harness, not a streaming groupBy: the
+  *     probe aggregates per (shard doc, base doc) — an arbitrary-key
+  *     aggregation a pure append stream cannot express without
+  *     watermark state, while each doc's verdict is already complete
+  *     within its own micro-batch (it depends on nothing else in the
+  *     stream). Re-delivery of a doc re-emits IDENTICAL rows (the
+  *     probe is deterministic and the index static for the shard's
+  *     lifetime) — the ReplacingMergeTree idempotence contract: sinks
+  *     dedup on (doc_id, base_doc).
+  *
+  * Parity contract (`StreamShardIngestSpec`): the union of verdicts
+  * across all micro-batches == `BandIndex.probe` on the same shard,
+  * row-exact, for any split of the shard.
+  */
+object ShardIngestStream {
+
+  /** (doc_id, s0..s15) via the JVM kernel, for one micro-batch of
+    * (doc_id, text) rows. Docs under 3 tokens drop out, exactly like
+    * the batch signature frame. */
+  def sigFrame(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        DedupStream.sigJvm(text).map(s =>
+          (id, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7),
+            s(8), s(9), s(10), s(11), s(12), s(13), s(14), s(15)))
+      }
+      .toDF("doc_id" +: (0 until 16).map(i => s"s$i"): _*)
+  }
+
+  /** One micro-batch's verdicts: the persisted-index probe on the
+    * kernel signature frame. Also the batch-side twin the parity spec
+    * compares against when called with a plain DataFrame. */
+  def probeBatch(batch: DataFrame, root: String): DataFrame =
+    BandIndex.probeSigs(batch.sparkSession, root, sigFrame(batch))
+
+  /** Start the ingest stream: per micro-batch, probe the persisted
+    * index at `root` and hand the verdict frame to `sink` (a writer —
+    * parquet append, a ClickHouse load, a test buffer). The index must
+    * already be ensured; the stream never builds or mutates it. */
+  def run(docs: DataFrame, root: String, checkpoint: String)(
+      sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(probeBatch(batch, root))
+      }
+      .start()
+}

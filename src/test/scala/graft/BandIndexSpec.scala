@@ -93,6 +93,71 @@ class BandIndexSpec extends SparkSpec {
     assert(BandIndex.probe(spark, dir, rootA, "__future__").count() == 0)
   }
 
+  test("sidecar crash-repair (r12, VERDICT_r11 item 4): a deleted " +
+      "`sizes/` heals from the persisted postings — builds stay flat, " +
+      "probe verdicts unchanged") {
+    val root = tmpDir("band_idx_repair")
+    val served = BandIndex.probe(spark, dir,
+      BandIndex.ensure(spark, dir, root)).collect().toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/sizes"), true))
+    val (b0, r0) = (BandIndex.builds.get(), BandIndex.sizeRepairs.get())
+    val healed = BandIndex.probe(spark, dir,
+      BandIndex.ensure(spark, dir, root)).collect().toSet
+    assert(BandIndex.builds.get() == b0,
+      "repairing the sidecar must NOT rebuild the corpus index")
+    assert(BandIndex.sizeRepairs.get() == r0 + 1,
+      "the sidecar must be recomputed from buckets/")
+    assert(healed == served && healed.nonEmpty,
+      "post-repair probe must serve the identical verdicts")
+  }
+
+  test("append REFUSES an already-landed next shard (r12, ADVICE_r11): " +
+      "its docs sit inside the persisted base, so probing it would " +
+      "self-pair") {
+    val root = tmpDir("band_idx_selfpair")
+    BandIndex.write(spark, dir, root, shardSource = "src0")
+    val e = intercept[IllegalArgumentException] {
+      BandIndex.append(spark, dir, root, nextShardSource = "src1")
+    }
+    assert(e.getMessage.contains("self-pair"))
+  }
+
+  test("half-appended index reads as STALE (r12): postings landed but " +
+      "the meta was never rewritten (the append crash window) → the " +
+      "v3 nPostings pin forces a rebuild instead of serving self-pairs") {
+    import spark.implicits._
+    val root = tmpDir("band_idx_halfappend")
+    BandIndex.ensure(spark, dir, root)
+    // simulate the crash: extra postings land, meta stays
+    Seq((0L, 12345L, 999999L)).toDF("band_id", "band_hash", "doc_id")
+      .write.mode("append").parquet(s"$root/buckets")
+    val before = BandIndex.builds.get()
+    BandIndex.ensure(spark, dir, root)
+    assert(BandIndex.builds.get() == before + 1,
+      "a postings/meta count mismatch must force a rebuild")
+  }
+
+  test("baseFingerprint covers ALL 16 signature components (r12, " +
+      "ADVICE_r11): a regeneration that preserves (doc_id, s0, s15) " +
+      "but moves s1 must move the fingerprint") {
+    val cols = "doc_id" +: (0 until 16).map(i => s"s$i")
+    val base = Seq(Seq(1L, 10L, 11L) ++ (2 until 16).map(i => 100L + i))
+      .map(s => org.apache.spark.sql.Row.fromSeq(s))
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType)))
+    val a = spark.createDataFrame(
+      spark.sparkContext.parallelize(base), schema)
+    val moved = Seq(Seq(1L, 10L, 999L) ++ (2 until 16).map(i => 100L + i))
+      .map(s => org.apache.spark.sql.Row.fromSeq(s))
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize(moved), schema)
+    assert(BandIndex.baseFingerprint(a) != BandIndex.baseFingerprint(b),
+      "an s1-only change must be visible to the staleness check")
+  }
+
   test("staleness: a base regenerated in place (content fingerprint " +
       "moves) rebuilds; a newer-format root is never clobbered") {
     import spark.implicits._

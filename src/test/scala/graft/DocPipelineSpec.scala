@@ -112,4 +112,26 @@ class DocPipelineSpec extends SparkSpec {
       r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap == rows,
       "re-delivered decisions must be identical (idempotent ingest)")
   }
+
+  test("ingestShard honors a NON-default shardSource (r12, ADVICE_r11: " +
+      "the exact rule used to hardcode src0 while the probe judged the " +
+      "caller's shard)") {
+    val root = tmpDir("docpipe_shard_src1")
+    val (dec, s) = DocPipeline.ingestShard(spark, dir, root,
+      shardSource = "src1")
+    val shardIds = Tables.documents(spark, dir)
+      .filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val decided = dec.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(decided == shardIds && shardIds.nonEmpty,
+      "every decision must judge a src1 doc — exactly the ingested shard")
+    // exact verdicts come from the src1-parameterized rule
+    val exact = Dedup.crossDedupFor(spark, dir, "src1").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    dec.collect().foreach { r =>
+      assert(r.getInt(1) == exact(r.getLong(0)),
+        s"exact verdict diverged for ${r.getLong(0)}")
+    }
+    assert(s.nShardDocs == shardIds.size.toLong)
+  }
 }

@@ -112,10 +112,17 @@ class FrameGuardSpec extends AnyFunSuite {
       allDefs = true),
     Frame("raw bandedSig (uncapped band postings — pairing input)",
       Seq(dedupSrc, bandIdxSrc), "bandedSig(",
-      guardEvidence = _.contains("BandBucketCap"),
-      guardDesc = "the band-bucket membership cap (bsz <= " +
-        "BandBucketCap before any join/persist)",
+      guardEvidence = b => b.contains("BandBucketCap") ||
+        b.contains("bandCap("),
+      guardDesc = "the band-bucket membership cap (the ADAPTIVE " +
+        "bandCap ladder in-session — r12, VERDICT_r11 item 2 — or the " +
+        "fixed BandBucketCap at the persisted probe)",
       boundedOk = Map(
+        "q_verify_cost" -> ("aggregation-only: the vocab-sized band " +
+          "histogram folded per ladder rung — 8 rows out, no pairing; " +
+          "this IS the family's pre-flight"),
+        "bandCap" -> ("the ladder aggregate itself: one vocab-sized " +
+          "groupBy + an 8-sum fold, no pairing"),
         "write" -> ("persists UNCAPPED postings BY DESIGN (v2): no " +
           "pairing happens here — the cap moved to probe time via the " +
           "sizes sidecar so append == rebuild stays exact"),

@@ -663,7 +663,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_native_custom: one events scan, constant-list bucket lookup (r9)") {
-    val plan = executed(operators.NativeHistogram.qNativeCustom(spark, dir))
+    // audit the raw PLAN — the registered query returns the r12
+    // materialize-once NHCB frame (an RDD scan)
+    val plan = executed(operators.NativeHistogram.nhcbPlan(spark, dir))
     assert(finalScans(plan) == 1, "NHCB build must be one corpus pass")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       "custom-bound lookup must be an in-row array filter")
@@ -1196,5 +1198,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
     assert(finalScans(plan) == 2, "one scan per fact side")
+  }
+
+  test("q_verify_cost: the ladder table is ONE aggregate over the " +
+      "banded frame — the only join is the broadcast 8-row ladder, " +
+      "never a cartesian (r12)") {
+    val plan = executed(Dedup.qVerifyCost(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "ladder join must broadcast the constant side")
+    // the band histogram comes off the shared materialized signature
+    // frame — no fresh corpus scan
+    assert(finalScans(plan) == 0,
+      s"verify pre-flight must ride the materialized signature frame: " +
+        s"${finalScans(plan)} scans")
+  }
+
+  test("q_host_dedup: one documents scan, partial aggregation kept, " +
+      "share window over the host-sized rollup only (r12)") {
+    val df = Dedup.qHostDedup(spark, dir)
+    val plan = executed(df)
+    assert(finalScans(plan) == 1, "host rollup is one corpus scan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "the (host, fp) collapse must keep map-side partial aggregation")
+    // the window sits above the aggregates (host-sized frame), never
+    // over the raw scan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.indexOf("Window") < opt.indexOf("Aggregate"),
+      s"share window must run over the host rollup:\n${opt.take(1200)}")
+  }
+
+  test("q_contam_delta: rides the persisted-index probe — no cartesian, " +
+      "and only candidate-bounded frames reach the source join (r12)") {
+    val plan = executed(Dedup.qContamDelta(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_nhcb_rate_q: every reference rides the materialized NHCB " +
+      "frame — zero fresh events scans in the composition (r12)") {
+    val plan = executed(graft.operators.NativeHistogram
+      .qNhcbRateQ(spark, dir))
+    assert(finalScans(plan) == 0,
+      s"the 3 NHCB references must reuse the materialized frame: " +
+        s"${finalScans(plan)} scans")
+    // the build itself is one events scan
+    val build = executed(graft.operators.NativeHistogram
+      .nhcbPlan(spark, dir))
+    assert(finalScans(build) == 1, "NHCB build is one events scan")
   }
 }
