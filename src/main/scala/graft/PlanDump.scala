@@ -148,6 +148,10 @@ object PlanDump {
       "q_stale_markers" -> "staleness markers: one lead() window pass on the series shuffle, gap + final rows filtered in place — no join, no grid (r10)",
       "q_backlog" -> "backlog cumsum over the |days|-bounded daily aggregate; status filter in PushedFilters (r10)",
       "q_ship_lag" -> "co-partitioned fact-fact orderkey equi-join, floor-division lag buckets, bounded output (r10)",
+      "q_verify_cost" -> "LSH verify pre-flight: one aggregate over the banded signature frame × a broadcast 8-row ladder — 8 rows out, no pairing (r12)",
+      "q_host_dedup" -> "one documents scan → map-side-combinable (host, fp) collapse → host-sized rollup; corpus share from a window over the rollup, never a second scan (r12)",
+      "q_contam_delta" -> "rides the persisted-index probe output: candidate-bounded frames only, one base-source join, no cartesian (r12)",
+      "q_nhcb_rate_q" -> "stacked rate→quantile on the materialized NHCB frame: the composition's 3 frame references are RDD-scan reuses, zero fresh events scans (r12)",
       "q_cross_neardup" -> "incremental near-dup: shard bands equi-join the PERSISTED base bucket parquet (base never re-paired), candidate-bounded sig joins (r11)",
       "q_probe_served" -> "served nprobe curve: three |Q|-bounded AnnIndex.query plans over the persisted posting parquet, broadcast centroid argmax, no corpus self-join (r11)")
 
