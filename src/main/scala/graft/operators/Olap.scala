@@ -1872,6 +1872,68 @@ object Olap {
       |      WHERE p_name LIKE '%widget%')
       |GROUP BY 1, 2""".stripMargin
 
+  /** q_trade_volume — TPC-H Q7 (volume shipping): revenue flowing
+    * among a four-nation trading bloc (Q7 runs two; four keeps every
+    * fixture SF non-empty), split by (supplier nation, customer
+    * nation, ship year) for the 1996–1997 window — the one classic
+    * TPC-H join pipeline §2.B still lacked (r12). Scale shape: both
+    * dims are filtered to the bloc FIRST and broadcast, so the
+    * supplier join prunes lineitem to trade-relevant lines before the
+    * orders join, and the cross-pair rule (supp ≠ cust nation) is a
+    * broadcast-side predicate — the fact tables shuffle once, on the
+    * orderkey equi-join, carrying integer cents. Output ≤ 12 nation
+    * pairs × 2 years. */
+  def qTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(nations: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_x10000"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rev_x10000").as("revenue_x10000"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val tradeVolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(rev) AS BIGINT) AS revenue_x10000,
+      |       COUNT(*) AS n_lines
+      |FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |             CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+      |             CAST(round(l_extendedprice*100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+      |      FROM lineitem
+      |      JOIN supplier ON l_suppkey = s_suppkey
+      |      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |      JOIN orders ON l_orderkey = o_orderkey
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |      WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      |        AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      |        AND sn.n_name <> cn.n_name
+      |        AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01')
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** q_supp_part_cnt — TPC-H Q16 shape (parts/supplier relationship):
     * how many DISTINCT suppliers can furnish each (brand, type, size)
     * part class, excluding suppliers with customer complaints — the

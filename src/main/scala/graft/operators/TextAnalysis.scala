@@ -599,6 +599,51 @@ object TextAnalysis {
        |FROM h""".stripMargin
   }
 
+  /** q_shard_balance — the shard-assignment SKEW audit (r12): per
+    * [[qShardOrder]] shard, doc and char counts plus the ppm deviation
+    * of each from a perfectly even split — the number a trainer ops
+    * dashboard alerts on, because a skewed shard is a straggling data
+    * loader every epoch (the content hash should spread uniformly; a
+    * systematic skew means the salt or the hash regressed). Integer
+    * ppm deviations: the division runs on NONNEGATIVE operands (count
+    * × shards × 10⁶ over the total) and the −10⁶ centering subtracts
+    * AFTER the division, so the truncate-vs-floor engine divergence
+    * never applies. One scan, |shards| rows out; only (shard, counts)
+    * shuffle — text never leaves the scan projection. */
+  def qShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    Tables.documents(spark, dir)
+      .select(col("n_chars"),
+        (hash60(concat_ws(":", lit("epoch0"), col("text")))
+          % OrderShards).cast("long").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .withColumn("tot_docs", sum("n_docs").over(all))
+      .withColumn("tot_chars", sum("n_chars").over(all))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        expr(s"n_docs * $OrderShards * 1000000 div tot_docs - 1000000")
+          .as("doc_skew_ppm"),
+        expr(s"n_chars * $OrderShards * 1000000 div tot_chars - 1000000")
+          .as("char_skew_ppm"))
+  }
+
+  val shardBalanceSql: String = {
+    val h = graft.functions.Portable.hash60Sql("'epoch0:' || text")
+    s"""WITH a AS (SELECT n_chars, $h % $OrderShards AS shard
+       |           FROM documents),
+       |s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |      FROM a GROUP BY shard)
+       |SELECT shard, n_docs, n_chars,
+       |       n_docs * $OrderShards * 1000000
+       |         // CAST(SUM(n_docs) OVER () AS BIGINT) - 1000000
+       |         AS doc_skew_ppm,
+       |       n_chars * $OrderShards * 1000000
+       |         // CAST(SUM(n_chars) OVER () AS BIGINT) - 1000000
+       |         AS char_skew_ppm
+       |FROM s""".stripMargin
+  }
+
   /** q_compaction_plan — the SMALL-FILES compaction planner (the
     * Iceberg/Delta `binpack` shape, the lake-maintenance sibling of
     * [[graft.sinks.LakeSink.writeClustered]]): per source, the 16

@@ -1233,6 +1233,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_trade_volume: Q7 bloc dims broadcast, fact tables shuffle " +
+      "once on the orderkey, shipdate pushed to the scan (r12)") {
+    val df = Olap.qTradeVolume(spark, dir)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastExchange"),
+      "the two-nation dims must broadcast")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("l_shipdate"),
+      "the ship-window predicate must reach the lineitem scan")
+  }
+
+  test("q_shard_balance: one documents scan, skew window over the " +
+      "16-row shard rollup only (r12)") {
+    val df = TextAnalysis.qShardBalance(spark, dir)
+    val plan = executed(df)
+    assert(finalScans(plan) == 1, "balance audit is one corpus scan")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.indexOf("Window") < opt.indexOf("Aggregate"),
+      "the ppm window must run over the shard rollup, never the scan")
+  }
+
   test("q_nhcb_rate_q: every reference rides the materialized NHCB " +
       "frame — zero fresh events scans in the composition (r12)") {
     val plan = executed(graft.operators.NativeHistogram

@@ -183,6 +183,75 @@ class Round12OperatorSpec extends SparkSpec {
         s"expect=${expect.take(2)})")
   }
 
+  test("q_shard_balance == a JVM rollup of the q_shard_order " +
+      "assignment, and the ppm deviations sum to ~0 per measure") {
+    import graft.functions.Portable.hash60Jvm
+    val docs = Tables.documents(spark, dir)
+      .select("text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byShard = docs.groupBy { case (t, _) =>
+      hash60Jvm("epoch0:" + t) % 16 }
+    val totDocs = docs.length.toLong
+    val totChars = docs.map(_._2).sum
+    val expect = byShard.map { case (sh, ds) =>
+      val n = ds.length.toLong
+      val c = ds.map(_._2).sum
+      sh -> (n, c, n * 16L * 1000000L / totDocs - 1000000L,
+        c * 16L * 1000000L / totChars - 1000000L)
+    }
+    val got = graft.operators.TextAnalysis.qShardBalance(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect && got.size == 16,
+      s"shard balance diverged: ${got.toSeq.sortBy(_._1).take(3)} vs " +
+        s"${expect.toSeq.sortBy(_._1).take(3)}")
+    // consistency with the shard ORDER operator: same assignment rule
+    val orderShards = graft.operators.TextAnalysis.qShardOrder(spark, dir)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(orderShards == got.view.mapValues(_._1).toMap,
+      "balance must audit exactly q_shard_order's assignment")
+  }
+
+  test("q_trade_volume == a JVM recomputation of the Q7 bloc rollup") {
+    val nations = Set("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    val nName = Tables.nation(spark, dir).collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue() ->
+        r.getAs[String]("n_name")).toMap
+    val suppN = Tables.supplier(spark, dir).collect()
+      .map(r => r.getAs[Number]("s_suppkey").longValue() ->
+        nName(r.getAs[Number]("s_nationkey").longValue())).toMap
+    val custN = Tables.customer(spark, dir).collect()
+      .map(r => r.getAs[Number]("c_custkey").longValue() ->
+        nName(r.getAs[Number]("c_nationkey").longValue())).toMap
+    val orderCust = Tables.orders(spark, dir).collect()
+      .map(r => r.getAs[Number]("o_orderkey").longValue() ->
+        r.getAs[Number]("o_custkey").longValue()).toMap
+    val expect = scala.collection.mutable.Map[
+      (String, String, Long), (Long, Long)]()
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount").collect().foreach { r =>
+      val ship = r.getAs[java.sql.Timestamp]("l_shipdate").toLocalDateTime
+      if (ship.getYear == 1996 || ship.getYear == 1997) {
+        val sn = suppN(r.getAs[Number]("l_suppkey").longValue())
+        val cn = custN(orderCust(r.getAs[Number]("l_orderkey").longValue()))
+        if (nations(sn) && nations(cn) && sn != cn) {
+          val rev = math.round(r.getAs[Double]("l_extendedprice") * 100) *
+            (100L - math.round(r.getAs[Double]("l_discount") * 100))
+          val k = (sn, cn, ship.getYear.toLong)
+          val (a, b) = expect.getOrElse(k, (0L, 0L))
+          expect(k) = (a + rev, b + 1L)
+        }
+      }
+    }
+    val got = graft.operators.Olap.qTradeVolume(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect.toMap && got.nonEmpty,
+      s"Q7 rollup diverged: $got vs $expect")
+  }
+
   test("preflight memo is a materialized frame now (ADVICE_r11): the " +
       "verdict survives repeated calls and re-derives after " +
       "invalidation — no (session, dir)-keyed strong map remains") {
