@@ -199,10 +199,44 @@ object Similarity {
        |         ORDER BY cos DESC, neighbor_id) AS rn
        |FROM p QUALIFY rn <= 5""".stripMargin
 
-  /** Number of LSH hyperplanes → 2^planes buckets. 6 keeps per-bucket
-    * population ~n/64 so within-bucket pair work is (n/64)² per bucket —
-    * two orders below brute force; tune up as n grows. */
+  /** FLOOR of the LSH hyperplane count → 2^planes buckets; the
+    * effective count is [[annPlanes]], which grows with log₂(n) so the
+    * bucket space tracks the corpus (the ivfK device). */
   private val NPlanes = 6
+
+  /** Target per-bucket population for the adaptive plane count. */
+  private val TargetBucketVecs = 32L
+
+  /** Adaptive hyperplane count (r12 — the r7 constant-K law landing on
+    * the sign-LSH space): the smallest P with 2^P ≥ ⌈n/32⌉, floored at
+    * [[NPlanes]], so expected bucket population stays ≤ ~32 and the
+    * in-bucket self-join totals ~16·n pairs — LINEAR — instead of the
+    * n²/2^6 a constant plane count degenerates to (measured: the
+    * ann_lsh_bands frame build was 701 s at sf10 — 200k vectors over a
+    * fixed 64-bucket space ≈ 600M join rows; a second decade would be
+    * 100× that). Integer-exact in BOTH engines — P = max(6,
+    * bit_length(⌈n/32⌉ − 1)), the NativeHistogram idx0 bit-length
+    * device, no floating log — and the oracle computes the same P with
+    * a scalar-subquery bound on its plane generate_series
+    * ([[annPlanesSql]]). Every fixture SF selects 6 (zero oracle
+    * churn); sf10 selects 13 (8,192 buckets). Per-pair collision
+    * probability falls as P grows — the documented sign-LSH recall
+    * tradeoff; [[NBands]] is the recall dial and q_ann_recall measures
+    * it. */
+  private[graft] def annPlanes(spark: SparkSession, dir: String): Int = {
+    val m = (vecCount(spark, dir) + TargetBucketVecs - 1) / TargetBucketVecs
+    math.max(NPlanes,
+      if (m <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L))
+  }
+
+  /** The oracle's scalar twin of [[annPlanes]] — embeds as the upper
+    * bound of the plane generate_series. */
+  private val annPlanesSql: String =
+    s"(SELECT GREATEST($NPlanes, CASE WHEN m <= 1 THEN 0 " +
+      "ELSE length(bin(m - 1)) END) " +
+      s"FROM (SELECT (COUNT(*) + ${TargetBucketVecs - 1}) // " +
+      s"$TargetBucketVecs AS m FROM embeddings))"
 
   /** Plane weights as PLAN-TIME constants: w(p)(i) = hash60("p:i") mod
     * 2001 − 1000, computed on the JVM once and embedded as literals in
@@ -210,8 +244,8 @@ object Similarity {
     * element at runtime — the naive form — costs more than the dot
     * products themselves.) The oracle recomputes the same values from
     * the same formula in SQL. */
-  private def planeWeights(d: Int): Array[Array[Long]] =
-    Array.tabulate(NPlanes, d)((p, i) => hash60Jvm(s"$p:$i") % 2001 - 1000)
+  private def planeWeights(d: Int, planes: Int): Array[Array[Long]] =
+    Array.tabulate(planes, d)((p, i) => hash60Jvm(s"$p:$i") % 2001 - 1000)
 
   /** Hot-bucket guard for the LSH self-joins: cap bucket membership
     * before pairing (quadratic otherwise if one bucket degenerates —
@@ -242,10 +276,11 @@ object Similarity {
   private def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     materializeOnce(spark, dir, "lsh_buckets") {
       val d = dim(spark, dir)
-      val pw = planeWeights(d)
+      val planes = annPlanes(spark, dir)
+      val pw = planeWeights(d, planes)
       val planeDot = (p: Int) =>
         dot(col("q"), typedLit(pw(p).toSeq))
-      val bucket = (0 until NPlanes)
+      val bucket = (0 until planes)
         .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
         .reduce(_ + _)
       capBuckets(quantized(spark, dir).withColumn("bucket", bucket))
@@ -276,8 +311,9 @@ object Similarity {
 
   /** Per-band plane weights — independent pseudo-random sets, seeded
     * like [[planeWeights]] but namespaced by band. */
-  private def bandPlaneWeights(band: Int, d: Int): Array[Array[Long]] =
-    Array.tabulate(NPlanes, d)((p, i) =>
+  private def bandPlaneWeights(band: Int, d: Int,
+      planes: Int): Array[Array[Long]] =
+    Array.tabulate(planes, d)((p, i) =>
       hash60Jvm(s"b$band:$p:$i") % 2001 - 1000)
 
   /** q_ann_lsh_bands — multi-probe sign-LSH ANN: [[NBands]] INDEPENDENT
@@ -301,9 +337,10 @@ object Similarity {
   private def bandBuckets(spark: SparkSession, dir: String): DataFrame =
     materializeOnce(spark, dir, "band_buckets") {
       val d = dim(spark, dir)
+      val planes = annPlanes(spark, dir)
       val bucketExprs = (0 until NBands).map { band =>
-        val pw = bandPlaneWeights(band, d)
-        (0 until NPlanes)
+        val pw = bandPlaneWeights(band, d, planes)
+        (0 until planes)
           .map(p => when(dot(col("q"), typedLit(pw(p).toSeq)) >= 0,
             lit(1L << p)).otherwise(lit(0L)))
           .reduce(_ + _)
@@ -350,7 +387,7 @@ object Similarity {
        |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
        |       FROM qn,
        |         (SELECT unnest(generate_series(0, ${NBands - 1})) AS b) bands,
-       |         (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |         (SELECT unnest(generate_series(0, $annPlanesSql - 1)) AS p) planes),
        |bk AS (SELECT vec_id, b AS band,
        |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bp GROUP BY vec_id, b),
@@ -1096,7 +1133,7 @@ object Similarity {
        |bp AS (SELECT vec_id, p,
        |        CAST(list_sum(list_transform(generate_series(1, len(q)),
        |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
-       |       FROM qn, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |       FROM qn, (SELECT unnest(generate_series(0, $annPlanesSql - 1)) AS p) planes),
        |bk AS (SELECT vec_id,
        |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bp GROUP BY vec_id),
@@ -1140,7 +1177,7 @@ object Similarity {
        |bp AS (SELECT vec_id, p,
        |        CAST(list_sum(list_transform(generate_series(1, len(q)),
        |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
-       |       FROM qn, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |       FROM qn, (SELECT unnest(generate_series(0, $annPlanesSql - 1)) AS p) planes),
        |bk AS (SELECT vec_id,
        |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bp GROUP BY vec_id),
@@ -1385,7 +1422,7 @@ object Similarity {
        |bp AS (SELECT vec_id, p,
        |        CAST(list_sum(list_transform(generate_series(1, len(q)),
        |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
-       |       FROM qn, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |       FROM qn, (SELECT unnest(generate_series(0, $annPlanesSql - 1)) AS p) planes),
        |bk AS (SELECT vec_id,
        |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bp GROUP BY vec_id),
@@ -1678,9 +1715,10 @@ object Similarity {
     */
   def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
     val d = dim(spark, dir)
-    val pw = planeWeights(d)
+    val planes = annPlanes(spark, dir)
+    val pw = planeWeights(d, planes)
     val planeDot = (p: Int) => dot(col("q"), typedLit(pw(p).toSeq))
-    val bucket = (0 until NPlanes)
+    val bucket = (0 until planes)
       .map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
     val v = capBuckets(
@@ -1719,7 +1757,7 @@ object Similarity {
        |bp AS (SELECT vec_id, p,
        |        CAST(list_sum(list_transform(generate_series(1, len(q)),
        |          i -> q[i] * ($wExpr % 2001 - 1000))) AS BIGINT) AS dotp
-       |       FROM qn, (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS p) planes),
+       |       FROM qn, (SELECT unnest(generate_series(0, $annPlanesSql - 1)) AS p) planes),
        |bk AS (SELECT vec_id,
        |        CAST(SUM(CASE WHEN dotp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bp GROUP BY vec_id),

@@ -252,6 +252,26 @@ class Round12OperatorSpec extends SparkSpec {
       s"Q7 rollup diverged: $got vs $expect")
   }
 
+  test("annPlanes sizes the sign-LSH bucket space with the corpus " +
+      "(r12 — the r7 constant-K law): fixture SFs select the floor 6 " +
+      "(zero oracle churn); a 200k-vector corpus selects 13") {
+    // every fixture SF must keep the legacy 6-plane space — that is
+    // what guarantees the adaptive rework changed no oracle answer
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"))
+      assert(graft.operators.Similarity.annPlanes(spark, d) == 6,
+        s"fixture $d must select the plane floor")
+    // a probe-scale corpus grows the space: P = bit_length(ceil(n/32)-1)
+    import spark.implicits._
+    val big = tmpDir("ann_planes_big")
+    spark.range(200000).select(col("id").as("vec_id"),
+        typedLit(Seq(1.0f, 2.0f)).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    assert(graft.operators.Similarity.annPlanes(spark, big) == 13,
+      "200k vectors → ceil(200k/32)=6250 → bit_length(6249)=13 planes")
+  }
+
   test("preflight memo is a materialized frame now (ADVICE_r11): the " +
       "verdict survives repeated calls and re-derives after " +
       "invalidation — no (session, dir)-keyed strong map remains") {
