@@ -253,14 +253,20 @@ object BandIndex {
               s"v$FormatVersion) — refusing to overwrite")
         case Some(m) if m.formatVersion == FormatVersion &&
             m.corpusDir == corpusDir && m.shardSource == shardSource && {
-              val base = baseSigs(spark, corpusDir, shardSource)
-              m.nBaseDocs == base.count() &&
-                m.baseFp == baseFingerprint(base) &&
-                // the persisted-postings pin (v3): a crash inside
-                // append() (buckets landed, meta not rewritten) or any
-                // over-inclusive buckets read as STALE here instead of
-                // silently self-pairing on the next probe (ADVICE_r11)
-                m.nPostings == postingCount(spark, root)
+              // an unreadable buckets/ (partial deletion, corruption)
+              // must read as STALE → rebuild, exactly like every other
+              // staleness case — readMeta already tolerates exceptions
+              // and this guard must too (ADVICE_r12)
+              try {
+                val base = baseSigs(spark, corpusDir, shardSource)
+                m.nBaseDocs == base.count() &&
+                  m.baseFp == baseFingerprint(base) &&
+                  // the persisted-postings pin (v3): a crash inside
+                  // append() (buckets landed, meta not rewritten) or any
+                  // over-inclusive buckets read as STALE here instead of
+                  // silently self-pairing on the next probe (ADVICE_r11)
+                  m.nPostings == postingCount(spark, root)
+              } catch { case scala.util.control.NonFatal(_) => false }
             } =>
           // valid — serve as-is, after the one cheap repair: a missing/
           // unreadable `sizes/` sidecar (the append swap's crash window

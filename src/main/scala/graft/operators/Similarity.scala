@@ -414,13 +414,24 @@ object Similarity {
     * (assignment cost n·K vs per-cell search (n/K)²). */
   private val IvfCells = 16
 
-  /** Corpus vector count, probed once per (session, dir) and memoized
-    * (same device as [[dim]] — a data constant, not a per-plan job). */
-  private val countCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Long]()
-  private def vecCount(spark: SparkSession, dir: String): Long =
-    countCache.computeIfAbsent((spark, dir), _ =>
-      Tables.embeddings(spark, dir).count()).longValue()
+  /** Corpus vector count, memoized WEAKLY by the materialized
+    * quantized-frame INSTANCE (the bandCapCache lifecycle pattern,
+    * ADVICE_r12): the count is a fact of that materialization, so
+    * `invalidate()`/`release()` make the entry collectable and a
+    * corpus regenerated in place re-derives — a strong (session, dir)
+    * key would serve the stale count (and a stale [[annPlanes]] plan
+    * shape) forever while the oracle's scalar subquery recounts.
+    * The quantized frame is one row per corpus vector (no filter), so
+    * counting it == counting embeddings, off the cached RDD. */
+  private val countCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+  private def vecCount(spark: SparkSession, dir: String): Long = {
+    val q = quantized(spark, dir)
+    val cached = countCache.get(q)
+    if (cached != null) cached.longValue()
+    else { val n = q.count(); countCache.put(q, n); n }
+  }
 
   /** Effective IVF cell count: max([[IvfCells]], ⌊√(n/8)⌋) — the
     * production √n sizing, as a plan-time constant probed from the

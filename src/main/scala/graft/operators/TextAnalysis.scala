@@ -621,10 +621,15 @@ object TextAnalysis {
       .withColumn("tot_docs", sum("n_docs").over(all))
       .withColumn("tot_chars", sum("n_chars").over(all))
       .select(col("shard"), col("n_docs"), col("n_chars"),
-        expr(s"n_docs * $OrderShards * 1000000 div tot_docs - 1000000")
-          .as("doc_skew_ppm"),
-        expr(s"n_chars * $OrderShards * 1000000 div tot_chars - 1000000")
-          .as("char_skew_ppm"))
+        // the ×shards×10⁶ products run in DECIMAL(38,0) (HUGEINT in
+        // the oracle): n_chars * 16e6 overflows int64 at ~5.8e11
+        // chars/shard (~0.6 TB of text) — inside the 100 TB admission
+        // envelope; ANSI Spark would RAISE there (ADVICE_r12). `div`
+        // on decimal returns the identical BIGINT → zero value churn.
+        expr(s"CAST(n_docs AS DECIMAL(38,0)) * $OrderShards * 1000000" +
+          " div tot_docs - 1000000").as("doc_skew_ppm"),
+        expr(s"CAST(n_chars AS DECIMAL(38,0)) * $OrderShards * 1000000" +
+          " div tot_chars - 1000000").as("char_skew_ppm"))
   }
 
   val shardBalanceSql: String = {
@@ -635,12 +640,12 @@ object TextAnalysis {
        |        CAST(SUM(n_chars) AS BIGINT) AS n_chars
        |      FROM a GROUP BY shard)
        |SELECT shard, n_docs, n_chars,
-       |       n_docs * $OrderShards * 1000000
+       |       CAST(CAST(n_docs AS HUGEINT) * $OrderShards * 1000000
        |         // CAST(SUM(n_docs) OVER () AS BIGINT) - 1000000
-       |         AS doc_skew_ppm,
-       |       n_chars * $OrderShards * 1000000
+       |         AS BIGINT) AS doc_skew_ppm,
+       |       CAST(CAST(n_chars AS HUGEINT) * $OrderShards * 1000000
        |         // CAST(SUM(n_chars) OVER () AS BIGINT) - 1000000
-       |         AS char_skew_ppm
+       |         AS BIGINT) AS char_skew_ppm
        |FROM s""".stripMargin
   }
 

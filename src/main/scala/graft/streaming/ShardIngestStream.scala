@@ -50,13 +50,16 @@ object ShardIngestStream {
 
   /** (doc_id, s0..s15) via the JVM kernel, for one micro-batch of
     * (doc_id, text) rows. Docs under 3 tokens drop out, exactly like
-    * the batch signature frame. */
+    * the batch signature frame — and so do NULL-text docs (the batch
+    * frame drops them via SQL null semantics; a bare `text.split`
+    * here would NPE and kill the whole streaming query on one
+    * malformed doc — ADVICE_r12). */
   def sigFrame(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        DedupStream.sigJvm(text).map(s =>
+        Option(text).flatMap(DedupStream.sigJvm).map(s =>
           (id, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7),
             s(8), s(9), s(10), s(11), s(12), s(13), s(14), s(15)))
       }

@@ -139,6 +139,25 @@ class BandIndexSpec extends SparkSpec {
       "a postings/meta count mismatch must force a rebuild")
   }
 
+  test("corrupt buckets/ with intact meta reads as STALE and rebuilds " +
+      "instead of crashing ensure (ADVICE_r12): the validity guard " +
+      "tolerates an unreadable postings dir like readMeta tolerates " +
+      "an unreadable meta") {
+    val root = tmpDir("band_idx_corrupt")
+    BandIndex.ensure(spark, dir, root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // partial deletion: meta/ survives, buckets/ is gone — the guard's
+    // postingCount read throws; that must mean "stale", never a crash
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/buckets"), true))
+    val before = BandIndex.builds.get()
+    val served = BandIndex.probe(spark, dir,
+      BandIndex.ensure(spark, dir, root))
+    assert(BandIndex.builds.get() == before + 1,
+      "an unreadable buckets/ must force a rebuild")
+    assert(served.count() > 0, "the rebuilt index must serve verdicts")
+  }
+
   test("baseFingerprint covers ALL 16 signature components (r12, " +
       "ADVICE_r11): a regeneration that preserves (doc_id, s0, s15) " +
       "but moves s1 must move the fingerprint") {

@@ -1213,18 +1213,23 @@ class PlanAuditSpec extends SparkSpec {
         s"${finalScans(plan)} scans")
   }
 
-  test("q_host_dedup: one documents scan, partial aggregation kept, " +
-      "share window over the host-sized rollup only (r12)") {
+  test("q_host_dedup: host rollup keeps partial aggregation; corpus " +
+      "total is a broadcast 1-row count, NEVER a single-partition " +
+      "window over the data-dependent host frame (r13)") {
     val df = Dedup.qHostDedup(spark, dir)
     val plan = executed(df)
-    assert(finalScans(plan) == 1, "host rollup is one corpus scan")
+    assert(finalScans(plan) == 2,
+      "host rollup scan + the zero-column total count scan")
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "the (host, fp) collapse must keep map-side partial aggregation")
-    // the window sits above the aggregates (host-sized frame), never
-    // over the raw scan
-    val opt = df.queryExecution.optimizedPlan.toString
-    assert(opt.indexOf("Window") < opt.indexOf("Aggregate"),
-      s"share window must run over the host rollup:\n${opt.take(1200)}")
+    // the r12 shape was sum().over(partitionBy(lit(1))) — the exact
+    // window-over-everything the codebase bans (VERDICT_r12 item 1);
+    // the fix removes the Window node entirely
+    assert(!plan.contains("Window"),
+      s"no window may remain in the host-dedup plan:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the 1-row total must enter via broadcast")
   }
 
   test("q_contam_delta: rides the persisted-index probe — no cartesian, " +

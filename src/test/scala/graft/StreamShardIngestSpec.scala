@@ -32,6 +32,18 @@ class StreamShardIngestSpec extends SparkSpec {
       "kernel signatures must equal the batch frame component-wise")
   }
 
+  test("NULL-text docs drop out of the kernel frame exactly like the " +
+      "batch frame's SQL null semantics — never an NPE that kills the " +
+      "stream (ADVICE_r12)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, null),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = ShardIngestStream.sigFrame(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L),
+      "null text and <3-token docs must drop silently")
+  }
+
   test("streamed shard verdicts == BandIndex.probe on the same shard, " +
       "across three micro-batches, with re-delivered docs idempotent") {
     val root = BandIndex.ensure(spark, dir, tmpDir("shard_stream_idx"))
