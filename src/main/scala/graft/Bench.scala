@@ -43,27 +43,53 @@ object Bench {
     spark
   }
 
+  /** Cumulative JVM GC time (ms) across all collectors — the delta
+    * around an execution attributes environmental inflation to GC by
+    * READING the artifact instead of re-running (VERDICT_r12 item 7:
+    * the phantom-slow class cost investigation time in r5/r8/r10/r11/
+    * r12). */
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+  }
+
+  /** Reset the per-pool peak-usage counters (called before a query's
+    * measured runs) and read the summed high-water afterwards. Pool
+    * peaks are not simultaneous, so the sum is a slight upper bound —
+    * fine for the "was this query under heap pressure" adjudication. */
+  private def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+  private def heapPeakMb(): Long =
+    heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+
   /** Time one execution; −1 marks failure (logged, never a fake timing).
     * Returns (wall seconds, materialize-once frame-build seconds that
-    * landed INSIDE this execution) — the second term is the
-    * cost-attribution device (VERDICT_r09 item 3): a shared frame's
-    * build belongs to the frame, not to whichever query happened to
-    * demand it first, so reported per-query numbers are steady-state
-    * (wall − frame) and the frame builds get their own artifact
-    * section. */
+    * landed INSIDE this execution, GC ms that landed inside it) — the
+    * frame term is the cost-attribution device (VERDICT_r09 item 3): a
+    * shared frame's build belongs to the frame, not to whichever query
+    * happened to demand it first, so reported per-query numbers are
+    * steady-state (wall − frame) and the frame builds get their own
+    * artifact section. */
   private def timeOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-      : (Double, Double) = {
+      : (Double, Double, Long) = {
     val f0 = graft.operators.MaterializeOnce.buildLogSize
+    val g0 = gcMs()
     val t0 = System.nanoTime()
     try {
       fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       val frameSec = graft.operators.MaterializeOnce.buildLogSnapshot
         .drop(f0).map(_.seconds).sum
-      (sec, frameSec)
+      (sec, frameSec, gcMs() - g0)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] $name FAILED: $e"); (-1.0, 0.0)
+      System.err.println(s"[bench] $name FAILED: $e"); (-1.0, 0.0, 0L)
     }
   }
 
@@ -146,15 +172,16 @@ object Bench {
       // frame build that still lands inside a measured run (heap
       // pressure evicting blocks, mid-block release boundaries) is
       // attributed to the frame, never the query
-      val (warmup, _) = timeOne(spark, sfDir, name, fn)
+      val (warmup, _, _) = timeOne(spark, sfDir, name, fn)
+      resetHeapPeaks()
       val timed =
-        if (warmup < 0) Seq.fill(runs)((-1.0, 0.0))
+        if (warmup < 0) Seq.fill(runs)((-1.0, 0.0, 0L))
         else (1 to runs).map(_ => timeOne(spark, sfDir, name, fn))
-      (name, warmup, timed)
+      (name, warmup, timed, heapPeakMb())
     }
     // steady-state per-query value: min over (wall − frame builds)
-    val results = allRuns.map { case (name, _, timed) =>
-      val adj = timed.map { case (t, f) => if (t < 0) -1.0 else math.max(t - f, 0.0) }
+    val results = allRuns.map { case (name, _, timed, _) =>
+      val adj = timed.map { case (t, f, _) => if (t < 0) -1.0 else math.max(t - f, 0.0) }
       (name, if (adj.contains(-1.0)) -1.0 else adj.min)
     }
     val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
@@ -170,15 +197,20 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"routed_to_lsh":$routedJson,"sf":"$sfDir"}""")
 
     // Complete artifact: per-query warmup + all measured timings (raw
-    // wall + in-run frame-build seconds) + steady-state min + max/min
-    // spread, immune to the driver's stdout tail-truncation.
-    val detail = allRuns.map { case (name, warmup, timed) =>
-      val adj = timed.map { case (t, f) => if (t < 0) -1.0 else math.max(t - f, 0.0) }
+    // wall + in-run frame-build seconds + in-run GC ms) + the heap
+    // high-water across the measured runs + steady-state min + max/min
+    // spread, immune to the driver's stdout tail-truncation. gc_ms and
+    // heap_peak_mb exist so the recurring environmental-inflation class
+    // is adjudicated by READING the artifact (VERDICT_r12 item 7): a
+    // phantom-slow query shows gc_ms ≈ the inflation or a heap peak at
+    // the driver cap; a real plan cost shows neither.
+    val detail = allRuns.map { case (name, warmup, timed, heapMb) =>
+      val adj = timed.map { case (t, f, _) => if (t < 0) -1.0 else math.max(t - f, 0.0) }
       val min = if (adj.contains(-1.0)) -1.0 else adj.min
       val spread =
         if (adj.contains(-1.0) || adj.min <= 0) -1.0
         else adj.max / adj.min
-      s""""$name":{"warmup":$warmup,"runs":[${timed.map(_._1).mkString(",")}],"frame_sec":[${timed.map(_._2).mkString(",")}],"min":$min,"spread":$spread}"""
+      s""""$name":{"warmup":$warmup,"runs":[${timed.map(_._1).mkString(",")}],"frame_sec":[${timed.map(_._2).mkString(",")}],"gc_ms":[${timed.map(_._3).mkString(",")}],"heap_peak_mb":$heapMb,"min":$min,"spread":$spread}"""
     }.mkString("{", ",", "}")
     writeArtifact(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"warmup_discarded":true,"release_every":$releaseEvery,"errors":${errors.mkString("[", ",", "]")},"routed_to_lsh":$routedJson,"frames":$frames,"queries":$detail}""")
@@ -202,10 +234,12 @@ object Bench {
     // one discarded warmup execution per query, then the interleaved rounds
     names.foreach(n => timeOne(spark, sfDir, n, SparkEntry.queries(n)))
     val series = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    val gcSeries = names.map(n => n -> scala.collection.mutable.ArrayBuffer[Long]()).toMap
     (1 to rounds).foreach { _ =>
       names.foreach { n =>
         series(n) += (timeOne(spark, sfDir, n, SparkEntry.queries(n)) match {
-          case (t, f) => if (t < 0) -1.0 else math.max(t - f, 0.0)
+          case (t, f, g) => gcSeries(n) += g
+            if (t < 0) -1.0 else math.max(t - f, 0.0)
         })
       }
     }
@@ -215,7 +249,7 @@ object Bench {
     val qs = names.map { n =>
       val xs = series(n).toSeq
       val ok = !xs.contains(-1.0)
-      s""""$n":{"runs":[${xs.mkString(",")}],"min":${if (ok) xs.min else -1.0},"median":${if (ok) med(xs) else -1.0}}"""
+      s""""$n":{"runs":[${xs.mkString(",")}],"gc_ms":[${gcSeries(n).mkString(",")}],"min":${if (ok) xs.min else -1.0},"median":${if (ok) med(xs) else -1.0}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"ab","rounds":$rounds,"unit":"sec","sf":"$sfDir","order":[${names.map("\"" + _ + "\"").mkString(",")}],"queries":$qs}"""
     println(line)
