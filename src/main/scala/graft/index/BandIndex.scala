@@ -280,6 +280,124 @@ object BandIndex {
     root
   }
 
+  /** The tombstone set (doc_id rows), or None when no delete has ever
+    * happened — absence is the fast path ([[probeSigs]] skips all
+    * masking work). */
+  private def tombstones(spark: SparkSession,
+      root: String): Option[DataFrame] =
+    try {
+      val t = spark.read.parquet(p(root, "tombstones"))
+        .select(col("doc_id"))
+      Some(t)
+    } catch { case _: Exception => None }
+
+  /** TOMBSTONE delete — the retracted-shard lifecycle step AnnIndex
+    * grew in r9 and this index lacked (VERDICT_r12 item 4: a bad crawl
+    * or takedown forced a full rebuild because postings could only
+    * grow). Marks base docs dead WITHOUT touching the persisted
+    * artifacts: the tombstone set is a parquet list of doc_ids and
+    * every probe anti-joins it — including the hot-bucket cap, which
+    * re-derives LIVE per-bucket df at probe time, so served verdicts
+    * equal an index rebuilt without the dead docs EXACTLY (a bucket
+    * the dead postings pushed over the cap is re-admitted, spec'd in
+    * `BandIndexSpec`). Cost is O(|batch|): one membership check
+    * against `sigs/` plus one small parquet append — buckets, sigs and
+    * sizes are untouched until [[vacuum]] reclaims them, which is what
+    * makes a crash anywhere inside delete leave a consistent index
+    * (either the ids are appended and masked, or they are not).
+    * Idempotent: already-tombstoned ids are skipped and the returned
+    * count is the number NEWLY deleted. Unknown ids are refused — a
+    * delete that silently no-ops is how a takedown pipeline loses
+    * track of what it actually removed. Meta is NOT touched:
+    * `nPostings` stays the raw persisted count (what [[ensure]]'s
+    * torn-append pin verifies).
+    *
+    * Ensure() interaction (the [[AnnIndex.delete]] caveat): the
+    * staleness check derives the base from `corpusDir`, so delete +
+    * probe against an UNCHANGED corpus serves the masked index fine,
+    * but once the corpus snapshot itself drops the same docs, ensure()
+    * reads the index stale and rebuilds without them — delete/vacuum
+    * serve the corpus that is itself shrinking. */
+  def delete(spark: SparkSession, root: String, docIds: DataFrame): Long = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"BandIndex: cannot delete from $root — no readable index meta"))
+    require(meta.formatVersion == FormatVersion,
+      s"BandIndex: $root is format v${meta.formatVersion}")
+    val ids = docIds.select(col("doc_id").cast("long")).distinct().cache()
+    try {
+      val n = ids.count()
+      val known = ids.join(spark.read.parquet(p(root, "sigs"))
+        .select(col("doc_id")), "doc_id").count()
+      require(known == n,
+        s"BandIndex: ${n - known} of the ids to delete are not in the " +
+          "index — refusing a partial delete (the caller's bookkeeping " +
+          "would drift)")
+      val fresh = tombstones(spark, root) match {
+        case Some(t) => ids.join(t, Seq("doc_id"), "left_anti")
+        case None => ids
+      }
+      val freshN = fresh.count()
+      if (freshN > 0)
+        fresh.write.mode("append").parquet(p(root, "tombstones"))
+      freshN
+    } finally ids.unpersist()
+  }
+
+  /** Reclaim tombstoned docs: rewrite `buckets/` and `sigs/` WITHOUT
+    * the dead rows, recompute the `sizes/` sidecar from the rewritten
+    * postings, re-pin `nPostings` in meta — the COMMIT record, written
+    * only after the rewritten postings count out exactly — and drop
+    * the tombstone set. Rewrites go through sibling directories and a
+    * filesystem rename (parquet cannot overwrite a directory it is
+    * reading, the [[append]] sizes-swap device); a crash mid-vacuum
+    * leaves either the old layout or an nPostings mismatch that
+    * [[ensure]] reads as stale and rebuilds. No-op (same meta back)
+    * when nothing is tombstoned. After vacuum a deleted doc's rows are
+    * physically gone. */
+  def vacuum(spark: SparkSession, root: String): BandMeta = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"BandIndex: cannot vacuum $root — no readable index meta"))
+    require(meta.formatVersion == FormatVersion,
+      s"BandIndex: $root is format v${meta.formatVersion}")
+    val tomb = tombstones(spark, root)
+    if (tomb.isEmpty) return meta
+    val t = tomb.get.cache()
+    try {
+      val dead = t.count()
+      if (dead == 0) return meta
+      // expected live postings, counted BEFORE the swap — the commit
+      // check below verifies against this instead of "must shrink", so
+      // a vacuum re-run after a crash between the meta commit and the
+      // tombstone drop (dead rows already gone, deadPostings == 0) is
+      // an idempotent no-op that just clears the tombstones
+      val deadPostings = spark.read.parquet(p(root, "buckets"))
+        .join(broadcast(t), Seq("doc_id"), "left_semi").count()
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def swap(part: String): Unit = {
+        val live = spark.read.parquet(p(root, part))
+          .join(broadcast(t), Seq("doc_id"), "left_anti")
+        live.write.mode("overwrite").parquet(p(root, part + ".compact"))
+        val cur = new org.apache.hadoop.fs.Path(p(root, part))
+        val next = new org.apache.hadoop.fs.Path(p(root, part + ".compact"))
+        fs.delete(cur, true)
+        require(fs.rename(next, cur),
+          s"BandIndex: vacuum rename failed for $part at $root")
+      }
+      swap("buckets")
+      swap("sigs")
+      rebuildSizes(spark, root)
+      val nLive = postingCount(spark, root)
+      require(nLive == meta.nPostings - deadPostings,
+        s"BandIndex: post-vacuum posting count $nLive != " +
+          s"${meta.nPostings} − $deadPostings — refusing to commit meta")
+      val newMeta = meta.copy(nPostings = nLive)
+      writeMeta(spark, root, newMeta)
+      fs.delete(new org.apache.hadoop.fs.Path(p(root, "tombstones")), true)
+      newMeta
+    } finally t.unpersist()
+  }
+
   /** Probe the shard against the persisted base buckets: per (shard
     * doc, base doc) candidate pair, the shared-band count, the MinHash
     * estimated-similarity verify (matching signature components, 0..16
@@ -304,16 +422,39 @@ object BandIndex {
   def probeSigs(spark: SparkSession, root: String,
       shardSig: DataFrame): DataFrame = {
     val shardBands = Dedup.bandedSig(shardSig)
+    val rawSizes = spark.read.parquet(p(root, "sizes"))
+    val rawBuckets = spark.read.parquet(p(root, "buckets"))
+    // tombstone masking (r13): dead base docs drop out of the postings,
+    // and the hot-bucket cap runs on LIVE df (raw sidecar df minus the
+    // dead docs' postings in that bucket) — both are required for the
+    // exactness contract "masked probe == an index rebuilt without the
+    // docs": a bucket only the dead postings pushed over the cap must
+    // be re-admitted. The dead-df aggregate is one pass over the
+    // postings semi-joined with the (small, broadcast) tombstone set —
+    // paid only while tombstones exist; vacuum returns the fast path.
+    val (sizes, buckets) = tombstones(spark, root) match {
+      case Some(t0) =>
+        val t = broadcast(t0)
+        val deadDf = rawBuckets.join(t, Seq("doc_id"), "left_semi")
+          .groupBy("band_id", "band_hash").agg(count(lit(1)).as("dead"))
+        val live = rawSizes
+          .join(deadDf, Seq("band_id", "band_hash"), "left")
+          .select(col("band_id"), col("band_hash"),
+            (col("df") - coalesce(col("dead"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+        (live, rawBuckets.join(t, Seq("doc_id"), "left_anti"))
+      case None => (rawSizes, rawBuckets)
+    }
     // probe-time hot-bucket cap (v2): the vocab-sized sidecar names
     // the admissible buckets; a bucket the appends pushed over the cap
     // drops whole, exactly as a rebuild would have dropped it
-    val ok = spark.read.parquet(p(root, "sizes"))
+    val ok = sizes
       .filter(col("df") <= Dedup.BandBucketCap)
       .select("band_id", "band_hash")
-    val buckets = spark.read.parquet(p(root, "buckets"))
+    val capped = buckets
       .withColumnsRenamed(Map("doc_id" -> "base_doc"))
       .join(ok, Seq("band_id", "band_hash"), "left_semi")
-    val cand = shardBands.join(buckets, Seq("band_id", "band_hash"))
+    val cand = shardBands.join(capped, Seq("band_id", "band_hash"))
       // defense in depth (ADVICE_r11): shard and base are disjoint by
       // source in every valid index, so this is a no-op there — but an
       // over-inclusive index (the append hazard the v3 meta pins

@@ -139,6 +139,93 @@ class BandIndexSpec extends SparkSpec {
       "a postings/meta count mismatch must force a rebuild")
   }
 
+  test("delete(): masked probe == an index rebuilt without the docs; " +
+      "idempotent; refuses unknown ids; vacuum compacts with meta as " +
+      "commit record and nPostings re-pinned (r13, VERDICT_r12 item 4)") {
+    import spark.implicits._
+    val root = tmpDir("band_idx_delete")
+    BandIndex.ensure(spark, dir, root)
+    val before = BandIndex.probe(spark, dir, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(before.nonEmpty)
+    // retract two base docs that actually surface as candidates
+    val dead = before.keySet.map(_._2).toSeq.sorted.take(2)
+    assert(BandIndex.delete(spark, root, dead.toDF("doc_id")) == 2L)
+    assert(BandIndex.delete(spark, root, dead.toDF("doc_id")) == 0L,
+      "re-deleting the same ids must be a counted no-op")
+    intercept[IllegalArgumentException] {
+      BandIndex.delete(spark, root, Seq(999999999L).toDF("doc_id"))
+    }
+    val masked = BandIndex.probe(spark, dir, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(masked.keySet.forall { case (_, b) => !dead.contains(b) },
+      "tombstoned base docs must never surface as candidates")
+    // the exactness contract: == an index REBUILT over a corpus that
+    // never contained the dead docs, probed with the same shard sigs
+    val dir2 = tmpDir("band_idx_delete_corpus2")
+    Tables.documents(spark, dir)
+      .filter(!col("doc_id").isin(dead: _*))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val root2 = tmpDir("band_idx_delete_root2")
+    BandIndex.ensure(spark, dir2, root2)
+    val shardSig = Dedup.minhashSigWithSource(spark, dir)
+      .filter(col("source") === "src0").drop("source")
+    val rebuilt = BandIndex.probeSigs(spark, root2, shardSig).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(masked == rebuilt,
+      "masked probe must equal the rebuilt-without index row-exact")
+    // vacuum physically reclaims: postings shrink by the dead docs'
+    // rows, meta re-pins nPostings (the commit record), tombstones
+    // drop, probe unchanged; a second vacuum is a no-op
+    val metaBefore = spark.read.parquet(s"$root/meta")
+      .as[BandMeta].head()
+    val meta = BandIndex.vacuum(spark, root)
+    assert(meta.nPostings < metaBefore.nPostings,
+      "vacuum must shrink the pinned posting count")
+    assert(spark.read.parquet(s"$root/buckets").count() == meta.nPostings,
+      "meta must pin the rewritten postings exactly")
+    assert(!new java.io.File(s"$root/tombstones").exists,
+      "vacuum must drop the tombstone set")
+    val afterVacuum = BandIndex.probe(spark, dir, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(afterVacuum == masked, "vacuum must not change served verdicts")
+    assert(BandIndex.vacuum(spark, root) == meta,
+      "vacuum with nothing tombstoned is a no-op")
+  }
+
+  test("delete() re-admits a bucket that only the dead postings pushed " +
+      "over the hot-bucket cap — the live-df exactness case a stale " +
+      "sidecar read would miss (r13)") {
+    import spark.implicits._
+    // synthetic corpus: 10001 identical base docs saturate every band
+    // bucket past BandBucketCap (10000) → the probe is blind; deleting
+    // two brings live df to 9999 → candidates must appear
+    val d = tmpDir("band_idx_readmit_corpus")
+    val n = (Dedup.BandBucketCap + 1).toInt
+    spark.range(n).select(col("id").as("doc_id"),
+        lit("alpha beta gamma delta epsilon").as("text"),
+        lit("base").as("source"))
+      .union(spark.range(2).select((col("id") + n).as("doc_id"),
+        lit("alpha beta gamma delta epsilon").as("text"),
+        lit("src0").as("source")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val root = tmpDir("band_idx_readmit_root")
+    BandIndex.ensure(spark, d, root)
+    assert(BandIndex.probe(spark, d, root).count() == 0L,
+      "every bucket sits over the cap — the saturated probe is blind")
+    assert(BandIndex.delete(spark, root,
+      Seq(0L, 1L).toDF("doc_id")) == 2L)
+    val served = BandIndex.probe(spark, d, root)
+    assert(served.count() == 2L * (n - 2),
+      "live df 9999 <= cap must re-admit the bucket for both shard docs")
+    assert(served.filter(col("base_doc") < 2).count() == 0L,
+      "dead docs stay masked inside the re-admitted bucket")
+  }
+
   test("corrupt buckets/ with intact meta reads as STALE and rebuilds " +
       "instead of crashing ensure (ADVICE_r12): the validity guard " +
       "tolerates an unreadable postings dir like readMeta tolerates " +
