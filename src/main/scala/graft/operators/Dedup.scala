@@ -2013,12 +2013,22 @@ object Dedup {
     * (ADVICE_r11: `DocPipeline.ingestShard` plumbs its `shardSource`
     * here — previously the exact rule silently judged `src0` while the
     * near-dup probe judged the caller's shard). */
+  /** The exact-dedup NORMALIZED-content fingerprint, as a column over
+    * `text` — THE one expression every exact tier shares (crossDedup,
+    * the persisted [[graft.index.FpIndex]], the streaming decision
+    * path), so stream/batch/index parity is by construction. */
+  private[graft] def normFpCol: org.apache.spark.sql.Column =
+    hash60(trim(regexp_replace(lower(col("text")),
+      "[ \\t\\n\\r\\f]+", " ")))
+
+  /** (doc_id, source, fp) over the corpus — the exact tier's input. */
+  private[graft] def normFps(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), normFpCol.as("fp"))
+
   private[graft] def crossDedupFor(spark: SparkSession, dir: String,
       shardSource: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")),
-      "[ \\t\\n\\r\\f]+", " "))
-    val fp = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), hash60(norm).as("fp"))
+    val fp = normFps(spark, dir)
     val base = fp.filter(col("source") =!= shardSource)
       .groupBy("fp").agg(count(lit(1)).as("n_base"))
     fp.filter(col("source") === shardSource)
@@ -2062,6 +2072,21 @@ object Dedup {
   def qCrossNeardup(spark: SparkSession, dir: String): DataFrame =
     graft.index.BandIndex.probe(spark, dir,
       graft.index.BandIndex.ensure(spark, dir))
+
+  /** q_cross_dedup_served — the exact-dedup verdict SERVED from the
+    * PERSISTED fingerprint table ([[graft.index.FpIndex]], r13 — the
+    * BandIndex build/serve split applied to the exact tier,
+    * VERDICT_r12 item 8): `ensure` collapses the settled base to its
+    * distinct normalized-content hashes once per corpus snapshot, then
+    * every shard ingest — and every micro-batch of the STREAMING
+    * decision path ([[graft.streaming.ShardIngestStream
+    * .decisionsBatch]]) — judges docs with one hash join against the
+    * artifact, never re-aggregating the 100 TB base. Value-identical
+    * to [[qCrossDedup]] (same oracle); `FpIndexSpec` proves reuse,
+    * append == rebuild, and staleness. */
+  def qCrossDedupServed(spark: SparkSession, dir: String): DataFrame =
+    graft.index.FpIndex.probe(spark, dir,
+      graft.index.FpIndex.ensure(spark, dir))
 
   val crossNeardupSql: String = {
     val sigExprs = (0 until 16).map(i =>

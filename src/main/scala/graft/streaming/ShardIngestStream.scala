@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.index.BandIndex
+import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -85,4 +86,63 @@ object ShardIngestStream {
         sink(probeBatch(batch, root))
       }
       .start()
+
+  /** One micro-batch's KEEP/DROP DECISIONS (r13, VERDICT_r12 item 5 —
+    * the streaming path used to stop at probe verdicts): the
+    * [[graft.operators.DocPipeline.ingestShard]] exact+near rule,
+    * composed per micro-batch from the two PERSISTED tiers —
+    *   - exact: the doc's [[Dedup.normFpCol]] fingerprint judged
+    *     against the [[FpIndex]] base table (the same expression the
+    *     batch rule evaluates, so parity is by construction), and
+    *   - near: the [[BandIndex]] probe's est-J ≥ 1/2 verdict.
+    * Output row shape == ingestShard's decisions frame: (doc_id,
+    * exact_dup, near_dup, keep). Each doc's decision depends only on
+    * its own content and the static indices, so the union across
+    * micro-batches equals the batch decisions row-exact for ANY split
+    * (`StreamShardIngestSpec`). Note the <3-token rule rides along:
+    * such docs have no MinHash signature in EITHER path, so near_dup
+    * is 0 there exactly like the batch rule. */
+  def decisionsBatch(batch: DataFrame, bandRoot: String,
+      fpRoot: String): DataFrame = {
+    val spark = batch.sparkSession
+    val near = probeBatch(batch, bandRoot)
+      .filter(col("is_neardup") === 1)
+      .select(col("doc_id").as("nd_doc")).distinct()
+    val shardFp = batch.select(col("doc_id").cast("long"),
+      Dedup.normFpCol.as("fp"))
+    graft.index.FpIndex.probeFps(spark, fpRoot, shardFp)
+      .select(col("doc_id"), col("is_dup").as("exact_dup"))
+      .join(near, col("doc_id") === col("nd_doc"), "left_outer")
+      .select(col("doc_id"), col("exact_dup"),
+        col("nd_doc").isNotNull.cast("int").as("near_dup"))
+      .withColumn("keep",
+        (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+  }
+
+  /** Start the DECISION stream: per micro-batch, the exact+near
+    * keep/drop rule against the two persisted indices. Both must
+    * already be ensured; the stream never mutates them — [[settle]]
+    * runs once the shard drains. */
+  def runDecisions(docs: DataFrame, bandRoot: String, fpRoot: String,
+      checkpoint: String)(sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(decisionsBatch(batch, bandRoot, fpRoot))
+      }
+      .start()
+
+  /** SETTLE the drained shard into both persisted tiers — exactly the
+    * batch appends ([[BandIndex.append]] + [[FpIndex.append]]), so
+    * "streamed ingest then settle" and "batch ingest then settle"
+    * leave BIT-IDENTICAL index states (append == rebuild is spec'd on
+    * both indices; this is the lifecycle step the r12 streaming path
+    * was missing). Call once the shard stream drains; the next
+    * shard's stream probes a base that includes this shard. */
+  def settle(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      bandRoot: String, fpRoot: String, nextShardSource: String): Unit = {
+    BandIndex.append(spark, corpusDir, bandRoot, nextShardSource)
+    graft.index.FpIndex.append(spark, corpusDir, fpRoot, nextShardSource)
+  }
 }

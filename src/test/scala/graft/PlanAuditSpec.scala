@@ -1232,6 +1232,21 @@ class PlanAuditSpec extends SparkSpec {
       "the 1-row total must enter via broadcast")
   }
 
+  test("q_cross_dedup_served: the serve plan judges the shard with ONE " +
+      "documents scan + the persisted fps parquet — the base corpus is " +
+      "never re-aggregated at serve time (r13)") {
+    graft.index.FpIndex.ensure(spark, dir) // build outside the audit
+    val df = Dedup.qCrossDedupServed(spark, dir)
+    val plan = executed(df)
+    val docScans = "documents\\.parquet".r.findAllIn(
+      plan.split("== Initial Plan ==").head).size
+    assert(docScans == 1,
+      s"serve plan must scan documents once (the shard side), found $docScans")
+    assert(plan.contains("graft_fp_index") || plan.contains("/fps"),
+      "the base must enter from the persisted fps artifact")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
+  }
+
   test("q_contam_delta: rides the persisted-index probe — no cartesian, " +
       "and only candidate-bounded frames reach the source join (r12)") {
     val plan = executed(Dedup.qContamDelta(spark, dir))

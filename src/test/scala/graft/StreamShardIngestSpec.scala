@@ -91,4 +91,93 @@ class StreamShardIngestSpec extends SparkSpec {
     assert(byKey.keys.map(_._1 % 3).toSet.size > 1,
       "verdicts must span multiple micro-batches")
   }
+
+  test("streamed keep/drop DECISIONS == DocPipeline.ingestShard across " +
+      "micro-batches with re-delivery idempotent (r13, VERDICT_r12 " +
+      "item 5 — the lifecycle used to stop at probe verdicts)") {
+    import graft.index.FpIndex
+    val bandRoot = BandIndex.ensure(spark, dir,
+      tmpDir("shard_dec_band"))
+    val fpRoot = FpIndex.ensure(spark, dir, tmpDir("shard_dec_fp"))
+    // the batch rule on the SAME band index
+    val (batchDecisions, summary) =
+      graft.operators.DocPipeline.ingestShard(spark, dir, bandRoot)
+    val batch = batchDecisions.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(batch.nonEmpty && summary.nKept < summary.nShardDocs,
+      "fixture shard must carry both kept and dropped docs")
+
+    val streamDir = tmpDir("shard_dec_in")
+    (0 until 3).foreach { m =>
+      shardDocs.filter(pmod(col("doc_id"), lit(3)) === m)
+        .coalesce(1).write.mode("append").parquet(streamDir)
+    }
+    // chunk 1 delivered twice — re-delivery must re-emit identical rows
+    shardDocs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, (Int, Int, Int))]())
+    val stream = spark.readStream.schema(shardDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = ShardIngestStream.runDecisions(stream, bandRoot, fpRoot,
+      tmpDir("shard_dec_ckpt")) { decisions =>
+      decisions.collect().foreach(r => collected.add(
+        r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))))
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val byDoc = collected.asScala.toSeq.groupBy(_._1).map { case (k, vs) =>
+      assert(vs.map(_._2).distinct.size == 1,
+        s"re-delivery produced diverging decisions at doc $k")
+      k -> vs.head._2
+    }
+    assert(byDoc == batch,
+      "streamed decisions must equal the batch ingestShard rule " +
+        "row-exact for this split")
+    assert(byDoc.keys.map(_ % 3).toSet.size > 1,
+      "decisions must span multiple micro-batches")
+  }
+
+  test("settle == the batch appends: after the shard stream drains, " +
+      "both persisted tiers equal one-shot builds over the widened " +
+      "base, and the NEXT shard's stream probes a base including " +
+      "this one (r13)") {
+    import graft.index.FpIndex
+    val bandRoot = tmpDir("shard_settle_band")
+    val fpRoot = tmpDir("shard_settle_fp")
+    BandIndex.ensure(spark, dir, bandRoot)
+    FpIndex.ensure(spark, dir, fpRoot)
+    ShardIngestStream.settle(spark, dir, bandRoot, fpRoot, "__future__")
+    // == one-shot builds with the widened settled set
+    val bandRebuild = tmpDir("shard_settle_band2")
+    val fpRebuild = tmpDir("shard_settle_fp2")
+    BandIndex.write(spark, dir, bandRebuild, shardSource = "__future__")
+    FpIndex.write(spark, dir, fpRebuild, shardSource = "__future__")
+    def bandSnap(root: String) =
+      spark.read.parquet(s"$root/buckets").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def fpSnap(root: String) =
+      spark.read.parquet(s"$root/fps").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandSnap(bandRoot) == bandSnap(bandRebuild),
+      "settled band postings must equal the rebuild's")
+    assert(fpSnap(fpRoot) == fpSnap(fpRebuild),
+      "settled fps must equal the rebuild's")
+    // the next shard's decisions now judge against a base that
+    // includes src0: a doc re-delivered as "__future__" content equal
+    // to a settled src0 doc must read exact_dup=1
+    import spark.implicits._
+    val settledDoc = Tables.documents(spark, dir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), col("text")).limit(1).collect().head
+    val nextBatch = Seq((900000L, settledDoc.getString(1)))
+      .toDF("doc_id", "text")
+    val dec = ShardIngestStream.decisionsBatch(nextBatch, bandRoot, fpRoot)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(dec(900000L)._1 == 1 && dec(900000L)._3 == 0,
+      "a clone of a settled src0 doc must be an exact dup post-settle")
+  }
 }
