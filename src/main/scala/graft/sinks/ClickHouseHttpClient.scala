@@ -43,7 +43,10 @@ final class ClickHouseHttpException(
   * exactly-once story the reference relies on.
   */
 final class ClickHouseHttpClient(
-    config: ClickHouseSettings,
+    // exposed (r13) so executor-side writers can rebuild a client from
+    // the serializable settings instead of shipping this class (the
+    // JDK HttpClient inside is not serializable)
+    private[graft] val config: ClickHouseSettings,
     logger: StructuredLogger = new StructuredLogger("clickhouse_client")) {
 
   private val client: HttpClient = {

@@ -465,4 +465,39 @@ class StreamRateSpec extends SparkSpec {
       "fixture should contain single-sample blocks")
     assert(streamed.filter(_._4 == 1L).forall(r => r._8 == r._9))
   }
+
+  test("recording-rule sink POSTs from the partitions, not the driver " +
+      "(r13, VERDICT_r12 item 2): a multi-partition micro-batch lands " +
+      "as multiple TabSeparated bodies that union to exactly the rows") {
+    import spark.implicits._
+    val rows = (1 to 12).map(i =>
+      MetricsStream.SumRateRow(s"m$i", 1704067200L + i * 300L,
+        i.toLong, i * 1000L)).toSet
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val conf = graft.config.ClickHouseSettings(
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      MetricsStream.postSumRatePartitions(
+        rows.toSeq.toDS().repartition(3), conf, "default.graft_sum_rate")
+      val all = bodies.toArray(Array.empty[String])
+        .filter(_.startsWith("INSERT INTO"))
+      assert(all.length > 1,
+        "a 3-partition batch must land as multiple per-partition posts")
+      val posted = all.flatMap(_.split("\n").drop(1)).map { line =>
+        val f = line.split("\t")
+        MetricsStream.SumRateRow(f(0), f(1).toLong, f(2).toLong,
+          f(3).toLong)
+      }.toSet
+      assert(posted == rows,
+        "per-partition bodies must parse back to exactly the rows")
+    } finally server.stop(0)
+  }
 }
