@@ -6,6 +6,43 @@ import org.apache.spark.sql.functions._
 class Round13OperatorSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("kernel assignment == the flat-argmax JVM brute twin at " +
+      "K = 100, tiebreaks included (r13 — the sf100 embed-probe n·K " +
+      "row-explosion fix keeps EXACT flat semantics)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val d = tmpDir("asgkernel_corpus")
+    val dim = 4
+    val n = 500
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(2001) / 1000.0f - 1.0f)))
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // a K=100 book (beyond any fixture K): quantized first-100 vectors
+    val q = vecs.map { case (id, e) =>
+      (id, e.map(x => math.round(x * 1000).toLong)) }
+    val book = q.take(100).map { case (id, qv) =>
+      (id, qv, math.max(1L, qv.map(x => x * x).sum)) }
+    val cents = book.toDF("cell", "qc", "nc")
+    val got = Similarity.assignedToBook(spark, d, cents)
+      .select("vec_id", "cell", "ccos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def cos(a: Seq[Long], na: Long, b: Seq[Long], nb: Long): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        math.sqrt((na * nb).toDouble)
+    val expect = q.map { case (id, qv) =>
+      val na = qv.map(x => x * x).sum
+      val best = book.map { case (c, qc, nc) =>
+        (cos(qv, na, qc, nc), -c, c) }.max
+      id -> (best._3, best._1)
+    }.toMap
+    assert(got == expect,
+      "kernel assignment diverged from the flat brute twin")
+    graft.operators.MaterializeOnce.invalidate()
+  }
+
   test("vecCount memo is WEAK (ADVICE_r12): a corpus regenerated in " +
       "place with a different vector count re-derives the plane count " +
       "after invalidation — no (session, dir) strong map remains") {
