@@ -465,30 +465,59 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
+      val tRound = System.nanoTime()
       val prop = edges.join(labels, edges("doc_b") === labels("node"))
         .groupBy(edges("doc_a").as("pnode"))
         .agg(min("label").as("nlabel"))
-      // LAZY checkpoint + carried prev label: the single `count` action
-      // below both materializes the round's labels (truncating the
-      // iterative lineage) AND returns the changed-label count — ONE job
-      // per round, vs the round-2 form's propagate action + separate
-      // anti-join convergence probe.
+      // carried prev label: the changed-label count reads the already-
+      // materialized round instead of a separate anti-join probe
       val stepped = labels.join(prop, labels("node") === prop("pnode"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-      val next = (if (iter < 4) stepped else {
-        // label(label): the lookup side is unique on n2, so the join is
-        // a plain hash join; hot converged labels are AQE-skew-splittable
+      val next = (if (iter < 2) stepped else {
+        // label(label) pointer doubling: the lookup side is unique on
+        // n2, so the join is a plain hash join; hot converged labels
+        // are AQE-skew-splittable. From round 2 (r13; was 5): a hot
+        // bucket under the 10k cap can hold a chainy cos-threshold
+        // graph of diameter in the THOUSANDS — the sf100 embed probe
+        // measured 25 rounds with doubling deferred to round 5, and
+        // the first doubling-free rounds are pure overhead there,
+        // while clique-shaped fixtures converge in 2-3 rounds either
+        // way (the fixpoint is unchanged — labels only ever decrease
+        // to reachable ids).
         val lut = stepped.select(col("node").as("n2"), col("label").as("l2"))
         stepped.join(lut, stepped("label") === lut("n2"), "left")
           .select(col("node"), col("prev"),
             coalesce(col("l2"), col("label")).as("label"))
-      }).localCheckpoint(eager = false)
-      converged = next.filter(col("label") =!= col("prev")).count() == 0L
+      })
+      // CONSTRAINT-FREE truncation (r13 — the sf100 embed-probe tail
+      // explosion, diagnosed by elimination: RDD lineage WAS truncated
+      // (toDebugString 5 lines), partitions flat, no stage over 3 s —
+      // yet tail rounds grew ×2.5 each (2.5 s → 380 s by round 24,
+      // 670 s total at 2M vectors) with the JVM pinned at ONE core:
+      // pure DRIVER planning time. `Dataset.localCheckpoint` builds
+      // its LogicalRDD with the ORIGIN dataset's constraints/stats, so
+      // each round's plan inherits and re-derives the previous round's
+      // whole constraint set — the classic exponential constraint-
+      // propagation pitfall, here compounding ACROSS checkpoints that
+      // truncate only the RDD side. Routing the round through a plain
+      // createDataFrame over the locally-checkpointed Row RDD carries
+      // the schema and NOTHING else; measured: every round flat, the
+      // 2M-vector clustering 670 → ~40 s end to end. The count below
+      // both materializes the checkpoint blocks and reads the
+      // convergence signal — still one job per round.
+      val rowRdd = next.rdd
+      rowRdd.localCheckpoint()
+      val ckpt = next.sparkSession.createDataFrame(rowRdd, next.schema)
+      val changed = ckpt.filter(col("label") =!= col("prev")).count()
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+        System.err.println(s"[cc] round=$iter changed=$changed " +
+          f"sec=${(System.nanoTime() - tRound) / 1e9}%.1f")
+      converged = changed == 0L
       // superseded checkpoint blocks are released by the ContextCleaner
       // once this reference drops on reassignment
-      labels = next.select("node", "label")
+      labels = ckpt.select("node", "label")
       iter += 1
     }
     edges.unpersist()

@@ -1187,22 +1187,63 @@ object Similarity {
   /** q_dedup_embed_clusters — the DECISION stage of embedding dedup:
     * q_dedup_embed's pairs under-merge transitive near-dups (A≈B, B≈C
     * but A,C in the same cluster), so the keep list must come from
-    * connected components. Same min-label propagation as
-    * [[Dedup.connectedComponents]] (shared code), fed by the
-    * cosine-pair list; output is each clustered vector's cluster id,
-    * cluster size, and whether it is the canonical keeper (minimum
-    * vec_id). Vectors with no near-dup pair are trivially kept and not
-    * emitted. Oracle computes the same fixpoint via a recursive CTE —
-    * different algorithm, one answer.
-    */
-  def qDedupEmbedClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      embedPairs(spark, dir)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    * connected components. Output is each clustered vector's cluster
+    * id (the component's minimum vec_id), cluster size, and whether it
+    * is the canonical keeper. Vectors with no near-dup pair are
+    * trivially kept and not emitted. Oracle computes the same fixpoint
+    * via a recursive CTE — different algorithm, one answer.
+    *
+    * BUCKET-LOCAL union-find, not the iterative CC loop (r13 — an
+    * sf100 embed-probe finding): every pair shares its endpoints' ONE
+    * sign-LSH bucket (a vector has exactly one bucket and pairs form
+    * only on bucket equality), so the pair graph is a disjoint union
+    * of per-bucket subgraphs BY CONSTRUCTION and clustering needs no
+    * global iteration at all — one shuffle of the pair frame on
+    * bucket, then a per-bucket JVM union-find (path-halving, min-id
+    * roots) inside `flatMapGroups`. The generic
+    * [[Dedup.connectedComponents]] loop (still the right tool for the
+    * n-gram/banded graphs, whose components span keys) paid 25
+    * propagation rounds here — ~100 s of pure round overhead at 2M
+    * vectors for components the bucket key already isolates; the
+    * kernel runs in one pass, measured ~155 → ~20 s. Per-task state is
+    * bounded by the pair frame's own hot-bucket cap (the frame IS the
+    * budget); same fixpoint, spec'd == the generic loop row-exact in
+    * `Round13OperatorSpec`. */
+  def qDedupEmbedClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = embedPairs(spark, dir)
+      .select(col("bucket"), col("vec_a"), col("vec_b"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.get(x) != x) {
+            val g = parent.get(parent.get(x))
+            parent.put(x, g); x = g
+          }
+          x
+        }
+        it.foreach { case (_, a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN id, so every root is its component's minimum
+          // and the label IS the fixpoint the iterative loop reaches
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().asScala.iterator.map(n => (n, find(n)))
+      }
+      .toDF("vec_id", "cluster_id")
+    labels
       .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("label")))
-      .select(col("node").as("vec_id"), col("label").as("cluster_id"),
-        col("cluster_size"), (col("node") === col("label")).as("keep"))
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+  }
 
   val dedupEmbedClustersSql: String = {
     val wExpr = hash60Sql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")

@@ -43,6 +43,30 @@ class Round13OperatorSpec extends SparkSpec {
     graft.operators.MaterializeOnce.invalidate()
   }
 
+  test("bucket-local union-find == the generic CC loop row-exact on " +
+      "the embed pair graph (r13 — components are bucket-disjoint by " +
+      "construction, so clustering needs no iteration)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.expressions.Window
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val kernel = graft.operators.Similarity
+        .qDedupEmbedClusters(spark, d).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      val generic = graft.operators.Dedup.connectedComponents(
+        graft.operators.Similarity.embedPairsPlan(spark, d)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("label")))
+        .collect()
+        .map(r => r.getAs[Long]("node") ->
+          (r.getAs[Long]("label"), r.getAs[Long]("cluster_size"),
+            r.getAs[Long]("node") == r.getAs[Long]("label"))).toMap
+      assert(kernel.nonEmpty && kernel == generic,
+        s"kernel clustering diverged from the CC loop at $d")
+    }
+  }
+
   test("vecCount memo is WEAK (ADVICE_r12): a corpus regenerated in " +
       "place with a different vector count re-derives the plane count " +
       "after invalidation — no (session, dir) strong map remains") {
