@@ -354,7 +354,135 @@ object Similarity {
         .filter(col("bsz") <= maxBucket).drop("bsz")
     }
 
+  /** The bands search plan: a per-(band, bucket) JVM kernel emitting
+    * each member's LOCAL top-3 (r13 — the last heavy constant of the
+    * sf100 embed probe): the relational bucket self-join materialized
+    * every candidate ROW carrying both 64-long arrays (~120M × ~1 KB
+    * at 2M vectors — 697 s, linear per decade but the dominant build
+    * of the whole family). The kernel deserializes each bucket's
+    * members once inside `flatMapGroups`, runs the same pairwise
+    * integer-dot/IEEE-cosine loop, and emits ≤ 3 narrow candidate
+    * rows per member — per-bucket top-3 provably PRESERVES the global
+    * top-3 (any neighbor beaten by 3 same-bucket candidates is beaten
+    * by 3 global candidates; duplicates across bands carry identical
+    * cos), so the relational tail (dedup max + global top-3 window) is
+    * unchanged and the output is row-exact == the relational form
+    * (spec'd in `Round13OperatorSpec` against
+    * [[annLshBandsRelationalTwin]]). Per-task state is one bucket's
+    * members — bounded by the bandBuckets hot-bucket cap, the same
+    * bound the join form had. Measured: 697 → 29 s at 2M vectors. */
   private[graft] def qAnnLshBandsPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val d0 = dim(spark, dir)
+    val planes = annPlanes(spark, dir)
+    // plane weights as a plain JVM array closed over by the kernel —
+    // the relational bandBuckets form evaluated 2·planes vecDot
+    // expressions per row, and EACH reference to the cached `q` column
+    // re-copies the array out of the columnar cache (32 copies × 512 B
+    // per row = the 581 s stage the stage-log attributed at 2M
+    // vectors); here the vector deserializes once and both bands'
+    // sign bits come from one tight loop
+    val pw: Array[Array[Array[Long]]] = Array.tabulate(NBands)(band =>
+      bandPlaneWeights(band, d0, planes))
+    val cap = maxBucket
+    bandBuckets0(spark, dir, pw, planes)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val m0 = it.map { case (_, _, id, q, nrm) =>
+          (id, q.toArray, nrm) }.toArray
+        // the hot-bucket cap, group-side: an over-cap bucket drops
+        // WHOLE — exactly the relational window-count filter
+        val m = if (m0.length > cap) Array.empty[(Long, Array[Long], Long)]
+                else m0
+        val n = m.length
+        // per member: the 3 best (cos desc, neighbor asc) candidates
+        val topC = Array.fill(n)(new Array[Double](3))
+        val topN = Array.fill(n)(new Array[Long](3))
+        val cnt = new Array[Int](n)
+        def offer(i: Int, cos: Double, nb: Long): Unit = {
+          val c = topC(i); val ids = topN(i)
+          var k = cnt(i)
+          if (k < 3) { c(k) = cos; ids(k) = nb; cnt(i) = k + 1; k += 1 }
+          else if (cos > c(2) || (cos == c(2) && nb < ids(2))) {
+            c(2) = cos; ids(2) = nb
+          } else return
+          // bubble the inserted tail entry into (cos desc, id asc) order
+          var j = math.min(k, 3) - 1
+          while (j > 0 && (c(j) > c(j - 1) ||
+              (c(j) == c(j - 1) && ids(j) < ids(j - 1)))) {
+            val tc = c(j); c(j) = c(j - 1); c(j - 1) = tc
+            val tn = ids(j); ids(j) = ids(j - 1); ids(j - 1) = tn
+            j -= 1
+          }
+        }
+        var i = 0
+        while (i < n) {
+          val (ida, qa, na) = m(i)
+          var j = i + 1
+          while (j < n) {
+            val (idb, qb, nb) = m(j)
+            var dot = 0L
+            var t = 0
+            while (t < qa.length) { dot += qa(t) * qb(t); t += 1 }
+            val cos = dot.toDouble / math.sqrt((na * nb).toDouble)
+            offer(i, cos, idb)
+            offer(j, cos, ida)
+            j += 1
+          }
+          i += 1
+        }
+        (0 until n).iterator.flatMap { i =>
+          (0 until cnt(i)).iterator.map(k => (m(i)._1, topN(i)(k), topC(i)(k)))
+        }
+      }
+      .toDF("vec_id", "neighbor_id", "cos")
+      // a pair found by both bands appears twice with an identical cos;
+      // max() is just dedup (8-byte keys shuffle, vectors do not)
+      .groupBy("vec_id", "neighbor_id").agg(max("cos").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+  }
+
+  /** (band, bucket, vec_id, q, nrm) via the JVM kernel — each corpus
+    * vector deserializes once and both bands' sign bits come from one
+    * tight loop over the closed-over plane weights; the bit rule is
+    * the relational [[bandBuckets]] expression verbatim (dot ≥ 0 sets
+    * bit p). UNCAPPED — the cap applies group-side in the consumer. */
+  private def bandBuckets0(spark: SparkSession, dir: String,
+      pw: Array[Array[Array[Long]]], planes: Int)
+      : org.apache.spark.sql.Dataset[(Int, Long, Long, Seq[Long], Long)] = {
+    import spark.implicits._
+    quantized(spark, dir)
+      .select(col("vec_id").cast("long"), col("q"), col("nrm").cast("long"))
+      .as[(Long, Seq[Long], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, qSeq, nrm) =>
+          val q = qSeq.toArray
+          pw.indices.iterator.map { band =>
+            var bucket = 0L
+            var p = 0
+            while (p < planes) {
+              val wp = pw(band)(p)
+              var dot = 0L
+              var t = 0
+              while (t < q.length) { dot += q(t) * wp(t); t += 1 }
+              if (dot >= 0) bucket |= 1L << p
+              p += 1
+            }
+            (band, bucket, id, qSeq, nrm)
+          }
+        }
+      }
+  }
+
+  /** The r12 relational form, kept as the kernel's row-exact spec twin
+    * (the simhash-kernel precedent). */
+  private[graft] def annLshBandsRelationalTwin(spark: SparkSession,
+      dir: String): DataFrame = {
     val vc = bandBuckets(spark, dir)
     val a = vc.select(col("vec_id"), col("band"), col("bucket"),
       col("q").as("qa"), col("nrm").as("na"))
@@ -368,8 +496,6 @@ object Similarity {
         col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos",
         cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
-      // a pair found by both bands appears twice with an identical cos;
-      // max() is just dedup (8-byte keys shuffle, vectors do not)
       .groupBy("vec_id", "neighbor_id").agg(max("cos").as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

@@ -43,6 +43,22 @@ class Round13OperatorSpec extends SparkSpec {
     graft.operators.MaterializeOnce.invalidate()
   }
 
+  test("bands-search kernel == the relational bucket self-join " +
+      "row-exact (r13 — per-bucket local top-3 provably preserves " +
+      "the global top-3)") {
+    import graft.operators.Similarity
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val kernel = Similarity.qAnnLshBandsPlan(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(3)) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      val rel = Similarity.annLshBandsRelationalTwin(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(3)) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      assert(kernel.nonEmpty && kernel == rel,
+        s"bands kernel diverged from the relational twin at $d")
+    }
+  }
+
   test("bucket-local union-find == the generic CC loop row-exact on " +
       "the embed pair graph (r13 — components are bucket-disjoint by " +
       "construction, so clustering needs no iteration)") {
