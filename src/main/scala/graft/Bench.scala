@@ -32,9 +32,19 @@ object Bench {
 
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // INITIAL shuffle partitions: default = cores (right for the
+    // fixture SFs), overridable for third-decade probes. AQE only
+    // coalesces DOWN from this number — it never raises it — so
+    // pinning 32 at 100M events makes every sort-heavy shuffle task
+    // sort ~3M rows and go external, a harness artifact a real
+    // 1000-executor cluster would not have (VERDICT_r13 item 1). A
+    // probe at sf100 should set SPARK_GRAFT_SHUFFLE_PARTITIONS≈256
+    // and let AQE shrink the cheap stages.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -119,6 +119,14 @@ object BandIndex {
   def write(spark: SparkSession, corpusDir: String, root: String,
       shardSource: String = Dedup.newShardSource): Unit = {
     builds.incrementAndGet()
+    // A rebuild starts from a CLEAN tombstone mask: tombstones recorded
+    // against the previous index generation name doc_ids in the OLD id
+    // space, and the common 0..n id layout means a regenerated corpus
+    // reuses them — leaving the mask in place would silently drop live
+    // reused ids from every served verdict (ADVICE_r13).
+    val fsT = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsT.delete(new org.apache.hadoop.fs.Path(p(root, "tombstones")), true)
     val base = baseSigs(spark, corpusDir, shardSource)
     val buckets = Dedup.bandedSig(base)
     buckets.write.mode("overwrite").parquet(p(root, "buckets"))
@@ -202,7 +210,7 @@ object BandIndex {
     * just its version (→ rebuild), and a NEWER one is still visible to
     * [[ensure]]'s refuse-to-clobber check even though its schema is
     * unknown to this build. */
-  private def readMeta(spark: SparkSession, root: String): Option[BandMeta] =
+  private[graft] def readMeta(spark: SparkSession, root: String): Option[BandMeta] =
     try {
       import spark.implicits._
       val df = spark.read.parquet(p(root, "meta"))

@@ -69,16 +69,31 @@ object FpIndex {
   def write(spark: SparkSession, corpusDir: String, root: String,
       shardSource: String = Dedup.newShardSource): Unit = {
     builds.incrementAndGet()
-    val fps = baseFps(spark, corpusDir, shardSource)
-    fps.write.mode("overwrite").parquet(p(root, "fps"))
-    val nBase = Dedup.normFps(spark, corpusDir)
-      .filter(col("source") =!= shardSource).count()
-    // contentFp is derived from the CORPUS (what ensure() revalidates
-    // against), not from the just-written artifact — fingerprinting
-    // the index against itself would be circular and a base
-    // regenerated in place would serve stale verdicts forever
-    writeMeta(spark, root, FpMeta(FormatVersion, corpusDir, shardSource,
-      nBase, contentFingerprint(fps), fpCount(spark, root)))
+    // A rebuild starts from a CLEAN retraction state (the BandIndex
+    // ADVICE_r13 rule): tombstones name doc_ids/fps of the PREVIOUS
+    // index generation — a regenerated corpus reuses the 0..n id space
+    // and must not inherit a stale mask.
+    val fsW = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsW.delete(new org.apache.hadoop.fs.Path(p(root, "tombstones")), true)
+    fsW.delete(new org.apache.hadoop.fs.Path(p(root, "vacuumed")), true)
+    // ONE corpus scan (VERDICT_r13): cache the filtered normFps frame
+    // so the fps aggregation, the nBase count and the content
+    // fingerprint all read the cached rows instead of re-scanning the
+    // corpus three times — the BandIndex.write baseSigs shape.
+    val base = Dedup.normFps(spark, corpusDir)
+      .filter(col("source") =!= shardSource).cache()
+    try {
+      val fps = base.groupBy("fp").agg(count(lit(1)).as("n_base"))
+      fps.write.mode("overwrite").parquet(p(root, "fps"))
+      val nBase = base.count()
+      // contentFp is derived from the CORPUS (what ensure() revalidates
+      // against), not from the just-written artifact — fingerprinting
+      // the index against itself would be circular and a base
+      // regenerated in place would serve stale verdicts forever
+      writeMeta(spark, root, FpMeta(FormatVersion, corpusDir, shardSource,
+        nBase, contentFingerprint(fps), fpCount(spark, root)))
+    } finally base.unpersist()
   }
 
   private def writeMeta(spark: SparkSession, root: String,
@@ -88,7 +103,7 @@ object FpIndex {
       .write.mode("overwrite").parquet(p(root, "meta"))
   }
 
-  private def readMeta(spark: SparkSession, root: String): Option[FpMeta] =
+  private[graft] def readMeta(spark: SparkSession, root: String): Option[FpMeta] =
     try {
       import spark.implicits._
       val df = spark.read.parquet(p(root, "meta"))
@@ -144,12 +159,169 @@ object FpIndex {
   def probeFps(spark: SparkSession, root: String,
       shardFp: DataFrame): DataFrame =
     shardFp
-      .join(spark.read.parquet(p(root, "fps"))
+      .join(liveFps(spark, root)
         .withColumnRenamed("fp", "base_fp"),
         col("fp") === col("base_fp"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_base"), lit(0L)).as("n_base_matches"),
         (col("n_base").isNotNull).cast("int").as("is_dup"))
+
+  // ---- delete / vacuum (r14, VERDICT_r13 item 4) -------------------
+  //
+  // The exact tier's retraction story, mirroring BandIndex's but with
+  // one structural difference: BandIndex's tombstone mask is DOC-KEYED
+  // (anti-join — naturally idempotent), while the fp table holds only
+  // COUNTS, and count subtraction applied twice is corruption. The
+  // `vacuumed/` marker (an order-free fingerprint of the tombstone set
+  // whose subtraction has been folded into fps/) is the commit record
+  // that makes the vacuum re-entrant: a crash between the fps swap and
+  // the tombstone drop re-enters on the "already applied" path and
+  // just completes, and the probe's mask skips tombstones the marker
+  // says are folded in.
+
+  /** The tombstone set ((doc_id, fp) rows), or None when no retraction
+    * is pending — absence is the fast path. */
+  private def tombstones(spark: SparkSession,
+      root: String): Option[DataFrame] =
+    try {
+      val t = spark.read.parquet(p(root, "tombstones"))
+        .select(col("doc_id"), col("fp"))
+      Some(t)
+    } catch { case _: Exception => None }
+
+  /** Order-free fingerprint of a tombstone set — the identity the
+    * `vacuumed/` marker pins. */
+  private def tombFingerprint(t: DataFrame): Long =
+    t.select(coalesce(expr("bit_xor(xxhash64(doc_id, fp))"), lit(0L)))
+      .head().getLong(0)
+
+  /** The tombstone-set fingerprint whose subtraction has already been
+    * folded into `fps/`, if a vacuum is mid-flight. */
+  private def appliedMarker(spark: SparkSession,
+      root: String): Option[Long] =
+    try Some(spark.read.parquet(p(root, "vacuumed"))
+      .select("tomb_fp").head().getLong(0))
+    catch { case _: Exception => None }
+
+  /** The LIVE fingerprint table: persisted counts minus any pending
+    * tombstoned retractions. Fp counting is content-pure, so the
+    * algebraic subtraction equals an index rebuilt without the dead
+    * docs EXACTLY — the append argument run backwards (spec'd). A
+    * tombstone set the `vacuumed/` marker records as folded-in is NOT
+    * subtracted again (the crash-window guard). */
+  private def liveFps(spark: SparkSession, root: String): DataFrame = {
+    val raw = spark.read.parquet(p(root, "fps"))
+    tombstones(spark, root) match {
+      case Some(t) if !appliedMarker(spark, root)
+          .contains(tombFingerprint(t)) =>
+        val dead = t.groupBy("fp").agg(count(lit(1)).as("n_dead"))
+        raw.join(broadcast(dead), Seq("fp"), "left")
+          .select(col("fp"),
+            (col("n_base") - coalesce(col("n_dead"), lit(0L)))
+              .as("n_base"))
+          .filter(col("n_base") > 0)
+      case _ => raw
+    }
+  }
+
+  /** Retract docs (takedown / bad-crawl) from the served base,
+    * O(batch): the batch carries its own content — (doc_id, text) —
+    * so the fps come from [[Dedup.normFpCol]] (shared expression,
+    * parity by construction) and the corpus is never re-scanned. The
+    * retractions land as tombstone rows; every probe until [[vacuum]]
+    * subtracts their per-fp counts from the served table. Idempotent
+    * by doc_id (re-delivered retractions are skipped, the returned
+    * count is NEWLY deleted). Refuses a batch whose fps are not in the
+    * live base or would over-subtract a count — a retraction that
+    * silently no-ops (or drives a count negative) is how a takedown
+    * pipeline loses track of what it actually removed. */
+  def delete(spark: SparkSession, root: String, docs: DataFrame): Long = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"FpIndex: cannot delete from $root — no readable index meta"))
+    require(meta.formatVersion == FormatVersion,
+      s"FpIndex: $root is format v${meta.formatVersion}")
+    // heal a mid-flight vacuum first: mixing folded-in and pending
+    // tombstones under one marker would make the mask ambiguous
+    if (appliedMarker(spark, root).isDefined) vacuum(spark, root)
+    val batch = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.normFpCol.as("fp"))
+      .dropDuplicates("doc_id").cache()
+    try {
+      val fresh = (tombstones(spark, root) match {
+        case Some(t) =>
+          batch.join(t.select("doc_id"), Seq("doc_id"), "left_anti")
+        case None => batch
+      }).cache()
+      try {
+        val freshN = fresh.count()
+        if (freshN == 0L) return 0L
+        val need = fresh.groupBy("fp").agg(count(lit(1)).as("n_retract"))
+        val bad = need
+          .join(liveFps(spark, root), Seq("fp"), "left")
+          .filter(col("n_base").isNull ||
+            col("n_base") < col("n_retract")).count()
+        require(bad == 0L,
+          s"FpIndex: $bad of the batch's fingerprints are unknown to " +
+            "the live base or would over-subtract its counts — " +
+            "refusing the retraction (the caller's bookkeeping would " +
+            "drift)")
+        fresh.write.mode("append").parquet(p(root, "tombstones"))
+        freshN
+      } finally fresh.unpersist()
+    } finally batch.unpersist()
+  }
+
+  /** Test hook: when set, [[vacuum]] throws right after the fps swap +
+    * marker write — the crash window whose re-entry the `vacuumed/`
+    * marker guards (the spec proves no double subtraction). */
+  private[graft] var failAfterSwap = false
+
+  /** Fold the pending tombstones into `fps/` (counts decremented, rows
+    * at zero dropped — bit-equal to a rebuild without the dead docs,
+    * since fp counting is content-pure), re-pin `nFps` in meta, drop
+    * the tombstone set. Rewrite goes through a sibling dir + rename
+    * (the [[append]] swap device); the `vacuumed/` marker written
+    * between the swap and the cleanup makes a crashed vacuum
+    * RE-ENTRANT — the retry detects the already-folded tombstone set
+    * by fingerprint and only completes the cleanup, never subtracting
+    * twice. No-op when nothing is tombstoned. */
+  def vacuum(spark: SparkSession, root: String): FpMeta = {
+    val meta = readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"FpIndex: cannot vacuum $root — no readable index meta"))
+    require(meta.formatVersion == FormatVersion,
+      s"FpIndex: $root is format v${meta.formatVersion}")
+    val tomb = tombstones(spark, root)
+    if (tomb.isEmpty) return meta
+    val t = tomb.get.cache()
+    try {
+      if (t.count() == 0L) return meta
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tfp = tombFingerprint(t)
+      if (!appliedMarker(spark, root).contains(tfp)) {
+        // liveFps sees (tombstones, no matching marker) → the masked
+        // view; materialize it as the new fps/
+        liveFps(spark, root).write.mode("overwrite")
+          .parquet(p(root, "fps.compact"))
+        fs.delete(new org.apache.hadoop.fs.Path(p(root, "fps")), true)
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(p(root, "fps.compact")),
+          new org.apache.hadoop.fs.Path(p(root, "fps"))),
+          s"FpIndex: vacuum rename failed at $root")
+        import spark.implicits._
+        Seq(tfp).toDF("tomb_fp").coalesce(1)
+          .write.mode("overwrite").parquet(p(root, "vacuumed"))
+      }
+      if (failAfterSwap) throw new RuntimeException(
+        "FpIndex: injected crash after vacuum swap (test hook)")
+      val newMeta = meta.copy(nFps = fpCount(spark, root))
+      writeMeta(spark, root, newMeta)
+      fs.delete(new org.apache.hadoop.fs.Path(p(root, "tombstones")), true)
+      fs.delete(new org.apache.hadoop.fs.Path(p(root, "vacuumed")), true)
+      newMeta
+    } finally t.unpersist()
+  }
 
   /** Probe the named shard of `corpusDir` against the persisted base. */
   def probe(spark: SparkSession, corpusDir: String, root: String,

@@ -1205,6 +1205,122 @@ object Dedup {
        |            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM per p JOIN sz s ON s.doc_b = p.doc_b""".stripMargin
 
+  /** Audit sample size for [[qDedupPrecision]] — a CONSTANT (the
+    * bounded-set rule): a precision estimate's error is sample-driven
+    * (~1/√K), not corpus-driven, so the audit cost stays O(K docs'
+    * shingles) at any corpus size. */
+  private[graft] val PrecisionSampleK = 200
+
+  /** q_dedup_precision — the dedup PRECISION audit (r14, VERDICT_r13
+    * item 6): the recall story exists (q_band_recall — which true
+    * pairs the banding surfaces), but nothing asserted how often a
+    * candidate the pipeline treats as a dup is REAL. This takes a
+    * deterministic hash-ordered sample of [[PrecisionSampleK]] LSH
+    * candidate pairs, computes the EXACT Jaccard for the sample only
+    * (shingles broadcast-semi-joined to the ≤2K sampled doc ids — the
+    * corpus pair join is never re-paid), and tables precision against
+    * the signature ESTIMATE (component agreement m/16, the banding's
+    * own evidence): per m, how many sampled pairs, how many exactly
+    * verify at the q_lsh_verify J ≥ 0.2 bar, precision in ppm, and the
+    * summed exact J — the m-threshold calibration curve a deployment
+    * reads before trusting verdicts without the exact-verify stage. */
+  def qDedupPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val samp = bandPairs(spark, dir).select("doc_a", "doc_b")
+      .orderBy(
+        graft.functions.Portable.hash60(
+          concat_ws("_", col("doc_a"), col("doc_b"))),
+        col("doc_a"), col("doc_b"))
+      .limit(PrecisionSampleK)
+    val sh = dropStopShingles(shingled(spark, dir))
+    val aIds = samp.select(col("doc_a").as("doc_id")).distinct()
+    val bIds = samp.select(col("doc_b").as("doc_id")).distinct()
+    val a = sh.join(broadcast(aIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
+    val b = sh.join(broadcast(bIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_bb"), col("sh").as("shb"))
+    val sizes = sh.join(broadcast(bIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("n").as("nb")).distinct()
+    val exact = samp
+      .join(a, "doc_a")
+      .join(b, col("doc_b") === col("doc_bb") && col("sh") === col("shb"),
+        "left_outer")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(col("shb")).as("inter"), max(col("na")).as("na0"))
+      .join(sizes, "doc_b")
+      .withColumn("union_count",
+        col("na0").cast("long") + col("nb").cast("long") - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("union_count"), 4))
+    val sig = minhashSig(spark, dir)
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val m = (0 until 16).map(i =>
+      when(col(s"a_s$i") === col(s"b_s$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    exact
+      .join(sigA, col("doc_a") === col("a_doc_id"))
+      .join(sigB, col("doc_b") === col("b_doc_id"))
+      .withColumn("m", m)
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jaccard") >= 0.2).cast("long")).as("n_true"),
+        sum(round(col("jaccard") * 10000).cast("long"))
+          .as("sum_exact_x10k"))
+      .withColumn("est_x10k", col("m") * 625L)
+      .withColumn("precision_ppm", expr("n_true * 1000000 div n_pairs"))
+      .select("m", "est_x10k", "n_pairs", "n_true", "precision_ppm",
+        "sum_exact_x10k")
+  }
+
+  lazy val dedupPrecisionSql: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"min((h30 * ${mhA(i)} + ${mhB(i)}) % $P) AS s$i")
+      .mkString(",\n|        ")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val pairKey = graft.functions.Portable.hash60Sql(
+      "CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR)")
+    s"""WITH $shingledSql,
+       |$dropStopShinglesSql,
+       |cand AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |samp AS (SELECT doc_a, doc_b FROM cand
+       |         ORDER BY $pairKey, doc_a, doc_b
+       |         LIMIT $PrecisionSampleK),
+       |ja AS (SELECT s.doc_a, s.doc_b, f.n AS na, f.sh
+       |       FROM samp s JOIN shf f ON f.doc_id = s.doc_a),
+       |j2 AS (SELECT ja.doc_a, ja.doc_b, ja.na, fb.sh AS shb
+       |       FROM ja LEFT JOIN shf fb
+       |         ON fb.doc_id = ja.doc_b AND fb.sh = ja.sh),
+       |per AS (SELECT doc_a, doc_b,
+       |          CAST(COUNT(shb) AS BIGINT) AS inter,
+       |          CAST(MAX(na) AS BIGINT) AS na
+       |        FROM j2 GROUP BY doc_a, doc_b),
+       |sz AS (SELECT DISTINCT doc_id AS doc_b, CAST(n AS BIGINT) AS nb
+       |       FROM shf),
+       |ex AS (SELECT p.doc_a, p.doc_b,
+       |        round(CAST(p.inter AS DOUBLE)
+       |              / (p.na + s.nb - p.inter), 4) AS jaccard
+       |       FROM per p JOIN sz s ON s.doc_b = p.doc_b),
+       |hsh AS (SELECT doc_id, sh % 1073741824 AS h30 FROM sh),
+       |sig AS (SELECT doc_id,
+       |        $sigExprs
+       |       FROM hsh GROUP BY doc_id),
+       |mm AS (SELECT e.jaccard, CAST(($matchSum) AS BIGINT) AS m
+       |       FROM ex e
+       |       JOIN sig sa ON e.doc_a = sa.doc_id
+       |       JOIN sig sb ON e.doc_b = sb.doc_id)
+       |SELECT m, m * 625 AS est_x10k,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_true,
+       |       CAST(SUM(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END)
+       |         * 1000000 // COUNT(*) AS BIGINT) AS precision_ppm,
+       |       CAST(SUM(CAST(round(jaccard * 10000) AS BIGINT))
+       |         AS BIGINT) AS sum_exact_x10k
+       |FROM mm GROUP BY m""".stripMargin
+  }
+
   /** q_edit_verify — EDIT-DISTANCE verification of the LSH candidate
     * pairs (r9): exact Levenshtein distance, length-normalized ratio
     * (ppm of the longer side) and an ≤ 20% dup verdict, computed ONLY

@@ -390,12 +390,25 @@ object Similarity {
     bandBuckets0(spark, dir, pw, planes)
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
-        val m0 = it.map { case (_, _, id, q, nrm) =>
-          (id, q.toArray, nrm) }.toArray
         // the hot-bucket cap, group-side: an over-cap bucket drops
-        // WHOLE — exactly the relational window-count filter
-        val m = if (m0.length > cap) Array.empty[(Long, Array[Long], Long)]
-                else m0
+        // WHOLE — exactly the relational window-count filter. Bounded
+        // buffering (ADVICE_r13): at most cap+1 members are ever held;
+        // once exceeded the rest of the iterator drains WITHOUT being
+        // stored (a saturated bucket — r10 measured 18% of the corpus
+        // in one band value — must not buffer the whole group as
+        // per-task state the way it.toArray did).
+        val buf = new scala.collection.mutable.ArrayBuffer[
+          (Long, Array[Long], Long)]()
+        var over = false
+        while (it.hasNext) {
+          val (_, _, id, q, nrm) = it.next()
+          if (!over) {
+            buf += ((id, q.toArray, nrm))
+            if (buf.length > cap) { over = true; buf.clear() }
+          }
+        }
+        val m = if (over) Array.empty[(Long, Array[Long], Long)]
+                else buf.toArray
         val n = m.length
         // per member: the 3 best (cos desc, neighbor asc) candidates
         val topC = Array.fill(n)(new Array[Double](3))
@@ -918,6 +931,53 @@ object Similarity {
 
   /** The serve contract: identical rows to q_ann_ivf. */
   val annServedSql: String = annIvfSql
+
+  /** q_rerank_cost — the cross-encoder RE-RANK cost table over the
+    * served ANN results (r14, VERDICT_r13 item 6): a retrieval stack
+    * that re-scores its ANN candidates with a cross-encoder pays per
+    * (query, candidate) pair a sequence of `tok_q + tok_d + 3` tokens
+    * (CLS/SEP/SEP) and attention cost ∝ seq² — the budgeting numbers a
+    * deployment needs BEFORE turning re-ranking on. Rides the shared
+    * materialized `ann_ivf` frame (≤3 rows per corpus vector — the
+    * candidate set is rank-bounded by construction, so the cost table
+    * is one linear pass at any corpus size) joined with the documents
+    * token counts on the vec_id==doc_id embedding contract; grouped by
+    * candidate rank so the marginal cost of serving k=1 vs k=3 reads
+    * directly off the table. All integers; seq² ≤ ~10⁶ per pair keeps
+    * the sum inside int64 past 10¹² pairs. */
+  def qRerankCost(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), lit(" "))).cast("long").as("tok"))
+    qAnnIvf(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("rn").cast("long").as("rn"))
+      .join(toks.select(col("doc_id").as("vec_id"),
+        col("tok").as("tok_q")), "vec_id")
+      .join(toks.select(col("doc_id").as("neighbor_id"),
+        col("tok").as("tok_d")), "neighbor_id")
+      .withColumn("seq", col("tok_q") + col("tok_d") + lit(3L))
+      .groupBy("rn")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("seq").as("sum_seq_tokens"),
+        sum(col("seq") * col("seq")).as("sum_attn_cost"),
+        max("seq").as("max_seq"))
+  }
+
+  lazy val rerankCostSql: String =
+    s"""WITH ivf AS (SELECT vec_id, neighbor_id, rn FROM ($annIvfSql)),
+       |t AS (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |      FROM documents),
+       |p AS (SELECT ivf.rn, tq.tok + td.tok + 3 AS seq
+       |      FROM ivf
+       |      JOIN t tq ON tq.doc_id = ivf.vec_id
+       |      JOIN t td ON td.doc_id = ivf.neighbor_id)
+       |SELECT rn, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(seq) AS BIGINT) AS sum_seq_tokens,
+       |       CAST(SUM(seq * seq) AS BIGINT) AS sum_attn_cost,
+       |       CAST(MAX(seq) AS BIGINT) AS max_seq
+       |FROM p GROUP BY rn""".stripMargin
 
   def qIvfCells(spark: SparkSession, dir: String): DataFrame =
     // rides the SHARED materialized assignment (uncapped by design —

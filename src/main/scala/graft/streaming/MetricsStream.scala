@@ -304,9 +304,22 @@ object MetricsStream {
         s"${r.name}\t${r.w_start}\t${r.n_series}\t${r.rate_x1e6}")
         .mkString("\n")
       if (body.nonEmpty)
-        new graft.sinks.ClickHouseHttpClient(conf)
+        executorClient(conf)
           .execute(s"INSERT INTO $table FORMAT TabSeparated\n$body")
     }
+
+  /** Executor-side client cache (ADVICE_r13): ONE ClickHouseHttpClient
+    * — and therefore one JDK HttpClient with its connection pool and
+    * executor threads — per distinct settings per JVM, instead of a
+    * fresh never-closed client per partition per micro-batch. Settings
+    * is a case class, so the key compares by value; the cache lives for
+    * the executor JVM, exactly the lifetime of the stream's workers. */
+  private val clientCache = new java.util.concurrent.ConcurrentHashMap[
+    graft.config.ClickHouseSettings, graft.sinks.ClickHouseHttpClient]()
+  private def executorClient(conf: graft.config.ClickHouseSettings)
+      : graft.sinks.ClickHouseHttpClient =
+    clientCache.computeIfAbsent(conf,
+      c => new graft.sinks.ClickHouseHttpClient(c))
 
   /** Per-SERIES state for the streaming increase(): the last sample of
     * the closed prefix (the cross-window CARRY) plus the buffered
@@ -519,6 +532,132 @@ object MetricsStream {
               case (w, xs) => (w, xs.map(_._2).sum, xs.map(_._3).sum)
             }
             state.update(NhRateState(st.carry, merged))
+            if (merged.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                (merged.map(_._1).min + windowSec) * 1000L, wm + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Per-series state for the streaming NHCB quantile∘rate: per open
+    * window the POPULATED custom-bucket counts (algebraic — counts
+    * commute, so state is ≤ |bounds|+1 longs per open window, never
+    * the samples), plus the last CLOSED window's bucket counts (the
+    * adjacency carry the increase rule reaches back to). */
+  case class NhcbState(carry: Option[(Long, Seq[(Long, Long)])],
+      open: Seq[(Long, Long, Long)])
+
+  /** One emitted NHCB quantile row — the q_nhcb_rate_q schema. */
+  case class NhcbQRow(name: String, user_id: Long, w_start: Long,
+      phi_x100: Long, reset: Long, q_value: Double)
+
+  /** STREAMING `histogram_quantile(φ, rate(nhcb[1h]))` — the live twin
+    * of batch [[graft.operators.NativeHistogram.qNhcbRateQ]]
+    * (VERDICT_r13 item 7), completing the streaming PromQL family for
+    * the native/NHCB path the way increase() completed the counter
+    * family in r8. Bucket counts COMMUTE within a window, so per-batch
+    * state is the merged per-window custom-bucket counts — a
+    * recording-rule footprint, never the samples. When the watermark
+    * closes a window (in time order, like [[streamingNativeRate]]),
+    * the histogram reset rule (total decrease → the increase IS the
+    * next window's counts; else per-bucket next − prev clamped at 0)
+    * runs against the CARRIED previous closed window, and the NHCB
+    * linear-interpolation quantile emits for φ ∈ {50, 90} — the
+    * 1/windowSec rate factor cancels in the quantile exactly as the
+    * batch plan's doc derives, so quantile∘rate ≡ quantile∘increase.
+    * Window pairs where both windows exist only; an all-zero increase
+    * emits nothing (no rank exists). JVM-exact vs the batch plan:
+    * cents from the same Spark round() expression, interpolation in
+    * the same double order, BigDecimal HALF_UP == Spark round. */
+  def streamingNhcbRateQ(samples: DataFrame, windowSec: Long = 3600L,
+      delay: String = "10 minutes"): Dataset[NhcbQRow] = {
+    import samples.sparkSession.implicits._
+    val bounds = graft.operators.NativeHistogram.CustomBounds
+    val lastFinite = bounds.last
+    val pts = samples.select(col("name"),
+        col("user_id").cast("long").as("userId"),
+        unix_micros(col("ts")).as("tsUs"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .withWatermark("ts", delay)
+      .as[NhPoint]
+    def wStartOf(tsUs: Long): Long = tsUs / 1000000L / windowSec * windowSec
+    // qNativeCustom's index rule on SIGNED cents: #bounds strictly
+    // below the observation (negatives land in bucket 0 like a
+    // migrated classic histogram)
+    def bucketOf(cents: Long): Long = bounds.count(_ < cents).toLong
+    def quantiles(name: String, userId: Long, w: Long,
+        prev: Seq[(Long, Long)], next: Seq[(Long, Long)]): Seq[NhcbQRow] = {
+      val reset = if (next.map(_._2).sum < prev.map(_._2).sum) 1L else 0L
+      val pm = prev.toMap
+      val inc = (if (reset == 1L) next
+        else next.map { case (b, c) =>
+          (b, math.max(c - pm.getOrElse(b, 0L), 0L)) })
+        .filter(_._2 > 0L).sortBy(_._1)
+      val tot = inc.map(_._2).sum
+      if (tot == 0L) Seq.empty
+      else Seq(50L, 90L).flatMap { phi =>
+        val rk = (tot * phi).toDouble / 100.0
+        var cum = 0L
+        inc.find { case (_, c) => cum += c; cum >= rk }.map { case (b, c) =>
+          val le = if (b < bounds.size) bounds(b.toInt) else -1L
+          val lo = if (b == 0L) 0L else bounds(b.toInt - 1)
+          val qv =
+            if (le == -1L) lastFinite.toDouble
+            else lo.toDouble + (le - lo).toDouble *
+              ((rk - (cum - c).toDouble) / c.toDouble)
+          NhcbQRow(name, userId, w, phi, reset,
+            BigDecimal(qv / 100.0)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSeq
+      }
+    }
+    pts.groupByKey(p => (p.name, p.userId))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long), rows: Iterator[NhPoint],
+         state: GroupState[NhcbState]) =>
+          val st = state.getOption.getOrElse(NhcbState(None, Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val byW = st.open.groupBy(_._1)
+            val (closable, stillOpen) = byW.partition {
+              case (w, _) => (w + windowSec) * 1000L <= wm
+            }
+            var carry = st.carry
+            val out = closable.toSeq.sortBy(_._1).flatMap { case (w, xs) =>
+              val counts = xs.groupBy(_._2).toSeq
+                .map { case (b, ys) => (b, ys.map(_._3).sum) }
+              val res = carry match {
+                case Some((pw, pc)) if pw == w - windowSec =>
+                  quantiles(key._1, key._2, w, pc, counts)
+                case _ => Seq.empty
+              }
+              carry = Some((w, counts))
+              res
+            }
+            val rest = stillOpen.values.flatten.toSeq
+            if (rest.nonEmpty) {
+              state.update(NhcbState(carry, rest))
+              state.setTimeoutTimestamp(math.max(
+                (rest.map(_._1).min + windowSec) * 1000L, wm + 1L))
+            } else carry match {
+              case Some((cw, _)) if (cw + 2 * windowSec) * 1000L > wm =>
+                // the adjacent window could still close with data:
+                // keep the carry exactly until that window's end
+                state.update(NhcbState(carry, Seq.empty))
+                state.setTimeoutTimestamp(math.max(
+                  (cw + 2 * windowSec) * 1000L, wm + 1L))
+              case _ => state.remove()
+            }
+            out.iterator
+          } else {
+            val add = rows.map(p =>
+              (wStartOf(p.tsUs), bucketOf(p.cents), 1L)).toSeq
+            val merged = (st.open ++ add).groupBy(x => (x._1, x._2)).toSeq
+              .map { case ((w, b), xs) => (w, b, xs.map(_._3).sum) }
+            state.update(NhcbState(st.carry, merged))
             if (merged.nonEmpty)
               state.setTimeoutTimestamp(math.max(
                 (merged.map(_._1).min + windowSec) * 1000L, wm + 1L))

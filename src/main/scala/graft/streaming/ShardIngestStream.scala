@@ -142,7 +142,18 @@ object ShardIngestStream {
     * shard's stream probes a base that includes this shard. */
   def settle(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       bandRoot: String, fpRoot: String, nextShardSource: String): Unit = {
-    BandIndex.append(spark, corpusDir, bandRoot, nextShardSource)
-    graft.index.FpIndex.append(spark, corpusDir, fpRoot, nextShardSource)
+    // Idempotent resume (ADVICE_r13): a settle that crashed between
+    // the two appends left ONE tier already at nextShardSource — on
+    // retry, skip a tier whose meta already records the target
+    // shardSource instead of tripping its next!=current guard and
+    // stranding the other tier a shard behind.
+    val bandDone = BandIndex.readMeta(spark, bandRoot)
+      .exists(_.shardSource == nextShardSource)
+    if (!bandDone)
+      BandIndex.append(spark, corpusDir, bandRoot, nextShardSource)
+    val fpDone = graft.index.FpIndex.readMeta(spark, fpRoot)
+      .exists(_.shardSource == nextShardSource)
+    if (!fpDone)
+      graft.index.FpIndex.append(spark, corpusDir, fpRoot, nextShardSource)
   }
 }

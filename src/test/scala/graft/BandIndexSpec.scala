@@ -264,6 +264,42 @@ class BandIndexSpec extends SparkSpec {
       "an s1-only change must be visible to the staleness check")
   }
 
+  test("rebuild clears stale tombstones (r14, ADVICE_r13): delete -> " +
+      "corpus regenerated in place -> ensure rebuilds -> probe must " +
+      "include the reused ids") {
+    import spark.implicits._
+    val d = tmpDir("band_idx_regen_corpus")
+    def writeCorpus(text: String): Unit =
+      spark.range(10).select(col("id").as("doc_id"),
+          lit(text).as("text"), lit("base").as("source"))
+        .union(spark.range(1).select(lit(100L).as("doc_id"),
+          lit(text).as("text"), lit("src0").as("source")))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    writeCorpus("alpha beta gamma delta epsilon")
+    val root = tmpDir("band_idx_regen_root")
+    BandIndex.ensure(spark, d, root)
+    assert(BandIndex.delete(spark, root, Seq(0L, 1L).toDF("doc_id")) == 2L)
+    assert(BandIndex.probe(spark, d, root)
+      .filter(col("base_doc") < 2).count() == 0L,
+      "the tombstoned ids are masked before the regen")
+    // regenerate IN PLACE: the common 0..n id layout reuses the ids,
+    // content moves, so ensure() rebuilds — the rebuild must START
+    // from a clean tombstone mask or the reused ids stay silently
+    // dropped from every served verdict
+    writeCorpus("zeta eta theta iota kappa lambda")
+    // drop the memoized signature frame so ensure() sees the new
+    // generation (a fresh serving session's view of the regen)
+    graft.operators.MaterializeOnce.releaseSession(spark)
+    val before = BandIndex.builds.get()
+    BandIndex.ensure(spark, d, root)
+    assert(BandIndex.builds.get() == before + 1,
+      "the in-place regeneration must force a rebuild")
+    val served = BandIndex.probe(spark, d, root)
+    assert(served.filter(col("base_doc").isin(0L, 1L)).count() > 0L,
+      "reused ids must serve again after the rebuild — stale " +
+        "tombstones from the previous generation must not mask them")
+  }
+
   test("staleness: a base regenerated in place (content fingerprint " +
       "moves) rebuilds; a newer-format root is never clobbered") {
     import spark.implicits._

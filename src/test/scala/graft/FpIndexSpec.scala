@@ -102,4 +102,90 @@ class FpIndexSpec extends SparkSpec {
     assert(FpIndex.builds.get() == before + 2,
       "unreadable fps/ must rebuild, not crash")
   }
+
+  test("delete(): masked probe == an index rebuilt without the docs; " +
+      "idempotent; refuses unknown fps; vacuum compacts with nFps " +
+      "re-pinned and survives the crash window without double " +
+      "subtraction (r14, VERDICT_r13 item 4)") {
+    import spark.implicits._
+    // the real fixture has NO cross-source exact dups — plant a
+    // synthetic corpus where retractions visibly move served verdicts:
+    // ten texts, each held by TWO base docs (i and i+10); the shard
+    // (src0) clones the first five
+    val d = tmpDir("fp_idx_delete_corpus")
+    def text(i: Long) = s"planted content body number $i alpha beta"
+    val base = (0L until 20L).map(i => (i, text(i % 10), "base"))
+    val shard0 = (0L until 5L).map(i => (100L + i, text(i), "src0"))
+    val all = base ++ shard0
+    all.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val root = tmpDir("fp_idx_delete")
+    FpIndex.ensure(spark, d, root)
+    val before = rows(FpIndex.probe(spark, d, root))
+    assert(before.values.count(_._2 == 1) == 5,
+      "every shard clone must read dup against the planted base")
+    // retract BOTH holders of text(0): the fp row drops entirely, so
+    // the vacuum's nFps shrink is observable
+    val deadIds = Seq(0L, 10L)
+    val docsDf = all.toDF("doc_id", "text", "source")
+    val deadDocs = docsDf.filter(col("doc_id").isin(deadIds: _*))
+      .select("doc_id", "text")
+    assert(FpIndex.delete(spark, root, deadDocs) == 2L)
+    assert(FpIndex.delete(spark, root, deadDocs) == 0L,
+      "re-delivering the retraction must be a counted no-op")
+    intercept[IllegalArgumentException] {
+      FpIndex.delete(spark, root, Seq((999999999L,
+        "content that exists in no corpus zzz qqq")).toDF("doc_id", "text"))
+    }
+    val masked = rows(FpIndex.probe(spark, d, root))
+    assert(masked(100L) == (0L, 0) && masked(101L)._2 == 1,
+      s"retracting text(0)'s holders must clear doc 100's verdict: $masked")
+    // exactness: == an index REBUILT over a corpus never containing
+    // the dead docs, probed with the same shard fps
+    val d2 = tmpDir("fp_idx_delete_corpus2")
+    docsDf.filter(!col("doc_id").isin(deadIds: _*))
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val root2 = tmpDir("fp_idx_delete_root2")
+    FpIndex.ensure(spark, d2, root2)
+    val shard = Dedup.normFps(spark, d)
+      .filter(col("source") === "src0").select("doc_id", "fp")
+    val rebuilt = rows(FpIndex.probeFps(spark, root2, shard))
+    assert(masked == rebuilt,
+      "masked probe must equal the rebuilt-without index row-exact")
+    // vacuum: fps rewritten (the fully-retracted fp row drops), nFps
+    // re-pinned as the commit record, tombstones gone, probe unchanged
+    val metaBefore = spark.read.parquet(s"$root/meta").as[FpMeta].head()
+    val meta = FpIndex.vacuum(spark, root)
+    assert(meta.nFps < metaBefore.nFps,
+      "retracting a whole fp group must shrink the pinned row count")
+    assert(spark.read.parquet(s"$root/fps").count() == meta.nFps)
+    assert(!new java.io.File(s"$root/tombstones").exists)
+    assert(rows(FpIndex.probe(spark, d, root)) == masked,
+      "vacuum must not change served verdicts")
+    assert(FpIndex.vacuum(spark, root) == meta,
+      "vacuum with nothing tombstoned is a no-op")
+    // crash window: fps swapped + marker written, then the JVM dies
+    // before the tombstone drop. The re-entry must NOT subtract again
+    // (count subtraction is not doc-keyed-idempotent — the marker is
+    // the commit record), and a completing vacuum heals the root.
+    // Retract only ONE holder of text(1): the count path (2 → 1)
+    // exercises subtraction without the row dropping.
+    val deadDocs2 = docsDf.filter(col("doc_id") === 1L)
+      .select("doc_id", "text")
+    assert(FpIndex.delete(spark, root, deadDocs2) == 1L)
+    val expect2 = rows(FpIndex.probe(spark, d, root))
+    assert(expect2(101L) == (1L, 1),
+      s"one live holder must remain for doc 101: $expect2")
+    FpIndex.failAfterSwap = true
+    try intercept[RuntimeException] { FpIndex.vacuum(spark, root) }
+    finally FpIndex.failAfterSwap = false
+    assert(rows(FpIndex.probe(spark, d, root)) == expect2,
+      "the crash window must not double-subtract the tombstoned counts")
+    val healed = FpIndex.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/tombstones").exists &&
+      !new java.io.File(s"$root/vacuumed").exists,
+      "the re-entrant vacuum must complete the cleanup")
+    assert(spark.read.parquet(s"$root/fps").count() == healed.nFps)
+    assert(rows(FpIndex.probe(spark, d, root)) == expect2)
+  }
 }

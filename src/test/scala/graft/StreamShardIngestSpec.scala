@@ -180,4 +180,34 @@ class StreamShardIngestSpec extends SparkSpec {
     assert(dec(900000L)._1 == 1 && dec(900000L)._3 == 0,
       "a clone of a settled src0 doc must be an exact dup post-settle")
   }
+
+  test("settle is retryable after a partial failure (r14, ADVICE_r13): " +
+      "a crash between the two appends leaves one tier ahead — the " +
+      "retry skips the already-landed tier instead of tripping its " +
+      "next!=current guard and stranding the other tier a shard behind") {
+    import graft.index.FpIndex
+    val bandRoot = tmpDir("shard_resume_band")
+    val fpRoot = tmpDir("shard_resume_fp")
+    BandIndex.ensure(spark, dir, bandRoot)
+    FpIndex.ensure(spark, dir, fpRoot)
+    // simulate the crash window: band append landed, fp append did not
+    BandIndex.append(spark, dir, bandRoot, "__future__")
+    // the retry must complete the fp tier (and not throw on the band)
+    ShardIngestStream.settle(spark, dir, bandRoot, fpRoot, "__future__")
+    assert(FpIndex.readMeta(spark, fpRoot)
+      .exists(_.shardSource == "__future__"),
+      "the lagging fp tier must land on retry")
+    assert(BandIndex.readMeta(spark, bandRoot)
+      .exists(_.shardSource == "__future__"))
+    // a second settle at the same target is a full no-op, not a crash
+    ShardIngestStream.settle(spark, dir, bandRoot, fpRoot, "__future__")
+    // settled state == one-shot rebuilds (the existing exactness bar)
+    val fpRebuild = tmpDir("shard_resume_fp2")
+    FpIndex.write(spark, dir, fpRebuild, shardSource = "__future__")
+    def fpSnap(root: String) =
+      spark.read.parquet(s"$root/fps").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fpSnap(fpRoot) == fpSnap(fpRebuild),
+      "resumed settle must leave the fp tier bit-equal to a rebuild")
+  }
 }
