@@ -42,9 +42,23 @@ object Bench {
     // and let AQE shrink the cheap stages.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // SCAN-parallelism floor (r14, guide §6.1): a single third-decade
+    // parquet file (sf100 events: 668 MB compressed, 100 row groups)
+    // yields only ~6 splits at the default 128 MB maxPartitionBytes —
+    // the whole map side (parse + projection + partial agg + shuffle
+    // write) ran on 6 of 32 cores, a harness artifact a real cluster
+    // (thousands of natural splits at 100 TB) does not have.
+    // minPartitionNum lets Spark derive the split size from total
+    // input instead; 2×cores keeps every core busy through stragglers.
+    // Scale-adaptive by construction: fixture-SF files already split
+    // past this floor, so driver numbers stay comparable. 0 disables.
+    val minScan = sys.env.getOrElse("SPARK_GRAFT_MIN_SCAN_PARTITIONS",
+      (cpus.toInt * 2).toString)
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+    val spark = (if (minScan.toInt > 0)
+      b0.config("spark.sql.files.minPartitionNum", minScan) else b0)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -9,10 +9,16 @@ import org.apache.spark.sql.SparkSession
 object Count {
   def main(args: Array[String]): Unit = {
     val dir = args.head
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // scan-parallelism floor — same rationale and knobs as Bench
+    val minScan = sys.env.getOrElse("SPARK_GRAFT_MIN_SCAN_PARTITIONS",
+      (cpus.toInt * 2).toString)
+    val b0 = SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    val spark = (if (minScan.toInt > 0)
+      b0.config("spark.sql.files.minPartitionNum", minScan) else b0)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -75,6 +75,30 @@ object Dedup {
   private def dropStopShingles(sh: DataFrame): DataFrame =
     sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("df") <= maxShingleDf).drop("df")
+
+  /** The distinct 3-gram shingle frame (doc_id, n, sh) with the
+    * per-shingle document frequency `df` attached, materialized once
+    * per (session, dir) — r14, guide §2.4 "remove shuffles outright".
+    * Before this every consumer re-ran the fanOut → posexplode →
+    * lead-window → collect_set build from the parquet scan: one
+    * derivation each in q_pair_join_cost / q_ngram_freq /
+    * q_ngram_novelty, THREE in q_lsh_verify (a/b/sizes branches),
+    * three more in q_dedup_precision, plus the ngram_pairs /
+    * minhash_sig / preflight frame builds — ≥7 full shingle passes per
+    * bench sweep for one frame's content. Boundedness: one row per
+    * (doc, distinct shingle) — corpus-token-scale, the docTokens /
+    * winnowed precedent, linear in corpus size. `df` rides along so
+    * the stop-shingle rule is a checkpoint-local filter instead of a
+    * per-consumer corpus-wide window. */
+  private def shingledM(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "shingles")(
+      shingled(spark, dir).withColumn("df",
+        count(lit(1)).over(Window.partitionBy("sh"))))
+
+  /** Stop-shingle filter on [[shingledM]] (df precomputed at the
+    * frame build — same rule as [[dropStopShingles]]). */
+  private def dropStopM(shm: DataFrame): DataFrame =
+    shm.filter(col("df") <= maxShingleDf).drop("df")
   private val dropStopShinglesSql: String =
     s"shf AS (SELECT doc_id, n, sh FROM sh " +
       s"QUALIFY COUNT(*) OVER (PARTITION BY sh) <= $maxShingleDf)"
@@ -136,7 +160,7 @@ object Dedup {
   /** The raw (un-materialized) near-dup pair plan — see [[ngramPairs]]
     * for the session-cached frame every consumer actually reads. */
   private[graft] def ngramPairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    val sh = dropStopShingles(shingled(spark, dir))
+    val sh = dropStopM(shingledM(spark, dir))
     // the self-join's two exchanges are identical → Spark computes the
     // shingle base once (ReusedExchange); set sizes ride along as a/b.n
     sh.as("a").join(sh.as("b"),
@@ -230,7 +254,7 @@ object Dedup {
     * as the join itself, so it cannot overflow (df ≤ maxShingleDf).
     */
   def qPairJoinCost(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
+    shingledM(spark, dir).drop("df")
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .agg(sum("df").as("n_shingle_rows"),
         count(lit(1)).as("n_distinct_shingles"),
@@ -550,7 +574,7 @@ object Dedup {
     * boilerplate phrases in my 100 TB corpus" query.
     */
   def qNgramFreq(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
+    shingledM(spark, dir).drop("df")
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("sh"))
       .limit(20)
@@ -576,7 +600,7 @@ object Dedup {
     * stop-shingle cap.
     */
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = shingled(spark, dir)
+    val pairs = shingledM(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "source"),
         Seq("doc_id"))
       .select(col("source"), col("sh")).distinct()
@@ -624,6 +648,16 @@ object Dedup {
   /** Per-doc distinct 5-gram hashes (doc_id, n_grams, g) — the overlap
     * unit for [[qDecontaminate]] and [[qBenchLeakage]]; same
     * posexplode→lead→hash shape as [[shingled]]. */
+  /** [[fiveGrams]] materialized once per (session, dir) — r14, guide
+    * §2.4: four registered consumers (q_decontaminate,
+    * q_bench_leakage, q_bloom_contam — which references it twice —
+    * and q_dup_ngram_frac, also a double reference) each re-ran the
+    * posexplode + 4-lead-window + collect_set build per execution.
+    * Boundedness: one row per (doc, distinct 5-gram) — corpus-token
+    * scale, linear (the shingles/docTokens precedent). */
+  private def fiveGramsM(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "five_grams")(fiveGrams(spark, dir))
+
   private def fiveGrams(spark: SparkSession, dir: String): DataFrame = {
     val wdoc = Window.partitionBy("doc_id").orderBy("pos")
     Tables.fanOut(Tables.documents(spark, dir))
@@ -656,7 +690,7 @@ object Dedup {
        |g AS (SELECT doc_id, n_grams, ${hash60Sql("gram")} AS g FROM g1)""".stripMargin
 
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = fiveGrams(spark, dir)
+    val grams = fiveGramsM(spark, dir)
     val bench = grams.filter(col("doc_id") < benchDocs)
       .select("g").distinct()
     grams.filter(col("doc_id") >= benchDocs)
@@ -692,7 +726,7 @@ object Dedup {
     * ≤|bench|-bounded; the corpus never self-joins or re-shuffles.
     */
   def qBenchLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val grams = fiveGrams(spark, dir)
+    val grams = fiveGramsM(spark, dir)
     val bench = grams.filter(col("doc_id") < benchDocs)
       .select(col("doc_id").as("bench_id"), col("n_grams"), col("g"))
     grams.filter(col("doc_id") >= benchDocs)
@@ -935,7 +969,7 @@ object Dedup {
     materializeOnce(spark, dir, "minhash_sig")(minhashSigPlan(spark, dir))
 
   private[graft] def minhashSigPlan(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    val sh = shingledM(spark, dir)
       .withColumn("h30", col("sh") % 1073741824L)
     val sigCols = (0 until 16).map(i =>
       min((col("h30") * mhA(i) + mhB(i)) % P).as(s"s$i"))
@@ -1155,7 +1189,7 @@ object Dedup {
     * equality whenever banding recall is 1 (the planted fixture).
     */
   def qLshVerify(spark: SparkSession, dir: String): DataFrame = {
-    val sh = dropStopShingles(shingled(spark, dir))
+    val sh = dropStopM(shingledM(spark, dir))
     val a = sh.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_bb"), col("sh").as("shb"))
     val sizes = sh.select(col("doc_id").as("doc_b"), col("n").as("nb"))
@@ -1231,7 +1265,7 @@ object Dedup {
           concat_ws("_", col("doc_a"), col("doc_b"))),
         col("doc_a"), col("doc_b"))
       .limit(PrecisionSampleK)
-    val sh = dropStopShingles(shingled(spark, dir))
+    val sh = dropStopM(shingledM(spark, dir))
     val aIds = samp.select(col("doc_a").as("doc_id")).distinct()
     val bIds = samp.select(col("doc_b").as("doc_id")).distinct()
     val a = sh.join(broadcast(aIds), Seq("doc_id"), "left_semi")
@@ -2600,7 +2634,7 @@ object Dedup {
     def pos(k: Int): Column = pmod(
       graft.functions.Portable.hash60(
         concat(lit(s"bf$k:"), col("g").cast("string"))), lit(m))
-    val grams = fiveGrams(spark, dir)
+    val grams = fiveGramsM(spark, dir)
     val bench = grams.filter(col("doc_id") < benchDocs)
       .select("g").distinct()
     val bits = bench
@@ -2790,7 +2824,7 @@ object Dedup {
     * hashes ever shuffle.
     */
   def qDupNgramFrac(spark: SparkSession, dir: String): DataFrame = {
-    val grams = fiveGrams(spark, dir)
+    val grams = fiveGramsM(spark, dir)
     val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(df, "g")
       .groupBy("doc_id")

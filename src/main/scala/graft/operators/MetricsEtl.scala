@@ -720,10 +720,17 @@ object MetricsEtl {
         (floor(unix_micros(col("ts")) / 1000000L / 3600L) * 3600L).as("w_start"),
         col("value"))
       .groupBy("name", "k", "w_start")
+      // ONE percentile aggregate for both φ (r14, guide §5): separate
+      // percentile(…, φ) aggregates each buffer and sort the group's
+      // full value multiset — the array form pays one buffer + one
+      // sort, and the per-φ interpolation code path is identical
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        expr("percentile(value, array(0.5D, 0.9D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("name"), col("k"), col("w_start"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p90"),
+        col("n"))
 
   val quantileByLabelSql: String =
     """SELECT event_type AS name,
@@ -750,11 +757,19 @@ object MetricsEtl {
         (floor(unix_micros(col("ts")) / 1000000L / 3600L) * 3600L).as("w_start"),
         col("value"))
       .groupBy("name", "user_id", "w_start")
+      // ONE array-percentile aggregate (r14): the three separate
+      // percentile aggregates each buffered the window's values and
+      // sorted them — 3× the aggregation memory and 3 sorts per group
+      // for identical interpolation (group cardinality here is series
+      // × hours, the corpus-shaped axis of the sf100 events probe)
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p90"),
+        round(col("ps").getItem(2), 4).as("p99"),
+        col("n"))
 
   val quantileOverTimeSql: String =
     """SELECT event_type AS name, user_id,
@@ -2015,7 +2030,18 @@ object MetricsEtl {
     * |series|-bounded: every consumer's cost is governed by the live
     * series count, not the corpus, and the constant lookback filter
     * pushes to the parquet scan. */
-  private def instantVec(spark: SparkSession, dir: String): DataFrame = {
+  private def instantVec(spark: SparkSession, dir: String): DataFrame =
+    MaterializeOnce(spark, dir, "etl:instant_vec")(
+      instantVecPlan(spark, dir))
+
+  /** The raw instant-vector plan — r14: MATERIALIZED once per
+    * (session, dir) behind [[instantVec]] (guide §2.4): 13 registered
+    * consumers each re-paid the lookback slice scan + the per-series
+    * rank window per execution for a |series|-bounded result. The one
+    * consumer with an audited scan-pushdown claim ([[qAbsent]] — its
+    * watch-list disjunction must reach PushedFilters) stays on this
+    * raw plan; plan audits target it directly (the *Plan convention). */
+  private[graft] def instantVecPlan(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("name", "user_id")
       .orderBy(col("ts_us").desc, col("event_id").desc)
     Tables.eventsSlice(spark, dir, EvalTsUs - 86400000000L, EvalTsUs)
@@ -2732,7 +2758,7 @@ object MetricsEtl {
     import spark.implicits._
     val sel = AbsentWatch.map { case (n, u) =>
       col("name") === n && col("user_id") === u }.reduce(_ || _)
-    val present = instantVec(spark, dir).filter(sel)
+    val present = instantVecPlan(spark, dir).filter(sel)
       .select(col("name"), col("user_id"), lit(1L).as("present"))
     AbsentWatch.toDF("name", "user_id")
       .join(present, Seq("name", "user_id"), "left_outer")

@@ -113,12 +113,22 @@ object NativeHistogram {
     * All pure integers; the output is series × windows × schemas ×
     * populated-index bounded — sparse by construction. */
   def qNativeHist(spark: SparkSession, dir: String): DataFrame = {
-    val i = samples(spark, dir)
-      .withColumn("idx0", idx0Col)
+    // Aggregate-FIRST (r14, guide §2.3 "aggregate before you shuffle"):
+    // the corpus is grouped ONCE at the finest schema (+1); schemas 0
+    // and −1 derive from the SPARSE schema-1 bucket frame by the
+    // nested-ceiling identity ⌈⌈2y⌉/2⌉ = ⌈y⌉ (idx₀ = ⌈idx₁/2⌉,
+    // idx₋₁ = ⌈idx₀/2⌉ — exactly the idx0Col/idxm1 formulas). The
+    // r8 form exploded ×3 BEFORE aggregating, shuffling three corpus
+    // copies for identical counts; now only bucket rows re-aggregate.
+    val g1 = samples(spark, dir)
       .withColumn("idx1", when(col("pos") <= 1L, 0L)
         .otherwise(length(expr("conv(pos * pos - 1, 10, 2)")).cast("long")))
+      .groupBy("name", "user_id", "w_start", "sgn", "idx1")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("idx0", expr("(idx1 + 1) div 2"))
       .withColumn("idxm1", expr("(idx0 + 1) div 2"))
-    i.select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+    g1.select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+        col("cnt"),
         explode(array(
           struct(lit(-1L).as("bucket_schema"),
             when(col("sgn") === 0L, 0L).otherwise(col("idxm1")).as("bucket_idx")),
@@ -129,10 +139,10 @@ object NativeHistogram {
           .as("sb"))
       .select(col("name"), col("user_id"), col("w_start"),
         col("sb.bucket_schema").as("bucket_schema"), col("sgn"),
-        col("sb.bucket_idx").as("bucket_idx"))
+        col("sb.bucket_idx").as("bucket_idx"), col("cnt"))
       .groupBy("name", "user_id", "w_start", "bucket_schema", "sgn",
         "bucket_idx")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("cnt"))
   }
 
   val nativeHistSql: String =
@@ -254,14 +264,23 @@ object NativeHistogram {
     * schema's index derived by nested-ceiling division from idx₈.
     * Same output shape as q_native_hist; sparse by construction. */
   def qNativeWide(spark: SparkSession, dir: String): DataFrame = {
-    val base = samples(spark, dir)
+    // Aggregate-FIRST (r14, guide §2.3) — the qNativeHist device at the
+    // wide schemas: ONE corpus aggregation at idx₈ (the index every
+    // other schema already derived from via nested-ceiling division),
+    // then the ×5 schema explode runs over the SPARSE schema-8 bucket
+    // frame. The r9 form exploded ×5 pre-aggregation — five corpus
+    // copies through the shuffle for identical counts.
+    val g8 = samples(spark, dir)
       .withColumn("e",
         (length(expr("conv(pos, 10, 2)")) - 1).cast("long"))
       .withColumn("fs", expr(
         s"CASE WHEN e <= $MantissaBits THEN shiftleft(pos, CAST($MantissaBits - e AS INT)) " +
           s"ELSE shiftright(pos, CAST(e - $MantissaBits AS INT)) END"))
       .withColumn("idx8", expr(idx8Expr))
-    base.select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+      .groupBy("name", "user_id", "w_start", "sgn", "idx8")
+      .agg(count(lit(1)).as("cnt"))
+    g8.select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+        col("cnt"),
         explode(array(WideSchemas.map { s =>
           struct(lit(s.toLong).as("bucket_schema"),
             when(col("sgn") === 0L, 0L)
@@ -270,10 +289,10 @@ object NativeHistogram {
         }: _*)).as("sb"))
       .select(col("name"), col("user_id"), col("w_start"),
         col("sb.bucket_schema").as("bucket_schema"), col("sgn"),
-        col("sb.bucket_idx").as("bucket_idx"))
+        col("sb.bucket_idx").as("bucket_idx"), col("cnt"))
       .groupBy("name", "user_id", "w_start", "bucket_schema", "sgn",
         "bucket_idx")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("cnt"))
   }
 
   val nativeWideSql: String = {

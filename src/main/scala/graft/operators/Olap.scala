@@ -321,11 +321,17 @@ object Olap {
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
+      // ONE array-percentile aggregate (r14): one value buffer + one
+      // sort per group instead of three, identical interpolation
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+          .as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p95"),
+        round(col("ps").getItem(2), 4).as("p99"),
+        col("n"))
 
   val qPercentilesSql: String =
     """SELECT l_returnflag,

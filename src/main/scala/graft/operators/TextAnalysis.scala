@@ -198,10 +198,14 @@ object TextAnalysis {
         round(col("quality_score") * 1000000d).cast("long").as("s"))
       .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
       .groupBy("lang")
+      // ONE array-percentile aggregate (r14): one value buffer + one
+      // sort per group instead of three, identical interpolation
       .agg(count(lit(1)).as("n_docs"),
-        round(expr("percentile(s, 0.25)"), 4).as("p25"),
-        round(expr("percentile(s, 0.5)"), 4).as("p50"),
-        round(expr("percentile(s, 0.75)"), 4).as("p75"))
+        expr("percentile(s, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("lang"), col("n_docs"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p75"))
 
   val qualityByLangSql: String =
     s"""WITH sc AS (
@@ -1359,9 +1363,13 @@ object TextAnalysis {
     val lp = unigramLp(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "source"),
         Seq("doc_id"))
+    // ONE array-percentile aggregate (r14): one global value buffer +
+    // one sort instead of two; CAST reproduces the old scalar path's
+    // implicit decimal→double cast of the same 1.0/3 quotient exactly
     val th = lp.agg(
-      expr("percentile(lp_x100, 1.0/3)").as("t33"),
-      expr("percentile(lp_x100, 2.0/3)").as("t67"))
+      expr("percentile(lp_x100, array(CAST(1.0/3 AS DOUBLE), " +
+        "CAST(2.0/3 AS DOUBLE)))").as("ts"))
+      .select(col("ts").getItem(0).as("t33"), col("ts").getItem(1).as("t67"))
     lp.crossJoin(broadcast(th))
       .withColumn("bucket",
         when(col("lp_x100") >= col("t67"), "head")

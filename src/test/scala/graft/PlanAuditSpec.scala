@@ -52,13 +52,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(hints == 1, s"expected 1 broadcast hint, found $hints")
   }
 
-  test("q_dedup_ngram: the shingle base is computed once (reused exchange)") {
+  test("q_dedup_ngram: the shingle base is computed once (r14: both " +
+      "self-join sides read the materialized shingle frame)") {
     // audit the raw PLAN — the registered query returns the
-    // materialize-once frame, whose executed plan is just an RDD scan
+    // materialize-once frame. Since r14 the shingle BASE is itself a
+    // materialize-once frame (dedup:shingles), so "computed once" is
+    // structural: the pair plan's leaves are RDD scans of that frame
+    // and the documents parquet is never re-derived here.
+    graft.operators.MaterializeOnce.invalidate()
     val plan = executed(Dedup.ngramPairsPlan(spark, dir))
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
-      || plan.contains("TableCacheQueryStage"),
-      s"self-join must reuse the shingle exchange:\n${plan.take(2000)}")
+    assert(!plan.split("== Initial Plan ==")(0).contains("Scan parquet"),
+      s"shingle base must come from the materialized frame, not a " +
+        s"fresh corpus derivation:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("q_embed_cosine_topk: query side broadcast, native vec_dot in the loop") {
@@ -196,7 +202,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_instant_vector: the lookback range is a real PushedFilter on the raw column") {
-    val plan = executed(MetricsEtl.qInstantVector(spark, dir))
+    // audit the raw PLAN — the registered query reads the r14
+    // materialize-once instant-vector frame (an RDD scan)
+    val plan = executed(MetricsEtl.instantVecPlan(spark, dir))
     assert("PushedFilters: \\[[^\\]]*GreaterThan\\(ts".r.findFirstIn(plan).isDefined,
       s"lookback must push to parquet row-group stats, not stay a DataFilter:\n${plan.take(1500)}")
   }
