@@ -52,8 +52,16 @@ object Bench {
     // input instead; 2×cores keeps every core busy through stragglers.
     // Scale-adaptive by construction: fixture-SF files already split
     // past this floor, so driver numbers stay comparable. 0 disables.
-    val minScan = sys.env.getOrElse("SPARK_GRAFT_MIN_SCAN_PARTITIONS",
-      (cpus.toInt * 2).toString)
+    // malformed value → fall back to the default with a named warning,
+    // never a NumberFormatException that kills the bench (ADVICE_r14)
+    val minScan = sys.env.get("SPARK_GRAFT_MIN_SCAN_PARTITIONS")
+      .flatMap(_.toIntOption match {
+        case None =>
+          System.err.println("[bench] SPARK_GRAFT_MIN_SCAN_PARTITIONS is " +
+            "not an integer — using the 2×cores default")
+          None
+        case some => some
+      }).getOrElse(cpus.toInt * 2).toString
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -218,7 +226,12 @@ object Bench {
       .groupBy(_.tag).toSeq.sortBy(_._1).map { case (tag, evs) =>
         s""""$tag":{"builds":${evs.size},"sec":${evs.map(_.seconds).sum}}"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"routed_to_lsh":$routedJson,"sf":"$sfDir"}""")
+    // `frames` travels IN the stdout contract line (r15, VERDICT_r14
+    // item 7): the driver-visible steady-state total and the
+    // materialize-once build cost it excludes are one artifact, so the
+    // two can never silently diverge. Additive key — every existing
+    // key is unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"routed_to_lsh":$routedJson,"frames":$frames,"sf":"$sfDir"}""")
 
     // Complete artifact: per-query warmup + all measured timings (raw
     // wall + in-run frame-build seconds + in-run GC ms) + the heap

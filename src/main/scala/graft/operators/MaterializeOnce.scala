@@ -164,4 +164,17 @@ private[graft] object MaterializeOnce {
     * WITHOUT unpersisting — specs hold pre-invalidation frames across
     * this call and still act on them. */
   private[graft] def invalidate(): Unit = materialized.clear()
+
+  /** Test hook: evict ONE tag's frames (any session/dir), evict-only
+    * like [[invalidate]] — the keyed form (ADVICE_r14): a spec that
+    * needs a fresh build of one frame must not force every OTHER
+    * frame in the shared test session to leak its blocks and rebuild
+    * as a duplicate. Returns the number evicted. */
+  private[graft] def invalidateTag(tag: String): Int = {
+    var evicted = 0
+    materialized.forEach { (key, cell) =>
+      if (key._3 == tag && materialized.remove(key, cell)) evicted += 1
+    }
+    evicted
+  }
 }

@@ -1201,16 +1201,19 @@ object Similarity {
     val queries = Tables.fanOut(Tables.embeddings(spark, dir))
       .filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val tiers = Seq(1, 2, 4)
-    val found = tiers.map { np =>
-      graft.index.AnnIndex.query(spark, root, queries, nprobe = np, k = 5)
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("rn2", row_number().over(
-          Window.partitionBy("query_id").orderBy("rn")))
-        .filter(col("rn2") <= 3)
-        .select(col("query_id").as("qid"), lit(np).as("nprobe"),
-          col("neighbor_id"))
-    }.reduce(_ union _)
+    // ONE posting scan + ONE broadcast centroid argmax for all three
+    // tiers (r15, guide §2.4 — was three AnnIndex.query calls, each
+    // re-scanning the posting parquet): queryTiers is row-exact per
+    // tier vs query (Round15OptSpec), so the served totals are
+    // unchanged by construction.
+    val found = graft.index.AnnIndex
+      .queryTiers(spark, root, queries, tiers = Seq(1, 2, 4), k = 5)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy("query_id", "np").orderBy("rn")))
+      .filter(col("rn2") <= 3)
+      .select(col("query_id").as("qid"), col("np").as("nprobe"),
+        col("neighbor_id"))
     val gt = qEmbedCosineTopk(spark, dir).filter(col("rn") <= 3)
       .select(col("vec_id").as("g_qid"), col("neighbor_id").as("g_nid"))
     val hits = found.join(gt, col("qid") === col("g_qid") &&

@@ -132,6 +132,55 @@ class FrameGuardSpec extends AnyFunSuite {
           "left-semi'd to sidecar buckets with df ≤ BandBucketCap — " +
           "pairing ≤ |shard bands| × cap")),
       selfNames = Set("bandedSig"),
+      allDefs = true),
+    // r15 (ADVICE_r14): the r14 shared frames inherit the guard
+    // discipline — a NEW consumer that pairs on the raw hot keys
+    // without the stop cap / constant bench side fails here.
+    Frame("shared shingle frame dedup:shingles (df attached — pairing " +
+      "on sh without the stop cap goes quadratic per hot shingle)",
+      Seq(dedupSrc), "shingledM(spark",
+      guardEvidence = b => b.contains("dropStopM("),
+      guardDesc = "the stop-shingle cap (dropStopM — df ≤ maxShingleDf " +
+        "before any sh-keyed pairing)",
+      boundedOk = Map(
+        "q_pair_join_cost" -> ("aggregation-only pre-flight: the df " +
+          "histogram fold that SIZES the exact join — no pairing"),
+        "q_ngram_freq" -> "per-shingle df aggregation — no pairing",
+        "q_ngram_novelty" -> ("distinct (source, sh) equi-join with " +
+          "the one-row-per-sh firsts frame — ≤ one row per (source, " +
+          "shingle), never a self-join"),
+        "minhashSigPlan" -> ("groupBy(doc_id) signature fold — one row " +
+          "per doc, no pairing")),
+      selfNames = Set("shingledM"),
+      allDefs = true),
+    Frame("shared five-gram frame dedup:five_grams (pairing on g " +
+      "without a constant-bounded side replays the exact-join killer)",
+      Seq(dedupSrc), "fiveGramsM(spark",
+      guardEvidence = b => b.contains("benchDocs"),
+      guardDesc = "a benchDocs-bounded (constant, broadcast) join side",
+      boundedOk = Map(
+        "q_dup_ngram_frac" -> ("per-gram df attach — one row per gram " +
+          "occurrence, linear, no pair explosion")),
+      selfNames = Set("fiveGramsM"),
+      allDefs = true),
+    Frame("raw positioned shingles (the q_dup_span diagonal join " +
+      "input — pairing without the stop cap re-opens the quadratic " +
+      "hot-shingle path)",
+      Seq(dedupSrc), "shingledPos(spark",
+      guardEvidence = b => b.contains("maxShingleDf"),
+      guardDesc = "the stop-shingle cap (df ≤ maxShingleDf before the " +
+        "sh-keyed self-join)",
+      selfNames = Set("shingledPos"),
+      allDefs = true),
+    Frame("cross-probe verdict frame dedup:cross_probe (shard-linear " +
+      "by the BandIndex probe-time hot-bucket cap)",
+      Seq(dedupSrc), "crossProbeM(spark",
+      // probe output is candidate-capped upstream (BandIndex v2);
+      // consumers aggregate or equi-join on doc ids
+      guardEvidence = _ => true,
+      guardDesc = "the BandIndex probe-time hot-bucket cap (upstream " +
+        "of the frame build)",
+      selfNames = Set("crossProbeM"),
       allDefs = true))
 
   private val registered = SparkEntry.queries.keySet

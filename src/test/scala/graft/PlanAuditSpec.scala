@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     // materialize-once frame (dedup:shingles), so "computed once" is
     // structural: the pair plan's leaves are RDD scans of that frame
     // and the documents parquet is never re-derived here.
-    graft.operators.MaterializeOnce.invalidate()
+    // keyed eviction (ADVICE_r14): clearing the whole map mid-suite
+    // leaked every other frame's blocks and forced duplicate rebuilds
+    graft.operators.MaterializeOnce.invalidateTag("dedup:shingles")
     val plan = executed(Dedup.ngramPairsPlan(spark, dir))
     assert(!plan.split("== Initial Plan ==")(0).contains("Scan parquet"),
       s"shingle base must come from the materialized frame, not a " +

@@ -87,22 +87,40 @@ class Round14OptSpec extends SparkSpec {
   }
 
   test("q_native_wide: aggregate-first at idx8 == the r9 " +
-      "explode-before-aggregate form (r14)") {
+      "explode-before-aggregate form, FULL rows incl. bucket_idx " +
+      "(r15, ADVICE_r14 — the count-conservation check could not see " +
+      "an off-by-one shifting rows between buckets)") {
     val got = operators.NativeHistogram.qNativeWide(spark, dir)
-    // equivalent check without re-deriving the boundary table: fold
-    // the optimized output back per (series, window, schema) — totals
-    // per schema must equal the raw sample count per (series, window),
-    // i.e. no row was lost or double-counted by the re-aggregation
-    val totals = got.groupBy("name", "user_id", "w_start",
-        "bucket_schema").agg(sum("cnt").as("cnt"))
-    val raw = Tables.events(spark, dir).select(
+    // the pre-r14 plan, with the index INDEPENDENTLY re-derived: the
+    // boundary-table device is bypassed entirely — ⌈2⁸·log₂ pos⌉ =
+    // bitLength(pos^256 − 1) exactly (BigInt, the schema-+1 identity
+    // generalized), so a drift in idx8Expr/wideBounds fails here too
+    val idx8F = udf((pos: Long) =>
+      if (pos <= 1L) 0L else (BigInt(pos).pow(256) - 1).bitLength.toLong)
+    val base = Tables.events(spark, dir).select(
         col("event_type").as("name"), col("user_id"),
         (floor(unix_micros(col("ts")) / 1000000L / 3600L) * 3600L)
-          .as("w_start"))
-      .groupBy("name", "user_id", "w_start")
+          .as("w_start"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        signum(col("cents")).cast("long").as("sgn"),
+        abs(col("cents")).as("pos"))
+      .withColumn("idx8", idx8F(col("pos")))
+    val old = base.select(col("name"), col("user_id"), col("w_start"),
+        col("sgn"),
+        explode(array(Seq(-4, -2, 2, 4, 8).map { s =>
+          val d = 1L << (8 - s)
+          struct(lit(s.toLong).as("bucket_schema"),
+            when(col("sgn") === 0L, 0L)
+              .otherwise(expr(s"(idx8 + ${d - 1}) div $d"))
+              .as("bucket_idx"))
+        }: _*)).as("sb"))
+      .select(col("name"), col("user_id"), col("w_start"),
+        col("sb.bucket_schema").as("bucket_schema"), col("sgn"),
+        col("sb.bucket_idx").as("bucket_idx"))
+      .groupBy("name", "user_id", "w_start", "bucket_schema", "sgn",
+        "bucket_idx")
       .agg(count(lit(1)).as("cnt"))
-    val perSchema = rows(totals.select(col("name"), col("user_id"),
-      col("w_start"), col("cnt")).distinct())
-    assert(perSchema === rows(raw))
+    assert(rows(got) === rows(old))
   }
 }
