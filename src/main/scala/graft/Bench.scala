@@ -40,8 +40,30 @@ object Bench {
     // 1000-executor cluster would not have (VERDICT_r13 item 1). A
     // probe at sf100 should set SPARK_GRAFT_SHUFFLE_PARTITIONS≈256
     // and let AQE shrink the cheap stages.
+    // r15 (guide §2.2 "fewer, larger reduce partitions" — sized to the
+    // DATA, not the core count): the pinned `= cpus` default made every
+    // sort-heavy shuffle task at sf100 sort ~3M rows (100M-row frames
+    // over 32 partitions) and go external — the VERDICT_r13/r14
+    // "phantom superlinearity" harness artifact. The initial partition
+    // count now derives from total input size (×4 parquet→uncompressed
+    // estimate, ~64 MB sort-input per task), floored at the core count;
+    // AQE still coalesces the cheap stages DOWN. At the fixture SFs the
+    // floor selects exactly the old `= cpus` value, so driver numbers
+    // stay comparable; the env override behaves as before.
     val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", {
+        val inputBytes = try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+            .iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p))
+            .map(java.nio.file.Files.size).sum
+        } catch { case _: Exception => 0L }
+        math.max(cpus.toInt,
+          (inputBytes * 4L / (64L * 1024 * 1024)).toInt).toString
+      })
     // SCAN-parallelism floor (r14, guide §6.1): a single third-decade
     // parquet file (sf100 events: 668 MB compressed, 100 row groups)
     // yields only ~6 splits at the default 128 MB maxPartitionBytes —

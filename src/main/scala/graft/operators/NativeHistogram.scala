@@ -463,26 +463,37 @@ object NativeHistogram {
   def qNhcbRateQ(spark: SparkSession, dir: String): DataFrame = {
     val bk = qNativeCustom(spark, dir)
     val grp = Seq("name", "user_id", "w_start")
+    // r15 (guide §2.3/§2.4 — the q_native_delta devices on the NHCB
+    // frame, which at sparse cadence is samples-scale): (1) the
+    // window-pair/reset frame comes from ONE lag pass over the
+    // per-window totals instead of a shifted self-join (a pair exists
+    // iff the series' previous total sits exactly one window back);
+    // (2) the bucket-wise FULL-OUTER shifted self-join becomes one
+    // map-side-combinable union-aggregate (+cnt into its own window's
+    // next column, +cnt into the next window's prev column — an
+    // absent side is an exact 0, which is what the old coalesce did).
+    // The pairs join stays: it carries reset AND gates both-windows-
+    // exist, exactly as before. Round15OptSpec pins row-exactness.
     val tot = bk.groupBy(grp.map(col): _*).agg(sum("cnt").as("tot_next"))
-    val totPrev = tot.select(col("name"), col("user_id"),
-      (col("w_start") + WindowSec).as("w_start"),
-      col("tot_next").as("tot_prev"))
-    val pairs = tot.join(totPrev, grp)
+    val wSeries = Window.partitionBy("name", "user_id").orderBy("w_start")
+    val pairs = tot
+      .withColumn("prev_w", lag("w_start", 1).over(wSeries))
+      .withColumn("tot_prev", lag("tot_next", 1).over(wSeries))
+      .filter(col("prev_w") === col("w_start") - WindowSec)
       .withColumn("reset", (col("tot_next") < col("tot_prev")).cast("long"))
       .select(col("name"), col("user_id"), col("w_start"), col("reset"))
-    val prev = bk.select(col("name"), col("user_id"),
-      (col("w_start") + WindowSec).as("w_start"), col("bucket_idx"),
-      col("le_cents"), col("cnt").as("prev_cnt"))
-    val next = bk.withColumnRenamed("cnt", "next_cnt")
-    val inc = next.join(prev,
-        Seq("name", "user_id", "w_start", "bucket_idx", "le_cents"),
-        "full_outer")
+    val inc = bk.select(col("name"), col("user_id"), col("w_start"),
+        col("bucket_idx"), col("le_cents"),
+        col("cnt").as("nc"), lit(0L).as("pc"))
+      .unionByName(bk.select(col("name"), col("user_id"),
+        (col("w_start") + WindowSec).as("w_start"), col("bucket_idx"),
+        col("le_cents"), lit(0L).as("nc"), col("cnt").as("pc")))
+      .groupBy("name", "user_id", "w_start", "bucket_idx", "le_cents")
+      .agg(sum("nc").as("next_cnt"), sum("pc").as("prev_cnt"))
       .join(pairs, grp) // inner: both windows exist, carries the reset flag
       .withColumn("inc",
-        when(col("reset") === 1L, coalesce(col("next_cnt"), lit(0L)))
-          .otherwise(greatest(
-            coalesce(col("next_cnt"), lit(0L)) -
-              coalesce(col("prev_cnt"), lit(0L)), lit(0L))))
+        when(col("reset") === 1L, col("next_cnt"))
+          .otherwise(greatest(col("next_cnt") - col("prev_cnt"), lit(0L))))
       .filter(col("inc") > 0L)
     val q = inc
       .withColumn("tot",
@@ -594,10 +605,20 @@ object NativeHistogram {
       .groupBy("name", "user_id", "w_start")
       .agg(count(lit(1)).as("h_count"),
         sum(col("sgn") * col("pos")).as("h_sum_x100"))
-    val prev = perW.select(col("name"), col("user_id"),
-      (col("w_start") + WindowSec).as("w_start"),
-      col("h_count").as("prev_count"), col("h_sum_x100").as("prev_sum"))
-    perW.join(prev, Seq("name", "user_id", "w_start"))
+    // r15 (guide §2.4 "remove shuffles outright"): the shifted-key
+    // equality SELF-JOIN shuffled and sorted the per-window frame
+    // TWICE (SortMergeJoin of two lineages of the same aggregate); a
+    // window pair (w−3600, w) exists iff the series' PREVIOUS row in
+    // w_start order sits exactly one window back — so one LAG over one
+    // exchange produces the identical pair set (Round15OptSpec pins
+    // row-exactness; the frame is series×windows ≈ samples at sparse
+    // cadence, which is why the second sort was the sf100 term).
+    val wSeries = Window.partitionBy("name", "user_id").orderBy("w_start")
+    perW
+      .withColumn("prev_w", lag("w_start", 1).over(wSeries))
+      .withColumn("prev_count", lag("h_count", 1).over(wSeries))
+      .withColumn("prev_sum", lag("h_sum_x100", 1).over(wSeries))
+      .filter(col("prev_w") === col("w_start") - WindowSec)
       .withColumn("reset", (col("h_count") < col("prev_count")).cast("long"))
       .withColumn("dc", when(col("reset") === 1L, col("h_count"))
         .otherwise(col("h_count") - col("prev_count")))
@@ -868,27 +889,36 @@ object NativeHistogram {
     */
   def qNativeDelta(spark: SparkSession, dir: String): DataFrame = {
     val bk = buckets0(spark, dir)
-    val prev = bk.select(col("name"), col("user_id"),
-      (col("w_start") + WindowSec).as("w_start"), col("sgn"),
-      col("bucket_idx"), col("cnt").as("prev_cnt"))
-    val next = bk.select(col("name"), col("user_id"), col("w_start"),
-      col("sgn"), col("bucket_idx"), col("cnt").as("next_cnt"))
-    next.join(prev,
-        Seq("name", "user_id", "w_start", "sgn", "bucket_idx"), "full_outer")
-      // keep only window pairs where BOTH windows exist for the series
-      // (a missing adjacent window is a scrape gap, not an all-zero
-      // histogram — subtracting against it would fabricate deltas)
-      .join(next.select(col("name"), col("user_id"),
-          col("w_start")).distinct(),
-        Seq("name", "user_id", "w_start"), "left_semi")
-      .join(prev.select(col("name"), col("user_id"),
-          col("w_start")).distinct(),
-        Seq("name", "user_id", "w_start"), "left_semi")
-      .select(col("name"), col("user_id"), col("w_start"), col("sgn"),
-        col("bucket_idx"),
-        (coalesce(col("next_cnt"), lit(0L)) -
-          coalesce(col("prev_cnt"), lit(0L))).as("delta_cnt"))
+    // r15 (guide §2.3 "aggregate before you shuffle" / §2.4): the
+    // FULL-OUTER shifted self-join sorted the samples-scale bucket
+    // frame twice, and the two "both windows exist" gates were two
+    // more distinct+semi-join passes — five exchanges total. The
+    // full-outer subtraction is an AGGREGATION in disguise: each
+    // bucket row contributes +cnt to its own window and −cnt to the
+    // window one step ahead; one map-side-combinable hash aggregate
+    // over the 2× union produces the identical sparse delta set (a
+    // bucket absent on one side simply contributes one term). The gate
+    // folds to ONE window-lag pass over the distinct (series, window)
+    // frame: both windows exist iff the series' previous distinct
+    // window is exactly one step back. Round15OptSpec pins the rewrite
+    // row-exact against the join form; the oracle is unchanged.
+    val delta = bk.select(col("name"), col("user_id"), col("w_start"),
+        col("sgn"), col("bucket_idx"), col("cnt").as("d"))
+      .unionByName(bk.select(col("name"), col("user_id"),
+        (col("w_start") + WindowSec).as("w_start"), col("sgn"),
+        col("bucket_idx"), (-col("cnt")).as("d")))
+      .groupBy("name", "user_id", "w_start", "sgn", "bucket_idx")
+      .agg(sum("d").as("delta_cnt"))
       .filter(col("delta_cnt") =!= 0L)
+    val wnd = bk.select("name", "user_id", "w_start").distinct()
+    val wSeries = Window.partitionBy("name", "user_id").orderBy("w_start")
+    val both = wnd
+      .withColumn("prev_w", lag("w_start", 1).over(wSeries))
+      .filter(col("prev_w") === col("w_start") - WindowSec)
+      .select("name", "user_id", "w_start")
+    delta.join(both, Seq("name", "user_id", "w_start"), "left_semi")
+      .select(col("name"), col("user_id"), col("w_start"), col("sgn"),
+        col("bucket_idx"), col("delta_cnt"))
   }
 
   val nativeDeltaSql: String =
